@@ -1,0 +1,171 @@
+"""Table catalog over the driver-provided parquet fixtures.
+
+Explicit, declared schemas (SURVEY.md §1.3: the reference relies on
+``inferSchema=True``, which costs an extra full scan; the new engine
+declares schemas and validates reads against them). Parquet is
+self-describing so reads do not pass the schema — ``expected_schema``
+is the declared contract used by validation tests and by the CSV
+reader path in ``readers.py``.
+
+Scale notes:
+- ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it (under
+  ``spark.sql.legacy.parquet.nanosAsLong``) as epoch-nanos LONG; we
+  derive a TIMESTAMP_NTZ wall-clock column timezone-independently
+  (``timestampadd`` on an NTZ epoch literal), matching DuckDB's
+  nanos→micros truncation. No session-timezone dependence anywhere.
+- Dimension tables (region, nation, supplier, part) are small even at
+  100 TB scale factors — join sides for these should be broadcast
+  (see plans/joins.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    ),
+    # after catalog normalization (raw file: ts is epoch-nanos INT64)
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("ts_ns", T.LongType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# TIMESTAMP_NTZ epoch anchor; timestampadd on NTZ is pure wall-clock
+# arithmetic → no session-timezone dependence (unlike timestamp_micros
+# which yields instant-semantics TIMESTAMP).
+_NTZ_FROM_NANOS = (
+    "timestampadd(MICROSECOND, (ts_ns % 1000000000) DIV 1000, "
+    "timestampadd(SECOND, ts_ns DIV 1000000000, TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+)
+
+
+def expected_schema(name: str) -> T.StructType:
+    return _SCHEMAS[name]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalized to the declared schema."""
+    if name == "events":
+        # required to read parquet TIMESTAMP(NANOS); session-level conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.expr(_NTZ_FROM_NANOS))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view for spark.sql() plans."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
