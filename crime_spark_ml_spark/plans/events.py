@@ -1,0 +1,244 @@
+"""Event-table plans: the batch twins of the streaming surface
+(SURVEY.md §2.10) — tumbling/sliding/session windows, JSON extraction,
+as-of join, hypertable-style rollup.
+
+Structured Streaming runs these same shapes incrementally
+(streaming/consumer.py); the batch forms here are oracle-checkable and
+establish stream-batch parity (§5.3).
+
+Scale notes: all time bucketing is pure integer arithmetic on epoch
+nanos or wall-clock NTZ — timezone-free and deterministic. Session
+windows and as-of joins use windows PARTITIONED BY user_id: state is
+sharded by key, the streaming-compatible layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggs import dec_sum, dec_sum_sql
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "ev_window_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {dec_sum_sql('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("events", "window", "T1"),
+)
+def ev_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts per event type — the batch form
+    of the streaming consumer's windowed aggregation (the reference's
+    5 s micro-batch cadence generalized to event-time windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dec_sum("value", 6).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "ev_window_sliding",
+    oracle="""
+    WITH buckets AS (
+      SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000)
+               AS window_start, event_id
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000
+                            - 1800000000) AS window_start, event_id
+      FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt
+    FROM buckets GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "window", "sliding"),
+)
+def ev_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in
+    two windows. Spark expands the window set row-locally (no join)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "ev_sessionize",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    gaps AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                       >= 600000000 THEN 1
+                  WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                       IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM base),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 10-minute inactivity gap — gaps-and-islands
+    on epoch nanos, state sharded by user_id (the batch twin of
+    Structured Streaming's session_window, streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 10 * 60 * 1_000_000
+    prev = F.lag("ts_us").over(w_order)
+    new_session = F.when(prev.isNull() | (F.col("ts_us") - prev >= gap_us), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "ev_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "json", "T2"),
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props payload column — the
+    batch form of the streaming wire-format parse (from_json in
+    streaming/wire.py; get_json_object here)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ev_asof_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           MAX(epoch_us(CAST(p.ts AS TIMESTAMP))) AS last_purchase_us
+    FROM events e
+    LEFT JOIN events p
+      ON p.user_id = e.user_id AND p.event_type = 'purchase'
+     AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(e.ts AS TIMESTAMP))
+    WHERE e.event_type = 'click'
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id
+    """,
+    tags=("events", "asof"),
+)
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the user's most recent purchase at
+    or before it. Implemented as a single partitioned window pass
+    (last purchase carried forward) — O(n log n) per user shard vs the
+    oracle's O(n²) self-join; the streaming-state-compatible layout."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_purchase_us", carried)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "last_purchase_us")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "ev_hypertable_rollup",
+    oracle=f"""
+    SELECT COALESCE(day, 'ALL') AS day, COALESCE(hour, 'ALL') AS hour, cnt, sum_value
+    FROM (
+      SELECT day, hour, COUNT(*) AS cnt, {dec_sum_sql('value', 6)} AS sum_value
+      FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS hour,
+                   value
+            FROM events)
+      GROUP BY ROLLUP (day, hour))
+    ORDER BY day, hour
+    """,
+    tags=("events", "rollup"),
+)
+def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per-hour, per-day,
+    and grand-total aggregates in one grouping-sets pass."""
+    ev = load_table(spark, sf_dir, "events")
+    withdims = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("string").alias("hour"),
+        "value",
+    )
+    return (
+        withdims.rollup("day", "hour")
+        .agg(F.count("*").alias("cnt"), dec_sum("value", 6).alias("sum_value"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("day", "hour")
+    )

@@ -1,0 +1,408 @@
+"""Join / set-operation / multi-dimensional aggregation plans.
+
+The reference has no joins (SURVEY.md §2.3) — this module supplies the
+full relational surface a user of a crime-analytics engine needs and
+the driver's TPC-H-ish oracle exercises: broadcast + sort-merge joins,
+semi/anti joins, set ops, rollup, distinct aggregates.
+
+Scale notes baked into every plan:
+- Dimension sides (region/nation/supplier — and customer vs lineitem)
+  are broadcast explicitly; the big fact-fact join (lineitem⋈orders)
+  is a shuffle sort-merge join on the join key, which AQE converts or
+  skew-splits at runtime.
+- Filters are applied before joins so Catalyst pushes them into the
+  parquet scans (verified via .explain PushedFilters).
+- Money sums use decimal accumulation (functions/aggs.py) — exact,
+  partition-order-independent, bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.aggs import dec_sum, dec_sum_sql
+from ..sources.catalog import load_table
+from .registry import register
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# --------------------------------------------------------------- TPC-H Q1
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dec_sum_sql('l_quantity', 2)} AS sum_qty,
+           {dec_sum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {dec_sum_sql(_REVENUE, 6)} AS sum_disc_price,
+           {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("joins", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → pushed filter →
+    partial+final hash aggregate. The workhorse full-scan aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", 2).alias("sum_qty"),
+            dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            dec_sum(revenue, 6).alias("sum_disc_price"),
+            dec_sum(revenue * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q3
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dec_sum_sql(_REVENUE, 6)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("joins",),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: filtered customer (small after filter →
+    broadcast) ⋈ orders ⋈ lineitem, top-10 revenue orders. The
+    lineitem⋈orders equi-join shuffles on orderkey; top-k is
+    TakeOrderedAndProject (no global sort)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-01-01")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q5
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {dec_sum_sql(_REVENUE, 6)} AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN customer ON o_custkey  = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("joins",),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: five-way star join. All dims (supplier, nation,
+    region — and customer, small relative to the facts) broadcast; the
+    only shuffle join is lineitem⋈orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q6
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dec_sum_sql('l_extendedprice * l_discount', 6)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+    tags=("joins", "filter"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure predicate-pushdown aggregate — every filter
+    reaches the parquet scan (PushedFilters), zero joins, one shuffle-
+    free partial+final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------- semi/anti
+@register(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    tags=("joins", "semi"),
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 urgent order. Semi joins ship
+    only the key column of the probe side — no payload shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_orderless_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("joins", "anti"),
+)
+def join_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------- set ops
+@register(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+    tags=("setops",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers with finished but no open orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.subtract(o_cust).orderBy("o_custkey")
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY o_custkey
+    """,
+    tags=("setops",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both F and P orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    p_cust = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f_cust.intersect(p_cust).orderBy("o_custkey")
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+    SELECT c_name AS name, ROUND(c_acctbal, 2) AS acctbal, 'customer' AS side
+    FROM customer WHERE c_acctbal > 9000.0
+    UNION ALL
+    SELECT s_name AS name, ROUND(s_acctbal, 2) AS acctbal, 'supplier' AS side
+    FROM supplier WHERE s_acctbal > 9000.0
+    ORDER BY name
+    """,
+    tags=("setops",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by position (unionByName in the engine) of two
+    heterogeneous sources projected to a shared schema."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0)
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000.0)
+    left = c.select(
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("customer").alias("side"),
+    )
+    right = s.select(
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    return left.unionByName(right).orderBy("name")
+
+
+# --------------------------------------------------------------- rollup / cube
+@register(
+    "rollup_priority_status",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS cnt,
+           {dec_sum_sql('o_totalprice', 2)} AS total_sales
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (priority, status) → (priority) → () in one
+    pass — Spark expands grouping sets in a single shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"), dec_sum("o_totalprice", 2).alias("total_sales"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "cnt",
+            "total_sales",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@register(
+    "cube_segment_nation",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           COUNT(*) AS cnt
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    ORDER BY segment, nation
+    """,
+    tags=("agg", "cube"),
+)
+def cube_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping sets of (segment, nationkey) in one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.cube("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias("nation"),
+            "cnt",
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+# --------------------------------------------------------------- distinct aggs
+@register(
+    "distinct_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggregates (Spark expands the
+    two-phase distinct aggregate automatically)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # approximate by design → rows-only check; exact twin above
+    tags=("agg", "approx"),
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale variant
+    of distinct counting — mergeable sketch, no exact-distinct shuffle.
+    Non-deterministic vs DuckDB's HLL → rows-only check; correctness
+    covered by tests asserting ≤2% error vs the exact count."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+        .orderBy("o_orderstatus")
+    )

@@ -35,16 +35,10 @@ def _duckdb_conn(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    # plain views, exactly like the driver's oracle registration —
+    # oracle SQL may only reference raw file columns
     for t in TABLES:
-        if t == "events":
-            # mirror the catalog's nanos→micros truncation
-            con.sql(
-                f"CREATE VIEW events AS SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
-                f"user_id, event_type, value, props, "
-                f"epoch_ns(ts) AS ts_ns FROM '{sf_dir}/events.parquet'"
-            )
-        else:
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
 

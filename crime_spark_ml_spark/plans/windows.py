@@ -1,0 +1,131 @@
+"""Window-function plans (SURVEY.md §2.6: none in the reference; needed
+for deterministic label-encoding and standard analytics parity).
+
+Scale notes: every window here is PARTITIONED (by status / customer /
+nation) — partitioned windows parallelize across executors. The only
+unpartitioned window in the engine is over tiny dictionaries
+(operators/encode.py). Running sums use decimal accumulation so the
+result is identical regardless of the engine's frame-evaluation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "w_topn_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_orderstatus, rn
+    """,
+    tags=("window",),
+)
+def w_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per status: row_number over a partitioned
+    window (ties broken by key for determinism)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+@register(
+    "w_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order time (decimal
+    accumulation → frame-order-independent exactness)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn(
+            "running_spend",
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).over(w).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "w_lag_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS gap_days
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "lag"),
+)
+def w_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since the customer's previous order (LAG + datediff on
+    TIMESTAMP_NTZ → timezone-free)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        o.withColumn("gap_days", F.datediff(F.col("o_orderdate"), prev).cast("int"))
+        .select("o_custkey", "o_orderkey", "gap_days")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "w_dense_rank_nations",
+    oracle="""
+    SELECT c_nationkey, cnt,
+           CAST(DENSE_RANK() OVER (ORDER BY cnt DESC) AS INTEGER) AS rank
+    FROM (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey)
+    ORDER BY rank, c_nationkey
+    """,
+    tags=("window", "dense_rank"),
+)
+def w_dense_rank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank over an aggregate (the primitive behind deterministic
+    label encoding, SURVEY.md §2.4 E1). The window input here is the
+    25-row nation aggregate — tiny, so a global window is safe."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"))
+    return (
+        counts.withColumn("rank", F.dense_rank().over(w).cast("int"))
+        .orderBy("rank", "c_nationkey")
+    )

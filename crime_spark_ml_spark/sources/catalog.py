@@ -113,6 +113,7 @@ _SCHEMAS: dict[str, T.StructType] = {
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
             T.StructField("ts_ns", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
         ]
     ),
     "documents": T.StructType(
@@ -153,10 +154,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        # ts_us (epoch micros) is the oracle-parity clock: DuckDB's parquet
+        # reader truncates TIMESTAMP(NANOS) to microseconds, so micros is the
+        # finest precision both engines agree on. ts_ns keeps full fidelity.
         df = (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts", F.expr(_NTZ_FROM_NANOS))
-            .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+            .select(
+                "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns", "ts_us"
+            )
         )
     return df
 
