@@ -1,0 +1,59 @@
+"""Hash-based signature expressions: MinHash, SimHash, fingerprints.
+
+Everything is built from JVM-side ``xxhash64``/``md5`` inside
+higher-order functions — vectorized, codegen-friendly, zero Python.
+Signatures are deterministic across runs and partitionings (seeded by
+literal strings), which is what makes LSH reproducible at scale.
+
+ANSI note: Spark 4 runs ANSI mode by default (arithmetic overflow
+throws), so SimHash packs 48 bits — the packed value stays positive
+in a LONG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 48
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokens (the documents fixture is space-delimited)."""
+    return F.split(F.col(text_col), " ")
+
+
+def minhash(words_expr: str, num_hashes: int = 32) -> Column:
+    """MinHash signature: for permutation i, min over tokens of
+    xxhash64(token ⊕ i). One pass per row, no shuffle."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), i -> "
+        f"array_min(transform({words_expr}, w -> xxhash64(concat(w, '#', CAST(i AS STRING))))))"
+    )
+
+
+def band_hashes(sig_expr: str, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each ``rows_per_band``-slice of the signature.
+    Two docs collide in band b iff their signature slices are equal."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"xxhash64(concat_ws(',', transform(slice({sig_expr}, b * {rows_per_band} + 1, "
+        f"{rows_per_band}), v -> CAST(v AS STRING)))))"
+    )
+
+
+def simhash(words_expr: str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash: per bit j, sign of Σ_tokens (±1 from bit j of the token
+    hash); packed big-endian into a LONG (≤48 bits, ANSI-safe)."""
+    bit_j = (
+        f"j -> CASE WHEN aggregate({words_expr}, 0L, (acc, w) -> "
+        f"acc + IF((shiftright(xxhash64(w), j) & 1) = 1, 1L, -1L)) >= 0 THEN 1L ELSE 0L END"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence({bits - 1}, 0, -1), {bit_j}), 0L, (acc, b) -> acc * 2 + b)"
+    )
+
+
+def hamming64(a: str, b: str) -> Column:
+    """Hamming distance between two packed signatures (bit_count of XOR)."""
+    return F.expr(f"bit_count({a} ^ {b})")

@@ -1,0 +1,85 @@
+"""Text-analysis column expressions for the training-data pipeline:
+token counting, quality scoring, language ID, fingerprinting.
+
+All JVM-side (split / regexp / higher-order functions) — these run
+inside whole-stage codegen over billions of documents with no Python
+in the loop. Each expression has an exact DuckDB twin so the plans in
+plans/datapipe.py are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny multilingual marker-stopword table for the heuristic language
+# ID. Real corpora would use char-n-gram profiles (same plan shape:
+# per-row expression, no shuffle); the fixture's synthetic texts share
+# one vocabulary, so markers keep the heuristic deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "la", "les"),
+    "zh": ("的", "是", "了"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def n_tokens(text_col: str) -> Column:
+    return F.expr(f"size(split({text_col}, ' '))").cast("long")
+
+
+def n_alpha_tokens(text_col: str) -> Column:
+    """Tokens that are purely ASCII-alphabetic (regex shared verbatim
+    with DuckDB's RE2 — keep the pattern in the common subset)."""
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), w -> w rlike '^[a-z]+$'))"
+    ).cast("long")
+
+
+def n_stopwords(text_col: str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    words = ", ".join(f"'{w}'" for w in stopwords)
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), w -> w IN ({words})))"
+    ).cast("long")
+
+
+def lang_score(text_col: str, lang: str) -> Column:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return F.expr(f"size(filter(split({text_col}, ' '), w -> w IN ({markers})))")
+
+
+def lang_id(text_col: str) -> Column:
+    """Argmax of marker-stopword hits; 'und' (undetermined) when no
+    marker fires. Deterministic tie-break by language code order."""
+    expr: Column = F.lit("und")
+    best: Column = F.lit(0)
+    for code in sorted(LANG_MARKERS):  # later wins only on strict >
+        score = lang_score(text_col, code)
+        expr = F.when(score > best, F.lit(code)).otherwise(expr)
+        best = F.greatest(best, score)
+    return expr
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite [0,1] quality: length credit + alpha ratio −
+    stopword-spam penalty. The exact formula is mirrored in
+    plans/datapipe.py's oracle SQL."""
+    nt = n_tokens(text_col).cast("double")
+    alpha_ratio = n_alpha_tokens(text_col).cast("double") / nt
+    stop_ratio = n_stopwords(text_col).cast("double") / nt
+    length_credit = F.least(nt / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_credit + F.lit(0.4) * alpha_ratio + F.lit(0.2) * (1 - stop_ratio), 6
+    )
+
+
+def fingerprint(text_col: str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (the canonical 'fingerprint method' for fuzzy
+    dedup preprocessing)."""
+    return F.expr(
+        f"substring(md5(concat_ws(' ', array_sort(array_distinct(split({text_col}, ' '))))), 1, 16)"
+    )

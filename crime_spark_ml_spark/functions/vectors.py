@@ -1,0 +1,41 @@
+"""Vector column expressions over ``array<float>`` embeddings.
+
+All arithmetic is JVM-side via higher-order functions (zip_with /
+aggregate) inside whole-stage codegen — no Python UDFs in the hot
+path. Accumulation is sequential in DOUBLE, which is bit-reproducible
+and matches DuckDB's ``list_dot_product(CAST(... AS DOUBLE[]))``
+(verified bit-for-bit), so cosine results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.expr(
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``cosine`` — same sequential double arithmetic."""
+    da, db = f"CAST({a} AS DOUBLE[])", f"CAST({b} AS DOUBLE[])"
+    return (
+        f"(list_dot_product({da}, {db}) / "
+        f"(sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db}))))"
+    )

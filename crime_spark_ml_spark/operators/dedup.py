@@ -1,0 +1,122 @@
+"""Deduplication operators for the large-scale training-data pipeline:
+exact, MinHash-LSH near-dup, SimHash, n-gram Jaccard.
+
+Scale design (the point of each implementation):
+- **exact_dedup**: hash-groupBy on md5(text) — one shuffle keyed by a
+  16-byte digest instead of the full document payload.
+- **minhash_lsh_candidates**: shingle → minhash → band → bucket-join.
+  Signatures are computed row-locally (one pass, JVM higher-order
+  functions); the only shuffle is the band-bucket self-join, whose
+  key cardinality (bands × hash space) spreads uniformly. This is the
+  classic sub-quadratic near-dup: candidate pairs ≈ colliding pairs,
+  never all-pairs.
+- **simhash_signatures**: 48-bit packed signature per doc; exact-match
+  or low-Hamming grouping finds near-dups with a single groupBy.
+- **jaccard_pairs**: exact token-set Jaccard via explode + count —
+  used to verify/threshold LSH candidates (scoped to a partition key
+  to stay sub-quadratic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import band_hashes, minhash, simhash
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct text; count the group size.
+    Deterministic winner (vs dropDuplicates' arbitrary row)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32
+) -> DataFrame:
+    words = f"array_distinct(split({text_col}, ' '))"
+    return df.withColumn("minhash_sig", minhash(words, num_hashes))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_bands collisions).
+
+    bands=8 × rows=4 over 32 hashes ≈ s-curve threshold ~0.59 Jaccard
+    (t ≈ (1/b)^(1/r)). Tune bands up for recall, down for precision.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df.select(id_col, text_col), text_col, num_hashes)
+    banded = (
+        sig.withColumn("bands", band_hashes("minhash_sig", bands, rows_per_band))
+        .select(id_col, F.posexplode("bands").alias("band_pos", "band_hash"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_pos") == F.col("r.band_pos"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    words = f"array_distinct(split({text_col}, ' '))"
+    return df.withColumn("simhash", simhash(words))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str = "source",
+) -> DataFrame:
+    """Exact distinct-token Jaccard for all pairs within a scope key.
+    explode → (scope, token) self-join → |∩| per pair; |∪| from
+    broadcast per-doc token counts. Sub-quadratic as long as the scope
+    key bounds the group size."""
+    toks = df.select(
+        id_col,
+        scope_col,
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    counts = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    inter = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col(f"a.{scope_col}") == F.col(f"b.{scope_col}"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **brute_force_topk**: exact cosine top-k of a (small, broadcast)
+  query set against the full corpus — the correctness baseline. One
+  scan, no shuffle of the corpus side; per-query top-k via a
+  partitioned window.
+- **sign_lsh_buckets / lsh_topk**: random-hyperplane (SRP) LSH — the
+  scale path. Hyperplane weights are ±1 derived from xxhash64(table,
+  plane, dim): deterministic, computed inline JVM-side, no stored
+  model. Candidates come from bucket equality joins over L tables;
+  exact cosine re-ranks candidates only. Corpus bucketing is a narrow
+  map; the join shuffles only (bucket, id) pairs.
+
+At 100 TB the brute-force path is a deliberate full-scan benchmark;
+LSH (or the IVF variant in ml/ivf.py) is what runs in production —
+both return the same schema so they're swappable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors (excluding self) per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine("qe", "ce"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def _bucket_expr(vec_col: str, planes: int, table: int) -> F.Column:
+    """SRP bucket id: ``planes`` sign bits packed into an int. Plane p
+    weight for dim d = ±1 from xxhash64('t#p#d') — deterministic."""
+    proj = (
+        f"p -> CASE WHEN aggregate(sequence(0, size({vec_col}) - 1), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + IF(pmod(xxhash64(concat('{table}', '#', CAST(p AS STRING), '#', "
+        f"CAST(d AS STRING))), 2) = 0, 1.0, -1.0) * CAST(element_at({vec_col}, d + 1) AS DOUBLE)) "
+        f">= 0 THEN 1L ELSE 0L END"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {planes - 1}), {proj}), 0L, (acc, b) -> acc * 2 + b)"
+    )
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Append bucket ids for L hash tables: array ``lsh_buckets[t]``."""
+    buckets = F.array(*[_bucket_expr(vec_col, planes, t) for t in range(tables)])
+    return df.withColumn("lsh_buckets", buckets)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any table,
+    re-ranked by exact cosine. Recall grows with ``tables`` and falls
+    with ``planes`` (tested ≥0.5@k=5 vs brute force on the fixture,
+    whose vectors are near-uniform random — the hardest case for LSH;
+    clustered real-world embeddings bucket far better)."""
+    cb = (
+        sign_lsh_buckets(corpus, vec_col, planes, tables)
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("ce"),
+            F.posexplode("lsh_buckets").alias("t", "bucket"),
+        )
+    )
+    qb = (
+        sign_lsh_buckets(queries, vec_col, planes, tables)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qe"),
+            F.posexplode("lsh_buckets").alias("t", "bucket"),
+        )
+    )
+    cands = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qe", "cand_id", "ce")
+        .distinct()
+        .withColumn("cos", F.round(cosine("qe", "ce"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidates +
+    exact-cosine threshold (id_a < id_b)."""
+    b = sign_lsh_buckets(corpus, vec_col, planes, tables).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("e"),
+        F.posexplode("lsh_buckets").alias("t", "bucket"),
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), ["t", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.e").alias("ea"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.e").alias("eb"),
+        )
+        .distinct()
+        .withColumn("cos", F.round(cosine("ea", "eb"), 6))
+        .where(F.col("cos") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cos")

@@ -1,0 +1,274 @@
+"""Training-data-pipeline plans over documents/embeddings: dedup,
+similarity search, text analysis, multimodal plumbing.
+
+SQL-expressible ops carry DuckDB oracles (regex/list lambdas kept in
+the Java-regex ∩ RE2 common subset; cosine arithmetic matched
+bit-for-bit — see functions/vectors.py). Hash-signature ops (MinHash/
+SimHash/SRP-LSH: xxhash64 has no DuckDB twin) register rows-only and
+get exactness/recall tests in tests/test_datapipe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import lang_id, n_alpha_tokens, n_stopwords, n_tokens, quality_score
+from ..functions.vectors import cosine_sql
+from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
+from ..operators.multimodal import resize_plan, synthetic_media
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.catalog import load_table
+from .registry import register
+
+
+# ------------------------------------------------------------------ dedup
+@register(
+    "dp_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY doc_id
+    """,
+    tags=("dedup", "exact"),
+)
+def dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), deterministic min-id
+    winner. The shuffle key is the digest, not the document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("fp", "doc_id", "n_dups").orderBy("doc_id")
+
+
+@register(
+    "dp_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (ca.n_tok + cb.n_tok - n_inter), 6) AS jaccard
+    FROM inter JOIN counts ca ON ca.doc_id = id_a
+               JOIN counts cb ON cb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 25
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for same-source pairs, top 25 most
+    similar — the verification metric behind MinHash (explode+join,
+    sub-quadratic via the source scope key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(docs, scope_col="source")
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(25)
+    )
+
+
+@register("dp_minhash_candidates", oracle=None, tags=("dedup", "minhash", "lsh"))
+def dp_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (32 hashes, 8 bands × 4).
+    xxhash64 signatures have no DuckDB twin → rows-only here;
+    exactness + recall-vs-Jaccard are pinned in tests/test_datapipe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+@register("dp_simhash", oracle=None, tags=("dedup", "simhash"))
+def dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash signature per document (deterministic; grouping
+    by signature = near-dup clustering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+# ------------------------------------------------------------- similarity
+@register(
+    "dp_ann_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann"),
+)
+def dp_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 5 vectors: broadcast
+    queries × corpus scan, JVM-side double dot product (bit-matched
+    to the oracle), per-query window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register("dp_ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
+def dp_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-LSH (4 planes × 8 tables) + exact
+    re-rank of candidates — the 100 TB scale path. Recall vs brute
+    force pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy("query_id", "rank")
+
+
+# ------------------------------------------------------------------- text
+@register(
+    "dp_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> regexp_full_match(w, '[a-z]+'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "tokens"),
+)
+def dp_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, alpha tokens, stopword hits —
+    row-local JVM expressions (the scale-path tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        n_alpha_tokens("text").alias("n_alpha"),
+        n_stopwords("text").alias("n_stop"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "dp_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * (CAST(len(list_filter(string_split(text, ' '),
+                             w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+                        / len(string_split(text, ' ')))
+               + 0.2 * (1 - CAST(len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                        / len(string_split(text, ' '))), 6) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def dp_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length credit + alpha ratio − stopword
+    spam (functions/text.py formula, mirrored exactly in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+@register(
+    "dp_lang_id",
+    oracle="""
+    WITH scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS s_de,
+        len(list_filter(string_split(text,' '), w -> w IN ('the','a','and'))) AS s_en,
+        len(list_filter(string_split(text,' '), w -> w IN ('el','la','los'))) AS s_es,
+        len(list_filter(string_split(text,' '), w -> w IN ('le','la','les'))) AS s_fr,
+        len(list_filter(string_split(text,' '), w -> w IN ('的','是','了'))) AS s_zh
+      FROM documents),
+    pred AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN s_zh > GREATEST(s_de, s_en, s_es, s_fr, 0) THEN 'zh'
+          WHEN s_fr > GREATEST(s_de, s_en, s_es, 0) THEN 'fr'
+          WHEN s_es > GREATEST(s_de, s_en, 0) THEN 'es'
+          WHEN s_en > GREATEST(s_de, 0) THEN 'en'
+          WHEN s_de > 0 THEN 'de'
+          ELSE 'und' END AS lang_pred
+      FROM scores)
+    SELECT lang, lang_pred, COUNT(*) AS cnt
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    tags=("text", "langid"),
+)
+def dp_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-stopword argmax, later language
+    code wins only on strict >) — confusion counts vs the labeled
+    lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "dp_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                                        'string_agg', ' ')), 1, 16) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (dedup-canonicalization primitive)."""
+    from ..functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- multimodal
+@register(
+    "dp_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def dp_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata
+    (payload size here; the Arrow-batched decode path is
+    operators/multimodal.decode_image, covered by tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(docs)
+    return media.select(
+        "media_id", "kind", F.octet_length("payload").cast("long").alias("n_bytes")
+    ).orderBy("media_id")
+
+
+@register("dp_multimodal_resize", oracle=None, tags=("multimodal", "resize"))
+def dp_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only resize plan over the synthetic media table
+    (aspect-preserving bound to 256px) — deterministic, rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = resize_plan(synthetic_media(docs))
+    return media.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("resize.width").alias("rw"),
+        F.col("resize.height").alias("rh"),
+    ).orderBy("media_id")

@@ -1,0 +1,126 @@
+"""Operator tests for dedup / similarity / multimodal — the checks the
+DuckDB oracle can't express (hash signatures, LSH recall, Arrow UDFs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crime_spark_ml_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_signatures,
+)
+from crime_spark_ml_spark.operators.multimodal import (
+    decode_image,
+    frame_sample,
+    resize_plan,
+    synthetic_media,
+)
+from crime_spark_ml_spark.operators.similarity import brute_force_topk, lsh_topk
+from crime_spark_ml_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    """Fixture docs + injected exact dups (id+10000) and near-dups
+    (id+20000, first token dropped)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    exact = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_groups_injected_dups(docs_with_dups):
+    out = exact_dedup(docs_with_dups)
+    dup_groups = out.where(F.col("n_dups") > 1)
+    # the 5 exact dups collapse onto their originals (min doc_id wins)
+    assert dup_groups.count() == 5
+    assert {r.doc_id for r in dup_groups.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_minhash_finds_near_dups(docs_with_dups):
+    cands = minhash_lsh_candidates(docs_with_dups).collect()
+    pairs = {(r.id_a, r.id_b) for r in cands}
+    # exact dups always collide in every band
+    for i in range(5):
+        assert (i, i + 10000) in pairs
+    # near-dups (one token dropped → Jaccard ≈ 1) should be candidates
+    found_near = sum((i, i + 20000) in pairs for i in range(5))
+    assert found_near >= 4, f"minhash missed near-dups: {found_near}/5"
+
+
+def test_minhash_signature_deterministic(spark, sf_dir):
+    a = minhash_lsh_candidates(load_table(spark, sf_dir, "documents")).collect()
+    b = minhash_lsh_candidates(load_table(spark, sf_dir, "documents")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_near_dups_close(docs_with_dups):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs_with_dups).collect()}
+    for i in range(5):
+        assert sigs[i] == sigs[i + 10000]  # identical text → identical signature
+        ham = bin(sigs[i] ^ sigs[i + 20000]).count("1")
+        assert ham <= 12, f"near-dup hamming too high: {ham}"
+
+
+def test_jaccard_matches_injected_similarity(docs_with_dups):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs_with_dups, scope_col="source").collect()
+    }
+    for i in range(5):
+        assert pairs[(i, i + 10000)] == 1.0
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.cand_id) for r in exact}
+    approx_set = {(r.query_id, r.cand_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = synthetic_media(docs)
+    feats = decode_image(media).collect()
+    assert len(feats) == 20
+    by_id = {r.media_id: r for r in feats}
+    sample = docs.select("doc_id", "text").collect()
+    for row in sample[:5]:
+        payload = row.text.encode()
+        r = by_id[row.doc_id]
+        assert r.n_bytes == len(payload)
+        assert r.mean_byte == pytest.approx(round(sum(payload) / len(payload), 6))
+        assert r.phash == int.from_bytes(payload[:6].ljust(6, b"\0"), "big")
+
+
+def test_multimodal_real_codec_is_stubbed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        decode_image(synthetic_media(docs), real_codec=True)
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = frame_sample(resize_plan(synthetic_media(docs)))
+    for r in media.collect():
+        assert max(r.resize.width, r.resize.height) <= 256
+        if r.kind == "video":
+            assert r.frame_indices[0] == 0
+            assert all(i < r.meta.n_frames for i in r.frame_indices)
+        else:
+            assert r.frame_indices is None
