@@ -1,0 +1,138 @@
+"""ML query plans (SURVEY.md §2.9). Training outputs aren't
+SQL-expressible → rows-only checks, with distributional assertions in
+tests/test_ml.py. Target encoding (M6 MEstimate) IS SQL-expressible
+and carries an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.aggs import dec_sum, dec_sum_sql
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn("features", array_to_vector(vec_col))
+
+
+@register("ml_kmeans_clusters", oracle=None, tags=("ml", "M2"))
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans k=10 seed=0 (crime.py:136-137) on the embeddings fixture:
+    cluster sizes, largest first. k-means|| init, one fit, centroids
+    broadcast for the transform."""
+    from pyspark.ml.clustering import KMeans
+
+    emb = _vectors(load_table(spark, sf_dir, "embeddings")).cache()
+    model = KMeans(k=10, seed=0, featuresCol="features").fit(emb)
+    return (
+        model.transform(emb)
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "cluster")
+    )
+
+
+@register("ml_logreg_accuracy", oracle=None, tags=("ml", "M3", "M4", "M5", "M6"))
+def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass LogisticRegression (M6 declared surface) on the
+    embeddings fixture with a 70/30 split (M1): one-row accuracy +
+    class count (M5 evaluator)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    emb = _vectors(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "label", F.col("label").cast("double")
+    )
+    train, test = emb.randomSplit([0.7, 0.3], seed=0)
+    train = train.cache()
+    model = LogisticRegression(maxIter=25, regParam=0.01, labelCol="label").fit(train)
+    scored = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(scored)
+    return spark.createDataFrame(
+        [(round(acc, 4), model.numClasses)], "accuracy double, n_classes int"
+    )
+
+
+@register("ml_pca_embeddings", oracle=None, tags=("ml", "M6", "PCA"))
+def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA k=8 over embeddings (M6): explained-variance ratios —
+    covariance is a one-pass distributed aggregate; the eigensolve is
+    driver-side on the tiny 64×64 matrix."""
+    from pyspark.ml.feature import PCA
+
+    emb = _vectors(load_table(spark, sf_dir, "embeddings"))
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
+    ev = [round(float(x), 6) for x in model.explainedVariance]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ev)], "component int, explained_variance double"
+    )
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH g AS (SELECT {dec_sum_sql('o_totalprice', 2)} / COUNT(*) AS gmean FROM orders),
+    seg AS (
+      SELECT c_mktsegment,
+             {dec_sum_sql('o_totalprice', 2)} AS seg_sum,
+             COUNT(*) AS seg_n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment)
+    SELECT c_mktsegment,
+           ROUND((seg_sum + 20.0 * gmean) / (seg_n + 20.0), 4) AS target_enc
+    FROM seg CROSS JOIN g
+    ORDER BY c_mktsegment
+    """,
+    tags=("ml", "M6", "target-encoding"),
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-estimate target encoding (M6: MEstimateEncoder import at
+    crime.py:24): smoothed segment mean of order totals — a groupBy
+    aggregate + broadcast of the global mean, no model object."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = 20.0
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    g = o.agg((dec_sum("o_totalprice", 2) / F.count("*")).alias("gmean"))
+    seg = joined.groupBy("c_mktsegment").agg(
+        dec_sum("o_totalprice", 2).alias("seg_sum"), F.count("*").alias("seg_n")
+    )
+    return (
+        seg.crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            F.round(
+                (F.col("seg_sum") + m * F.col("gmean")) / (F.col("seg_n") + m), 4
+            ).alias("target_enc"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register("ml_crime_pipeline", oracle=None, tags=("ml", "M1", "M2", "M3", "M4", "M5"))
+def ml_crime_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end-to-end workload (crime.py:79-206) on the
+    synthetic crime fixture: indexers → scaler → KMeans → RF. Returns
+    per-category prediction counts (top 10) + an accuracy row."""
+    from ..ml.pipeline import train_crime_model
+    from ..sources.crimegen import crime_table
+
+    raw = crime_table(spark, n_rows=4000)
+    result = train_crime_model(raw, num_trees=20, max_depth=8)
+    counts = (
+        result.predictions.groupBy("Category")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "Category")
+        .limit(10)
+    )
+    acc_row = spark.createDataFrame(
+        [("__accuracy__", int(result.accuracy * 10000))], "Category string, n long"
+    )
+    return counts.unionByName(acc_row)
