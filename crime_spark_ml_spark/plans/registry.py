@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "crime_spark_ml_spark.plans.events",
     "crime_spark_ml_spark.plans.datapipe",
     "crime_spark_ml_spark.plans.mlplans",
+    "crime_spark_ml_spark.plans.streamplans",
 )
 
 

@@ -1,0 +1,229 @@
+"""Streaming tests (SURVEY.md §5.3): wire-format roundtrips through
+real streaming queries, watermark late-data semantics, stream-batch
+parity, sessionization, and the TCP socket integration smoke."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crime_spark_ml_spark.plans.streamplans import RAW_EVENTS_SCHEMA, _NTZ
+from crime_spark_ml_spark.sources.catalog import load_table
+from crime_spark_ml_spark.streaming.consumer import (
+    file_lines,
+    parquet_stream,
+    run_available_now,
+    session_counts,
+    socket_lines,
+    to_memory,
+    windowed_counts,
+)
+from crime_spark_ml_spark.streaming.wire import (
+    feature_struct,
+    image_struct,
+    parse_tabular,
+    parse_text,
+    restore_names,
+)
+
+_name_counter = iter(range(10_000))
+
+
+def _uname(prefix: str) -> str:
+    return f"{prefix}_{next(_name_counter)}"
+
+
+def test_wire_tabular_roundtrip(spark, sf_dir, tmp_path):
+    """Producer-encode customers per the T2 spec (stream.py:184-196),
+    stream the files, parse, restore names — exact value roundtrip."""
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .orderBy("c_custkey")
+        .limit(40)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .collect()
+    )
+    for b, start in enumerate(range(0, 40, 10)):
+        batch = {
+            str(i): {
+                "feature0": float(r.c_custkey),
+                "feature1": float(r.c_acctbal),
+                "feature2": r.c_mktsegment,
+            }
+            for i, r in enumerate(rows[start : start + 10])
+        }
+        (tmp_path / f"batch_{b:03d}.json").write_text(json.dumps(batch) + "\n")
+    stream = file_lines(spark, str(tmp_path))
+    parsed = restore_names(
+        parse_tabular(stream, feature_struct(2, 1)), ["custkey", "acctbal", "segment"]
+    )
+    out = run_available_now(parsed, _uname("tab"))
+    got = {(int(r.custkey), r.acctbal, r.segment) for r in out.collect()}
+    want = {(r.c_custkey, r.c_acctbal, r.c_mktsegment) for r in rows}
+    assert got == want
+    assert out.schema["row_idx"].dataType == T.LongType()
+
+
+def test_wire_text_roundtrip(spark, tmp_path):
+    """T3: JSON array of raw lines (stream.py:209-222) → exploded lines."""
+    batches = [["alpha\n", "beta\n"], ["gamma\n"]]
+    for b, lines in enumerate(batches):
+        (tmp_path / f"t_{b}.json").write_text(json.dumps(lines) + "\n")
+    out = run_available_now(parse_text(file_lines(spark, str(tmp_path))), _uname("txt"))
+    assert sorted(r.line for r in out.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_wire_image_batch(spark, tmp_path):
+    """CIFAR-shaped batch (48 pixels + label, FIXTURES.md §2b)."""
+    batch = {
+        str(i): {**{f"feature{p}": (i * 48 + p) % 256 for p in range(48)}, "label": i % 10}
+        for i in range(4)
+    }
+    (tmp_path / "img.json").write_text(json.dumps(batch) + "\n")
+    out = run_available_now(
+        parse_tabular(file_lines(spark, str(tmp_path)), image_struct(48)), _uname("img")
+    )
+    rows = {r.row_idx: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[2].label == 2 and rows[2].feature0 == (2 * 48) % 256
+
+
+def test_stream_batch_parity_windowed(spark, sf_dir):
+    """The same windowed agg through a streaming query and a batch
+    query must agree row-for-row (complete mode, no watermark)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
+    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    streamed = run_available_now(
+        windowed_counts(events, watermark=None), _uname("par"), output_mode="complete"
+    )
+    batch = windowed_counts(load_table(spark, sf_dir, "events"), watermark=None)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + 10 min watermark: an event arriving after its
+    window was finalized is dropped (defined late-data semantics the
+    reference lacks).
+
+    Two availableNow runs over one checkpoint: within a single run the
+    input-side late filter uses the watermark from query start (late
+    rows can still join live state); after a restart the RESTORED
+    watermark (11:50 here) filters the late 10:20 row at input."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    parts = F.split("value", ",")
+
+    def run_with_checkpoint():
+        events = file_lines(spark, str(data_dir)).select(
+            F.to_timestamp_ntz(parts.getItem(0)).alias("ts"),
+            parts.getItem(1).alias("event_type"),
+            parts.getItem(2).cast("double").alias("value"),
+        )
+        agg = windowed_counts(events, watermark="10 minutes")
+        emitted: list[tuple] = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _bid: emitted.extend(tuple(r) for r in df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {row[0]: row[2] for row in emitted}
+
+    # run 1: on-time data; wm ends at 11:50 → W10 finalized with 2
+    (data_dir / "a.csv").write_text(
+        "2024-01-01 10:00:00,click,1.0\n2024-01-01 10:10:00,click,1.0\n"
+    )
+    time.sleep(0.05)
+    (data_dir / "b.csv").write_text("2024-01-01 12:00:00,click,1.0\n")
+    emitted1 = run_with_checkpoint()
+    assert emitted1.get("2024-01-01 10:00:00") == 2, emitted1
+
+    # run 2 (restart, wm restored 11:50): 10:20 is LATE → dropped; 14:00
+    # advances wm to 13:50 → W12 finalized with exactly 1
+    (data_dir / "c.csv").write_text(
+        "2024-01-01 10:20:00,click,1.0\n2024-01-01 14:00:00,click,1.0\n"
+    )
+    emitted2 = run_with_checkpoint()
+    assert emitted2.get("2024-01-01 12:00:00") == 1, emitted2
+    assert "2024-01-01 10:00:00" not in emitted2, emitted2  # late row dropped, W10 stays closed
+    assert "2024-01-01 14:00:00" not in emitted2, emitted2  # newest window not finalized
+
+
+def test_session_window_stream(spark, sf_dir):
+    """session_window streaming result agrees with the batch
+    gaps-and-islands sessionization for every finalized session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
+    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    streamed = run_available_now(
+        session_counts(events), _uname("sess"), output_mode="append"
+    ).collect()
+    assert len(streamed) > 0
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    batch = {
+        (r.user_id, r.session_start_us // 1_000_000): r.n_events
+        for r in load_all_plans()["ev_sessionize"].fn(spark, sf_dir).collect()
+    }
+    mismatches = 0
+    for r in streamed:
+        key_ts = time.strptime(r.session_start, "%Y-%m-%d %H:%M:%S")
+        import calendar
+
+        start_s = calendar.timegm(key_ts)
+        if batch.get((r.user_id, start_s)) != r.n_events:
+            mismatches += 1
+    assert mismatches / len(streamed) < 0.02, f"{mismatches}/{len(streamed)}"
+
+
+def test_socket_integration_smoke(spark):
+    """The reference's actual transport: a TCP producer (re-implemented
+    per the stream.py:153-196 spec) → socket source → parse → memory."""
+    batches = [
+        {str(i): {"feature0": float(b * 10 + i), "feature1": 0.5, "label": i}
+         for i in range(5)}
+        for b in range(2)
+    ]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def produce():
+        conn, _ = server.accept()
+        with conn:
+            for batch in batches:
+                conn.sendall((json.dumps(batch) + "\n").encode())
+                time.sleep(0.3)
+            time.sleep(2.0)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    inner = feature_struct(n_numeric=2, with_label=True)
+    parsed = parse_tabular(socket_lines(spark, "127.0.0.1", port), inner)
+    name = _uname("sock")
+    query = to_memory(parsed, name).trigger(processingTime="500 milliseconds").start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 10:
+                break
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+        assert len(rows) == 10
+        feats = {r.feature0 for r in rows}
+        assert feats == {float(x) for b in range(2) for x in range(b * 10, b * 10 + 5)}
+    finally:
+        query.stop()
+        server.close()
