@@ -23,6 +23,21 @@ def tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def shingles_expr(text_col: str, n: int = 3) -> str:
+    """Word n-gram shingle set (SQL expression string, distinct).
+
+    Shingling before MinHash is what makes LSH buckets selective:
+    documents sharing a small vocabulary still differ in word ORDER,
+    so their shingle sets diverge even when their word sets are
+    identical — without it, same-vocabulary corpora collapse into a
+    few giant buckets and the candidate join goes quadratic."""
+    words = f"split({text_col}, ' ')"
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({words}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))))"
+    )
+
+
 def minhash(words_expr: str, num_hashes: int = 32) -> Column:
     """MinHash signature: for permutation i, min over tokens of
     xxhash64(token ⊕ i). One pass per row, no shuffle."""

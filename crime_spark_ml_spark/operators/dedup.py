@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_hashes, minhash, simhash
+from ..functions.hashing import band_hashes, minhash, shingles_expr, simhash
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -35,10 +35,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def with_minhash(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    words = f"array_distinct(split({text_col}, ' '))"
-    return df.withColumn("minhash_sig", minhash(words, num_hashes))
+    """MinHash over word-3-gram shingles (see shingles_expr for why
+    shingling, not raw word sets, keeps LSH buckets selective).
+
+    Implementation: explode shingles → one partial-aggregated groupBy
+    computing min(hash(shingle ⊕ i)) for every permutation i. Each
+    shingle is hashed exactly ``num_hashes`` times; the nested
+    higher-order-function form (functions/hashing.minhash) is kept for
+    single-pass row-local use, but Catalyst's project-collapsing
+    re-inlines the shingle construction into every downstream band
+    expression, multiplying work ~bands× — the explode+agg shape is
+    the scale-correct plan."""
+    ex = df.select(id_col, F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("sh"))
+    sig = (
+        ex.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"__mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            id_col,
+            F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash_sig"),
+        )
+    )
+    return df.join(sig, on=id_col, how="inner")
 
 
 def minhash_lsh_candidates(
@@ -47,11 +75,17 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_bands collisions).
 
     bands=8 × rows=4 over 32 hashes ≈ s-curve threshold ~0.59 Jaccard
     (t ≈ (1/b)^(1/r)). Tune bands up for recall, down for precision.
+
+    ``max_bucket`` is the production skew guard: a bucket of b docs
+    yields b²/2 pairs, so one degenerate bucket (boilerplate, empty
+    strings) can dominate the whole job; buckets above the cap are
+    dropped (their members still pair through their other bands).
     """
     rows_per_band = num_hashes // bands
     sig = with_minhash(df.select(id_col, text_col), text_col, num_hashes)
@@ -59,8 +93,16 @@ def minhash_lsh_candidates(
         sig.withColumn("bands", band_hashes("minhash_sig", bands, rows_per_band))
         .select(id_col, F.posexplode("bands").alias("band_pos", "band_hash"))
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    bucket_sizes = banded.groupBy("band_pos", "band_hash").agg(
+        F.count("*").alias("__bucket_n")
+    )
+    bounded = banded.join(
+        bucket_sizes.where(F.col("__bucket_n") <= max_bucket).drop("__bucket_n"),
+        ["band_pos", "band_hash"],
+        "inner",
+    )
+    left = bounded.alias("l")
+    right = bounded.alias("r")
     return (
         left.join(
             right,

@@ -349,3 +349,29 @@ def r1_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     long = melt(s, ["s_suppkey"], ["s_acctbal", "s_nationkey"])
     return long.withColumn("value", F.round("value", 2)).orderBy("s_suppkey", "variable")
+
+
+# ---------------------------------------------------------------- E8 argmax
+@register(
+    "e8_argmax",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_position(embedding, list_aggregate(embedding, 'max')) - 1
+                AS INTEGER) AS argmax
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("E8",),
+)
+def e8_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax over a probability/score array (crime.py:184,203
+    ``np.argmax`` per predicted row) — pure array expression; first
+    occurrence wins on ties in both engines."""
+    from ..sources.catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        (F.array_position(F.col("embedding"), F.array_max("embedding")) - 1)
+        .cast("int")
+        .alias("argmax"),
+    ).orderBy("vec_id")

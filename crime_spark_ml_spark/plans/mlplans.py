@@ -136,3 +136,47 @@ def ml_crime_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("__accuracy__", int(result.accuracy * 10000))], "Category string, n long"
     )
     return counts.unionByName(acc_row)
+
+
+@register("ml_gbt_binary_auc", oracle=None, tags=("ml", "M6", "GBT"))
+def ml_gbt_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBTClassifier (M6 GradientBoostingClassifier analog; MLlib GBT
+    is binary-only, SURVEY.md §2.9 M3) on a binarized embeddings label
+    + ROC-AUC via BinaryClassificationEvaluator."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    emb = _vectors(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "label", (F.col("label") % 2).cast("double")
+    )
+    train, test = emb.randomSplit([0.7, 0.3], seed=0)
+    model = GBTClassifier(maxIter=10, maxDepth=3, seed=0, labelCol="label").fit(
+        train.cache()
+    )
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(model.transform(test))
+    return spark.createDataFrame([(round(auc, 4),)], "auc double")
+
+
+@register("ml_linreg_coefs", oracle=None, tags=("ml", "M6", "ridge", "lasso"))
+def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinearRegression with elastic-net (M6: Ridge/Lasso/ElasticNetCV
+    analogs via regParam/elasticNetParam): predict o_totalprice from
+    order features; returns r2 + coefficient count."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("label"),
+        F.year("o_orderdate").cast("double").alias("yr"),
+        (F.col("o_custkey") % 100).cast("double").alias("custmod"),
+    )
+    feats = VectorAssembler(inputCols=["yr", "custmod"], outputCol="features").transform(o)
+    model = LinearRegression(
+        maxIter=20, regParam=0.1, elasticNetParam=0.5, labelCol="label"
+    ).fit(feats.cache())
+    return spark.createDataFrame(
+        [(round(model.summary.r2, 4), len(model.coefficients))],
+        "r2 double, n_coefs int",
+    )

@@ -1,0 +1,66 @@
+"""Typed reader/writer tests (S1/S5): explicit-schema CSV, partitioned
+parquet sink, prediction-table sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crime_spark_ml_spark.sources.crimegen import crime_table
+from crime_spark_ml_spark.sources.readers import CRIME_CSV_SCHEMA, read_crime_csv
+from crime_spark_ml_spark.sources.writers import write_parquet, write_predictions
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmp_path):
+    """S1: write the crime fixture as CSV (the reference's input
+    format), read back with the declared schema — types stable, no
+    inference scan."""
+    src = crime_table(spark, n_rows=200)
+    csv_dir = str(tmp_path / "crime_csv")
+    src.coalesce(1).write.option("header", "true").csv(csv_dir)
+    back = read_crime_csv(spark, csv_dir)
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in CRIME_CSV_SCHEMA.fields
+    ]
+    assert back.count() == 200
+    a = sorted(map(tuple, src.select("Dates", "Category", "X").collect()))
+    b = sorted(map(tuple, back.select("Dates", "Category", "X").collect()))
+    assert a == b
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.csv").write_text(
+        "Dates,Category,Descript,DayOfWeek,PdDistrict,Resolution,Address,X,Y\n"
+        "2015-01-01 00:00:00,C,d,Monday,D,R,A,not_a_double,37.7\n"
+    )
+    with pytest.raises(Exception) as exc:
+        read_crime_csv(spark, str(bad)).collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_partitioned_parquet_write(spark, tmp_path):
+    """S5-at-scale: partitioned columnar sink; partition pruning works
+    on read-back."""
+    src = crime_table(spark, n_rows=500)
+    out = str(tmp_path / "by_district")
+    write_parquet(src, out, partition_by=("PdDistrict",), n_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    one = back.where(F.col("PdDistrict") == "DIST_1")
+    # partition pruning: the filter appears as a partition filter, not a scan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one.count() == src.where(F.col("PdDistrict") == "DIST_1").count()
+
+
+def test_prediction_table_sink(spark, tmp_path):
+    preds = spark.createDataFrame(
+        [(i, f"CAT_{i % 3:02d}") for i in range(50)], "Id long, Category string"
+    )
+    out = str(tmp_path / "preds")
+    write_predictions(preds, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 50
+    assert set(back.columns) == {"Id", "Category"}

@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the properties that make these queries
+scale must survive refactors — filters pushed to the parquet scan,
+dimension joins broadcast, no accidental cartesian products, top-k as
+TakeOrderedAndProject. (`bench.py` measures; these tests pin WHY the
+numbers hold.)"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from crime_spark_ml_spark.plans.registry import load_all_plans
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = load_all_plans()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # the range predicates reach the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # supplier/customer/nation/region
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_no_cartesian_and_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_a7_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a7_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_projection_pruned_at_scan(spark, sf_dir):
+    """2-column projection must not read all 5 customer columns."""
+    plan = _plan(spark, sf_dir, "p_project_filter_rename")
+    scan = plan.split("ReadSchema", 1)[1][:250]
+    assert "c_custkey" in scan and "c_acctbal" in scan
+    assert "c_nationkey" not in scan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """AQE finalizes the plan only on execution — inspect the executed
+    plan, where the agg pipeline must sit inside codegen stages."""
+    df = load_all_plans()["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
+    assert "*(1)" in plan or "*(2)" in plan, plan[:500]
+
+
+def test_label_encode_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "e1_label_encode")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_has_no_global_window(spark, sf_dir):
+    """E6 must be agg+broadcast, not a Window over the whole table."""
+    plan = _plan(spark, sf_dir, "e6_zscore", mode="simple")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_flagship_pivot_shuffles_only_aggregates(spark, sf_dir):
+    """Pivot with explicit values: the canonical two-phase plan
+    (partial count per pair → pivotfirst per key), every exchange fed
+    by a partial aggregate — and no distinct-discovery job for the
+    pivot values."""
+    plan = _plan(spark, sf_dir, "flagship_district_pivot", mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # every hash exchange is fed by a partial aggregate, not raw rows
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "partial_" in seg.split("FileScan")[0]
