@@ -272,3 +272,28 @@ def dp_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resize.width").alias("rw"),
         F.col("resize.height").alias("rh"),
     ).orderBy("media_id")
+
+
+@register("dp_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (16-cell KMeans coarse quantizer, probe 4)
+    — scans ~25% of the corpus per query instead of 100%; recall vs
+    brute force pinned in tests. See ml/ivf.py."""
+    from ..ml.ivf import build_ivf, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    index = build_ivf(emb, k=16, seed=0)
+    return ivf_topk(index, emb.where(F.col("vec_id") < 5), k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register("dp_embedding_near_dups", oracle=None, tags=("dedup", "embedding"))
+def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH candidates + exact
+    threshold 0.8). The fixture's random vectors rarely exceed it —
+    the operator's recall is tested with planted duplicates."""
+    from ..operators.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.8).orderBy("id_a", "id_b")

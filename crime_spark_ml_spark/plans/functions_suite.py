@@ -1,0 +1,212 @@
+"""Scalar-function coverage suites (SURVEY.md §2.4 note: "math beyond
+mean/std/corr … come free with pyspark.sql.functions and are exercised
+by the driver oracle"). One oracle-checked plan per function family,
+each expression kept in the Spark ∩ DuckDB semantic intersection and
+rounded identically where floating point is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           substring(p_name, 1, 8) AS sub,
+           concat(p_brand, ':', p_type) AS cat,
+           replace(p_type, ' ', '_') AS rep,
+           length(p_name) AS len,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS pos,
+           trim(concat(' ', p_brand, ' ')) AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           (p_name LIKE '%green%') AS has_green,
+           reverse(p_brand) AS rev
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "string"),
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, substring, concat, replace,
+    length, position, trim, pad, LIKE, reverse — all codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 8).alias("sub"),
+        F.concat_ws(":", "p_brand", "p_type").alias("cat"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rep"),
+        F.length("p_name").alias("len"),
+        F.instr("p_name", "a").alias("pos"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.reverse("p_brand").alias("rev"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_math_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_discount - 0.05), 6) AS a,
+           CAST(ceil(l_quantity) AS BIGINT) AS c,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
+           ROUND(exp(l_discount), 6) AS e,
+           ROUND(ln(l_extendedprice + 1), 6) AS l,
+           ROUND(log10(l_extendedprice + 1), 6) AS l10,
+           ROUND(pow(l_tax + 1, 2), 6) AS p,
+           ROUND(sqrt(l_quantity), 6) AS s,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS sg,
+           l_orderkey % 7 AS m,
+           ROUND(sin(l_discount), 6) AS sn,
+           ROUND(atan2(l_quantity, l_extendedprice), 6) AS at
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("functions", "math"),
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/ceil/floor/exp/ln/log10/pow/sqrt/sign/mod/trig."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("a"),
+        F.ceil("l_quantity").cast("long").alias("c"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("f"),
+        F.round(F.exp("l_discount"), 6).alias("e"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("l"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("l10"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("p"),
+        F.round(F.sqrt("l_quantity"), 6).alias("s"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sg"),
+        (F.col("l_orderkey") % 7).alias("m"),
+        F.round(F.sin("l_discount"), 6).alias("sn"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias("at"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_conditional_suite",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bucket,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+           GREATEST(ROUND(c_acctbal, 2), 0.0) AS pos_bal,
+           LEAST(CAST(c_nationkey AS BIGINT), c_custkey) AS small,
+           (c_acctbal BETWEEN 0 AND 1000) AS in_band,
+           (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) AS in_set,
+           IF(c_custkey % 2 = 0, 'even', 'odd') AS parity
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("functions", "conditional"),
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family: CASE, NULLIF+COALESCE, GREATEST/LEAST,
+    BETWEEN, IN, IF."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias("seg"),
+        F.greatest(F.round("c_acctbal", 2), F.lit(0.0)).alias("pos_bal"),
+        F.least(F.col("c_nationkey").cast("long"), F.col("c_custkey")).alias("small"),
+        F.col("c_acctbal").between(0, 1000).alias("in_band"),
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").alias("in_set"),
+        F.when(F.col("c_custkey") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "fn_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+           CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER) AS doy,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INTEGER) AS days_since
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("functions", "date"),
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: add_months, trunc, last_day, quarter/month/day,
+    day-of-week (normalized to Spark's Sunday=1), day-of-year,
+    datediff — all on TIMESTAMP_NTZ, timezone-free."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "a8_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approximate scale path is
+    percentile_approx (rows-only twin below)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("a8_percentiles_approx", oracle=None, tags=("agg", "percentile", "approx"))
+def a8_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-style sketch): the mergeable,
+    bounded-memory form exact percentile can't give you at 100 TB.
+    Accuracy vs the exact twin is pinned in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
