@@ -1,0 +1,149 @@
+"""Arrow-vectorized Python operators — the sanctioned slow path.
+
+Policy (SURVEY.md §2.11): built-in JVM expressions first; when Python
+is genuinely needed (native libs, custom stateful logic), only
+Arrow-batched forms — ``pandas_udf``, ``applyInPandas``,
+``applyInPandasWithState`` — never row-at-a-time Python UDFs.
+
+Each operator here exists as a *twin* of a JVM implementation so tests
+can pin equivalence and benchmarks can quantify the JVM-vs-Arrow gap:
+- ``cosine_pandas_udf``      ↔ functions/vectors.cosine
+- ``source_stats_apply``     ↔ a groupBy aggregate
+- ``running_totals_stateful``↔ streaming windowed_counts (but with
+  arbitrary per-group Python state — the escape hatch Structured
+  Streaming's built-in aggs can't express)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def cosine_pandas_udf():
+    """Vectorized cosine over two array<float> columns (Arrow batches;
+    numpy math). Twin of the JVM higher-order-function cosine.
+    Built lazily — pandas_udf resolves its return type against the
+    active SparkSession, so decorating at import time would require a
+    session before the module can load."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(x: Any, y: Any) -> float:
+            xv = np.asarray(x, dtype="float64")
+            yv = np.asarray(y, dtype="float64")
+            denom = float(np.sqrt(xv @ xv) * np.sqrt(yv @ yv))
+            return float(xv @ yv) / denom if denom else 0.0
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    return _cos
+
+
+SOURCE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("mean_chars", T.DoubleType()),
+        T.StructField("max_chars", T.LongType()),
+    ]
+)
+
+
+def source_stats_apply(docs: DataFrame) -> DataFrame:
+    """Per-source document stats via applyInPandas (each group becomes
+    one pandas frame in a worker). Twin of the pure-SQL aggregate —
+    used where the per-group logic outgrows SQL (model scoring,
+    scipy stats, …)."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "mean_chars": [round(float(pdf["n_chars"].mean()), 6)],
+                "max_chars": [int(pdf["n_chars"].max())],
+            }
+        )
+
+    return docs.select("source", "n_chars").groupBy("source").applyInPandas(
+        stats, SOURCE_STATS_SCHEMA
+    )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cnt", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per event_type running count + value sum, re-emitted every
+    micro-batch. State is a 2-field tuple per key — sharded by the
+    grouping key across executors, checkpointed by the engine."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, val = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            cnt += len(pdf)
+            val += float(pdf["value"].sum())
+        state.update((cnt, val))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "total_events": [cnt],
+                "total_value": [round(val, 6)],
+            }
+        )
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cosine_scores_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """brute-force scoring with the pandas-UDF cosine (benchmark twin
+    of operators/similarity.brute_force_topk's JVM path)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("ce"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", cosine_pandas_udf()(F.col("qe"), F.col("ce")))
+    )

@@ -180,3 +180,84 @@ def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(model.summary.r2, 4), len(model.coefficients))],
         "r2 double, n_coefs int",
     )
+
+
+@register(
+    "ml_corr_matrix_full",
+    oracle="""
+    SELECT 'l_quantity' AS c1, 'l_extendedprice' AS c2,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND(CORR(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           ROUND(CORR(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND(CORR(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           ROUND(CORR(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           ROUND(CORR(l_discount, l_tax), 6) FROM lineitem
+    ORDER BY c1, c2
+    """,
+    tags=("ml", "A6", "correlation"),
+)
+def ml_corr_matrix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation matrix via ml.stat.Correlation
+    (crime.py:42 ``sf_encode.corr()``): one distributed pass builds the
+    Gram matrix; upper-triangle entries returned as rows and checked
+    against DuckDB's pairwise CORR."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    assembled = VectorAssembler(inputCols=cols, outputCol="__v").transform(li)
+    mat = Correlation.corr(assembled, "__v", "pearson").head()[0].toArray()
+    rows = [
+        (cols[i], cols[j], round(float(mat[i][j]), 6))
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return spark.createDataFrame(rows, "c1 string, c2 string, corr double").orderBy(
+        "c1", "c2"
+    )
+
+
+@register("ml_crossval_logreg", oracle=None, tags=("ml", "M6", "KFold"))
+def ml_crossval_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrossValidator (M6: KFold/cross_val_score analog, crime.py:27):
+    3-fold CV over a small regParam grid for multinomial logistic
+    regression on the embeddings fixture; returns per-candidate mean
+    accuracy."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    emb = _vectors(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "label", F.col("label").cast("double")
+    ).cache()
+    lr = LogisticRegression(maxIter=15, labelCol="label")
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.1]).build()
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        ),
+        numFolds=3,
+        seed=0,
+        parallelism=2,
+    )
+    model = cv.fit(emb)
+    rows = [
+        (float(g[lr.regParam]), round(float(m), 4))
+        for g, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(rows, "reg_param double, mean_accuracy double").orderBy(
+        "reg_param"
+    )
