@@ -44,6 +44,7 @@ _PLAN_MODULES = (
     "crime_spark_ml_spark.plans.mlplans",
     "crime_spark_ml_spark.plans.streamplans",
     "crime_spark_ml_spark.plans.functions_suite",
+    "crime_spark_ml_spark.plans.sql_surface",
 )
 
 

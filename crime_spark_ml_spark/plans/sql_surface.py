@@ -1,0 +1,168 @@
+"""Spark SQL textual surface: plans expressed as spark.sql() over the
+registered catalog views — CTEs, correlated subqueries, scalar
+subqueries, explicit GROUPING SETS, complex types. The SQL string is
+(modulo dialect touch-ups) the oracle itself, which exercises the
+parser/analyzer path the DataFrame plans don't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.aggs import dec_sum_sql
+from ..sources.catalog import load_table, register_views
+from .registry import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str, tables: tuple[str, ...]) -> DataFrame:
+    register_views(spark, sf_dir, tables)
+    return spark.sql(query)
+
+
+_CTE_WINDOW = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(MAX(total), 2) AS max_spend
+FROM customer JOIN spend ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("sql_cte_agg", oracle=_CTE_WINDOW, tags=("sql", "cte"))
+def sql_cte_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + join + agg through the SQL parser (identical text runs on
+    DuckDB as the oracle)."""
+    return _sql(spark, sf_dir, _CTE_WINDOW, ("orders", "customer"))
+
+
+_CORRELATED = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+"""
+
+
+@register("sql_correlated_subquery", oracle=_CORRELATED, tags=("sql", "subquery"))
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst de-correlates it into a
+    left outer aggregate join (no per-row re-execution)."""
+    return _sql(spark, sf_dir, _CORRELATED, ("customer",))
+
+
+_SCALAR_SUB = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+@register("sql_scalar_subquery", oracle=_SCALAR_SUB, tags=("sql", "subquery"))
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (computed once, broadcast into the
+    filter)."""
+    return _sql(spark, sf_dir, _SCALAR_SUB, ("orders",))
+
+
+_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       cnt
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+)
+ORDER BY status, priority
+"""
+
+
+@register("sql_grouping_sets", oracle=_GROUPING_SETS, tags=("sql", "grouping-sets"))
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube)."""
+    return _sql(spark, sf_dir, _GROUPING_SETS, ("orders",))
+
+
+@register(
+    "fn_complex_types",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(c_mktsegment)) AS segments,
+           COUNT(*) AS n
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("functions", "complex"),
+)
+def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list → sorted array) — cross-engine
+    array values compare element-wise in the hash gate."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7, tags=("joins", "sql"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: two roles of the same dimension (nation n1/n2)
+    with a disjunctive cross-nation predicate — via the SQL parser."""
+    return _sql(
+        spark, sf_dir, _Q7, ("lineitem", "supplier", "orders", "customer", "nation")
+    )
+
+
+_Q10 = f"""
+SELECT c_custkey, c_name,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       n_name
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10, tags=("joins", "sql"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: returned-item revenue per customer, top 20."""
+    return _sql(spark, sf_dir, _Q10, ("customer", "orders", "lineitem", "nation"))

@@ -1,0 +1,90 @@
+"""Property tests (SURVEY.md §5.4): cheap invariants over generated
+inputs — fingerprint permutation-invariance, token-count agreement
+with a Python reference, encode bijection, pivot/groupcount
+consistency."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crime_spark_ml_spark.functions.text import fingerprint, n_tokens
+from crime_spark_ml_spark.operators.encode import label_encode
+from crime_spark_ml_spark.operators.reshape import pivot_counts
+from crime_spark_ml_spark.sources.catalog import load_table
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+TEXT = st.lists(WORD, min_size=1, max_size=30).map(lambda ws: " ".join(ws))
+
+prop = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@prop
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_token_count_matches_python(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r.id: r.n for r in df.select("id", n_tokens("text").alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.split(" "))
+
+
+@prop
+@given(st.lists(WORD, min_size=1, max_size=20), st.randoms())
+def test_fingerprint_permutation_invariant(spark, words, rnd):
+    shuffled = list(words)
+    rnd.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(shuffled))], "id long, text string"
+    )
+    fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+@prop
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=40))
+def test_label_encode_bijection(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id long, v string")
+    enc = label_encode(df, ["v"])
+    pairs = {(r.v, r.v_code) for r in enc.collect()}
+    distinct = sorted({v for v in values})
+    # codes are exactly 0..n-1 assigned in sorted order
+    assert pairs == {(v, i) for i, v in enumerate(distinct)}
+
+
+def test_pivot_row_sums_equal_group_counts(spark, sf_dir):
+    """A4 vs A2 consistency: pivot row sums == plain group counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    pt = pivot_counts(orders, "o_orderpriority", "o_orderstatus", ("F", "O", "P"))
+    pivot_totals = {
+        r.o_orderpriority: r.F + r.O + r.P for r in pt.collect()
+    }
+    counts = {
+        r.o_orderpriority: r.cnt
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert pivot_totals == counts
+
+
+def test_melt_pivot_inverse_shape(spark, sf_dir):
+    """R1/R2 inverse-shape: melt of a 2-measure frame has 2n rows and
+    re-pivoting recovers the original values."""
+    from crime_spark_ml_spark.operators.reshape import melt
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", F.col("s_nationkey").cast("double").alias("s_nationkey")
+    )
+    n = s.count()
+    long = melt(s, ["s_suppkey"], ["s_acctbal", "s_nationkey"])
+    assert long.count() == 2 * n
+    wide = long.groupBy("s_suppkey").pivot("variable", ["s_acctbal", "s_nationkey"]).agg(
+        F.first("value")
+    )
+    orig = {(r.s_suppkey): (r.s_acctbal, r.s_nationkey) for r in s.collect()}
+    back = {(r.s_suppkey): (r.s_acctbal, r.s_nationkey) for r in wide.collect()}
+    assert orig == back
