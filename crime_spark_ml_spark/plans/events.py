@@ -145,7 +145,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS cnt
     FROM events
     GROUP BY event_type
