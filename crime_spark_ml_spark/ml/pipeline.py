@@ -126,7 +126,13 @@ def train_crime_model(
     accuracy = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     ).evaluate(scored)
-    labels = model.stages[len(INDEX_COLS)].labels  # the Category indexer
+    from pyspark.ml.feature import StringIndexerModel
+
+    labels = next(
+        s.labels
+        for s in model.stages
+        if isinstance(s, StringIndexerModel) and s.getInputCol() == "Category"
+    )
     to_cat = F.element_at(
         F.array(*[F.lit(x) for x in labels]), F.col("prediction").cast("int") + 1
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_hashes, minhash, shingles_expr, simhash
+from ..functions.hashing import SIMHASH_BITS, band_hashes, shingles_expr
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -117,9 +117,45 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    words = f"array_distinct(split({text_col}, ' '))"
-    return df.withColumn("simhash", simhash(words))
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash via explode + one groupBy: each distinct token is hashed
+    exactly once (materialized column, shared by all bit expressions);
+    per bit j the aggregate sums ±1 from bit j of the token hash, and
+    the signs pack big-endian into a LONG. The row-local
+    higher-order-function form (functions/hashing.simhash) re-evaluates
+    split+hash once per output bit under Catalyst project-collapsing —
+    ~bits× wasted work, same trap as the nested MinHash (see
+    with_minhash)."""
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__w"),
+        )
+        .withColumn("__h", F.xxhash64("__w"))
+    )
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(__h, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
+    )
+    packed_bits = ", ".join(
+        f"IF(__b{j} >= 0, 1L, 0L)" for j in range(bits - 1, -1, -1)
+    )
+    sig = bit_sums.select(
+        id_col,
+        F.expr(f"aggregate(array({packed_bits}), 0L, (acc, b) -> acc * 2 + b)").alias(
+            "simhash"
+        ),
+    )
+    return df.join(sig, on=id_col, how="inner")
 
 
 def jaccard_pairs(

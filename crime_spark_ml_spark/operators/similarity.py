@@ -58,8 +58,12 @@ def _bucket_expr(vec_col: str, planes: int, table: int) -> F.Column:
         f"CAST(d AS STRING))), 2) = 0, 1.0, -1.0) * CAST(element_at({vec_col}, d + 1) AS DOUBLE)) "
         f">= 0 THEN 1L ELSE 0L END"
     )
+    # empty/corrupt vectors bucket to 0 instead of blowing up:
+    # sequence(0, size-1) on size=0 yields [0, -1] and element_at(_, 0)
+    # throws under ANSI — guard before evaluating the projection
     return F.expr(
-        f"aggregate(transform(sequence(0, {planes - 1}), {proj}), 0L, (acc, b) -> acc * 2 + b)"
+        f"IF(size({vec_col}) < 1, 0L, "
+        f"aggregate(transform(sequence(0, {planes - 1}), {proj}), 0L, (acc, b) -> acc * 2 + b))"
     )
 
 

@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SALT_SAFE_JOINS = ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -27,7 +30,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on column ``on`` with the big side
     salted across ``n_salt`` buckets. ``small`` is replicated n_salt×
-    (keep it the genuinely smaller side)."""
+    (keep it the genuinely smaller side).
+
+    Only big-side-preserving joins are salt-safe: a right/full outer
+    join would emit one null-padded row per *replica* of an unmatched
+    small-side key (n_salt duplicates), so those are rejected."""
+    if how.lower() not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {_SALT_SAFE_JOINS}; '{how}' would duplicate "
+            f"unmatched small-side rows n_salt times (salt the other side instead)"
+        )
     big_s = big.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), n_salt).cast("int")
     )

@@ -31,7 +31,7 @@ ORDER_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P",
-           COUNT(*) AS total
+           COUNT(*) FILTER (WHERE o_orderstatus IN ('F','O','P')) AS total
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY total DESC, o_orderpriority
@@ -43,7 +43,9 @@ def flagship_district_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's pivot analysis (crime.py:72-76: ``pd.pivot_table``
     over PdDistrict×Category + reindex by count order) as a single
     scan → partial-agg → pivot → sort plan. Pivot values passed
-    explicitly: no distinct-discovery job (SURVEY.md §4)."""
+    explicitly: no distinct-discovery job (SURVEY.md §4). ``total``
+    sums the pivot columns on BOTH sides, so a status value outside
+    the declared list cannot silently skew only one engine."""
     orders = load_table(spark, sf_dir, "orders")
     pt = pivot_counts(orders, "o_orderpriority", "o_orderstatus", ORDER_STATUS)
     total = sum((F.col(c) for c in ORDER_STATUS), F.lit(0))

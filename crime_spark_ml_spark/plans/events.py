@@ -92,7 +92,7 @@ def ev_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
     gaps AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, ts_us, event_id,
              CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
                        >= 600000000 THEN 1
                   WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -101,7 +101,7 @@ def ev_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base),
     sess AS (
       SELECT user_id, ts_us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps)
     SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
@@ -120,9 +120,11 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming's session_window, streaming/windows.py)."""
     ev = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # same (ts_us, event_id) order as the lag window — a ts tie must not
+    # let the running sum see the rows in a different order
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap_us = 10 * 60 * 1_000_000
@@ -191,9 +193,15 @@ def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
+    # purchases sort BEFORE other events at an equal timestamp so the
+    # carried value honors the oracle's inclusive `p.ts_us <= e.ts_us`
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
+        .orderBy(
+            "ts_us",
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+            "event_id",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(

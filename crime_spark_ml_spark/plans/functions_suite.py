@@ -21,7 +21,7 @@ from .registry import register
            upper(p_name) AS up,
            lower(p_brand) AS lo,
            substring(p_name, 1, 8) AS sub,
-           concat(p_brand, ':', p_type) AS cat,
+           concat_ws(':', p_brand, p_type) AS cat,
            replace(p_type, ' ', '_') AS rep,
            length(p_name) AS len,
            CAST(strpos(p_name, 'a') AS INTEGER) AS pos,
