@@ -198,3 +198,51 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id", max_iter: int = 10
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → cluster ids
+    (min member id wins): the step that turns pairwise LSH hits into
+    dedup groups ("keep one doc per cluster").
+
+    Iterative min-label propagation with DataFrame joins: each round a
+    node adopts the smallest label among itself and its neighbors.
+    Duplicate clusters have tiny diameters (usually ≤2-3 hops), so this
+    converges in a few rounds; each round is one shuffle join keyed by
+    node id — no driver-side graph. Rounds stop early when a round
+    changes nothing.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node")).withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -261,3 +261,35 @@ def ml_crossval_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "reg_param double, mean_accuracy double").orderBy(
         "reg_param"
     )
+
+
+@register("ml_tfidf_text_classifier", oracle=None, tags=("ml", "M6", "text", "tfidf"))
+def ml_tfidf_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer→StopWordsRemover→HashingTF→IDF→LogisticRegression on
+    the documents fixture (lang as the label) — the sentiment/spam
+    text-classification shape the reference streams (stream.py:248)."""
+    from ..ml.text_pipeline import train_text_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, acc = train_text_classifier(docs, num_features=1 << 12, max_iter=10)
+    n_classes = model.stages[-1].numClasses
+    return spark.createDataFrame(
+        [(round(acc, 4), n_classes)], "accuracy double, n_classes int"
+    )
+
+
+@register("dp_dup_clusters", oracle=None, tags=("dedup", "clusters"))
+def dp_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidates → connected components → dedup clusters:
+    cluster sizes ≥2 with their min-id representative."""
+    from ..operators.dedup import duplicate_clusters, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )

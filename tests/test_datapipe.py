@@ -124,3 +124,28 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
             assert all(i < r.meta.n_frames for i in r.frame_indices)
         else:
             assert r.frame_indices is None
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """A planted chain a-b, b-c, plus isolated pair d-e: components
+    {a,b,c} and {d,e}, min-id labels."""
+    from crime_spark_ml_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    out = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_text_classifier_pipeline(spark, sf_dir):
+    from crime_spark_ml_spark.ml.text_pipeline import train_text_classifier
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, acc = train_text_classifier(docs, num_features=1 << 12, max_iter=5)
+    assert 0.0 <= acc <= 1.0
+    assert model.stages[-1].numClasses == 5  # de/en/es/fr/zh
+    scored = model.transform(docs)
+    assert scored.select("prediction").distinct().count() >= 1

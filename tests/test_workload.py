@@ -1,0 +1,33 @@
+"""End-to-end reference-workload test: CSV in → EDA + model +
+prediction table out (the switch-from-the-reference path)."""
+
+from __future__ import annotations
+
+from crime_spark_ml_spark.sources.crimegen import crime_table, crime_test_table
+from crime_spark_ml_spark.workload import run_crime_workload
+
+
+def test_crime_workload_end_to_end(spark, tmp_path):
+    train_dir = str(tmp_path / "train")
+    test_dir = str(tmp_path / "test")
+    out_dir = str(tmp_path / "preds")
+    crime_table(spark, 1500).coalesce(1).write.option("header", "true").csv(train_dir)
+    crime_test_table(spark, 300).coalesce(1).write.option("header", "true").csv(test_dir)
+
+    res = run_crime_workload(
+        spark, train_dir, test_dir, output_path=out_dir, num_trees=10, max_depth=6
+    )
+    assert res.category_counts.count() == 39
+    assert res.district_counts.count() == 10
+    pivot = res.district_category_pivot
+    assert pivot.count() == 10 and len(pivot.columns) == 40  # district + 39 cats
+    # pivot rows come back in district-count-desc order (P6 reindex)
+    districts = [r.PdDistrict for r in pivot.collect()]
+    counts = {r.PdDistrict: r.cnt for r in res.district_counts.collect()}
+    assert districts == sorted(districts, key=lambda d: (-counts[d], districts.index(d)))
+    assert res.corr_with_target.count() == 8
+    assert 0.0 < res.accuracy <= 1.0
+    # predictions come from the TEST table (300 rows), written to parquet
+    assert res.predictions.count() == 300
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 300 and set(back.columns) == {"Id", "Category"}
