@@ -210,3 +210,28 @@ def a8_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "fn_regex_suite",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+           CAST(len(regexp_extract_all(p_type, '[a-z]+')) AS BIGINT) AS n_words
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "regex"),
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family (patterns kept in the Java∩RE2 subset): group
+    extraction, global replace, anchored match, extract-all count."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
+        F.size(F.expr("regexp_extract_all(p_type, '[a-z]+', 0)")).cast("long").alias("n_words"),
+    ).orderBy("p_partkey")

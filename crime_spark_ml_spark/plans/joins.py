@@ -406,3 +406,60 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("joins", "outer"),
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (COUNT of a
+    right-side key counts 0 for them)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer_keys",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.n_f, b.n_p
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS k, COUNT(*) AS n_p FROM orders
+          WHERE o_orderstatus = 'P' GROUP BY o_custkey) b
+      ON a.k = b.k
+    ORDER BY k
+    """,
+    tags=("joins", "outer"),
+)
+def join_full_outer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (null-padded on either side)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_f"))
+    )
+    b = (
+        o.where(F.col("o_orderstatus") == "P")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_p"))
+    )
+    return (
+        a.join(b, a.k == b.k, "full_outer")
+        .select(F.coalesce(a.k, b.k).alias("k"), "n_f", "n_p")
+        .orderBy("k")
+    )
