@@ -48,12 +48,17 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # two runs per query, min taken: the first run pays JIT/codegen
+    # compilation that a long-lived cluster wouldn't re-pay per query
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = specs[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = specs[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +69,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
             }
         )
     )
