@@ -25,3 +25,12 @@ def dec_sum(col: Column | str, scale: int = 4, precision: int = 28) -> Column:
 def dec_sum_sql(expr: str, scale: int = 4, precision: int = 28) -> str:
     """The DuckDB-side twin of ``dec_sum`` for oracle SQL strings."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def try_corr(x: str, y: str) -> Column:
+    """ANSI-safe Pearson correlation: NULL instead of DIVIDE_BY_ZERO
+    when either column has zero variance (Spark 4's ANSI default makes
+    ``F.corr`` throw on constant columns)."""
+    cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
+    cov = F.avg(cx * cy) - F.avg(cx) * F.avg(cy)
+    return F.try_divide(cov, F.stddev_pop(cx) * F.stddev_pop(cy))

@@ -115,6 +115,29 @@ class CrimeModelResult:
     predictions: DataFrame  # Id, Category (S5 prediction-table sink)
 
 
+def decode_predictions(model: PipelineModel, scored: DataFrame) -> DataFrame:
+    """S5 prediction table: Id + predicted Category string.
+
+    Ids come from monotonically_increasing_id — opaque partition-encoded
+    longs (the reference's pandas row index is equally meaningless,
+    crime.py:205); the frame is cached so the Ids written to disk match
+    the Ids a later action sees (the expression is otherwise recomputed
+    per action)."""
+    from pyspark.ml.feature import StringIndexerModel
+
+    labels = next(
+        s.labels
+        for s in model.stages
+        if isinstance(s, StringIndexerModel) and s.getInputCol() == "Category"
+    )
+    to_cat = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), F.col("prediction").cast("int") + 1
+    )
+    return scored.select(
+        F.monotonically_increasing_id().alias("Id"), to_cat.alias("Category")
+    ).cache()
+
+
 def train_crime_model(
     train_raw: DataFrame, seed: int = 0, **pipeline_kwargs
 ) -> CrimeModelResult:
@@ -126,17 +149,6 @@ def train_crime_model(
     accuracy = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     ).evaluate(scored)
-    from pyspark.ml.feature import StringIndexerModel
-
-    labels = next(
-        s.labels
-        for s in model.stages
-        if isinstance(s, StringIndexerModel) and s.getInputCol() == "Category"
+    return CrimeModelResult(
+        model=model, accuracy=accuracy, predictions=decode_predictions(model, scored)
     )
-    to_cat = F.element_at(
-        F.array(*[F.lit(x) for x in labels]), F.col("prediction").cast("int") + 1
-    )
-    predictions = scored.select(
-        F.monotonically_increasing_id().alias("Id"), to_cat.alias("Category")
-    )
-    return CrimeModelResult(model=model, accuracy=accuracy, predictions=predictions)

@@ -34,7 +34,10 @@ def build_text_classifier(
             HashingTF(inputCol="__filtered", outputCol="__tf", numFeatures=num_features),
             IDF(inputCol="__tf", outputCol="__tfidf"),
             StringIndexer(
-                inputCol=label_col, outputCol="label", stringOrderType="alphabetAsc"
+                inputCol=label_col,
+                outputCol="label",
+                stringOrderType="alphabetAsc",
+                handleInvalid="keep",  # a label seen only in the eval split must not throw
             ),
             LogisticRegression(featuresCol="__tfidf", labelCol="label", maxIter=max_iter),
         ]

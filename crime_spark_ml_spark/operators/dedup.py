@@ -220,13 +220,15 @@ def duplicate_clusters(
         .distinct()
     )
     labels = ids.select(F.col(id_col).alias("node")).withColumn("label", F.col("node"))
+    converged = False
+    prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -235,6 +237,25 @@ def duplicate_clusters(
                 ),
             )
         )
+        # pointer-shortcut (path halving): adopt the label OF my label —
+        # convergence in O(log diameter) rounds instead of O(diameter)
+        parents = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(parents, stepped.label == parents.pnode, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # localCheckpoint TRUNCATES LINEAGE — without it each round's
+        # plan nests the previous rounds' joins and the logical plan
+        # grows exponentially (analysis OOMs after ~8 rounds). Eager, so
+        # the round materializes once; prior round's blocks released.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -242,7 +263,16 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels = new_labels.cache()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        labels = new_labels
+        prev_cached = None
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — a "
+            f"connected component is deeper than 2^{max_iter}; raise max_iter"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -166,3 +166,80 @@ LIMIT 20
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: returned-item revenue per customer, top 20."""
     return _sql(spark, sf_dir, _Q10, ("customer", "orders", "lineitem", "nation"))
+
+
+_Q2_STYLE = """
+SELECT n_name, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY n_name, c_name
+"""
+
+
+@register("q2_max_per_group_subquery", oracle=_Q2_STYLE, tags=("sql", "subquery", "joins"))
+def q2_max_per_group_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape: row matching a correlated per-group MAX (the
+    min-cost-supplier pattern on this schema's columns)."""
+    return _sql(spark, sf_dir, _Q2_STYLE, ("customer", "nation"))
+
+
+_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+)
+SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS price, sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@register("q18_large_volume_orders", oracle=_Q18, tags=("sql", "having", "joins"))
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape: HAVING over an exact decimal sum feeding a
+    two-way join, top 50."""
+    return _sql(spark, sf_dir, _Q18, ("lineitem", "orders", "customer"))
+
+
+@register(
+    "fn_map_types",
+    oracle="""
+    SELECT c_nationkey,
+           list_aggregate(list_transform(list_sort(list({'key': c_mktsegment, 'value': cnt})),
+                          e -> e.key || ':' || CAST(e.value AS VARCHAR)),
+                          'string_agg', ',') AS seg_counts
+    FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+          FROM customer GROUP BY c_nationkey, c_mktsegment)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("functions", "map"),
+)
+def fn_map_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction: per-nation segment→count built as
+    a real MapType column (map_from_entries), then canonicalized to a
+    sorted 'k:v,…' string for the oracle compare — MAP wire formats
+    differ between engines (DuckDB's client yields a dict-of-lists),
+    so the map itself is not hash-comparable."""
+    c = load_table(spark, sf_dir, "customer")
+    per = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("cnt"))
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("c_mktsegment").alias("key"), F.col("cnt").alias("value"))
+        )
+    )
+    as_map = F.map_from_entries(entries)
+    canonical = F.expr(
+        "concat_ws(',', transform(map_entries(seg_map), "
+        "e -> concat(e.key, ':', CAST(e.value AS STRING))))"
+    )
+    return (
+        per.groupBy("c_nationkey")
+        .agg(as_map.alias("seg_map"))
+        .select("c_nationkey", canonical.alias("seg_counts"))
+        .orderBy("c_nationkey")
+    )

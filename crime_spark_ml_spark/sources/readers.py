@@ -26,6 +26,14 @@ CRIME_CSV_SCHEMA = T.StructType(
 )
 
 
+# test.csv lacks the label-ish columns (crime.py:103 drop list) — CSV
+# schemas map POSITIONALLY, so reading a 6-column file through the
+# 9-column schema silently misaligns every field
+CRIME_TEST_CSV_SCHEMA = T.StructType(
+    [f for f in CRIME_CSV_SCHEMA.fields if f.name not in ("Category", "Descript", "Resolution")]
+)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -48,6 +56,11 @@ def read_csv(
 def read_crime_csv(spark: SparkSession, path: str) -> DataFrame:
     """The reference's train.csv shape with declared types."""
     return read_csv(spark, path, CRIME_CSV_SCHEMA)
+
+
+def read_crime_test_csv(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's test.csv shape (no Category/Descript/Resolution)."""
+    return read_csv(spark, path, CRIME_TEST_CSV_SCHEMA)
 
 
 def read_json_lines(

@@ -24,10 +24,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ml.pipeline import prepare_crime, train_crime_model
+from .functions.aggs import try_corr
+from .ml.pipeline import decode_predictions, prepare_crime, train_crime_model
 from .operators.encode import label_encode
 from .operators.reshape import pivot_counts
-from .sources.readers import read_crime_csv
+from .sources.readers import read_crime_csv, read_crime_test_csv
 from .sources.writers import write_predictions
 
 
@@ -74,9 +75,10 @@ def run_crime_workload(
         c for c, t in train.dtypes if t == "double"
     ]
     corr_rows = []
+    # try_corr: NULL (not ANSI DIVIDE_BY_ZERO) for zero-variance columns
     pairs = encoded.agg(
         *[
-            F.corr(F.col(c), F.col("Category_code")).alias(c)
+            try_corr(c, "Category_code").alias(c)
             for c in num_cols
             if c != "Category_code"
         ]
@@ -94,24 +96,13 @@ def run_crime_workload(
     result = train_crime_model(train, **model_kwargs)
     predictions = result.predictions
     if test_path is not None:
-        test = read_crime_csv(spark, test_path)
-        # test.csv lacks Category (crime.py:103); placeholder feeds the
-        # (unused-at-transform) label indexer
+        # test.csv has its OWN 6-column schema: CSV schemas bind
+        # positionally, so the train schema would silently misalign it
+        test = read_crime_test_csv(spark, test_path)
+        # placeholder Category feeds the (unused-at-transform) label indexer
         prepared = prepare_crime(test.withColumn("Category", F.lit("__unknown__")))
         scored = result.model.transform(prepared)
-        from pyspark.ml.feature import StringIndexerModel
-
-        labels = next(
-            s.labels
-            for s in result.model.stages
-            if isinstance(s, StringIndexerModel) and s.getInputCol() == "Category"
-        )
-        to_cat = F.element_at(
-            F.array(*[F.lit(x) for x in labels]), F.col("prediction").cast("int") + 1
-        )
-        predictions = scored.select(
-            F.monotonically_increasing_id().alias("Id"), to_cat.alias("Category")
-        )
+        predictions = decode_predictions(result.model, scored)
     if output_path is not None:
         write_predictions(predictions, output_path)
     return CrimeWorkloadResult(

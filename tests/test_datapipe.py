@@ -146,6 +146,9 @@ def test_text_classifier_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     model, acc = train_text_classifier(docs, num_features=1 << 12, max_iter=5)
     assert 0.0 <= acc <= 1.0
-    assert model.stages[-1].numClasses == 5  # de/en/es/fr/zh
+    # 5 languages + the handleInvalid='keep' unseen-label slot
+    assert model.stages[-1].numClasses == 6
+    indexer = model.stages[-2]
+    assert list(indexer.labels) == ["de", "en", "es", "fr", "zh"]
     scored = model.transform(docs)
     assert scored.select("prediction").distinct().count() >= 1

@@ -24,10 +24,28 @@ def test_crime_workload_end_to_end(spark, tmp_path):
     # pivot rows come back in district-count-desc order (P6 reindex)
     districts = [r.PdDistrict for r in pivot.collect()]
     counts = {r.PdDistrict: r.cnt for r in res.district_counts.collect()}
-    assert districts == sorted(districts, key=lambda d: (-counts[d], districts.index(d)))
+    assert districts == sorted(districts, key=lambda d: (-counts[d], d))
     assert res.corr_with_target.count() == 8
     assert 0.0 < res.accuracy <= 1.0
     # predictions come from the TEST table (300 rows), written to parquet
     assert res.predictions.count() == 300
     back = spark.read.parquet(out_dir)
     assert back.count() == 300 and set(back.columns) == {"Id", "Category"}
+
+
+def test_crime_test_csv_schema_alignment(spark, tmp_path):
+    """The 6-column test CSV must read through its OWN schema — the
+    9-column train schema binds positionally and silently misaligns."""
+    from pyspark.sql import functions as F
+
+    from crime_spark_ml_spark.sources.readers import read_crime_test_csv
+
+    test_dir = str(tmp_path / "t")
+    src = crime_test_table(spark, 120)
+    src.coalesce(1).write.option("header", "true").csv(test_dir)
+    back = read_crime_test_csv(spark, test_dir)
+    assert back.columns == ["Dates", "DayOfWeek", "PdDistrict", "Address", "X", "Y"]
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b  # full-content equality, all columns aligned
+    assert back.where(F.col("X").isNull() | F.col("Y").isNull()).count() == 0
