@@ -377,3 +377,22 @@ def e8_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("argmax"),
     ).orderBy("vec_id")
+
+
+@register(
+    "p_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment
+    FROM customer ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("P", "distinct"),
+)
+def p_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dropDuplicates over a column subset — the
+    relational face of exact dedup)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
