@@ -297,3 +297,14 @@ def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register("dp_pandas_source_stats", oracle=None, tags=("pandas", "applyInPandas"))
+def dp_pandas_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats via Arrow applyInPandas (the sanctioned Python
+    path; equivalence with the SQL aggregate pinned in
+    tests/test_pandas_ops.py)."""
+    from ..operators.pandas_ops import source_stats_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_stats_apply(docs).orderBy("source")
