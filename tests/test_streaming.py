@@ -227,3 +227,41 @@ def test_socket_integration_smoke(spark):
     finally:
         query.stop()
         server.close()
+
+
+def test_foreachbatch_parquet_sink_idempotent_restart(spark, tmp_path):
+    """Exactly-once-style sink: foreachBatch writing parquet by batch id
+    with a checkpoint; a restart over the same data does not duplicate
+    rows, and new data lands incrementally."""
+    import os
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    (data_dir / "a.txt").write_text("r1\nr2\n")
+
+    def run():
+        stream = spark.readStream.text(str(data_dir))
+
+        def sink(df, batch_id):
+            # deterministic per-batch path → replayed batch overwrites itself
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*").count()
+    assert first == 2
+    run()  # restart with no new data → no re-processing, no duplicates
+    assert spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*").count() == 2
+    (data_dir / "b.txt").write_text("r3\n")
+    run()  # only the new file processed
+    rows = [r.value for r in spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*").collect()]
+    assert sorted(rows) == ["r1", "r2", "r3"]
