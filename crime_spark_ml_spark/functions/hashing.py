@@ -48,12 +48,13 @@ def minhash(words_expr: str, num_hashes: int = 32) -> Column:
 
 
 def band_hashes(sig_expr: str, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: hash each ``rows_per_band``-slice of the signature.
-    Two docs collide in band b iff their signature slices are equal."""
+    """LSH banding: hash each ``rows_per_band``-slice of the signature
+    (chain-hash over the longs — no string materialization). Two docs
+    collide in band b iff their signature slices are equal."""
     return F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
-        f"xxhash64(concat_ws(',', transform(slice({sig_expr}, b * {rows_per_band} + 1, "
-        f"{rows_per_band}), v -> CAST(v AS STRING)))))"
+        f"aggregate(slice({sig_expr}, b * {rows_per_band} + 1, {rows_per_band}), "
+        f"42L, (acc, v) -> xxhash64(acc, v)))"
     )
 
 

@@ -52,12 +52,16 @@ def with_minhash(
     re-inlines the shingle construction into every downstream band
     expression, multiplying work ~bands× — the explode+agg shape is
     the scale-correct plan."""
-    ex = df.select(id_col, F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("sh"))
+    # hash the shingle STRING once; permutation i re-hashes the (long,
+    # i) pair — no per-permutation string concat (32× cheaper per row)
+    ex = df.select(
+        id_col, F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("sh")
+    ).withColumn("__h", F.xxhash64("sh"))
     sig = (
         ex.groupBy(id_col)
         .agg(
             *[
-                F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"__mh{i}")
+                F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__mh{i}")
                 for i in range(num_hashes)
             ]
         )
