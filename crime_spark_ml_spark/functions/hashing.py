@@ -18,11 +18,6 @@ from pyspark.sql import functions as F
 SIMHASH_BITS = 48
 
 
-def tokens(text_col: str) -> Column:
-    """Whitespace tokens (the documents fixture is space-delimited)."""
-    return F.split(F.col(text_col), " ")
-
-
 def shingles_expr(text_col: str, n: int = 3) -> str:
     """Word n-gram shingle set (SQL expression string, distinct).
 
@@ -39,11 +34,16 @@ def shingles_expr(text_col: str, n: int = 3) -> str:
 
 
 def minhash(words_expr: str, num_hashes: int = 32) -> Column:
-    """MinHash signature: for permutation i, min over tokens of
-    xxhash64(token ⊕ i). One pass per row, no shuffle."""
+    """MinHash signature, row-local HOF form: for permutation i, min
+    over tokens of xxhash64(xxhash64(token), i) — the SAME hash family
+    as operators/dedup.minhash_signatures, so the two forms produce
+    interchangeable signatures. Prefer the explode+agg form for any
+    plan that also bands the signature: Catalyst's project-collapsing
+    re-inlines this expression per downstream reference (~bands×
+    recompute)."""
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), i -> "
-        f"array_min(transform({words_expr}, w -> xxhash64(concat(w, '#', CAST(i AS STRING))))))"
+        f"array_min(transform({words_expr}, w -> xxhash64(xxhash64(w), i))))"
     )
 
 

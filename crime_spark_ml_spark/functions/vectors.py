@@ -29,7 +29,9 @@ def norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (never ANSI DIVIDE_BY_ZERO) for zero-norm vectors —
+    matching the pandas twin's defined-on-everything behavior."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -50,7 +50,9 @@ def train_text_classifier(
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
     train, test = df.randomSplit([0.7, 0.3], seed=seed)
-    model = build_text_classifier(**kwargs).fit(train.cache())
+    train = train.cache()
+    model = build_text_classifier(**kwargs).fit(train)
+    train.unpersist()
     acc = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     ).evaluate(model.transform(test))

@@ -52,12 +52,29 @@ def with_minhash(
     re-inlines the shingle construction into every downstream band
     expression, multiplying work ~bands× — the explode+agg shape is
     the scale-correct plan."""
-    # hash the shingle STRING once; permutation i re-hashes the (long,
-    # i) pair — no per-permutation string concat (32× cheaper per row)
+    return df.join(
+        minhash_signatures(df, text_col, num_hashes, shingle_n, id_col),
+        on=id_col,
+        how="left",  # NULL-text docs keep a NULL signature, never vanish
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, minhash_sig) only — the hot-path form (no payload re-join).
+
+    The shingle STRING is hashed once; permutation i re-hashes the
+    (long, i) pair — no per-permutation string concat (32× cheaper
+    per row)."""
     ex = df.select(
         id_col, F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("sh")
     ).withColumn("__h", F.xxhash64("sh"))
-    sig = (
+    return (
         ex.groupBy(id_col)
         .agg(
             *[
@@ -70,7 +87,6 @@ def with_minhash(
             F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash_sig"),
         )
     )
-    return df.join(sig, on=id_col, how="inner")
 
 
 def minhash_lsh_candidates(
@@ -91,8 +107,13 @@ def minhash_lsh_candidates(
     strings) can dominate the whole job; buckets above the cap are
     dropped (their members still pair through their other bands).
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}; trailing hash "
+            f"components would be silently dropped and shift the s-curve"
+        )
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df.select(id_col, text_col), text_col, num_hashes)
+    sig = minhash_signatures(df, text_col, num_hashes, id_col=id_col)
     banded = (
         sig.withColumn("bands", band_hashes("minhash_sig", bands, rows_per_band))
         .select(id_col, F.posexplode("bands").alias("band_pos", "band_hash"))
@@ -159,7 +180,7 @@ def simhash_signatures(
             "simhash"
         ),
     )
-    return df.join(sig, on=id_col, how="inner")
+    return df.join(sig, on=id_col, how="left")  # NULL-text docs keep NULL signature
 
 
 def jaccard_pairs(
@@ -268,9 +289,9 @@ def duplicate_clusters(
             .count()
         )
         if prev_cached is not None:
-            prev_cached.unpersist()
+            prev_cached.unpersist()  # release the superseded round's blocks
+        prev_cached = labels  # no-op unpersist for the initial (uncached) frame
         labels = new_labels
-        prev_cached = None
         if changed == 0:
             converged = True
             break

@@ -8,9 +8,13 @@ in **lexicographically ascending** order of the distinct values
 
 Scale design: a global ``dense_rank`` window over the full table would
 funnel every row through one partition. Instead we build the per-column
-dictionary from DISTINCT values (cardinality ≤ distinct count, tiny
-relative to 100 TB of rows), rank only the dictionary, and broadcast-
-join codes back — one shuffle for the distinct, zero for the join.
+dictionary from DISTINCT values, and rank the dictionary itself WITHOUT
+a global window: range-partition it by value (ascending ranges land in
+ascending partition ids), rank within each partition in parallel, and
+add per-partition offsets (a tiny driver-side prefix sum). Works for
+near-unique columns (the reference encodes even its timestamp column,
+crime.py:38-39) as well as small dictionaries. Codes then broadcast- or
+shuffle-join back depending on dictionary size.
 """
 
 from __future__ import annotations
@@ -20,25 +24,53 @@ from pyspark.sql import functions as F
 
 
 def label_dictionary(df: DataFrame, col: str) -> DataFrame:
-    """Distinct values of ``col`` with dense codes in ascending order."""
-    w = Window.orderBy(F.col(col))
+    """Distinct values of ``col`` with dense codes 0..n-1 in ascending
+    order — distributed ranking, no single-partition global sort."""
+    distinct = df.select(col).where(F.col(col).isNotNull()).distinct()
+    ranged = distinct.repartitionByRange(F.col(col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(col))
+    ranked = ranged.withColumn("__r", F.row_number().over(w))
+    # per-partition sizes → prefix-sum offsets (≤ #partitions rows on the driver)
+    sizes = sorted(
+        (r["__pid"], r["n"])
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in sizes:
+        offsets[pid] = acc
+        acc += n
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
     return (
-        df.select(col)
-        .where(F.col(col).isNotNull())
-        .distinct()
-        .withColumn(f"{col}_code", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        ranked.join(F.broadcast(offset_df), "__pid")
+        .select(
+            col,
+            (F.col("__off") + F.col("__r") - 1).cast("int").alias(f"{col}_code"),
+        )
     )
 
 
-def label_encode(df: DataFrame, cols: list[str]) -> DataFrame:
+def label_encode(df: DataFrame, cols: list[str], broadcast: bool = True) -> DataFrame:
     """Append ``<col>_code`` for each requested column (E1/E2).
 
     Fit-on-this-frame semantics; for train/test flows fit the
     dictionaries on train via ``label_dictionary`` and join onto test
     (the reference's independent re-fit on test, crime.py:117-120, is a
     leakage bug we do not replicate by default — SURVEY.md §2.4 E2).
+
+    ``broadcast=True`` hints the dictionary join — right for the usual
+    low-cardinality categorical. Pass ``broadcast=False`` for
+    near-unique columns (timestamps, addresses): their dictionaries are
+    table-sized and must shuffle-join instead.
     """
     out = df
     for c in cols:
-        out = out.join(F.broadcast(label_dictionary(df, c)), on=c, how="left")
+        dic = label_dictionary(df, c)
+        if broadcast:
+            dic = F.broadcast(dic)
+        out = out.join(dic, on=c, how="left")
     return out

@@ -130,11 +130,9 @@ def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
     return df.withColumn(
         "frame_indices",
         F.when(
-            F.col("kind") == "video",
-            F.sequence(
-                F.lit(0),
-                F.col("meta.n_frames") - 1,
-                F.lit(every_n),
-            ),
-        ),
+            # n_frames=0 (corrupt/truncated media) → empty list, not the
+            # 'Illegal sequence boundaries' abort sequence(0,-1,n) throws
+            (F.col("kind") == "video") & (F.col("meta.n_frames") >= 1),
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)),
+        ).when(F.col("kind") == "video", F.array().cast("array<int>")),
     )

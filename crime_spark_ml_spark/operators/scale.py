@@ -21,5 +21,10 @@ def zscore(df: DataFrame, cols: list[str], suffix: str = "_z") -> DataFrame:
     )
     out = df.crossJoin(F.broadcast(stats))
     for c in cols:
-        out = out.withColumn(c + suffix, (F.col(c) - F.col(f"__avg_{c}")) / F.col(f"__std_{c}"))
+        # try_divide: NULL for zero-variance columns instead of the
+        # ANSI DIVIDE_BY_ZERO job abort
+        out = out.withColumn(
+            c + suffix,
+            F.try_divide(F.col(c) - F.col(f"__avg_{c}"), F.col(f"__std_{c}")),
+        )
     return out.drop(*[f"__avg_{c}" for c in cols], *[f"__std_{c}" for c in cols])

@@ -283,9 +283,11 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
     index = build_ivf(emb, k=16, seed=0)
-    return ivf_topk(index, emb.where(F.col("vec_id") < 5), k=5, nprobe=4).orderBy(
+    result = ivf_topk(index, emb.where(F.col("vec_id") < 5), k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
+    emb.unpersist(blocking=False)  # index assignment is materialized lazily per action
+    return result
 
 
 @register("dp_embedding_near_dups", oracle=None, tags=("dedup", "embedding"))

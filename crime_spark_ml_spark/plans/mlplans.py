@@ -29,6 +29,7 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _vectors(load_table(spark, sf_dir, "embeddings")).cache()
     model = KMeans(k=10, seed=0, featuresCol="features").fit(emb)
+    emb.unpersist()  # centroids are fitted; the transform re-scans parquet
     return (
         model.transform(emb)
         .groupBy(F.col("prediction").alias("cluster"))
@@ -51,6 +52,7 @@ def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = emb.randomSplit([0.7, 0.3], seed=0)
     train = train.cache()
     model = LogisticRegression(maxIter=25, regParam=0.01, labelCol="label").fit(train)
+    train.unpersist()
     scored = model.transform(test)
     acc = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
@@ -150,9 +152,9 @@ def ml_gbt_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", (F.col("label") % 2).cast("double")
     )
     train, test = emb.randomSplit([0.7, 0.3], seed=0)
-    model = GBTClassifier(maxIter=10, maxDepth=3, seed=0, labelCol="label").fit(
-        train.cache()
-    )
+    train = train.cache()
+    model = GBTClassifier(maxIter=10, maxDepth=3, seed=0, labelCol="label").fit(train)
+    train.unpersist()
     auc = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
     ).evaluate(model.transform(test))
@@ -172,10 +174,11 @@ def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("double").alias("yr"),
         (F.col("o_custkey") % 100).cast("double").alias("custmod"),
     )
-    feats = VectorAssembler(inputCols=["yr", "custmod"], outputCol="features").transform(o)
+    feats = VectorAssembler(inputCols=["yr", "custmod"], outputCol="features").transform(o).cache()
     model = LinearRegression(
         maxIter=20, regParam=0.1, elasticNetParam=0.5, labelCol="label"
-    ).fit(feats.cache())
+    ).fit(feats)
+    feats.unpersist()
     return spark.createDataFrame(
         [(round(model.summary.r2, 4), len(model.coefficients))],
         "r2 double, n_coefs int",
@@ -254,6 +257,7 @@ def ml_crossval_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=2,
     )
     model = cv.fit(emb)
+    emb.unpersist()
     rows = [
         (float(g[lr.regParam]), round(float(m), 4))
         for g, m in zip(grid, model.avgMetrics)

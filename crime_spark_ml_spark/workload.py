@@ -70,7 +70,8 @@ def run_crime_workload(
 
     # corr over label-encoded columns (E1 → A6), top-8 vs target (A7)
     str_cols = [c for c, t in train.dtypes if t == "string"]
-    encoded = label_encode(train.na.fill("none", subset=str_cols), str_cols)
+    # broadcast=False: Dates/Address dictionaries are near-table-sized
+    encoded = label_encode(train.na.fill("none", subset=str_cols), str_cols, broadcast=False)
     num_cols = [f"{c}_code" for c in str_cols] + [
         c for c, t in train.dtypes if t == "double"
     ]
