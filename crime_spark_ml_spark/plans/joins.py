@@ -560,3 +560,83 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.round(100.0 * dec_sum(promo, 6) / dec_sum(revenue, 6), 6).alias("promo_share")
     )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {dec_sum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO' AND l_discount >= 0.05)
+    """,
+    tags=("joins", "disjunctive"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunction of conjunctive multi-table
+    predicates — Catalyst extracts the common join key so the OR does
+    not force a cartesian product (pinned by the no-cartesian test)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(dec_sum(revenue, 6).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT seg_prefix, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT substring(c_mktsegment, 1, 2) AS seg_prefix, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    )
+    GROUP BY seg_prefix
+    ORDER BY seg_prefix
+    """,
+    tags=("joins", "exists", "subquery"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: rich customers with no URGENT orders — substring
+    grouping + scalar subquery threshold + anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("t"))
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy(F.substring("c_mktsegment", 1, 2).alias("seg_prefix"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("seg_prefix")
+    )

@@ -265,3 +265,44 @@ def test_foreachbatch_parquet_sink_idempotent_restart(spark, tmp_path):
     run()  # only the new file processed
     rows = [r.value for r in spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*").collect()]
     assert sorted(rows) == ["r1", "r2", "r3"]
+
+
+def test_in_stream_model_scoring(spark, tmp_path):
+    """The reference's implied end-to-end system: model trained batch-
+    side, applied to T2 wire batches ARRIVING AS A STREAM (SURVEY.md
+    §0.4). Streaming predictions must equal batch predictions on the
+    same rows."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from crime_spark_ml_spark.streaming.scoring import score_stream
+
+    # train a tiny model batch-side: label = (f0 > f1)
+    train = spark.createDataFrame(
+        [(i / 10.0, j / 10.0, float(i > j)) for i in range(10) for j in range(10)] * 3,
+        "feature0 double, feature1 double, label double",
+    )
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=["feature0", "feature1"], outputCol="features"),
+        LogisticRegression(maxIter=10, labelCol="label"),
+    ])
+    model = pipe.fit(train)
+
+    # producer-encode a scoring batch per the T2 spec
+    batch = {str(i): {"feature0": i / 5.0, "feature1": 0.4} for i in range(5)}
+    (tmp_path / "score.json").write_text(json.dumps(batch) + "\n")
+    inner = feature_struct(n_numeric=2)
+    streamed = run_available_now(
+        score_stream(file_lines(spark, str(tmp_path)), model, inner),
+        _uname("score"),
+    )
+    got = {int(r.row_idx): r.prediction for r in streamed.collect()}
+    # batch-side scoring of the same rows must agree exactly
+    batch_df = spark.createDataFrame(
+        [(i, i / 5.0, 0.4) for i in range(5)],
+        "row_idx long, feature0 double, feature1 double",
+    )
+    want = {r.row_idx: r.prediction for r in model.transform(batch_df).collect()}
+    assert got == want
+    assert len(got) == 5 and set(got.values()) == {0.0, 1.0}
