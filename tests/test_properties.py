@@ -88,3 +88,23 @@ def test_melt_pivot_inverse_shape(spark, sf_dir):
     orig = {(r.s_suppkey): (r.s_acctbal, r.s_nationkey) for r in s.collect()}
     back = {(r.s_suppkey): (r.s_acctbal, r.s_nationkey) for r in wide.collect()}
     assert orig == back
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash's defining property: the fraction of agreeing signature
+    components estimates the shingle-set Jaccard similarity."""
+    from crime_spark_ml_spark.functions.hashing import shingles_expr
+    from crime_spark_ml_spark.operators.dedup import minhash_signatures
+
+    base = [f"w{i}" for i in range(40)]
+    variant = base[:30] + [f"x{i}" for i in range(10)]  # ~60-75% shingle overlap
+    docs = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(variant))], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.minhash_sig
+            for r in minhash_signatures(docs, num_hashes=128).collect()}
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 128
+    sh = {r.doc_id: set(r.s) for r in docs.selectExpr(
+        "doc_id", f"{shingles_expr('text', 3)} AS s").collect()}
+    true_j = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    assert abs(agree - true_j) < 0.15, (agree, true_j)
