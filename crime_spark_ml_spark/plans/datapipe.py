@@ -310,3 +310,40 @@ def dp_pandas_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_stats_apply(docs).orderBy("source")
+
+
+@register(
+    "dp_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      WHERE doc_id < 50),
+    counts AS (
+      SELECT doc_id, term, COUNT(*) AS n FROM tf GROUP BY doc_id, term),
+    ranked AS (
+      SELECT doc_id, term, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY n DESC, term) AS INTEGER) AS rk
+      FROM counts)
+    SELECT doc_id, term, n, rk FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    tags=("text", "tf"),
+)
+def dp_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by frequency: explode → count →
+    per-doc window top-k (the TF half of TF-IDF, oracle-checkable)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "term")
+    return (
+        tf.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )

@@ -250,3 +250,26 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "hour")
     )
+
+
+@register(
+    "ev_json_full_schema",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+    ORDER BY event_id
+    """,
+    tags=("events", "json", "T2"),
+)
+def ev_json_full_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse: from_json with a declared struct schema (the
+    wire-parse primitive) + field access + filter — vs
+    ev_json_extract's per-path get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "struct<k:int>"))
+    return (
+        parsed.where(F.col("p.k") >= 95)
+        .select("event_id", F.col("p.k").alias("k"))
+        .orderBy("event_id")
+    )

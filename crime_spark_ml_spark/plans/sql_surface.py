@@ -243,3 +243,45 @@ def fn_map_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", canonical.alias("seg_counts"))
         .orderBy("c_nationkey")
     )
+
+
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15, tags=("sql", "cte", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: CTE referenced twice (join + scalar MAX) — the
+    'view' pattern; Catalyst evaluates the scalar subquery once."""
+    return _sql(spark, sf_dir, _Q15, ("lineitem", "supplier"))
+
+
+_Q16 = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@register("q16_supplier_part_counts", oracle=_Q16, tags=("sql", "not-in"))
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: NOT IN subquery (null-aware anti join) +
+    COUNT(DISTINCT) over a filtered join."""
+    return _sql(spark, sf_dir, _Q16, ("part", "lineitem", "supplier"))

@@ -83,3 +83,11 @@ def restore_names(df: DataFrame, names: list[str]) -> DataFrame:
         F.col(c).alias(mapping.get(c, c)) for c in df.columns
     ]
     return df.select(*cols)
+
+
+def flatten_images(parsed: DataFrame, img_col: str = "img") -> DataFrame:
+    """Pokemon-shaped batches carry a nested pixel matrix
+    (``array<array<int>>``, stream.py:108); the producer's
+    ``flatten=True`` option (stream.py:109) is reproduced consumer-side:
+    one row-local flatten, no shuffle."""
+    return parsed.withColumn("pixels", F.flatten(F.col(img_col))).drop(img_col)

@@ -306,3 +306,20 @@ def test_in_stream_model_scoring(spark, tmp_path):
     want = {r.row_idx: r.prediction for r in model.transform(batch_df).collect()}
     assert got == want
     assert len(got) == 5 and set(got.values()) == {0.0, 1.0}
+
+
+def test_wire_pokemon_nested_batch(spark, tmp_path):
+    """S8: nested img matrix + label through the stream parser, then
+    the consumer-side flatten (stream.py:108-109 semantics)."""
+    from crime_spark_ml_spark.streaming.wire import flatten_images
+
+    batch = {
+        str(i): {"img": [[i, i + 1], [i + 2, i + 3]], "label": i % 3}
+        for i in range(3)
+    }
+    (tmp_path / "poke.json").write_text(json.dumps(batch) + "\n")
+    parsed = parse_tabular(file_lines(spark, str(tmp_path)), image_struct(nested=True))
+    flat = run_available_now(flatten_images(parsed), _uname("poke"))
+    rows = {r.row_idx: r for r in flat.collect()}
+    assert rows[1].pixels == [1, 2, 3, 4] and rows[1].label == 1
+    assert len(rows) == 3
