@@ -285,3 +285,30 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16-style: NOT IN subquery (null-aware anti join) +
     COUNT(DISTINCT) over a filtered join."""
     return _sql(spark, sf_dir, _Q16, ("part", "lineitem", "supplier"))
+
+
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+  JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21, tags=("sql", "exists", "not-exists"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: EXISTS + NOT EXISTS over the same fact table —
+    the supplier whose shipment was the last on a multi-supplier order.
+    Catalyst plans both as semi/anti joins keyed on orderkey."""
+    return _sql(spark, sf_dir, _Q21, ("supplier", "lineitem", "orders"))
