@@ -312,3 +312,25 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier whose shipment was the last on a multi-supplier order.
     Catalyst plans both as semi/anti joins keyed on orderkey."""
     return _sql(spark, sf_dir, _Q21, ("supplier", "lineitem", "orders"))
+
+
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+         (SELECT 0.0015 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          FROM lineitem)
+)
+ORDER BY s_suppkey
+"""
+
+
+@register("q20_promo_volume_suppliers", oracle=_Q20, tags=("sql", "in", "nested"))
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape: IN over a grouped HAVING whose threshold is
+    itself a scalar subquery — two nesting levels through the parser."""
+    return _sql(spark, sf_dir, _Q20, ("supplier", "lineitem", "part"))

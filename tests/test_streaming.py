@@ -323,3 +323,26 @@ def test_wire_pokemon_nested_batch(spark, tmp_path):
     rows = {r.row_idx: r for r in flat.collect()}
     assert rows[1].pixels == [1, 2, 3, 4] and rows[1].label == 1
     assert len(rows) == 3
+
+
+def test_rate_source_windowed(spark):
+    """T5 endless-replay analog: the rate source generates a bounded
+    deterministic-schema stream; windowed counts run on it (smoke for
+    the synthetic-source path used in production replay testing)."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+        .withColumn("event_type", (F.col("value") % 3).cast("string"))
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    agg = windowed_counts(stream, ts_col="timestamp", window="1 second", watermark=None)
+    name = _uname("rate")
+    q = to_memory(agg, name, "complete").trigger(processingTime="300 milliseconds").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.3)
+        rows = spark.table(name).collect()
+        assert len(rows) > 0
+        assert all(r.cnt > 0 for r in rows)
+    finally:
+        q.stop()
