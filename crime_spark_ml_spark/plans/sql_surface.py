@@ -334,3 +334,95 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-shape: IN over a grouped HAVING whose threshold is
     itself a scalar subquery — two nesting levels through the parser."""
     return _sql(spark, sf_dir, _Q20, ("supplier", "lineitem", "part"))
+
+
+_Q8 = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS volume,
+         n_name AS nation
+  FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8, tags=("sql", "ratio"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's revenue share per year — a
+    conditional-sum ratio over a star join (decimal volumes, one
+    double division at the end)."""
+    return _sql(spark, sf_dir, _Q8, ("lineitem", "orders", "supplier", "nation"))
+
+
+_Q9 = """
+SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.9 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%a%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=_Q9, tags=("sql", "joins"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit (revenue minus modeled supply cost) per
+    nation per year over a four-way star join with a LIKE filter."""
+    return _sql(spark, sf_dir, _Q9, ("lineitem", "part", "supplier", "orders", "nation"))
+
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13, tags=("sql", "double-agg"))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: double aggregation — orders per customer
+    (zeros preserved by the filtered LEFT JOIN), then the histogram of
+    those counts."""
+    return _sql(spark, sf_dir, _Q13, ("customer", "orders"))
+
+
+_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17, tags=("sql", "correlated"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: rows below 20% of their part's average quantity
+    — a correlated aggregate the optimizer rewrites into one grouped
+    join, not a per-row subquery."""
+    return _sql(spark, sf_dir, _Q17, ("lineitem", "part"))
