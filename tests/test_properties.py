@@ -108,3 +108,39 @@ def test_minhash_estimates_jaccard(spark):
         "doc_id", f"{shingles_expr('text', 3)} AS s").collect()}
     true_j = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
     assert abs(agree - true_j) < 0.15, (agree, true_j)
+
+
+def test_dec_sum_partition_invariant(spark, sf_dir):
+    """The engine's core exactness claim: decimal-accumulated sums are
+    identical under any partitioning (double sums are not)."""
+    from crime_spark_ml_spark.functions.aggs import dec_sum
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_discount")
+    expr = dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("s")
+    results = {
+        li.repartition(n).agg(expr).collect()[0].s for n in (1, 7, 32)
+    }
+    assert len(results) == 1, results  # bit-identical across partitionings
+
+
+def test_parity_gate_detects_mismatch(spark, sf_dir):
+    """Meta-guard: the parity harness itself must flag a wrong oracle —
+    a gate that can't fail is no gate."""
+    from crime_spark_ml_spark.plans.parity import compare_query
+    from crime_spark_ml_spark.plans.parity import _duckdb_conn
+    from crime_spark_ml_spark.plans.registry import QuerySpec
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    def fn(spark_, sf):
+        return load_table(spark_, sf, "region").select("r_regionkey", "r_name")
+
+    con = _duckdb_conn(sf_dir)
+    good = QuerySpec("ok", fn, "SELECT r_regionkey, r_name FROM region")
+    bad_vals = QuerySpec("bad_vals", fn, "SELECT r_regionkey + 1 AS r_regionkey, r_name FROM region")
+    bad_cols = QuerySpec("bad_cols", fn, "SELECT r_regionkey AS wrong_name, r_name FROM region")
+    bad_rows = QuerySpec("bad_rows", fn, "SELECT r_regionkey, r_name FROM region LIMIT 3")
+    assert compare_query("ok", good, spark, con, sf_dir).status == "match"
+    assert compare_query("bad_vals", bad_vals, spark, con, sf_dir).status == "MISMATCH"
+    assert compare_query("bad_cols", bad_cols, spark, con, sf_dir).status == "MISMATCH"
+    assert compare_query("bad_rows", bad_rows, spark, con, sf_dir).status == "MISMATCH"
