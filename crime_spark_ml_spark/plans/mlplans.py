@@ -161,6 +161,38 @@ def ml_gbt_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(auc, 4),)], "auc double")
 
 
+@register("ml_gbt_multiclass", oracle=None, tags=("ml", "M3", "GBT", "multiclass"))
+def ml_gbt_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass boosted trees via OneVsRest(GBTClassifier) — the
+    closest pure-MLlib analog of the reference's LightGBM multiclass
+    objective (crime.py:171-198, num_class=40): one binary GBT per
+    class, fits run in parallel, argmax over per-class raw scores.
+    Returns accuracy + distinct predicted-class count (≥3 proves the
+    model is genuinely multiclass, not collapsed)."""
+    from pyspark.ml.classification import GBTClassifier, OneVsRest
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    emb = _vectors(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "label", F.col("label").cast("double")
+    )
+    train, test = emb.randomSplit([0.7, 0.3], seed=0)
+    train = train.cache()
+    gbt = GBTClassifier(maxIter=5, maxDepth=3, seed=0, labelCol="label")
+    ovr = OneVsRest(classifier=gbt, labelCol="label", parallelism=4)
+    model = ovr.fit(train)
+    train.unpersist()
+    scored = model.transform(test).cache()
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(scored)
+    n_pred_classes = scored.select("prediction").distinct().count()
+    scored.unpersist()
+    return spark.createDataFrame(
+        [(round(acc, 4), len(model.models), n_pred_classes)],
+        "accuracy double, n_classes int, n_predicted_classes int",
+    )
+
+
 @register("ml_linreg_coefs", oracle=None, tags=("ml", "M6", "ridge", "lasso"))
 def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LinearRegression with elastic-net (M6: Ridge/Lasso/ElasticNetCV
