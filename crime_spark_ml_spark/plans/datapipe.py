@@ -293,12 +293,25 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dp_embedding_near_dups", oracle=None, tags=("dedup", "embedding"))
 def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact
-    threshold 0.8). The fixture's random vectors rarely exceed it —
-    the operator's recall is tested with planted duplicates."""
+    threshold 0.8) on the corpus plus 10 planted twins (vec_id+1000000,
+    embedding scaled by 1.0001 — same hyperplane signs ⇒ same LSH
+    buckets, cosine ≈ 1). The fixture's random vectors never reach the
+    threshold on their own, which made this query vacuous in round 1;
+    the planted twins make the driver-visible result ≥10 rows while the
+    operator's recall on unscaled perturbations stays covered by
+    tests/test_datapipe.py."""
     from ..operators.similarity import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.8).orderBy("id_a", "id_b")
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_near_dups(corpus, threshold=0.8).orderBy("id_a", "id_b")
 
 
 @register("dp_pandas_source_stats", oracle=None, tags=("pandas", "applyInPandas"))

@@ -426,3 +426,33 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a correlated aggregate the optimizer rewrites into one grouped
     join, not a per-row subquery."""
     return _sql(spark, sf_dir, _Q17, ("lineitem", "part"))
+
+
+_Q11 = """
+WITH natvalue AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM natvalue
+WHERE value > 0.002 * (SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       FROM natvalue)
+ORDER BY value DESC, l_partkey
+"""
+
+
+@register("q11_important_stock", oracle=_Q11, tags=("sql", "share-threshold", "subquery"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style group-share-threshold (no partsupp fixture, so
+    per-part revenue within one nation stands in for stock value):
+    groups kept only when their aggregate exceeds a fraction of the
+    global total — CTE read twice (grouped rows + scalar-subquery
+    total), both sums decimal-accumulated so the double threshold
+    compare is bit-identical across engines and partitionings. At
+    sf0.01 this keeps 52 of 1204 parts (vacuity-audited)."""
+    return _sql(spark, sf_dir, _Q11, ("lineitem", "supplier", "nation"))
