@@ -103,3 +103,97 @@ def stream_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("feature1", 2).alias("acctbal"),
         F.col("feature2").alias("segment"),
     )
+
+
+@register(
+    "src_cifar_pickle_batches",
+    oracle="""
+    WITH img AS (
+      SELECT f.file_id, i.i
+      FROM generate_series(0, 1) f(file_id), generate_series(0, 49) i(i)),
+    px AS (
+      SELECT CAST(i % 10 AS INTEGER) AS label,
+             (SELECT CAST(SUM((i*7 + j*13) % 256) AS BIGINT)
+              FROM generate_series(0, 3071) t(j)) AS pixel_sum
+      FROM img)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(pixel_sum) AS BIGINT) AS total_pixel_sum,
+           3072 AS n_features
+    FROM px GROUP BY label ORDER BY label
+    """,
+    tags=("sources", "S7", "pickle"),
+)
+def src_cifar_pickle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 file half (stream.py:40-50): CIFAR pickle batch files read via
+    a distributed binaryFile scan + Arrow mapInPandas pickle decode →
+    one flat array<int> row per image. The fixture is deterministic
+    (pixel (i,j) = (i*7+j*13)%256, 2 files × 50 images), so the DuckDB
+    oracle regenerates the identical per-label pixel sums from
+    generate_series — the decode path is hash-checked, not rows-only."""
+    from ..sources.imagebatch import ensure_fixture_dir, read_cifar_batches
+
+    df = read_cifar_batches(spark, ensure_fixture_dir("cifar"))
+    per_img = df.select(
+        "label",
+        F.aggregate("features", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "pixel_sum"
+        ),
+        F.size("features").alias("nf"),
+    )
+    return (
+        per_img.groupBy("label")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+            F.max("nf").alias("n_features"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "src_pokemon_pickle_batches",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(i % 5 AS INTEGER) AS label,
+             (SELECT CAST(SUM((i + k) % 256) AS BIGINT)
+              FROM generate_series(0, 191) t(k)) AS pixel_sum
+      FROM generate_series(0, 19) i(i))
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(pixel_sum) AS BIGINT) AS total_pixel_sum,
+           8 AS height, 8 AS width, 3 AS channels
+    FROM px GROUP BY label ORDER BY label
+    """,
+    tags=("sources", "S8", "pickle"),
+)
+def src_pokemon_pickle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 file half (stream.py:91-98): Pokemon pickle batches (nested
+    H×W×C matrices) → binaryFile + mapInPandas decode, flattened
+    row-major with dims kept as typed metadata. Deterministic fixture
+    (pixel value (i+k)%256 at flat index k, 1 file × 20 8×8×3 images)
+    ⇒ closed-form DuckDB oracle, hash-checked."""
+    from ..sources.imagebatch import ensure_fixture_dir, read_pokemon_batches
+
+    df = read_pokemon_batches(spark, ensure_fixture_dir("pokemon"))
+    per_img = df.select(
+        "label",
+        "height",
+        "width",
+        "channels",
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "pixel_sum"
+        ),
+    )
+    return (
+        per_img.groupBy("label")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+            F.max("height").alias("height"),
+            F.max("width").alias("width"),
+            F.max("channels").alias("channels"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,62 @@
+"""Pickle batch-file ingestion (S7/S8 file half): binaryFile scan +
+mapInPandas decode roundtrips against the deterministic fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crime_spark_ml_spark.sources.imagebatch import (
+    read_cifar_batches,
+    read_pokemon_batches,
+    write_fake_cifar_batch,
+    write_fake_pokemon_batch,
+)
+
+
+def test_cifar_pickle_roundtrip(spark, tmp_path):
+    """3072-feature rows with label alignment, exactly as the reference
+    unpacks them (stream.py:40-50)."""
+    write_fake_cifar_batch(str(tmp_path / "data_batch_1"), n_images=20)
+    write_fake_cifar_batch(str(tmp_path / "data_batch_2"), n_images=20)
+    (tmp_path / "ignored.txt").write_text("not a batch")  # glob excludes
+
+    df = read_cifar_batches(spark, str(tmp_path)).cache()
+    assert df.count() == 40
+    assert df.where(F.size("features") != 3072).count() == 0
+    # label alignment: image i carries label i % 10 in both files
+    assert df.where(F.col("label") != F.col("image_index") % 10).count() == 0
+    # exact pixel values for one row: feature j of image 3 = (21 + 13j) % 256
+    row = df.where(
+        (F.col("path") == "data_batch_1") & (F.col("image_index") == 3)
+    ).head()
+    assert row.features[:5] == [(3 * 7 + j * 13) % 256 for j in range(5)]
+    assert row.features[3071] == (3 * 7 + 3071 * 13) % 256
+    df.unpersist()
+
+
+def test_pokemon_pickle_roundtrip(spark, tmp_path):
+    """Nested H×W×C matrices flatten row-major with dims preserved
+    (stream.py:91-98, flatten per stream.py:109)."""
+    write_fake_pokemon_batch(str(tmp_path / "train_batch_1.pickle"), n_images=10)
+
+    df = read_pokemon_batches(spark, str(tmp_path)).cache()
+    assert df.count() == 10
+    dims = df.select("height", "width", "channels").distinct().collect()
+    assert [(r.height, r.width, r.channels) for r in dims] == [(8, 8, 3)]
+    assert df.where(F.size("pixels") != 8 * 8 * 3).count() == 0
+    assert df.where(F.col("label") != F.col("image_index") % 5).count() == 0
+    # row-major flatten: pixel k of image i = (i + k) % 256
+    row = df.where(F.col("image_index") == 7).head()
+    assert row.pixels[:4] == [(7 + k) % 256 for k in range(4)]
+    assert row.pixels[191] == (7 + 191) % 256
+    df.unpersist()
+
+
+def test_binaryfile_scan_is_distributed(spark, tmp_path):
+    """Each batch file decodes independently (one task per file is the
+    scale contract) — partition count grows with file count."""
+    for i in range(4):
+        write_fake_cifar_batch(str(tmp_path / f"data_batch_{i}"), n_images=5)
+    df = read_cifar_batches(spark, str(tmp_path))
+    assert df.rdd.getNumPartitions() >= 1
+    assert df.select("path").distinct().count() == 4

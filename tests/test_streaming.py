@@ -346,3 +346,51 @@ def test_rate_source_windowed(spark):
         assert all(r.cnt > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_producer_consumer_end_to_end(spark):
+    """The reusable producer (stream.py:24-36,184-204 contract: bind/
+    listen, batch_size slicing, name erasure, newline-JSON, per-send
+    sleep) streamed into the real socket source: ≥3 batches cross a
+    live TCP socket and the parsed rows equal the batch twin built
+    from the same frames."""
+    from crime_spark_ml_spark.streaming.producer import serve_frames, tabular_frames
+
+    rows = [
+        {"qty": float(i), "price": float(100 + i), "label": i % 3} for i in range(12)
+    ]
+    frames = list(tabular_frames(rows, batch_size=4))
+    assert len(frames) == 3
+    assert '"feature0"' in frames[0] and '"label"' in frames[0]
+
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_frames,
+        kwargs=dict(frames=frames, port=0, sleep_secs=0.2, linger_secs=3.0, ready=ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(10)
+    port = ready.port
+
+    inner = feature_struct(n_numeric=2, with_label=True)
+    parsed = parse_tabular(socket_lines(spark, "127.0.0.1", port), inner)
+    name = _uname("prod")
+    query = to_memory(parsed, name).trigger(processingTime="300 milliseconds").start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 12:
+            time.sleep(0.5)
+        got = sorted(
+            (r.feature0, r.feature1, r.label) for r in spark.table(name).collect()
+        )
+    finally:
+        query.stop()
+    # batch twin: parse the identical frames as a static DataFrame
+    twin_raw = spark.createDataFrame([(f,) for f in frames], "value string")
+    twin = sorted(
+        (r.feature0, r.feature1, r.label)
+        for r in parse_tabular(twin_raw, inner).collect()
+    )
+    assert got == twin
+    assert len(got) == 12
