@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.aggs import dec_sum_sql
+from ..functions.aggs import dec_sum, dec_sum_sql
 from ..sources.catalog import load_table
 from ..streaming.consumer import parquet_stream, run_available_now, windowed_counts
 from ..streaming.wire import feature_struct, parse_tabular
@@ -196,4 +196,55 @@ def src_pokemon_pickle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("channels").alias("channels"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {dec_sum_sql('value', 6)} AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup through a REAL streaming query: the events table
+    is staged twice (two identical files → two micro-batches under
+    maxFilesPerTrigger=1), every event is therefore a cross-batch
+    duplicate, and dropDuplicatesWithinWatermark(event_id) must
+    suppress the second copy of all of them — the per-type aggregate of
+    the deduped stream hash-matches the single-copy batch oracle. The
+    watermark delay (10 years) exceeds the fixture's time span so no
+    key's state is evicted mid-run; bounded-state eviction semantics
+    are pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from ..streaming.consumer import dedup_within_watermark
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = f"{sf_dir}/events.parquet"
+    shutil.copyfile(src, f"{stage}/copy_a.parquet")
+    shutil.copyfile(src, f"{stage}/copy_b.parquet")
+
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    deduped = dedup_within_watermark(
+        events, ts_col="ts", keys=("event_id",), delay="3650 days"
+    )
+    name = f"stream_dedup_{next(_COUNTER)}"
+    materialized = run_available_now(deduped, name, output_mode="append")
+    return (
+        materialized.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), dec_sum("value", 6).alias("sum_value"))
+        .orderBy("event_type")
     )

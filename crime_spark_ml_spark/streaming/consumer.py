@@ -119,6 +119,27 @@ def session_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_id",),
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with bounded state (the streaming face of the
+    exact-dedup suite — LLM ingestion's first stage): a key is
+    suppressed while it remains within the watermark delay of the
+    stream's max event time, and its state is EVICTED once the
+    watermark passes it — so state size is O(keys per delay window),
+    not O(all keys ever seen). A duplicate arriving after eviction is
+    re-emitted: that is the documented trade of bounded state for
+    exactness, tested in tests/test_streaming.py."""
+    return (
+        events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
 def to_memory(
     df: DataFrame, name: str, output_mode: str = "append", checkpoint: str | None = None
 ) -> DataStreamWriter:

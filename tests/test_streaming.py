@@ -394,3 +394,52 @@ def test_producer_consumer_end_to_end(spark):
     )
     assert got == twin
     assert len(got) == 12
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: a duplicate
+    inside the delay window is suppressed; once the watermark passes a
+    key, its state is EVICTED and a much-later duplicate re-emits —
+    bounded state is the contract, verified by that re-emission."""
+    from crime_spark_ml_spark.streaming.consumer import dedup_within_watermark
+
+    data_dir = tmp_path / "dedup_data"
+    data_dir.mkdir()
+    # one file per micro-batch: the file source orders by modification
+    # time, so space the writes out
+    files = [
+        ("a.csv", "2024-01-01 10:00:00,1\n2024-01-01 10:00:00,2\n"),
+        ("b.csv", "2024-01-01 10:05:00,1\n2024-01-01 11:00:00,3\n"),
+        ("c.csv", "2024-01-01 11:30:00,2\n"),
+        ("e.csv", "2024-01-01 13:30:00,2\n"),
+    ]
+    for name, content in files:
+        (data_dir / name).write_text(content)
+        time.sleep(0.05)
+
+    parts = F.split("value", ",")
+    events = file_lines(spark, str(data_dir)).select(
+        F.to_timestamp_ntz(parts.getItem(0)).alias("ts"),
+        parts.getItem(1).cast("long").alias("event_id"),
+    )
+    deduped = dedup_within_watermark(
+        events, ts_col="ts", keys=("event_id",), delay="10 minutes"
+    )
+    batches: list[list[int]] = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _bid: batches.append(sorted(r.event_id for r in df.collect()))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [b for b in batches if b]
+    # batch a emits 1,2; batch b suppresses the 10:05 dup of key 1 and
+    # emits 3 (watermark advances to 10:50); batch c's 11:30 dup of key
+    # 2 is still suppressed (eviction applies the commit-lagged
+    # watermark one batch later); by batch e key 2's state (expiry
+    # 10:10) has been evicted -> the 13:30 duplicate RE-EMITS, proving
+    # state is bounded by the watermark, not grow-forever.
+    assert emitted == [[1, 2], [3], [2]], batches
