@@ -19,10 +19,10 @@ Scale design (the point of each implementation):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import SIMHASH_BITS, band_hashes, shingles_expr
+from ..functions.hashing import SIMHASH_BITS, shingles_expr
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -59,33 +59,51 @@ def with_minhash(
     )
 
 
+def _minhash_agg(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    id_col: str,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """One column per permutation min (``__mh{i}``) — the shared
+    aggregation pass behind both the array-signature and the fused
+    banded forms. The shingle STRING is hashed once; permutation i
+    re-hashes the (long, i) pair — no per-permutation string concat
+    (32× cheaper per row).
+
+    ``parallelism``: optional repartition of the *input docs* before
+    the explode. The hash work is proportional to shingles × hashes
+    and happens inside the scan stage, so a source that yields few
+    input splits (the test fixtures are single-row-group parquet →
+    ONE task) serializes it; a cheap doc-level shuffle spreads it.
+    At 100 TB the scan already yields thousands of splits — leave it
+    None there."""
+    src = df.repartition(parallelism) if parallelism else df
+    ex = src.select(
+        id_col, F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("sh")
+    ).withColumn("__h", F.xxhash64("sh"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
     id_col: str = "doc_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """(id, minhash_sig) only — the hot-path form (no payload re-join).
-
-    The shingle STRING is hashed once; permutation i re-hashes the
-    (long, i) pair — no per-permutation string concat (32× cheaper
-    per row)."""
-    ex = df.select(
-        id_col, F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("sh")
-    ).withColumn("__h", F.xxhash64("sh"))
-    return (
-        ex.groupBy(id_col)
-        .agg(
-            *[
-                F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__mh{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select(
-            id_col,
-            F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash_sig"),
-        )
+    """(id, minhash_sig) only — the hot-path form (no payload re-join)."""
+    return _minhash_agg(df, text_col, num_hashes, shingle_n, id_col, parallelism).select(
+        id_col,
+        F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash_sig"),
     )
 
 
@@ -96,6 +114,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int = 200,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_bands collisions).
 
@@ -113,18 +132,29 @@ def minhash_lsh_candidates(
             f"components would be silently dropped and shift the s-curve"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, num_hashes, id_col=id_col)
-    banded = (
-        sig.withColumn("bands", band_hashes("minhash_sig", bands, rows_per_band))
-        .select(id_col, F.posexplode("bands").alias("band_pos", "band_hash"))
+    agg = _minhash_agg(df, text_col, num_hashes, 3, id_col, parallelism)
+    # band hashes FUSED onto the aggregation output: chained
+    # xxhash64(acc, __mh{i}) straight off the min columns — identical
+    # values to functions/hashing.band_hashes (same 42-seed chain) but
+    # with no 32-element array materialization and no slice/aggregate
+    # HOF projection between the agg and the explode.
+    band_cols = []
+    for b in range(bands):
+        acc = F.lit(42).cast("long")
+        for r in range(rows_per_band):
+            acc = F.xxhash64(acc, F.col(f"__mh{b * rows_per_band + r}"))
+        band_cols.append(acc)
+    banded = agg.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band_pos", "band_hash")
     )
-    bucket_sizes = banded.groupBy("band_pos", "band_hash").agg(
-        F.count("*").alias("__bucket_n")
-    )
-    bounded = banded.join(
-        bucket_sizes.where(F.col("__bucket_n") <= max_bucket).drop("__bucket_n"),
-        ["band_pos", "band_hash"],
-        "inner",
+    # skew guard via a count window over the bucket key: one shuffle
+    # that the self-join below reuses (same partitioning), vs the old
+    # groupBy+join-back which shuffled `banded` twice.
+    bucket_w = Window.partitionBy("band_pos", "band_hash")
+    bounded = (
+        banded.withColumn("__bucket_n", F.count("*").over(bucket_w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
     )
     left = bounded.alias("l")
     right = bounded.alias("r")

@@ -75,9 +75,14 @@ def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dp_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (32 hashes, 8 bands × 4).
     xxhash64 signatures have no DuckDB twin → rows-only here;
-    exactness + recall-vs-Jaccard are pinned in tests/test_datapipe.py."""
+    exactness + recall-vs-Jaccard are pinned in tests/test_datapipe.py.
+    ``parallelism`` spreads the shingle-hash stage across cores — the
+    fixture parquet is one row group → one input split (at production
+    scale the scan parallelizes itself; see _minhash_agg)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+    return minhash_lsh_candidates(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    ).orderBy("id_a", "id_b")
 
 
 @register("dp_simhash", oracle=None, tags=("dedup", "simhash"))
