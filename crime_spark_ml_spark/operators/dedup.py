@@ -218,12 +218,23 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     scope_col: str = "source",
+    max_scope: int = 10_000,
 ) -> DataFrame:
     """Exact distinct-token Jaccard for all pairs within a scope key.
     explode → (scope, token) self-join → |∩| per pair; |∪| from
-    broadcast per-doc token counts. Sub-quadratic as long as the scope
-    key bounds the group size."""
-    toks = df.select(
+    broadcast per-doc token counts. All-pairs WITHIN the scope: cost is
+    Σ n_scope², so ``max_scope`` guards the degenerate case (one giant
+    scope goes quadratic) the same way ``max_bucket`` guards LSH —
+    scopes above the cap are dropped entirely (loud in the row count,
+    never a silent partial sample). Use LSH candidates + this as the
+    verification metric when scopes can exceed the cap."""
+    scope_w = Window.partitionBy(scope_col)
+    bounded = (
+        df.withColumn("__scope_n", F.count("*").over(scope_w))
+        .where(F.col("__scope_n") <= max_scope)
+        .drop("__scope_n")
+    )
+    toks = bounded.select(
         id_col,
         scope_col,
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),

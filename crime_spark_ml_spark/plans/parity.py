@@ -52,10 +52,14 @@ def _norm_cell(v):
 
 
 def _sorted_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # compare and reorder case-insensitively: lowercase BEFORE sorting,
+    # otherwise a mixed-case name list lowercased after the sort may no
+    # longer be in sorted order and spuriously MISMATCHes vs DuckDB
+    lowered = [c.lower() for c in cols]
+    order = sorted(range(len(cols)), key=lambda i: lowered[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     out.sort(key=lambda r: tuple(repr(c) for c in r))
-    return [cols[i] for i in order], out
+    return [lowered[i] for i in order], out
 
 
 def compare_query(name: str, spec, spark: SparkSession, con, sf_dir: str) -> ParityResult:
@@ -77,7 +81,7 @@ def compare_query(name: str, spec, spark: SparkSession, con, sf_dir: str) -> Par
         return ParityResult(name, "MISMATCH", f"row count spark={len(srows)} duckdb={len(drows)}", len(srows))
     sc, sr = _sorted_rows(scols, srows)
     dc, dr = _sorted_rows(dcols, drows)
-    if sc != [c.lower() for c in dc] and sc != dc:
+    if sc != dc:
         return ParityResult(name, "MISMATCH", f"columns spark={sc} duckdb={dc}", len(srows))
     max_diff = 0.0
     for i, (a, b) in enumerate(zip(sr, dr)):

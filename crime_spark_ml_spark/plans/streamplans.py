@@ -34,10 +34,8 @@ RAW_EVENTS_SCHEMA = T.StructType(
     ]
 )
 
-_NTZ = (
-    "timestampadd(MICROSECOND, (ts_ns % 1000000000) DIV 1000, "
-    "timestampadd(SECOND, ts_ns DIV 1000000000, TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
-)
+# the one canonical nanos→NTZ expression (floor-division semantics)
+from ..sources.catalog import _NTZ_FROM_NANOS as _NTZ  # noqa: E402
 
 
 @register(

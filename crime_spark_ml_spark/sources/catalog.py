@@ -136,10 +136,15 @@ _SCHEMAS: dict[str, T.StructType] = {
 
 # TIMESTAMP_NTZ epoch anchor; timestampadd on NTZ is pure wall-clock
 # arithmetic → no session-timezone dependence (unlike timestamp_micros
-# which yields instant-semantics TIMESTAMP).
+# which yields instant-semantics TIMESTAMP). Floor-division semantics
+# (pmod remainder + matching floored quotient) so pre-1970 epoch-nanos
+# produce the correct wall-clock too — Spark's % / DIV truncate toward
+# zero, which for negative nanos diverges from DuckDB's floor-style
+# nanos→micros truncation.
 _NTZ_FROM_NANOS = (
-    "timestampadd(MICROSECOND, (ts_ns % 1000000000) DIV 1000, "
-    "timestampadd(SECOND, ts_ns DIV 1000000000, TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+    "timestampadd(MICROSECOND, pmod(ts_ns, 1000000000) DIV 1000, "
+    "timestampadd(SECOND, (ts_ns - pmod(ts_ns, 1000000000)) DIV 1000000000, "
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
 )
 
 
@@ -160,7 +165,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts", F.expr(_NTZ_FROM_NANOS))
-            .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+            .withColumn("ts_us", F.expr("(ts_ns - pmod(ts_ns, 1000)) DIV 1000"))
             .select(
                 "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns", "ts_us"
             )

@@ -89,7 +89,7 @@ def run_crime_workload(
         corr_rows.append((c, round(float(v), 6) if v is not None else None))
     corr_with_target = (
         spark.createDataFrame(corr_rows, "column string, corr_with_category double")
-        .orderBy(F.desc(F.abs(F.col("corr_with_category"))))
+        .orderBy(F.desc_nulls_last(F.abs(F.col("corr_with_category"))), "column")
         .limit(8)
     )
 

@@ -18,10 +18,18 @@ from crime_spark_ml_spark.session import get_spark  # noqa: E402
 
 def main() -> int:
     args = sys.argv[1:]
+    # a mistyped sf_dir must NOT silently become a query-name filter
+    # (the gate would run zero queries and exit 0)
+    if args and not os.path.isdir(args[0]) and ("/" in args[0] or "\\" in args[0]):
+        print(f"error: sf_dir {args[0]!r} is not a directory", file=sys.stderr)
+        return 2
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = [a for a in args if not os.path.isdir(a)] or None
     spark = get_spark("check-parity")
     results = run_parity(spark, sf_dir, only=only)
+    if not results:
+        print(f"error: no registered queries matched filter {only}", file=sys.stderr)
+        return 2
     bad = 0
     for r in results:
         flag = "OK " if r.ok else "!! "
