@@ -52,9 +52,19 @@ def _attested_names() -> set[str]:
 
 
 def _rotated(d: dict) -> dict:
+    """Unattested first; within those, cheap oracle-checked queries
+    before the expensive rows-only ML trainers (if the driver's cap is
+    time-based rather than count-based, this still attests the most
+    queries — and deferring ml_* costs least since they carry the
+    weaker rows-only check anyway)."""
     seen = _attested_names()
-    fresh = {k: v for k, v in d.items() if k not in seen}
-    return {**fresh, **{k: v for k, v in d.items() if k in seen}}
+    fresh = [k for k in d if k not in seen]
+    ordered = (
+        [k for k in fresh if not k.startswith("ml_")]
+        + [k for k in fresh if k.startswith("ml_")]
+        + [k for k in d if k in seen]
+    )
+    return {k: d[k] for k in ordered}
 
 
 def entry(spark: SparkSession) -> DataFrame:
