@@ -365,3 +365,183 @@ def dp_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+# ------------------------------------------------------- LLM text pipeline
+@register(
+    "dp_chunk_documents",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 1, 0) + 1, 15)) AS start
+          FROM w)
+    SELECT doc_id,
+           CAST(start / 15 AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(ws, start + 1, start + 20)) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(ws, start + 1, start + 20), ' ') AS chunk_text
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking", "llm"),
+)
+def dp_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (20-token windows, stride 15 → 5-token
+    overlap): the sequence-packing precursor. Row-local array ops, no
+    shuffle (see operators/chunk.py)."""
+    from ..operators.chunk import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=20, stride=15).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "dp_hash_sample",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp
+    FROM documents
+    WHERE substring(md5(text), 1, 1) IN ('0', '1', '2', '3')
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "llm"),
+)
+def dp_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~25%: first md5 nibble in
+    0..3) — reproducible across engines, runs and partitionings, unlike
+    seeded random sampling which is engine-specific. The standard way
+    to carve stable held-out slices from a training corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5("text"))
+        .where(F.substring("fp", 1, 1).isin("0", "1", "2", "3"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dp_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+               lower('<<' || upper(text) || '>>!!'),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS normalized,
+           trim(regexp_replace(regexp_replace(
+               lower('<<' || upper(text) || '>>!!'),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = text AS roundtrip
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "normalize", "llm"),
+)
+def dp_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase, strip non-alnum, collapse
+    whitespace — regexes kept in the Java∩RE2 common subset). The plan
+    perturbs the clean fixture text deterministically (uppercase +
+    punctuation wrappers) and normalizes it back; ``roundtrip`` proves
+    the normalizer inverts the perturbation on every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    perturbed = F.concat(F.lit("<<"), F.upper("text"), F.lit(">>!!"))
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(perturbed), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        normalized.alias("normalized"),
+        (normalized == F.col("text")).alias("roundtrip"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dp_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com tel:' || CAST(555000000 + doc_id * 7 AS VARCHAR),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS redacted
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "llm"),
+)
+def dp_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, long digit runs) via JVM regexp_replace —
+    the pre-training scrub pass. The fixture has no PII, so the plan
+    plants a deterministic email + phone per row and the redacted
+    output is hash-checked (vacuity-proof: every row changes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel:"),
+        (F.lit(555000000) + F.col("doc_id") * 7).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(with_pii, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{6,}",
+        "<NUM>",
+    )
+    return docs.select("doc_id", redacted.alias("redacted")).orderBy("doc_id")
+
+
+@register(
+    "dp_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS INTEGER) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    tags=("text", "tfidf", "llm"),
+)
+def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TF-IDF (tf × ln((N+1)/(df+1))), top-3 terms per document:
+    one explode → two partial-aggregated groupBys (tf, then df) → a
+    broadcast of the tiny df/N sides back onto tf — the df table is
+    vocabulary-sized, never document-sized, so the only doc-scale
+    shuffle is the tf aggregation. Ranking happens AFTER rounding so
+    both engines order identical values."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )

@@ -246,3 +246,61 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("cnt"), dec_sum("value", 6).alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    tags=("streaming", "stream-stream", "interval-join"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through a REAL streaming query:
+    clicks joined to purchases of the same user within the preceding 30
+    minutes, both sides watermarked (the range condition lets Spark
+    bound each side's state to the interval instead of keeping whole
+    streams). Event times are built as instants with timestamp_micros —
+    independent of the session timezone, unlike an NTZ cast, so a
+    DST-straddling fixture can't skew the interval. Per-user pair
+    counts hash-match the batch interval-join oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        raw = parquet_stream(
+            spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet"
+        )
+        return (
+            raw.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.expr(
+                    "timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"
+                ).alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    name = f"stream_ssj_{next(_COUNTER)}"
+    pairs = run_available_now(joined, name, output_mode="append")
+    return (
+        pairs.groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -152,3 +152,31 @@ def test_text_classifier_pipeline(spark, sf_dir):
     assert list(indexer.labels) == ["de", "en", "es", "fr", "zh"]
     scored = model.transform(docs)
     assert scored.select("prediction").distinct().count() >= 1
+
+
+def test_chunk_documents_boundaries(spark):
+    """Window/stride edge cases: doc shorter than one chunk, exact
+    multiple, off-by-one; overlap = chunk_size - stride."""
+    from crime_spark_ml_spark.operators.chunk import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                                # < chunk_size -> 1 chunk
+            (2, " ".join(f"w{i}" for i in range(20))),   # exactly chunk_size
+            (3, " ".join(f"w{i}" for i in range(31))),   # 3 windows (starts 0,15,30)
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_documents(docs, chunk_size=20, stride=15).collect()
+    }
+    assert rows[(1, 0)].n_tokens == 3 and rows[(1, 0)].chunk_text == "a b c"
+    assert rows[(2, 0)].n_tokens == 20
+    # start 15 exists for doc 2 (15 <= 19) -> partial 5-token tail
+    assert rows[(2, 1)].n_tokens == 5
+    assert rows[(3, 0)].n_tokens == 20 and rows[(3, 1)].n_tokens == 16
+    assert rows[(3, 2)].n_tokens == 1 and rows[(3, 2)].chunk_text == "w30"
+    # overlap: last 5 tokens of chunk 0 == first 5 of chunk 1
+    assert rows[(3, 0)].chunk_text.split()[-5:] == rows[(3, 1)].chunk_text.split()[:5]
+    assert len(rows) == 6
