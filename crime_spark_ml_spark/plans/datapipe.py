@@ -545,3 +545,74 @@ def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "dp_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS INTEGER) AS rk
+      FROM documents)
+    SELECT doc_id, source, fp, rk FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+    tags=("sampling", "stratified", "llm"),
+)
+def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum counts: 5 docs per
+    source, chosen by content-hash order — deterministic across
+    engines, runs and partitionings (seeded random sampling is
+    engine-specific and only approximates stratum sizes). One window
+    per stratum, no global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("fp", "doc_id")
+    return (
+        docs.withColumn("fp", F.md5("text"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "source", "fp", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+@register("dp_dedup_pipeline", oracle=None, tags=("dedup", "pipeline", "llm"))
+def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup — the full pass an LLM corpus gets:
+    MinHash-LSH candidates → connected-component clustering → keep the
+    min-id representative per cluster. The fixture has no organic
+    near-dups, so 20 planted ones (doc_id+100000, one appended token ⇒
+    shingle-Jaccard ≈ 0.96, well above the 8-band s-curve threshold)
+    prove the pipeline actually removes documents. Deterministic
+    (xxhash64 signatures) but not SQL-expressible → rows-only; recall
+    of the planted dups is pinned in tests/test_datapipe.py."""
+    from ..operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" planteddupmarker")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pairs = minhash_lsh_candidates(
+        corpus, parallelism=spark.sparkContext.defaultParallelism
+    )
+    clusters = duplicate_clusters(pairs, corpus.select("doc_id"))
+    survivors = (
+        corpus.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return spark.createDataFrame(
+        [
+            (
+                corpus.count(),
+                survivors.count(),
+            )
+        ],
+        "n_docs_in long, n_survivors long",
+    )

@@ -180,3 +180,30 @@ def test_chunk_documents_boundaries(spark):
     # overlap: last 5 tokens of chunk 0 == first 5 of chunk 1
     assert rows[(3, 0)].chunk_text.split()[-5:] == rows[(3, 1)].chunk_text.split()[:5]
     assert len(rows) == 6
+
+
+def test_dedup_pipeline_removes_planted_dups(spark, sf_dir):
+    """End-to-end dedup: every planted near-dup (one appended token)
+    should land in its original's cluster and lose representative
+    selection to the lower id."""
+    from crime_spark_ml_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planteddupmarker")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pairs = minhash_lsh_candidates(corpus)
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(pairs, corpus.select("doc_id")).collect()
+    }
+    caught = sum(1 for i in range(20) if clusters[i] == clusters[i + 100000])
+    assert caught >= 16, f"planted-dup recall {caught}/20"
+    # representative selection: the original (lower id) wins its cluster
+    survivors = {min(i for i, c in clusters.items() if c == cid) for cid in set(clusters.values())}
+    assert all(i + 100000 not in survivors for i in range(20) if clusters[i] == clusters[i + 100000])
