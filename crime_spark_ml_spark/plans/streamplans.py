@@ -304,3 +304,38 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_static_broadcast_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dec_sum_sql('value', 6)} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("streaming", "stream-static", "broadcast"),
+)
+def stream_static_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events feed enriched against a
+    broadcast dimension table (customer) — the standard pattern for
+    attaching slowly-changing dims to a stream without shuffling it.
+    Per-segment purchase aggregates of the joined stream hash-match the
+    batch join oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
+    purchases = raw.where(F.col("event_type") == "purchase").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = purchases.join(
+        F.broadcast(dim), purchases.user_id == dim.c_custkey
+    ).select("c_mktsegment", "value")
+    name = f"stream_static_{next(_COUNTER)}"
+    rows = run_available_now(joined, name, output_mode="append")
+    return (
+        rows.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", 6).alias("sum_value"))
+        .orderBy("c_mktsegment")
+    )

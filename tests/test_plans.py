@@ -86,3 +86,36 @@ def test_flagship_pivot_shuffles_only_aggregates(spark, sf_dir):
     # every hash exchange is fed by a partial aggregate, not raw rows
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert "partial_" in seg.split("FileScan")[0]
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    """Chunking is row-local (split → explode → slice): any Exchange
+    would mean it stopped being embarrassingly parallel."""
+    plan = _plan(spark, sf_dir, "dp_chunk_documents", mode="simple")
+    body = plan.split("Sort", 1)[-1]  # ignore the result-ordering sort
+    assert "Exchange hashpartitioning" not in body
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_tfidf_df_join_is_broadcast(spark, sf_dir):
+    """The df/N sides are vocabulary-sized: they must broadcast onto
+    the doc-scale tf aggregate, never sort-merge it."""
+    plan = _plan(spark, sf_dir, "dp_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q11_broadcasts_dims_and_pushes_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q11_important_stock")
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier, nation
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(n_name,NATION_3)" in plan  # pushed to the nation scan
+
+
+def test_text_pipeline_scans_prune_columns(spark, sf_dir):
+    """dp_hash_sample projects (doc_id, text): the scan must not read
+    the other document columns."""
+    plan = _plan(spark, sf_dir, "dp_hash_sample")
+    scan = plan.split("ReadSchema", 1)[1][:250]
+    assert "doc_id" in scan and "text" in scan
+    assert "n_chars" not in scan and "lang" not in scan
