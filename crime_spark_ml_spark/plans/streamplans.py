@@ -339,3 +339,47 @@ def stream_static_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dec_sum("value", 6).alias("sum_value"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "stream_stateful_running_counts",
+    oracle="""
+    SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS total_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) through a REAL
+    two-micro-batch streaming query: the events table staged twice →
+    batch 2's per-key Python state CONTINUES from batch 1's, so the
+    final emission per key is exactly 2× the table's count — which is
+    what the oracle asserts (a fresh-state batch 2 would emit 1× and
+    hash-mismatch). Counts only: they are exact and partition-order
+    independent, unlike the float value sums also carried by the
+    operator (equivalence of those is pinned in tests at lower
+    precision)."""
+    import shutil
+    import tempfile
+
+    from ..operators.pandas_ops import running_totals_stateful
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="stream_state_")
+    shutil.copyfile(f"{sf_dir}/events.parquet", f"{stage}/copy_a.parquet")
+    shutil.copyfile(f"{sf_dir}/events.parquet", f"{stage}/copy_b.parquet")
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    totals = running_totals_stateful(raw)
+    name = f"stream_state_{next(_COUNTER)}"
+    emissions = run_available_now(totals, name, output_mode="update")
+    return (
+        emissions.groupBy("event_type")
+        .agg(F.max("total_events").alias("total_events"))
+        .orderBy("event_type")
+    )
