@@ -616,3 +616,113 @@ def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_docs_in long, n_survivors long",
     )
+
+
+@register(
+    "dp_pack_sequences",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, source, start / 20 AS chunk_id,
+             CAST(len(list_slice(ws, start + 1, start + 20)) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, source, ws,
+                   unnest(range(0, greatest(len(ws) - 1, 0) + 1, 20)) AS start
+            FROM w)),
+    c AS (
+      SELECT source, doc_id, chunk_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+      FROM ch)
+    SELECT source,
+           CAST(COALESCE(cum_before, 0) // 100 AS INTEGER) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM c
+    GROUP BY source, CAST(COALESCE(cum_before, 0) // 100 AS INTEGER)
+    ORDER BY source, pack_id
+    """,
+    tags=("text", "packing", "llm"),
+)
+def dp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing — the step that turns chunks
+    into fixed-budget training sequences: chunks (20-token windows,
+    non-overlapping) ordered per source, assigned to packs by cumulative
+    token count DIV 100 (deterministic quota packing; no bin-packing
+    search, so it's one window + one groupBy and scales like any
+    windowed agg — state is per-source, never global)."""
+    from pyspark.sql import Window
+
+    from ..operators.chunk import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=20, stride=20).join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col("n_tokens").cast("long")).over(w), F.lit(0))
+    # floor division on BOTH engines (floor() here, // in DuckDB); a
+    # float '/' + int cast would round-to-even in DuckDB but truncate in
+    # Spark, splitting packs differently at exact .5 boundaries
+    packed = chunks.withColumn("pack_id", F.floor(cum_before / 100).cast("int"))
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens_total"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@register("dp_simhash_near_dups", oracle=None, tags=("dedup", "simhash", "hamming"))
+def dp_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup search at scale: pigeonhole the 48-bit
+    signature into 4×12-bit chunks — any pair within Hamming distance 3
+    must agree on at least one chunk (pigeonhole), so candidate
+    generation is a bucket-equality join (4 rows/doc, never all-pairs)
+    and recall at the ≤1 threshold is EXACT. The shared-vocabulary
+    fixture docs cluster tightly in simhash space (the signature keys
+    on token sets), so the threshold is 1 bit: the tightest organic
+    near-dups plus the 10 planted one-token-edit twins (doc_id+200000),
+    deterministic and non-vacuous."""
+    from ..operators.dedup import simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" simhashtwinmarker")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    sigs = simhash_signatures(corpus).select("doc_id", "simhash")
+    # posexplode keeps (position, value) so buckets are per-position
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.expr(f"shiftright(simhash, {12 * c}) & 4095") for c in range(4)]
+            )
+        ).alias("chunk_pos", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 1)
+        .orderBy("id_a", "id_b")
+    )
