@@ -273,3 +273,113 @@ def ev_json_full_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("p.k").alias("k"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "ev_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr, event_type
+      FROM events),
+    bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM b),
+    grid AS (
+      SELECT g.hr, t.event_type
+      FROM (SELECT unnest(range((SELECT h0 FROM bounds),
+                                (SELECT h1 FROM bounds) + 1)) AS hr) g
+      CROSS JOIN (SELECT DISTINCT event_type FROM b) t),
+    counts AS (SELECT hr, event_type, COUNT(*) AS cnt FROM b GROUP BY hr, event_type)
+    SELECT CAST(grid.hr * 3600000000 AS BIGINT) AS hour_us,
+           grid.event_type,
+           CAST(COALESCE(counts.cnt, 0) AS BIGINT) AS cnt
+    FROM grid LEFT JOIN counts ON grid.hr = counts.hr
+                              AND grid.event_type = counts.event_type
+    ORDER BY 1, 2
+    """,
+    tags=("events", "timeseries", "gap-fill"),
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable densification op): a
+    complete hour × event_type grid generated from the observed bounds
+    (sequence + explode — the grid is built row-locally from one
+    2-value bounds row, never materialized driver-side), left-joined
+    onto the hourly counts, absent buckets filled with 0. Pure integer
+    hour arithmetic on epoch micros — timezone-proof."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_us DIV 3600000000").alias("hr"), "event_type"
+    )
+    counts = ev.groupBy("hr", "event_type").agg(F.count("*").alias("cnt"))
+    bounds = ev.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = (
+        bounds.select(F.explode(F.sequence("h0", "h1")).alias("hr"))
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    return (
+        grid.join(counts, ["hr", "event_type"], "left")
+        .select(
+            (F.col("hr") * 3600000000).alias("hour_us"),
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+@register(
+    "ev_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events WHERE event_type = 'purchase'),
+    rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY hr ORDER BY ts_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY hr ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM b)
+    SELECT CAST(hr * 3600000000 AS BIGINT) AS hour_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM rn GROUP BY hr ORDER BY hour_us
+    """,
+    tags=("events", "timeseries", "ohlc"),
+)
+def ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles per hour over purchase values — the classic
+    time-series downsample: open/close picked by explicit
+    (ts, event_id) tiebroken windows (composite-key min_by isn't
+    portable), high/low as plain min/max, no value arithmetic at all so
+    every output is bit-exact in both engines."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.expr("ts_us DIV 3600000000").alias("hr"), "value", "ts_us", "event_id")
+    )
+    w_a = Window.partitionBy("hr").orderBy("ts_us", "event_id")
+    w_d = Window.partitionBy("hr").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    rn = ev.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return (
+        rn.groupBy("hr")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_trades"),
+        )
+        .select(
+            (F.col("hr") * 3600000000).alias("hour_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        )
+        .orderBy("hour_us")
+    )
