@@ -35,3 +35,32 @@ def write_parquet(
 def write_predictions(predictions: DataFrame, path: str) -> None:
     """S5: the Id/Category prediction table (crime.py:205)."""
     write_parquet(predictions, path, n_files=1)
+
+
+def compact_parquet(
+    spark, src: str, dst: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction — the maintenance pass every long-lived
+    ingest directory needs (thousands of per-trigger/per-task files
+    destroy scan planning and NameNode/listing performance at scale).
+
+    File count is sized from the ACTUAL input bytes (a metadata-only
+    binaryFile scan of the ``length`` column — content is pruned), so
+    output files land near ``target_file_bytes`` regardless of input
+    fragmentation. One shuffle (round-robin repartition) buys the
+    rewrite; returns the output file count."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    total = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src)
+        .agg(F.sum("length"))
+        .collect()[0][0]
+        or 0
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files

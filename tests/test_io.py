@@ -64,3 +64,23 @@ def test_prediction_table_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 50
     assert set(back.columns) == {"Id", "Category"}
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """20 fragment files -> size-targeted rewrite: far fewer files,
+    identical rows."""
+    import glob
+
+    from crime_spark_ml_spark.sources.writers import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    got = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
