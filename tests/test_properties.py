@@ -144,3 +144,59 @@ def test_parity_gate_detects_mismatch(spark, sf_dir):
     assert compare_query("bad_vals", bad_vals, spark, con, sf_dir).status == "MISMATCH"
     assert compare_query("bad_cols", bad_cols, spark, con, sf_dir).status == "MISMATCH"
     assert compare_query("bad_rows", bad_rows, spark, con, sf_dir).status == "MISMATCH"
+
+
+@prop
+@given(st.lists(TEXT, min_size=1, max_size=6), st.integers(2, 8), st.integers(1, 8))
+def test_chunking_covers_every_token(spark, texts, chunk_size, stride):
+    """Chunk invariants for any (chunk_size, stride ≤ chunk_size):
+    concatenating stride-strided chunk prefixes reconstructs the doc
+    exactly (no token lost or duplicated), and every chunk is ≤
+    chunk_size tokens."""
+    from crime_spark_ml_spark.operators.chunk import chunk_documents
+
+    stride = min(stride, chunk_size)  # overlap mode: stride ≤ chunk
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert all(r.n_tokens <= chunk_size for r in chunks)
+        assert all(len(r.chunk_text.split(" ")) == r.n_tokens for r in chunks)
+        # stride-strided reconstruction: first `stride` tokens of every
+        # chunk, then the tail of the last one
+        rebuilt: list[str] = []
+        for r in chunks:
+            toks = r.chunk_text.split(" ")
+            rebuilt.extend(toks[:stride])
+        last = chunks[-1].chunk_text.split(" ")
+        rebuilt.extend(last[stride:])
+        assert rebuilt == t.split(" "), (chunk_size, stride, t)
+
+
+@prop
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_normalization_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary word
+    soups with injected punctuation/case noise."""
+    noisy = [f"<<{t.upper()}>>!!  {t}" for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(noisy)], "id long, text string"
+    )
+
+    def norm(col):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+
+    out = df.select(
+        "id", norm(F.col("text")).alias("once"), norm(norm(F.col("text"))).alias("twice")
+    ).collect()
+    for r in out:
+        assert r.once == r.twice
