@@ -3,6 +3,8 @@ prediction table out (the switch-from-the-reference path)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from crime_spark_ml_spark.sources.crimegen import crime_table, crime_test_table
 from crime_spark_ml_spark.workload import run_crime_workload
 
@@ -49,3 +51,29 @@ def test_crime_test_csv_schema_alignment(spark, tmp_path):
     b = sorted(map(tuple, back.collect()))
     assert a == b  # full-content equality, all columns aligned
     assert back.where(F.col("X").isNull() | F.col("Y").isNull()).count() == 0
+
+
+def test_datapipe_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """The corpus-pipeline CLI funnel: dedup shrinks the corpus, every
+    chunk token lands in a pack, held-out carve is ~25%."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_datapipe
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_datapipe.py", "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path)],
+    )
+    assert run_datapipe.main() == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stages = {}
+    for ln in lines[:-1]:
+        k, v = ln.split()
+        stages[k] = int(v)
+    assert stages["after_near_dedup"] <= stages["after_exact_dedup"] <= stages["input_docs"]
+    assert stages["chunks"] > stages["after_near_dedup"]  # docs split into >1 chunk
+    assert 0 < stages["heldout_docs"] < stages["after_near_dedup"] // 2
+    packed = spark.read.parquet(str(tmp_path / "packed"))
+    assert packed.where(F.col("pack_id").isNull()).count() == 0
