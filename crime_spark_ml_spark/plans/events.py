@@ -383,3 +383,55 @@ def ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_us")
     )
+
+
+@register(
+    "ev_retention_next_day",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events),
+    per_day AS (SELECT day, COUNT(*) AS active FROM d GROUP BY day),
+    retained AS (
+      SELECT a.day, COUNT(*) AS retained
+      FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+      GROUP BY a.day)
+    SELECT CAST(p.day AS BIGINT) AS day,
+           CAST(p.active AS BIGINT) AS active_users,
+           CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained_users,
+           ROUND(CAST(COALESCE(r.retained, 0) AS DOUBLE) / p.active, 6) AS retention
+    FROM per_day p LEFT JOIN retained r ON p.day = r.day
+    ORDER BY day
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def ev_retention_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention (the cohort-analytics staple): distinct
+    (user, day) activity self-joined onto day+1 — the dedup shrinks the
+    join inputs to user×day cardinality BEFORE the shuffle, so the join
+    never touches raw event volume. Integer epoch-day arithmetic,
+    timezone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
+    ).distinct()
+    per_day = d.groupBy("day").agg(F.count("*").alias("active_users"))
+    b = d.select(F.col("user_id"), (F.col("day") - 1).alias("day"))
+    retained = (
+        d.join(b, ["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count("*").alias("retained_users"))
+    )
+    return (
+        per_day.join(retained, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
+            F.round(
+                F.coalesce("retained_users", F.lit(0)) / F.col("active_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("day")
+    )

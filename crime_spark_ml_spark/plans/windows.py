@@ -129,3 +129,41 @@ def w_dense_rank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.dense_rank().over(w).cast("int"))
         .orderBy("rank", "c_nationkey")
     )
+
+
+@register(
+    "w_rank_suite",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(RANK() OVER w AS INTEGER) AS rnk
+    FROM customer
+    WHERE c_custkey <= 400
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, rnk, c_custkey
+    """,
+    tags=("windows", "rank"),
+)
+def w_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions in one pass (ntile,
+    percent_rank, cume_dist, rank) — one window spec, one sort per
+    partition; the explicit c_custkey tiebreak makes every rank
+    deterministic."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    )
