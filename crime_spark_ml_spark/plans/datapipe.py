@@ -726,3 +726,42 @@ def dp_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 1)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dp_embedding_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS l2
+      FROM embeddings)
+    SELECT vec_id,
+           ROUND(l2, 6) AS l2_norm,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) / (l2 * l2), 6)
+             AS unit_check
+    FROM embeddings JOIN n USING (vec_id)
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "normalize", "llm"),
+)
+def dp_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization — the pre-ANN step that turns cosine into dot
+    product. Row-local JVM higher-order functions, sequential double
+    accumulation (bit-matched to DuckDB list_dot_product);
+    ``unit_check`` is the normalized vector's self-dot, identically 1
+    on every row (vacuity-proof that the division really happened)."""
+    from ..functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.withColumn("l2", norm("embedding"))
+    unit = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) / l2), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+    )
+    return with_norm.select(
+        "vec_id",
+        F.round("l2", 6).alias("l2_norm"),
+        F.round(unit, 6).alias("unit_check"),
+    ).orderBy("vec_id")

@@ -435,3 +435,47 @@ def ev_retention_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev_funnel_counts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS viewed,
+           CAST(COUNT(CASE WHEN v IS NOT NULL AND c > v THEN 1 END) AS BIGINT)
+             AS then_clicked,
+           CAST(COUNT(CASE WHEN v IS NOT NULL AND c > v AND p > c THEN 1 END) AS BIGINT)
+             AS then_purchased
+    FROM firsts
+    """,
+    tags=("events", "funnel"),
+)
+def ev_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase by first occurrence):
+    one conditional-min aggregate per user — the whole funnel costs a
+    single user-keyed shuffle, no self-joins, no sequence scan."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("v"), first_ts("click").alias("c"), first_ts("purchase").alias("p")
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("v").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("v").isNotNull() & (F.col("c") > F.col("v")), 1)).alias(
+            "then_clicked"
+        ),
+        F.count(
+            F.when(
+                F.col("v").isNotNull() & (F.col("c") > F.col("v")) & (F.col("p") > F.col("c")),
+                1,
+            )
+        ).alias("then_purchased"),
+    )
