@@ -443,3 +443,45 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     # 10:10) has been evicted -> the 13:30 duplicate RE-EMITS, proving
     # state is bounded by the watermark, not grow-forever.
     assert emitted == [[1, 2], [3], [2]], batches
+
+
+def test_stream_stream_join_crosses_batches(spark, tmp_path):
+    """Interval join state: clicks arrive in micro-batch 1, purchases
+    only in micro-batch 2 — pairs can only exist if batch 1's click
+    state survives to batch 2."""
+    data_dir = tmp_path / "ssj"
+    data_dir.mkdir()
+    (data_dir / "a.csv").write_text(
+        "click,1,2024-01-01 10:00:00\nclick,2,2024-01-01 10:00:00\n"
+    )
+    time.sleep(0.05)
+    (data_dir / "b.csv").write_text(
+        "purchase,1,2024-01-01 10:10:00\npurchase,2,2024-01-01 11:30:00\n"
+    )
+    parts = F.split("value", ",")
+    raw = file_lines(spark, str(data_dir)).select(
+        parts.getItem(0).alias("event_type"),
+        parts.getItem(1).cast("long").alias("user"),
+        F.to_timestamp(parts.getItem(2)).alias("ts"),
+    )
+
+    def side(event_type, alias):
+        return (
+            raw.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user").alias(f"{alias}_user"), F.col("ts").alias(f"{alias}_ts")
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("purchase", "p").join(
+        side("click", "c"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = run_available_now(joined, _uname("ssj"), output_mode="append")
+    pairs = sorted((r.p_user, str(r.p_ts)) for r in out.collect())
+    # user 1: purchase 10 min after the batch-1 click -> joins across
+    # batches; user 2: purchase 90 min later -> outside the interval
+    assert pairs == [(1, "2024-01-01 10:10:00")], pairs
