@@ -58,10 +58,15 @@ def _rotated(d: dict) -> dict:
     queries — and deferring ml_* costs least since they carry the
     weaker rows-only check anyway)."""
     seen = _attested_names()
+    heavy = {"dp_dedup_pipeline"}  # multi-round iterative job, ~30 s
+
+    def is_heavy(k: str) -> bool:
+        return k.startswith("ml_") or k in heavy
+
     fresh = [k for k in d if k not in seen]
     ordered = (
-        [k for k in fresh if not k.startswith("ml_")]
-        + [k for k in fresh if k.startswith("ml_")]
+        [k for k in fresh if not is_heavy(k)]
+        + [k for k in fresh if is_heavy(k)]
         + [k for k in d if k in seen]
     )
     return {k: d[k] for k in ordered}
