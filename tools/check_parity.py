@@ -25,6 +25,15 @@ def main() -> int:
         return 2
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = [a for a in args if not os.path.isdir(a)] or None
+    if only:
+        # every requested name must exist — a typo among several valid
+        # names must not silently skip the query the user meant to check
+        from crime_spark_ml_spark.plans.registry import all_queries
+
+        unknown = sorted(set(only) - set(all_queries()))
+        if unknown:
+            print(f"error: unknown query name(s): {unknown}", file=sys.stderr)
+            return 2
     spark = get_spark("check-parity")
     results = run_parity(spark, sf_dir, only=only)
     if not results:

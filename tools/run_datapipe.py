@@ -73,8 +73,12 @@ def main() -> int:
     clusters = duplicate_clusters(pairs, exact_kept.select("doc_id"))
     reps = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
     deduped = exact_kept.join(reps.select("doc_id"), "doc_id")
-    funnel.append(("after_near_dedup", deduped.count()))
     deduped.write.mode("overwrite").parquet(f"{out}/deduped")
+    # read the materialized stage back: downstream stages and counts
+    # must not re-derive the whole normalize+LSH+clustering lineage
+    # (each action would re-run the full corpus pass)
+    deduped = spark.read.parquet(f"{out}/deduped")
+    funnel.append(("after_near_dedup", deduped.count()))
 
     # 4. chunk (non-overlapping windows for packing)
     chunks = chunk_documents(deduped, chunk_size=args.chunk, stride=args.chunk).join(
