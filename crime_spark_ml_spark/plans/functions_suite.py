@@ -235,3 +235,34 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
         F.size(F.expr("regexp_extract_all(p_type, '[a-z]+', 0)")).cast("long").alias("n_words"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "fn_higher_order_suite",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(words, x -> len(x) > 3)) AS INTEGER) AS n_long_words,
+           CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS total_chars,
+           list_transform(list_slice(words, 1, 3), x -> upper(x)) AS first3_upper
+    FROM w ORDER BY doc_id
+    """,
+    tags=("functions", "hof"),
+)
+def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one pass (filter / transform /
+    aggregate / slice) — the JVM-side lambda surface every scale path
+    here is built from, exercised explicitly and hash-checked against
+    the DuckDB list-function twins."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(words, lambda x: F.length(x) > 3)).alias("n_long_words"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("total_chars"),
+        F.transform(F.slice(words, 1, 3), lambda x: F.upper(x)).alias("first3_upper"),
+    ).orderBy("doc_id")

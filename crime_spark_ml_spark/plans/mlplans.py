@@ -329,3 +329,36 @@ def dp_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cluster_size") >= 2)
         .orderBy(F.desc("cluster_size"), "cluster_id")
     )
+
+
+@register("ml_naive_bayes_text", oracle=None, tags=("ml", "M6", "text", "nb"))
+def ml_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaiveBayes over hashed token counts — the classic streaming
+    text-classification model (the reference streams sentiment batches,
+    stream.py:248); multinomial NB's per-class token-count sufficient
+    statistics are one distributed aggregate, which is why it is THE
+    incrementally-trainable baseline."""
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import HashingTF, StringIndexer, Tokenizer
+    from pyspark.ml.pipeline import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train, test = docs.randomSplit([0.7, 0.3], seed=0)
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="lang", outputCol="label", stringOrderType="alphabetAsc"),
+            Tokenizer(inputCol="text", outputCol="words"),
+            HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 12),
+            NaiveBayes(modelType="multinomial", smoothing=1.0, labelCol="label"),
+        ]
+    )
+    model = pipe.fit(train)
+    scored = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(scored)
+    n_classes = model.stages[-1].numClasses
+    return spark.createDataFrame(
+        [(round(acc, 4), n_classes)], "accuracy double, n_classes int"
+    )

@@ -84,3 +84,21 @@ def test_compact_parquet_small_files(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Long-lived corpora drift: old parts lack columns new parts have.
+    mergeSchema reads the union; the missing column is NULL for old
+    rows — the schema-evolution contract an ingest directory needs."""
+    old = spark.range(0, 5).withColumn("text", F.lit("a"))
+    new = (
+        spark.range(5, 10)
+        .withColumn("text", F.lit("b"))
+        .withColumn("quality", F.col("id") * 1.0)
+    )
+    old.write.parquet(str(tmp_path / "t"), mode="append")
+    new.write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "text", "quality"}
+    assert merged.where(F.col("quality").isNull()).count() == 5
+    assert merged.where(F.col("quality").isNotNull()).count() == 5
