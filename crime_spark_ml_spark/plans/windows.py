@@ -167,3 +167,45 @@ def w_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "rnk", "c_custkey")
     )
+
+
+@register(
+    "w_range_frame_time_sum",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_30m
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    tags=("windows", "range-frame", "timeseries"),
+)
+def w_range_frame_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, the rolling 30-minute sum of
+    purchase values — the frame is bounded by EVENT TIME (epoch micros),
+    not row counts, so bursty and sparse users get identical semantics.
+    Decimal accumulation inside the frame keeps the rolling sum
+    bit-reproducible (IEEE double sums would drift with frame order)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_30m"),
+        )
+        .orderBy("user_id", "event_id")
+    )
