@@ -771,3 +771,39 @@ def dp_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l2", 6).alias("l2_norm"),
         F.round(unit, 6).alias("unit_check"),
     ).orderBy("vec_id")
+
+
+@register(
+    "dp_length_histogram",
+    oracle="""
+    SELECT CAST(len(string_split(text, ' ')) // 10 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("text", "histogram", "llm"),
+)
+def dp_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (10-token-wide buckets via integer
+    floor division — DuckDB has no width_bucket) — the distribution
+    check that drives length-filter thresholds in corpus curation; the
+    bucket id is a row-local expression, the histogram one
+    partial-aggregated groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            (n_tok / 10).cast("int").alias("bucket"),
+            n_tok.alias("nt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("nt").cast("long").alias("min_tokens"),
+            F.max("nt").cast("long").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
