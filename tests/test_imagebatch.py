@@ -72,3 +72,25 @@ def test_binaryfile_scan_is_distributed(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_corrupt_pickle_fails_loudly(spark, tmp_path):
+    """A corrupt batch file must raise on decode, not silently yield
+    zero rows — silent data loss is the worst ingest failure mode."""
+    import pickle
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    write_fake_cifar_batch(str(tmp_path / "data_batch_1"), n_images=5)
+    (tmp_path / "data_batch_2").write_bytes(b"not a pickle at all")
+    df = read_cifar_batches(spark, str(tmp_path))
+    with pytest.raises(Py4JJavaError) as exc:
+        df.count()
+    assert "UnpicklingError" in str(exc.value) or "pickle" in str(exc.value).lower()
+
+    # a well-formed pickle with the WRONG layout also fails loudly
+    with open(tmp_path / "data_batch_2", "wb") as f:
+        pickle.dump({"wrong": "layout"}, f)
+    with pytest.raises(Py4JJavaError):
+        read_cifar_batches(spark, str(tmp_path)).count()
