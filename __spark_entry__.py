@@ -43,6 +43,8 @@ def _attested_names() -> set[str]:
                 rows = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        if not isinstance(rows, dict):  # wrong-shaped but valid JSON
+            continue
         for name, row in rows.items():
             if isinstance(row, dict) and (
                 row.get("hash_match") or row.get("err") == "no_oracle"

@@ -34,7 +34,17 @@ def chunk_documents(
             f"stride={stride} > chunk_size={chunk_size} would silently drop the "
             f"tokens between consecutive windows"
         )
-    words = F.split(F.col(text_col), " ")
+    # NULL text would silently yield one all-NULL chunk row (split(NULL)
+    # is NULL; greatest ignores the NULL so starts becomes [0]) — fail
+    # loudly instead, matching this module's strict-guard style. The
+    # null check stays inside whole-stage codegen; it only fires if a
+    # NULL row actually exists.
+    checked = F.when(F.col(text_col).isNotNull(), F.col(text_col)).otherwise(
+        F.raise_error(
+            F.lit(f"chunk_documents: NULL {text_col!r} — filter or impute upstream")
+        )
+    )
+    words = F.split(checked, " ")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(stride)
     )

@@ -78,6 +78,24 @@ def sign_lsh_buckets(
     return df.withColumn("lsh_buckets", buckets)
 
 
+def _cap_buckets(df: DataFrame, max_bucket: int) -> DataFrame:
+    """Skew guard (ported from dedup.minhash_lsh_candidates, which
+    solved the same problem at operators/dedup.py:153-158): a bucket of
+    b members yields O(b²) join pairs, so one degenerate bucket — e.g.
+    zero/constant embeddings that land in bucket 0 of EVERY table —
+    goes quadratic at scale. Buckets above the cap are dropped via a
+    count window over the bucket key; the window's shuffle partitioning
+    is reused by the equality join that follows, so the guard costs no
+    extra shuffle. Dropped members still meet through their other,
+    non-degenerate tables."""
+    w = Window.partitionBy("t", "bucket")
+    return (
+        df.withColumn("__bucket_n", F.count("*").over(w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,19 +104,25 @@ def lsh_topk(
     vec_col: str = "embedding",
     planes: int = 4,
     tables: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
     re-ranked by exact cosine. Recall grows with ``tables`` and falls
     with ``planes`` (tested ≥0.5@k=5 vs brute force on the fixture,
     whose vectors are near-uniform random — the hardest case for LSH;
-    clustered real-world embeddings bucket far better)."""
-    cb = (
+    clustered real-world embeddings bucket far better). Corpus buckets
+    above ``max_bucket`` are dropped before the candidate join (see
+    ``_cap_buckets``) — queries whose only collisions sat in a dropped
+    bucket lose those candidates, which is the standard LSH trade: a
+    bucket that large is not discriminative anyway."""
+    cb = _cap_buckets(
         sign_lsh_buckets(corpus, vec_col, planes, tables)
         .select(
             F.col(id_col).alias("cand_id"),
             F.col(vec_col).alias("ce"),
             F.posexplode("lsh_buckets").alias("t", "bucket"),
-        )
+        ),
+        max_bucket,
     )
     qb = (
         sign_lsh_buckets(queries, vec_col, planes, tables)
@@ -130,13 +154,22 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     planes: int = 4,
     tables: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates +
-    exact-cosine threshold (id_a < id_b)."""
-    b = sign_lsh_buckets(corpus, vec_col, planes, tables).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("e"),
-        F.posexplode("lsh_buckets").alias("t", "bucket"),
+    exact-cosine threshold (id_a < id_b). Buckets above ``max_bucket``
+    are dropped before the self-join (see ``_cap_buckets``) — without
+    the cap one degenerate bucket makes the b²/2 pair expansion
+    quadratic at scale. Members of a dropped bucket still pair through
+    their other tables; bit-identical embeddings (which collide in ALL
+    tables) belong to the exact-dedup path, not this one."""
+    b = _cap_buckets(
+        sign_lsh_buckets(corpus, vec_col, planes, tables).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("e"),
+            F.posexplode("lsh_buckets").alias("t", "bucket"),
+        ),
+        max_bucket,
     )
     pairs = (
         b.alias("a")

@@ -305,7 +305,7 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the hourly counts, absent buckets filled with 0. Pure integer
     hour arithmetic on epoch micros — timezone-proof."""
     ev = load_table(spark, sf_dir, "events").select(
-        F.expr("ts_us DIV 3600000000").alias("hr"), "event_type"
+        F.expr("(ts_us - pmod(ts_us, 3600000000)) DIV 3600000000").alias("hr"), "event_type"
     )
     counts = ev.groupBy("hr", "event_type").agg(F.count("*").alias("cnt"))
     bounds = ev.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
@@ -357,7 +357,7 @@ def ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
-        .select(F.expr("ts_us DIV 3600000000").alias("hr"), "value", "ts_us", "event_id")
+        .select(F.expr("(ts_us - pmod(ts_us, 3600000000)) DIV 3600000000").alias("hr"), "value", "ts_us", "event_id")
     )
     w_a = Window.partitionBy("hr").orderBy("ts_us", "event_id")
     w_d = Window.partitionBy("hr").orderBy(F.desc("ts_us"), F.desc("event_id"))
@@ -414,7 +414,7 @@ def ev_retention_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone-proof."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
-        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
+        "user_id", F.expr("(ts_us - pmod(ts_us, 86400000000)) DIV 86400000000").alias("day")
     ).distinct()
     per_day = d.groupBy("day").agg(F.count("*").alias("active_users"))
     b = d.select(F.col("user_id"), (F.col("day") - 1).alias("day"))

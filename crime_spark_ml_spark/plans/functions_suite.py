@@ -244,7 +244,8 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(list_filter(words, x -> len(x) > 3)) AS INTEGER) AS n_long_words,
            CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS total_chars,
-           list_transform(list_slice(words, 1, 3), x -> upper(x)) AS first3_upper
+           array_to_string(list_transform(list_slice(words, 1, 3), x -> upper(x)),
+                           ',') AS first3_upper
     FROM w ORDER BY doc_id
     """,
     tags=("functions", "hof"),
@@ -253,7 +254,10 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions in one pass (filter / transform /
     aggregate / slice) — the JVM-side lambda surface every scale path
     here is built from, exercised explicitly and hash-checked against
-    the DuckDB list-function twins."""
+    the DuckDB list-function twins.  The array output is canonicalized
+    to a ','-joined string on both sides (pattern: fn_map_types) so the
+    driver's pandas-based hash gate can compare it — raw array columns
+    are unhashable there (CORRECTNESS_r02)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     return docs.select(
@@ -264,5 +268,7 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ).alias("total_chars"),
-        F.transform(F.slice(words, 1, 3), lambda x: F.upper(x)).alias("first3_upper"),
+        F.concat_ws(
+            ",", F.transform(F.slice(words, 1, 3), lambda x: F.upper(x))
+        ).alias("first3_upper"),
     ).orderBy("doc_id")

@@ -95,7 +95,7 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_complex_types",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(c_mktsegment)), ',') AS segments,
            COUNT(*) AS n
     FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
     GROUP BY c_nationkey
@@ -104,15 +104,19 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "complex"),
 )
 def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation (collect_list → sorted array) — cross-engine
-    array values compare element-wise in the hash gate."""
+    """Array aggregation (collect_list → sorted array), canonicalized to
+    a ','-joined string on both sides (pattern: fn_map_types) — the
+    driver's pandas hash gate cannot hash raw array cells
+    (CORRECTNESS_r02's fn_higher_order_suite error)."""
     c = load_table(spark, sf_dir, "customer")
     return (
         c.select("c_nationkey", "c_mktsegment")
         .distinct()
         .groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+            F.concat_ws(",", F.sort_array(F.collect_list("c_mktsegment"))).alias(
+                "segments"
+            ),
             F.count("*").alias("n"),
         )
         .orderBy("c_nationkey")

@@ -50,8 +50,14 @@ def compact_parquet(
     fragmentation. One shuffle (round-robin repartition) buys the
     rewrite; returns the output file count."""
     import math
+    import os
 
     from pyspark.sql import functions as F
+
+    # mode("overwrite") deletes dst before the lazy read of src runs —
+    # a same-path call would destroy the input before reading it
+    if os.path.realpath(src) == os.path.realpath(dst):
+        raise ValueError(f"compact_parquet: dst must differ from src ({src!r})")
 
     total = (
         spark.read.format("binaryFile")

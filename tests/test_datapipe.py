@@ -93,6 +93,43 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
 
+def test_lsh_degenerate_bucket_capped(spark):
+    """Skew guard: N identical (zero) embeddings land in bucket 0 of
+    EVERY table — uncapped, the near-dup self-join would expand to
+    ~N^2/2 pairs per table. With max_bucket below N the degenerate
+    bucket is dropped entirely, and normal distinct vectors still
+    find their planted twins."""
+    import random
+
+    from crime_spark_ml_spark.operators.similarity import (
+        embedding_near_dups,
+        lsh_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [0.0] * dim) for i in range(200)]              # degenerate
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(10)]
+    for j, v in enumerate(base):                               # planted twins
+        rows.append((1000 + j, v))
+        rows.append((2000 + j, [x * 1.001 for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    pairs = embedding_near_dups(emb, threshold=0.95, max_bucket=50).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # zero-vector bucket dropped -> no pair touches ids < 1000
+    assert not any(a < 1000 or b < 1000 for a, b in got), got
+    # every planted twin survives the cap
+    for j in range(10):
+        assert (1000 + j, 2000 + j) in got, f"twin {j} lost to the cap"
+
+    # lsh_topk: same corpus, twin queries still rank their twin first
+    queries = emb.where(F.col("vec_id") >= 2000)
+    top = lsh_topk(emb, queries, k=1, max_bucket=50).collect()
+    hits = {r.query_id: r.cand_id for r in top}
+    assert sum(hits.get(2000 + j) == 1000 + j for j in range(10)) >= 8
+
+
 def test_multimodal_decode_stub(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = synthetic_media(docs)
@@ -152,6 +189,20 @@ def test_text_classifier_pipeline(spark, sf_dir):
     assert list(indexer.labels) == ["de", "en", "es", "fr", "zh"]
     scored = model.transform(docs)
     assert scored.select("prediction").distinct().count() >= 1
+
+
+def test_chunk_documents_null_text_fails_loudly(spark):
+    """NULL text must raise, not silently yield an all-NULL chunk row
+    (split(NULL) is NULL; greatest ignores it so starts becomes [0])."""
+    import pytest
+
+    from crime_spark_ml_spark.operators.chunk import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="NULL 'text'"):
+        chunk_documents(docs).collect()
 
 
 def test_chunk_documents_boundaries(spark):

@@ -80,17 +80,17 @@ def test_corrupt_pickle_fails_loudly(spark, tmp_path):
     import pickle
 
     import pytest
-    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
 
     write_fake_cifar_batch(str(tmp_path / "data_batch_1"), n_images=5)
     (tmp_path / "data_batch_2").write_bytes(b"not a pickle at all")
     df = read_cifar_batches(spark, str(tmp_path))
-    with pytest.raises(Py4JJavaError) as exc:
+    with pytest.raises(PythonException) as exc:
         df.count()
     assert "UnpicklingError" in str(exc.value) or "pickle" in str(exc.value).lower()
 
     # a well-formed pickle with the WRONG layout also fails loudly
     with open(tmp_path / "data_batch_2", "wb") as f:
         pickle.dump({"wrong": "layout"}, f)
-    with pytest.raises(Py4JJavaError):
+    with pytest.raises(PythonException):
         read_cifar_batches(spark, str(tmp_path)).count()

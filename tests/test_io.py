@@ -86,6 +86,21 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert got == want
 
 
+def test_compact_parquet_refuses_same_path(spark, tmp_path):
+    """dst == src would delete the input before the lazy read runs —
+    the guard must refuse before any filesystem mutation."""
+    import pytest
+
+    from crime_spark_ml_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "data")
+    spark.range(0, 10).write.parquet(src)
+    with pytest.raises(ValueError, match="dst must differ"):
+        compact_parquet(spark, src, src)
+    # input untouched
+    assert spark.read.parquet(src).count() == 10
+
+
 def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     """Long-lived corpora drift: old parts lack columns new parts have.
     mergeSchema reads the union; the missing column is NULL for old
