@@ -485,3 +485,124 @@ def test_stream_stream_join_crosses_batches(spark, tmp_path):
     # user 1: purchase 10 min after the batch-1 click -> joins across
     # batches; user 2: purchase 90 min later -> outside the interval
     assert pairs == [(1, "2024-01-01 10:10:00")], pairs
+
+
+def test_producer_cli_routing_and_endless():
+    """tools/run_producer.py dataset routing (reference stream.py:
+    243-252) without a socket: cifar frames erase pixels to feature{i}
+    and keep label; crime CSV frames erase every column; -e loops the
+    dataset forever with no state carried across passes."""
+    import itertools
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_producer
+
+    from crime_spark_ml_spark.sources.imagebatch import write_fake_cifar_batch
+
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(os.path.join(d, "cifar"))
+        write_fake_cifar_batch(
+            os.path.join(d, "cifar", "data_batch_1"), n_images=6, n_features=4
+        )
+        frames = list(run_producer.make_frames("cifar", d, batch_size=4))
+        assert len(frames) == 2  # 6 images / batch 4 -> 4 + 2
+        first = json.loads(frames[0])
+        assert set(first) == {"0", "1", "2", "3"}
+        assert set(first["0"]) == {"feature0", "feature1", "feature2", "feature3", "label"}
+        assert first["1"]["feature2"] == (1 * 7 + 2 * 13) % 256
+
+        # crime CSV: header dropped, every column erased, numerics coerced
+        os.makedirs(os.path.join(d, "crime"))
+        with open(os.path.join(d, "crime", "train.csv"), "w") as f:
+            f.write("Dates,Category,X\n2015-01-01,THEFT,-122.4\n2015-01-02,FRAUD,-122.5\n")
+        cframes = list(run_producer.make_frames("crime", d, batch_size=10))
+        rec = json.loads(cframes[0])["0"]
+        assert set(rec) == {"feature0", "feature1", "feature2"}
+        assert rec["feature2"] == -122.4  # float, not "-122.4"
+
+        # -e: two full passes are frame-identical to the single pass x2
+        looped = list(
+            itertools.islice(run_producer.endless("cifar", d, 4), 2 * len(frames))
+        )
+        assert looped == frames + frames
+
+
+def test_producer_cli_socket_end_to_end(spark, tmp_path):
+    """The CLI producer as a real subprocess (arg parsing included) →
+    socket source → parse; parsed rows equal the static twin built from
+    the same frames, for a cifar-shaped and a text dataset."""
+    import os
+    import subprocess
+    import sys
+
+    from crime_spark_ml_spark.sources.imagebatch import write_fake_cifar_batch
+
+    cli = os.path.join(os.path.dirname(__file__), "..", "tools", "run_producer.py")
+    sys.path.insert(0, os.path.dirname(cli))
+    import run_producer
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    def run_cli(extra, port):
+        return subprocess.Popen(
+            [sys.executable, cli, "--port", str(port), "--sleep", "0.1",
+             "--linger", "5"] + extra,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    # --- cifar-shaped ---
+    data_dir = str(tmp_path)
+    os.makedirs(os.path.join(data_dir, "cifar"))
+    write_fake_cifar_batch(
+        os.path.join(data_dir, "cifar", "data_batch_1"), n_images=6, n_features=4
+    )
+    port = free_port()
+    proc = run_cli(["-f", "cifar", "-b", "4", "--data-dir", data_dir], port)
+    inner = image_struct(n_pixels=4)
+    parsed = parse_tabular(socket_lines(spark, "127.0.0.1", port), inner)
+    name = _uname("cli")
+    query = to_memory(parsed, name).trigger(processingTime="300 milliseconds").start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 6:
+            time.sleep(0.5)
+        got = sorted(
+            tuple(r) for r in spark.table(name).drop("row_idx").collect()
+        )
+    finally:
+        query.stop()
+        proc.terminate()
+    frames = list(run_producer.make_frames("cifar", data_dir, batch_size=4))
+    twin_raw = spark.createDataFrame([(f,) for f in frames], "value string")
+    twin = sorted(
+        tuple(r) for r in parse_tabular(twin_raw, inner).drop("row_idx").collect()
+    )
+    assert got == twin and len(got) == 6
+
+    # --- text file ---
+    lines_path = os.path.join(data_dir, "lines.txt")
+    with open(lines_path, "w") as f:
+        for i in range(7):
+            f.write(f"log line {i}\n")
+    port = free_port()
+    proc = run_cli(["-f", lines_path, "-b", "3"], port)
+    parsed = parse_text(socket_lines(spark, "127.0.0.1", port))
+    name = _uname("clitxt")
+    query = to_memory(parsed, name).trigger(processingTime="300 milliseconds").start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 7:
+            time.sleep(0.5)
+        got_lines = sorted(r.line for r in spark.table(name).collect())
+    finally:
+        query.stop()
+        proc.terminate()
+    assert got_lines == sorted(f"log line {i}" for i in range(7))
