@@ -807,3 +807,147 @@ def dp_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dp_simhash_selfcheck",
+    oracle="""
+    SELECT 'simhash_radius0_pigeonhole' AS check_name,
+           COUNT(*) + 10 AS n_docs,
+           10 AS n_planted_pairs,
+           TRUE AS agree
+    FROM documents
+    """,
+    tags=("dedup", "simhash", "invariant"),
+)
+def dp_simhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable SELF-CONSISTENCY oracle for the xxhash64-based
+    SimHash path (DuckDB cannot reproduce xxhash64, so the hash values
+    themselves are uncheckable — but the INVARIANT is): the pigeonhole
+    chunk-bucket search at radius 0 must return exactly the identical-
+    signature pairs the exact signature self-join returns. Ten exact-
+    duplicate docs are planted in-query (doc_id+300000 copies), so both
+    paths are guaranteed ≥10 pairs — the agreement is never vacuously
+    true over an empty set. A FALSE in any output column (or a planted
+    count ≠ 10) hash-mismatches against the constant oracle and fails
+    the driver gate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    sigs = simhash_signatures(corpus).select("doc_id", "simhash")
+
+    # path A: exact identical-signature pairs (equality self-join on sig)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+    # path B: pigeonhole buckets (4x12-bit chunks), hamming == 0
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.expr(f"shiftright(simhash, {12 * c}) & 4095") for c in range(4)]
+            )
+        ).alias("chunk_pos", "chunk_val"),
+    )
+    ca, cb = chunks.alias("a"), chunks.alias("b")
+    pigeon_pairs = (
+        ca.join(
+            cb,
+            (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.expr("bit_count(a.simhash ^ b.simhash)") == 0)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    diff = (
+        exact_pairs.withColumn("__e", F.lit(1))
+        .join(pigeon_pairs.withColumn("__p", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .where(F.col("__e").isNull() | F.col("__p").isNull())
+        .agg(F.count("*").alias("n_diff"))
+    )
+    planted_found = exact_pairs.where(
+        (F.col("id_a") < 10) & (F.col("id_b") == F.col("id_a") + 300000)
+    ).agg(F.count("*").alias("n_planted"))
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    return (
+        n_docs.crossJoin(F.broadcast(planted_found))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            F.lit("simhash_radius0_pigeonhole").alias("check_name"),
+            "n_docs",
+            F.col("n_planted").alias("n_planted_pairs"),
+            (F.col("n_diff") == 0).alias("agree"),
+        )
+    )
+
+
+@register(
+    "dp_cluster_invariants",
+    oracle="""
+    SELECT 'dup_cluster_invariants' AS check_name,
+           COUNT(*) AS n_docs,
+           TRUE AS all_nodes_labeled,
+           TRUE AS label_is_min_member,
+           TRUE AS edges_intra_cluster
+    FROM documents
+    """,
+    tags=("dedup", "clusters", "invariant"),
+)
+def dp_cluster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable invariants for the connected-components dedup
+    clustering (min-label propagation over MinHash-LSH candidate pairs;
+    the labels depend on xxhash64 so no value oracle exists, but the
+    STRUCTURE is checkable): (1) every doc gets exactly one label;
+    (2) each cluster's id equals the minimum member id — the
+    representative-selection contract dp_dedup_pipeline relies on;
+    (3) every candidate edge is intra-cluster (no edge crosses two
+    clusters, i.e. the components really are closed under the edge
+    set). Any violation turns a column FALSE and hash-mismatches the
+    constant oracle."""
+    from ..operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = minhash_lsh_candidates(docs)
+    clusters = duplicate_clusters(pairs, ids)  # (doc_id, cluster_id)
+
+    labeled = clusters.agg(
+        F.count("*").alias("n_labels"), F.countDistinct("doc_id").alias("n_distinct")
+    )
+    min_member = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("mn"))
+    label_min = min_member.agg(
+        F.every(F.col("cluster_id") == F.col("mn")).alias("label_is_min_member")
+    )
+    la = clusters.select(F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca"))
+    lb = clusters.select(F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb"))
+    edges_ok = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(F.every(F.col("ca") == F.col("cb")).alias("edges_intra_cluster"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        n_docs.crossJoin(F.broadcast(labeled))
+        .crossJoin(F.broadcast(label_min))
+        .crossJoin(F.broadcast(edges_ok))
+        .select(
+            F.lit("dup_cluster_invariants").alias("check_name"),
+            "n_docs",
+            (
+                (F.col("n_labels") == F.col("n_docs"))
+                & (F.col("n_distinct") == F.col("n_docs"))
+            ).alias("all_nodes_labeled"),
+            "label_is_min_member",
+            "edges_intra_cluster",
+        )
+    )
