@@ -13,6 +13,13 @@ Arrow batches through Python workers partition-by-partition.
 ``spark.sql.files.maxPartitionBytes`` (and binaryFile's own limits)
 bound batch memory; metadata-only transforms (resize plan, frame
 sampling) are pure JVM expressions that never touch the bytes.
+
+DECISION (round 3, permanent): this container will never gain
+PIL/ffmpeg, so the stub IS the end state here. Production deploys must
+inject a codec by replacing the body of the ``real_codec`` branch in
+``decode_image`` (one function, inside the already-tested Arrow UDF
+boundary — schema and batch shape do not change); until then
+``real_codec=True`` fails loudly rather than faking silently.
 """
 
 from __future__ import annotations

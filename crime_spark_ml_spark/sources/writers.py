@@ -70,3 +70,29 @@ def compact_parquet(
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write — the shuffle-amortization primitive for
+    repeated big-big joins/aggs at 100 TB: pay ONE shuffle at write
+    time (hash-partition rows into ``n_buckets`` files per partition,
+    keyed on ``bucket_cols``), then every later equi-join or groupBy on
+    those keys between same-bucketed tables runs shuffle-free (SortMerge
+    with zero Exchange; see tests/test_io.py's plan pin). Bucketing
+    metadata lives in the session catalog, so this writes a saved table
+    rather than a bare path (Spark's bucketing contract).
+
+    ``sort_cols`` additionally sorts within buckets, removing the Sort
+    below the SMJ too.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

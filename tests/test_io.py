@@ -117,3 +117,40 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"id", "text", "quality"}
     assert merged.where(F.col("quality").isNull()).count() == 5
     assert merged.where(F.col("quality").isNotNull()).count() == 5
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    join WITHOUT an Exchange (the write-time shuffle is reused) — the
+    co-location contract bucketing buys at 100 TB. Plan-pinned: the
+    physical plan of the bucketed join must contain zero Exchange
+    nodes, while the plain-path twin join must contain at least one."""
+    from crime_spark_ml_spark.sources.writers import write_bucketed
+
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        dims = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+        write_bucketed(facts, "t_facts_b", ("k",), n_buckets=8, sort_cols=("k",))
+        write_bucketed(dims, "t_dims_b", ("k",), n_buckets=8, sort_cols=("k",))
+        joined = spark.table("t_facts_b").join(spark.table("t_dims_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1_000
+
+        plain = facts.join(dims, "k")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_facts_b")
+        spark.sql("DROP TABLE IF EXISTS t_dims_b")
