@@ -301,6 +301,26 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@register("dp_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
+def dp_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (m=8 subspaces × k=16 codes over
+    the 64-dim embeddings): the corpus is scored as 8 integer codes
+    per row against a broadcast per-query lookup table — the
+    compressed-storage scale path complementing IVF's pruning. KMeans
+    codebook training is not SQL-expressible → rows-only; recall vs
+    brute force pinned in tests/test_pq.py. See ml/pq.py."""
+    from ..ml.pq import pq_encode, pq_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    model = train_pq(emb, m=8, k=16, seed=0)
+    codes = pq_encode(emb, model)
+    result = pq_topk(codes, model, emb.where(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )
+    emb.unpersist(blocking=False)
+    return result
+
+
 @register("dp_embedding_near_dups", oracle=None, tags=("dedup", "embedding"))
 def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact

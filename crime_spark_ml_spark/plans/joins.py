@@ -640,3 +640,45 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_prefix")
     )
+
+
+# ------------------------------------------------------- skew mitigation
+@register(
+    "j_salted_skew_agg",
+    oracle="""
+    SELECT r_name, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN region ON o_custkey % 3 = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("joins", "skew"),
+)
+def j_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under planted skew, oracle-checked against the plain
+    join it must equal. ``o_custkey % 3`` funnels every order onto 3
+    hot keys (the degenerate case where a plain shuffle join sends
+    ~N/3 rows to one reducer); ``salted_join`` spreads each hot key
+    over 8 salt buckets, and the aggregate after de-salt must be
+    bit-identical to the unsalted DuckDB join. AQE's skew splitting
+    covers the mild cases at runtime — this is the explicit tool for
+    keys too hot for one task even after AQE (operators/skew.py)."""
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "hot_key", (F.col("o_custkey") % 3).cast("int")
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("hot_key"), "r_name"
+    )
+    return (
+        salted_join(o, r, "hot_key", n_salt=8)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("r_name")
+    )

@@ -1,0 +1,108 @@
+"""Product quantization (ml/pq.py): codes shape, determinism of the
+encode/search plans given fixed codebooks, and ADC recall against the
+exact brute-force baseline on planted cluster structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crime_spark_ml_spark.ml.pq import PqModel, pq_encode, pq_topk, train_pq
+from crime_spark_ml_spark.operators.similarity import brute_force_topk
+from crime_spark_ml_spark.sources.catalog import load_table
+
+
+def _planted_corpus(spark, n_clusters=8, per_cluster=5, dim=16):
+    """Deterministic clustered vectors: cluster c lives at one-hot-ish
+    corner c, members offset by a tiny per-member epsilon — nearest
+    neighbors of any vector are exactly its cluster-mates."""
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            vec = [0.0] * dim
+            vec[c * 2] = 1.0
+            vec[c * 2 + 1] = 0.05 * i  # intra-cluster spread
+            rows.append((c * per_cluster + i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    corpus = _planted_corpus(spark).cache()
+    model = train_pq(corpus, m=4, k=8, seed=0)
+    codes = pq_encode(corpus, model).cache()
+    return corpus, model, codes
+
+
+def test_pq_codes_shape_and_range(planted):
+    corpus, model, codes = planted
+    rows = codes.collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        assert len(r.codes) == model.m
+        assert all(0 <= c < model.k for c in r.codes)
+
+
+def test_pq_cluster_mates_share_codes(planted):
+    """Subspaces where cluster-mates are identical must quantize to
+    the same code (their subvectors are bit-equal)."""
+    corpus, model, codes = planted
+    by_id = {r.id: r.codes for r in codes.collect()}
+    # members of cluster 0 differ only inside subspace 0 (dims 0-3)
+    for i in range(1, 5):
+        assert by_id[0][1:] == by_id[i][1:]
+
+
+def test_pq_topk_recall_vs_bruteforce(planted):
+    """ADC top-(per_cluster-1) must recover cluster-mates: exact
+    nearest neighbors are in-cluster, and PQ preserves the cluster
+    separation (inter-cluster ADC distance ≥ 1 vs intra ≤ 0.05²·16)."""
+    corpus, model, codes = planted
+    queries = corpus.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(corpus, queries, k=4).collect()
+    approx = pq_topk(codes, model, queries, k=4).collect()
+    exact_set = {(r.query_id, r.cand_id) for r in exact}
+    approx_set = {(r.query_id, r.cand_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"PQ recall too low: {recall:.2f}"
+    # and every query's candidate set stays inside its own cluster
+    for r in approx:
+        assert r.cand_id // 5 == r.query_id // 5, r
+
+
+def test_pq_encode_search_deterministic_given_codebooks(spark):
+    """With a FIXED codebook, encode and search are pure DataFrame
+    plans — two runs are identical (argmin ties broken by code)."""
+    corpus = _planted_corpus(spark)
+    cb = spark.createDataFrame(
+        [
+            (s, c, [float(c == j) for j in range(4)])
+            for s in range(4)
+            for c in range(4)
+        ],
+        "sub int, code int, cvec array<double>",
+    )
+    model = PqModel(codebooks=cb, m=4, k=4, sub_dim=4)
+    a = sorted(map(tuple, pq_encode(corpus, model).collect()))
+    b = sorted(map(tuple, pq_encode(corpus, model).collect()))
+    assert a == b
+    q = corpus.where(F.col("vec_id") < 3)
+    ta = sorted(map(tuple, pq_topk(pq_encode(corpus, model), model, q, k=3).collect()))
+    tb = sorted(map(tuple, pq_topk(pq_encode(corpus, model), model, q, k=3).collect()))
+    assert ta == tb
+
+
+def test_pq_on_fixture_embeddings(spark, sf_dir):
+    """End-to-end on the real embeddings table: 64-dim → m=8 codes,
+    top-5 per query, every query answered with k distinct ranked
+    candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_pq(emb, m=8, k=16, seed=0)
+    codes = pq_encode(emb, model)
+    queries = emb.where(F.col("vec_id") < 5)
+    top = pq_topk(codes, model, queries, k=5).collect()
+    assert len(top) == 25
+    per_q = {}
+    for r in top:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
