@@ -1,0 +1,157 @@
+"""PCM16 audio operators — a REAL binary codec path (unlike the
+image/video codecs, raw PCM needs only numpy's ``frombuffer``, so
+nothing here is stubbed).
+
+Audio rows are opaque ``binary`` payloads of little-endian int16
+samples plus typed metadata (MEDIA_SCHEMA in multimodal.py). Decode
+and per-frame feature extraction run as Arrow-batched ``mapInPandas``
+— one vectorized numpy pass per batch, never per-row Python — and the
+partitioning story is the binary-column one: payload bytes stay inside
+their partition, ``spark.sql.files.maxPartitionBytes`` bounds batch
+memory.
+
+The encode→decode roundtrip is deliberately oracle-checkable: samples
+are ``trunc(x * PCM_SCALE)`` (exact in float64, reproducible by
+DuckDB's ``trunc``), and the clip-level feature returns the integer
+``sum_sq`` so the final RMS math happens JVM-side in one expression —
+integer sums < 2^53 are exact under any summation order, making the
+whole binary pipeline bit-reproducible end to end (dp_audio_rms).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PCM_SCALE = 20000  # int16 quantization scale; |x| must stay < 32767/SCALE
+
+PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+CLIP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def encode_pcm16(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """float array → little-endian int16 PCM payload via
+    ``trunc(x * PCM_SCALE)``. Out-of-range samples fail loudly (a
+    silent int16 wraparound would corrupt every downstream feature)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        limit = 32767.0 / PCM_SCALE
+        for pdf in it:
+            payloads, counts = [], []
+            for vec in pdf["vec"]:
+                x = np.asarray(vec, dtype=np.float64)
+                if x.size and np.abs(x).max() >= limit:
+                    raise ValueError(
+                        f"encode_pcm16: sample magnitude {np.abs(x).max():.4f} "
+                        f">= {limit:.4f} would wrap int16 — rescale upstream"
+                    )
+                samples = np.trunc(x * PCM_SCALE).astype(np.int16)
+                payloads.append(samples.astype("<i2").tobytes())
+                counts.append(x.size)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(vec_col).alias("vec"))
+    return src.mapInPandas(batches, PCM_SCHEMA)
+
+
+def _samples(payload: bytes) -> np.ndarray:
+    return np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+
+
+def clip_features(df: DataFrame) -> DataFrame:
+    """Whole-clip decode → (n_samples, sum of squared samples, zero
+    crossings). ``sum_sq`` stays integer so RMS derived from it is
+    bit-exact regardless of batch/partition order."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n, sq, zc = [], [], []
+            for payload in pdf["payload"]:
+                s = _samples(payload)
+                n.append(s.size)
+                sq.append(int(np.sum(s * s)))
+                signs = np.sign(s)
+                nz = signs[signs != 0]
+                zc.append(int(np.count_nonzero(np.diff(nz))) if nz.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.Series(n, dtype="int64"),
+                    "sum_sq": pd.Series(sq, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, CLIP_FEATURES_SCHEMA)
+
+
+def frame_features(df: DataFrame, frame: int = 16, hop: int = 8) -> DataFrame:
+    """Sliding-window frame features: per-frame RMS and zero-crossing
+    rate, one output row per frame (explode happens inside the Arrow
+    batch — numpy stride tricks, no Python loop over samples)."""
+    if frame <= 0 or hop <= 0:
+        raise ValueError(f"frame and hop must be positive, got {frame}/{hop}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, rmss, zcrs = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = _samples(payload)
+                if s.size < frame:
+                    continue
+                n_frames = 1 + (s.size - frame) // hop
+                windows = np.lib.stride_tricks.sliding_window_view(s, frame)[::hop]
+                rms = np.sqrt(np.mean(windows.astype(np.float64) ** 2, axis=1))
+                sign_flips = np.abs(np.diff(np.sign(windows), axis=1)) > 1
+                zcr = sign_flips.sum(axis=1) / (frame - 1)
+                ids.extend([media_id] * n_frames)
+                idxs.extend(range(n_frames))
+                rmss.extend(np.round(rms, 6))
+                zcrs.extend(np.round(zcr, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "zcr": pd.Series(zcrs, dtype="float64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, FRAME_FEATURES_SCHEMA)

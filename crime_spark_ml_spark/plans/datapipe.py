@@ -301,6 +301,59 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@register(
+    "dp_audio_rms",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_samples,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> pow(trunc(CAST(x AS DOUBLE) * 20000), 2))) / len(embedding)),
+                 6) AS rms
+    FROM embeddings
+    WHERE len(embedding) > 0
+    ORDER BY vec_id
+    """,
+    tags=("multimodal", "audio", "binary"),
+)
+def dp_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary audio pipeline attested end to end: embeddings →
+    int16 PCM bytes (encode_pcm16) → Arrow decode → clip RMS. The
+    oracle never sees the binary — it recomputes RMS from the float
+    list with the same trunc quantization — so a hash match proves the
+    whole encode→tobytes→frombuffer→feature path is bit-exact
+    (integer sum_sq makes the math order-independent; operators/
+    audio.py)."""
+    from ..operators.audio import clip_features, encode_pcm16
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = clip_features(encode_pcm16(emb))
+    return (
+        feats.where(F.col("n_samples") > 0)
+        .select(
+            F.col("media_id").alias("vec_id"),
+            "n_samples",
+            F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6).alias("rms"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("dp_audio_frame_stats", oracle=None, tags=("multimodal", "audio", "binary"))
+def dp_audio_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window frame features (RMS + zero-crossing rate, frame
+    16 / hop 8) over the PCM payloads — the windowed-decode shape a
+    real audio featurizer runs; numpy stride tricks inside the Arrow
+    batch, one output row per frame. Physics pinned on a synthesized
+    sine in tests/test_audio.py; rows-only here (DuckDB has no
+    pairwise-lambda to express ZCR)."""
+    from ..operators.audio import encode_pcm16, frame_features
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return frame_features(encode_pcm16(emb), frame=16, hop=8).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 @register("dp_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
 def dp_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 (m=8 subspaces × k=16 codes over
