@@ -1024,3 +1024,48 @@ def dp_cluster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edges_intra_cluster",
         )
     )
+
+@register(
+    "dp_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> array_to_string(w[i:i+2], ' ')))) AS gram
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    cand AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0')
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.gram) AS n_matched,
+           ROUND(COUNT(b.gram)::DOUBLE / COUNT(*), 6) AS contamination,
+           COUNT(b.gram)::DOUBLE / COUNT(*) >= 0.2 AS contaminated
+    FROM cand c LEFT JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    tags=("llm", "decontamination", "ngram"),
+)
+def dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose word-3-gram
+    overlap with the held-out benchmark slice (source = src0, standing
+    in for an eval suite) is >= 20%. The benchmark gram set is
+    broadcast — the corpus side never shuffles for the join, and the
+    per-doc match counts partial-aggregate map-side (operators/
+    decontam.py for the 100 TB rationale)."""
+    from ..operators.decontam import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_overlap(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            n=3,
+            threshold=0.2,
+        )
+        .orderBy("doc_id")
+    )
