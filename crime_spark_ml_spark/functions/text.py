@@ -83,3 +83,40 @@ def fingerprint(text_col: str) -> Column:
     return F.expr(
         f"substring(md5(concat_ws(' ', array_sort(array_distinct(split({text_col}, ' '))))), 1, 16)"
     )
+
+
+def dup_word_frac(text_col: str) -> Column:
+    """Fraction of word occurrences that repeat an earlier word —
+    the Gopher-style intra-document repetition signal (1 − distinct/
+    total). Row-local, whole-stage-codegen friendly."""
+    w = f"split(lower({text_col}), ' ')"
+    return F.expr(
+        f"round(1.0d - cast(size(array_distinct({w})) as double) / size({w}), 6)"
+    )
+
+
+def adj_repeat_frac(text_col: str) -> Column:
+    """Fraction of adjacent word pairs that are the same word twice
+    ("very very very …" stutter). ``get()`` (0-based, NULL out of
+    bounds) keeps the lambda ANSI-safe for 1-token docs."""
+    w = f"split(lower({text_col}), ' ')"
+    return F.expr(
+        f"round(cast(size(filter(sequence(1, greatest(size({w}) - 1, 1)), "
+        f"i -> get({w}, i) = get({w}, i - 1))) as double) "
+        f"/ greatest(size({w}) - 1, 1), 6)"
+    )
+
+
+def dup_2gram_frac(text_col: str) -> Column:
+    """Fraction of word 2-gram occurrences that are duplicates — the
+    boilerplate signal (repeated headers/footers inflate it even when
+    single-word repetition looks normal)."""
+    w = f"split(lower({text_col}), ' ')"
+    grams = (
+        f"transform(sequence(0, greatest(size({w}) - 2, 0)), "
+        f"i -> concat_ws(' ', slice({w}, i + 1, 2)))"
+    )
+    return F.expr(
+        f"round(1.0d - cast(size(array_distinct({grams})) as double) "
+        f"/ greatest(size({w}) - 1, 1), 6)"
+    )

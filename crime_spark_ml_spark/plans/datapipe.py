@@ -13,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import lang_id, n_alpha_tokens, n_stopwords, n_tokens, quality_score
+from ..functions.text import (
+    adj_repeat_frac,
+    dup_2gram_frac,
+    dup_word_frac,
+    lang_id,
+    n_alpha_tokens,
+    n_stopwords,
+    n_tokens,
+    quality_score,
+)
 from ..functions.vectors import cosine_sql
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
 from ..operators.multimodal import resize_plan, synthetic_media
@@ -1066,6 +1075,70 @@ def dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where(F.col("source") == "src0"),
             n=3,
             threshold=0.2,
+        )
+        .orderBy("doc_id")
+    )
+
+@register(
+    "dp_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    rowlocal AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        ROUND(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_word_frac,
+        ROUND(len(list_filter(range(2, len(w) + 1), i -> w[i] = w[i-1]))::DOUBLE
+              / greatest(len(w) - 1, 1), 6) AS adj_repeat_frac,
+        ROUND(1.0 - len(list_distinct(list_transform(
+              range(1, greatest(len(w) - 1, 1) + 1),
+              i -> array_to_string(w[i:i+1], ' '))))::DOUBLE
+              / greatest(len(w) - 1, 1), 6) AS dup_2gram_frac
+      FROM toks
+    ),
+    topw AS (
+      SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac FROM (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(w) AS word FROM toks) GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_words, r.dup_word_frac, r.adj_repeat_frac,
+           r.dup_2gram_frac, t.top_word_frac,
+           (r.dup_2gram_frac > 0.06 OR t.top_word_frac > 0.14) AS flagged
+    FROM rowlocal r JOIN topw t USING (doc_id)
+    ORDER BY r.doc_id
+    """,
+    tags=("text", "quality", "repetition", "llm"),
+)
+def dp_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition / boilerplate signals:
+    duplicate-word fraction, adjacent-stutter fraction, duplicate-
+    2-gram fraction (all row-local expressions inside one codegen
+    stage) plus top-word fraction (explode → two-level partial agg on
+    doc_id — the only shuffle), and the composite filter flag corpus
+    curation would drop on. Thresholds sit at the fixture's upper
+    decile so the flag splits non-vacuously (115/500 at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rowlocal = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_words"),
+        dup_word_frac("text").alias("dup_word_frac"),
+        adj_repeat_frac("text").alias("adj_repeat_frac"),
+        dup_2gram_frac("text").alias("dup_2gram_frac"),
+    )
+    topw = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.round(F.max("count") / F.sum("count"), 6).alias("top_word_frac"))
+    )
+    return (
+        rowlocal.join(topw, "doc_id")
+        .withColumn(
+            "flagged",
+            (F.col("dup_2gram_frac") > 0.06) | (F.col("top_word_frac") > 0.14),
         )
         .orderBy("doc_id")
     )
