@@ -120,3 +120,19 @@ def dup_2gram_frac(text_col: str) -> Column:
         f"round(1.0d - cast(size(array_distinct({grams})) as double) "
         f"/ greatest(size({w}) - 1, 1), 6)"
     )
+
+
+# GPT-2-style pretokenizer, restricted to the Java-regex ∩ RE2 common
+# subset (no lookahead): contractions, space-prefixed letter runs,
+# digit runs capped at 3 (BPE tokenizers split long numbers), punct
+# runs, residual whitespace. Shared verbatim with the DuckDB oracle.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def n_bpe_tokens(text_col: str) -> Column:
+    """Token count under the BPE-ish pretokenize regex — the
+    scale-path estimator for 'how many tokens will the trainer see'
+    (whitespace counting undercounts punctuation-heavy docs)."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "long"
+    )

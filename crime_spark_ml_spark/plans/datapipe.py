@@ -14,18 +14,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    BPE_PATTERN,
     adj_repeat_frac,
     dup_2gram_frac,
     dup_word_frac,
     lang_id,
     n_alpha_tokens,
+    n_bpe_tokens,
     n_stopwords,
     n_tokens,
     quality_score,
 )
 from ..functions.vectors import cosine_sql
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
-from ..operators.multimodal import resize_plan, synthetic_media
+from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..sources.catalog import load_table
 from .registry import register
@@ -1142,3 +1144,109 @@ def dp_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "dp_bpe_token_count",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, text, n_chars,
+             source || ':' || CAST(doc_id AS VARCHAR) || ' ' || text AS wire
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(wire, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_wire,
+           ROUND(CAST(n_chars AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_SQL}')), 6) AS chars_per_token
+    FROM lines ORDER BY doc_id
+    """,
+    tags=("text", "tokens", "llm"),
+)
+def dp_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pretokenize regex (GPT-2-style
+    contractions / space-prefixed word runs / ≤3-digit number chunks /
+    punct runs) next to the whitespace count — the trainer-facing
+    token estimator. Row-local regexp inside one codegen stage; the
+    pattern lives in the Java-regex ∩ RE2 subset so the DuckDB oracle
+    shares it verbatim (functions/text.py::BPE_PATTERN).
+
+    The fixture text is pure ``[a-z ]`` so n_bpe == n_ws there by
+    construction; ``n_bpe_wire`` tokenizes the metadata-decorated line
+    (``source:doc_id text`` — punctuation + digits) where the BPE arm
+    diverges from whitespace, keeping the check non-vacuous."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "wire", F.concat_ws(" ", F.concat_ws(":", "source", "doc_id"), "text")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_ws_tokens"),
+        n_bpe_tokens("text").alias("n_bpe_tokens"),
+        n_bpe_tokens("wire").alias("n_bpe_wire"),
+        F.round(
+            F.col("n_chars").cast("double") / n_bpe_tokens("text"), 6
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dp_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=("events", "dedup", "cdc"),
+)
+def dp_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot compaction (the CDC/upsert read path): one
+    surviving row per (user_id, event_type) picked by event time with
+    an event_id tiebreak. Single hash shuffle on the key, row_number
+    inside the partition — the scale shape for compacting billions of
+    change rows into a current-state table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "ts_us", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "dp_video_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((doc_id % 300) + 1 AS INTEGER) AS n_frames,
+           CAST(len(range(0, (doc_id % 300) + 1, 30)) AS INTEGER) AS n_sampled,
+           array_to_string(range(0, (doc_id % 300) + 1, 30), ',') AS frame_csv
+    FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id
+    """,
+    tags=("multimodal", "video"),
+)
+def dp_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every-30th-frame indices per video as a
+    row-local sequence over the typed metadata (no byte decode — the
+    codec step is the documented stub). The sampled-index list is a
+    pure function of n_frames, so the oracle derives it with DuckDB
+    range(); frame_csv canonicalizes the array for the hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = frame_sample(synthetic_media(docs), every_n=30).where(F.col("kind") == "video")
+    return media.select(
+        "media_id",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.size("frame_indices").alias("n_sampled"),
+        F.concat_ws(",", F.col("frame_indices").cast("array<string>")).alias("frame_csv"),
+    ).orderBy("media_id")

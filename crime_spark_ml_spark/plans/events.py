@@ -479,3 +479,58 @@ def ev_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("then_purchased"),
     )
+
+
+@register(
+    "ev_range_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, value FROM events),
+    hrs AS (
+      SELECT DISTINCT (ts_us // 3600000000) AS hr FROM pts
+      WHERE (ts_us // 3600000000) % 6 = 0),
+    iv AS (
+      SELECT hr AS interval_id, hr * 3600000000 AS start_us,
+             hr * 3600000000 + 5400000000 AS end_us
+      FROM hrs)
+    SELECT interval_id,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {dec_sum_sql('value', 6)} AS sum_value
+    FROM iv JOIN pts ON pts.ts_us >= iv.start_us AND pts.ts_us < iv.end_us
+    GROUP BY interval_id ORDER BY interval_id
+    """,
+    tags=("events", "rangejoin"),
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join: 90-minute audit intervals (anchored at every
+    6th hour, so each interval CROSSES an hour boundary — a true
+    interval-containment test, not bucketing in disguise) joined to
+    every event inside them. Runs through the bucketized
+    operators/rangejoin.py plan — an integer-key equi-join instead of
+    the BroadcastNestedLoopJoin a raw theta join would plan."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    hr_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("ts_us", "user_id", "value")
+    intervals = (
+        pts.select(F.expr(f"(ts_us - pmod(ts_us, {hr_us})) DIV {hr_us}").alias("hr"))
+        .distinct()
+        .where(F.expr("hr % 6 = 0"))
+        .select(
+            F.col("hr").alias("interval_id"),
+            (F.col("hr") * hr_us).alias("start_us"),
+            (F.col("hr") * hr_us + 90 * 60 * 1_000_000).alias("end_us"),
+        )
+    )
+    return (
+        point_in_interval_join(pts, intervals, bucket_width=1_800_000_000)
+        .groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            dec_sum("value", 6).alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )

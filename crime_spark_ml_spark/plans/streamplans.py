@@ -389,3 +389,56 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.max("total_events").alias("total_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events),
+    gaps AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id) >= 600000000
+                  THEN 1
+                  WHEN LAG(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM base),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps),
+    agg AS (
+      SELECT user_id, session_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id)
+    SELECT user_id,
+           strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS session_start,
+           n_events
+    FROM agg
+    WHERE end_us + 600000000 <= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+                                 FROM events) - 1800000000
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "parity"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows computed BY AN ACTUAL STREAMING QUERY
+    (session_window + 30 min watermark, append mode, availableNow) —
+    hash-matched against the batch gaps-and-islands oracle restricted
+    to FINALIZED sessions: append mode emits a session exactly when
+    ``last_event + gap <= max_event_time - watermark``. Pinning that
+    eviction rule in the oracle makes watermark semantics themselves
+    driver-attested, not just tested."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
+    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    from ..streaming.consumer import session_counts
+
+    agg = session_counts(events, ts_col="ts", gap="10 minutes", watermark="30 minutes")
+    name = f"stream_session_{next(_COUNTER)}"
+    return run_available_now(agg, name, output_mode="append").orderBy(
+        "user_id", "session_start"
+    )
