@@ -119,3 +119,21 @@ def test_text_pipeline_scans_prune_columns(spark, sf_dir):
     scan = plan.split("ReadSchema", 1)[1][:250]
     assert "doc_id" in scan and "text" in scan
     assert "n_chars" not in scan and "lang" not in scan
+
+
+def test_range_join_is_broadcast_equi_join_not_bnlj(spark, sf_dir):
+    """The bucketized range join must plan as an equi-join on the
+    bucket key with the tiny exploded interval side broadcast — never
+    the quadratic BroadcastNestedLoopJoin a raw theta join produces."""
+    plan = _plan(spark, sf_dir, "ev_range_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_latest_snapshot_single_shuffle_before_window(spark, sf_dir):
+    """Latest-wins compaction: one hash exchange on the dedup key
+    feeds the row_number window; no extra exchange in between."""
+    plan = _plan(spark, sf_dir, "dp_latest_snapshot", mode="simple")
+    before_sort = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "hashpartitioning(user_id" in before_sort
