@@ -91,3 +91,21 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("cand_id"), "cos", "rank")
     )
+
+
+def persist_ivf(index: IvfIndex, path: str) -> None:
+    """Write the index with the corpus partitioned BY CELL — the 100 TB
+    layout: a probe of nprobe cells then reads nprobe/k of the files
+    via partition PRUNING (directory-level skip, visible as
+    PartitionFilters in the scan), instead of scanning the corpus and
+    filtering. Centroids are a single tiny file next to it."""
+    index.assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/assigned")
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf(spark, path: str) -> IvfIndex:
+    assigned = spark.read.parquet(f"{path}/assigned").select(
+        "id", "vec", F.col("cid").cast("int").alias("cid")
+    )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return IvfIndex(centroids=centroids, assigned=assigned)

@@ -272,3 +272,38 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform(F.slice(words, 1, 3), lambda x: F.upper(x))
         ).alias("first3_upper"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_explode_suite",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 6) AS arr
+      FROM documents WHERE doc_id < 15),
+    pos AS (
+      SELECT doc_id, arr,
+             UNNEST(CASE WHEN len(arr) = 0 THEN [NULL]::BIGINT[]
+                         ELSE range(1, len(arr) + 1) END) AS i
+      FROM toks)
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           arr[i] AS word
+    FROM pos
+    ORDER BY doc_id, pos
+    """,
+    tags=("functions", "explode", "lateral"),
+)
+def fn_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-view surface: posexplode_outer over a filtered word
+    array — positional expansion INCLUDING the outer row (pos=NULL)
+    for documents whose filter leaves nothing, the semantics LATERAL
+    VIEW OUTER posexplode guarantees. The oracle reconstructs it with
+    range()+UNNEST and an explicit [NULL] branch, so the empty-array
+    edge is value-checked, not assumed."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 15)
+    arr = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
+    return (
+        docs.select("doc_id", F.posexplode_outer(arr).alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )

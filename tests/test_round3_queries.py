@@ -91,3 +91,29 @@ def test_stream_session_window_matches_finalized_batch(spark, sf_dir):
         for r in streamed
     }
     assert got == finalized
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Cell-partitioned IVF persistence: probing a cell subset must hit
+    partition PRUNING (PartitionFilters on cid, only probed dirs read)
+    and return exactly the in-memory rows."""
+    from crime_spark_ml_spark.ml.ivf import build_ivf, load_ivf, persist_ivf
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    index = build_ivf(emb, k=8, seed=0)
+    persist_ivf(index, str(tmp_path / "ivf"))
+    back = load_ivf(spark, str(tmp_path / "ivf"))
+
+    probes = [0, 3]
+    pruned = back.assigned.where(F.col("cid").isin(probes))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:120]
+
+    got = sorted((r.id, r.cid) for r in pruned.collect())
+    want = sorted(
+        (r.id, r.cid)
+        for r in index.assigned.where(F.col("cid").isin(probes)).collect()
+    )
+    assert got == want and len(got) > 0
+    emb.unpersist(blocking=False)
