@@ -126,7 +126,16 @@ def dup_2gram_frac(text_col: str) -> Column:
 # subset (no lookahead): contractions, space-prefixed letter runs,
 # digit runs capped at 3 (BPE tokenizers split long numbers), punct
 # runs, residual whitespace. Shared verbatim with the DuckDB oracle.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\s]+|\s+"
+# whitespace is spelled as an EXPLICIT class: Java \s includes \x0B
+# (vertical tab) while RE2 \s does not, so bare \s would let the two
+# engines tokenize '.\x0B' differently. The explicit class is the
+# actual Java∩RE2 contract.
+_WS = r" \t\n\x0B\f\r"
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[a-zA-Z]+| ?[0-9]{1,3}"
+    rf"| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+"
+)
 
 
 def n_bpe_tokens(text_col: str) -> Column:

@@ -126,8 +126,9 @@ def frame_features(df: DataFrame, frame: int = 16, hop: int = 8) -> DataFrame:
     """Sliding-window frame features: per-frame RMS and zero-crossing
     rate, one output row per frame (explode happens inside the Arrow
     batch — numpy stride tricks, no Python loop over samples)."""
-    if frame <= 0 or hop <= 0:
-        raise ValueError(f"frame and hop must be positive, got {frame}/{hop}")
+    if frame < 2 or hop <= 0:
+        # frame=1 would divide zcr by (frame-1)=0 → silent NaN rows
+        raise ValueError(f"frame must be >= 2 and hop positive, got {frame}/{hop}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1009,15 +1009,23 @@ def dp_cluster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_labels"), F.countDistinct("doc_id").alias("n_distinct")
     )
     min_member = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("mn"))
+    # every() over ZERO rows aggregates to NULL, not TRUE — a corpus
+    # with no near-dup pairs would spuriously fail the constant oracle
     label_min = min_member.agg(
-        F.every(F.col("cluster_id") == F.col("mn")).alias("label_is_min_member")
+        F.coalesce(
+            F.every(F.col("cluster_id") == F.col("mn")), F.lit(True)
+        ).alias("label_is_min_member")
     )
     la = clusters.select(F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca"))
     lb = clusters.select(F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb"))
     edges_ok = (
         pairs.join(la, "id_a")
         .join(lb, "id_b")
-        .agg(F.every(F.col("ca") == F.col("cb")).alias("edges_intra_cluster"))
+        .agg(
+            F.coalesce(
+                F.every(F.col("ca") == F.col("cb")), F.lit(True)
+            ).alias("edges_intra_cluster")
+        )
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     return (
