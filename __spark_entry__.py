@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -26,18 +27,25 @@ sys.path.insert(0, _HERE)
 from crime_spark_ml_spark.plans.registry import all_oracles, all_queries  # noqa: E402
 
 
-def _attested_names() -> set[str]:
-    """Query names already attested by a prior round's driver run.
+def _attestation_rounds() -> dict[str, int]:
+    """Latest round in which the driver attested each query green.
 
     The driver's per-round correctness pass caps at ~50 queries taken in
     ``queries()`` ordering (CORRECTNESS_r01.json captured exactly the
-    first 50 of 102 registered). To get the whole registry attested
-    across rounds, queries with a green row in ANY previous
-    CORRECTNESS_r*.json are rotated to the back, so the cap window
-    always covers the not-yet-attested ones first.
+    first 50 of 102 registered). Rounds 1-3 rotated never-attested
+    queries to the front until the whole registry had one green row;
+    with full coverage reached, the ordering goal shifts to freshness:
+    each window should re-check the LEAST-recently-attested queries, so
+    a regression in a plan rewritten after its last attestation (e.g.
+    the r02 minhash rewrite of an r01-attested query) gets re-caught
+    within a few rounds instead of never.
     """
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        match = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if match is None:
+            continue
+        rnd = int(match.group(1))
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -49,28 +57,28 @@ def _attested_names() -> set[str]:
             if isinstance(row, dict) and (
                 row.get("hash_match") or row.get("err") == "no_oracle"
             ):
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _rotated(d: dict) -> dict:
-    """Unattested first; within those, cheap oracle-checked queries
+    """Never-attested first (round 0), then stalest-attestation first.
+
+    Within each staleness cohort, cheap oracle-checked queries come
     before the expensive rows-only ML trainers (if the driver's cap is
     time-based rather than count-based, this still attests the most
     queries — and deferring ml_* costs least since they carry the
-    weaker rows-only check anyway)."""
-    seen = _attested_names()
+    weaker rows-only check anyway). Registry order breaks ties, keeping
+    the sequence deterministic across runs.
+    """
+    last = _attestation_rounds()
     heavy = {"dp_dedup_pipeline"}  # multi-round iterative job, ~30 s
 
     def is_heavy(k: str) -> bool:
         return k.startswith("ml_") or k in heavy
 
-    fresh = [k for k in d if k not in seen]
-    ordered = (
-        [k for k in fresh if not is_heavy(k)]
-        + [k for k in fresh if is_heavy(k)]
-        + [k for k in d if k in seen]
-    )
+    pos = {k: i for i, k in enumerate(d)}
+    ordered = sorted(d, key=lambda k: (last.get(k, 0), is_heavy(k), pos[k]))
     return {k: d[k] for k in ordered}
 
 
