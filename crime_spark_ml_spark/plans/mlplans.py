@@ -1,7 +1,15 @@
 """ML query plans (SURVEY.md §2.9). Training outputs aren't
-SQL-expressible → rows-only checks, with distributional assertions in
-tests/test_ml.py. Target encoding (M6 MEstimate) IS SQL-expressible
-and carries an oracle.
+SQL-expressible, so each plan returns CONSTANT+ANCHOR invariant columns
+the driver CAN hash against a DuckDB oracle (the r3
+``dp_simhash_selfcheck`` pattern): data-derived anchors (class counts,
+row counts, embedding dim — computed distributed, reproduced by the
+oracle from the same tables) plus boolean sanity bands on the trained
+metric. The embeddings fixture's labels are random relative to the
+vectors, so chance-level accuracy/AUC is the EXPECTED outcome — the
+bands assert the pipeline trains and evaluates sanely (no empty split,
+no NaN, no collapsed model), not model quality; quality-style
+distributional assertions live in tests/test_ml.py. Target encoding
+(M6 MEstimate) is fully SQL-expressible and carries a value oracle.
 """
 
 from __future__ import annotations
@@ -20,29 +28,62 @@ def _vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("features", array_to_vector(vec_col))
 
 
-@register("ml_kmeans_clusters", oracle=None, tags=("ml", "M2"))
+@register(
+    "ml_kmeans_clusters",
+    oracle="""
+    SELECT 10 AS k_requested,
+           COUNT(*) AS n_points,
+           TRUE AS n_clusters_bounded,
+           TRUE AS sizes_positive
+    FROM embeddings
+    """,
+    tags=("ml", "M2", "invariant"),
+)
 def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans k=10 seed=0 (crime.py:136-137) on the embeddings fixture:
-    cluster sizes, largest first. k-means|| init, one fit, centroids
-    broadcast for the transform."""
+    """KMeans k=10 seed=0 (crime.py:136-137) on the embeddings fixture.
+    Invariant oracle: every input point lands in exactly one cluster
+    (``n_points`` — the size sum — must equal the table's COUNT(*), a
+    data anchor DuckDB reproduces), the model yields between 2 and k
+    non-empty clusters, and no cluster size is ≤ 0. Exact sizes depend
+    on the session's partitioning (k-means|| sampling), so they are
+    asserted distributionally in tests/test_ml.py instead."""
     from pyspark.ml.clustering import KMeans
 
     emb = _vectors(load_table(spark, sf_dir, "embeddings")).cache()
     model = KMeans(k=10, seed=0, featuresCol="features").fit(emb)
-    emb.unpersist()  # centroids are fitted; the transform re-scans parquet
-    return (
+    sizes = (
         model.transform(emb)
         .groupBy(F.col("prediction").alias("cluster"))
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "cluster")
+    )
+    emb.unpersist()  # centroids are fitted; the transform re-scans parquet
+    return sizes.agg(
+        F.lit(10).alias("k_requested"),
+        F.sum("n").alias("n_points"),
+        F.count("*").between(2, 10).alias("n_clusters_bounded"),
+        (F.min("n") > 0).alias("sizes_positive"),
     )
 
 
-@register("ml_logreg_accuracy", oracle=None, tags=("ml", "M3", "M4", "M5", "M6"))
+@register(
+    "ml_logreg_accuracy",
+    oracle="""
+    SELECT TRUE AS acc_in_range,
+           COUNT(DISTINCT label) AS n_classes,
+           TRUE AS split_covers_all
+    FROM embeddings
+    """,
+    tags=("ml", "M3", "M4", "M5", "M6", "invariant"),
+)
 def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiclass LogisticRegression (M6 declared surface) on the
-    embeddings fixture with a 70/30 split (M1): one-row accuracy +
-    class count (M5 evaluator)."""
+    embeddings fixture with a 70/30 split (M1) + M5 evaluator.
+    Invariant oracle: accuracy lands in a sanity band (labels are
+    random vs the vectors, so ~chance 1/n_classes is expected — the
+    band catches empty splits / NaN / collapsed evaluators, values in
+    [0.02, 0.5]); ``n_classes`` inferred by the model must equal the
+    table's distinct label count (data anchor; every class has ≥44
+    rows at sf0.01, so a 70% split missing one has probability ~0)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
@@ -57,8 +98,10 @@ def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     ).evaluate(scored)
+    n_distinct = emb.select("label").distinct().count()
     return spark.createDataFrame(
-        [(round(acc, 4), model.numClasses)], "accuracy double, n_classes int"
+        [(0.02 <= acc <= 0.5, model.numClasses, model.numClasses == n_distinct)],
+        "acc_in_range boolean, n_classes int, split_covers_all boolean",
     )
 
 

@@ -13,29 +13,34 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.aggs import dec_sum, dec_sum_sql
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, normalize_events, raw_events_schema
 from ..streaming.consumer import parquet_stream, run_available_now, windowed_counts
 from ..streaming.wire import feature_struct, parse_tabular
 from .registry import register
 
 _COUNTER = itertools.count()
 
-RAW_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) under nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
-# the one canonical nanos→NTZ expression (floor-division semantics)
-from ..sources.catalog import _NTZ_FROM_NANOS as _NTZ  # noqa: E402
+def events_stream(spark: SparkSession, sf_dir: str, staged: str | None = None) -> DataFrame:
+    """Normalized events as a STREAMING frame, fixture-layout-adaptive:
+    the read schema is sniffed from the parquet footer (streams cannot
+    infer schemas) and ``normalize_events`` yields the same
+    ts/ts_ns/ts_us columns under either the nanos or micros layout.
+    ``staged`` replays a staged copy directory one file per trigger
+    (multi-micro-batch tests); default replays the fixture file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = raw_events_schema(sf_dir)
+    if staged is None:
+        raw = parquet_stream(spark, sf_dir, schema=schema, glob="events.parquet")
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+    return normalize_events(raw)
 
 
 @register(
@@ -57,9 +62,7 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the batch oracle. Complete output mode + no watermark
     so every window emits (the watermarked/append path is covered in
     tests/test_streaming.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
-    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    events = events_stream(spark, sf_dir)
     agg = windowed_counts(events, ts_col="ts", window="1 hour", watermark=None)
     name = f"stream_parity_{next(_COUNTER)}"
     return run_available_now(agg, name, output_mode="complete").orderBy(
@@ -224,18 +227,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from ..streaming.consumer import dedup_within_watermark
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="stream_dedup_")
     src = f"{sf_dir}/events.parquet"
     shutil.copyfile(src, f"{stage}/copy_a.parquet")
     shutil.copyfile(src, f"{stage}/copy_b.parquet")
 
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    events = events_stream(spark, sf_dir, staged=stage)
     deduped = dedup_within_watermark(
         events, ts_col="ts", keys=("event_id",), delay="3650 days"
     )
@@ -271,23 +268,19 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks joined to purchases of the same user within the preceding 30
     minutes, both sides watermarked (the range condition lets Spark
     bound each side's state to the interval instead of keeping whole
-    streams). Event times are built as instants with timestamp_micros —
-    independent of the session timezone, unlike an NTZ cast, so a
-    DST-straddling fixture can't skew the interval. Per-user pair
-    counts hash-match the batch interval-join oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    streams). Event times are built as instants with timestamp_micros
+    on the normalized epoch-micros column — independent of the session
+    timezone, unlike an NTZ cast, so a DST-straddling fixture can't
+    skew the interval. Per-user pair counts hash-match the batch
+    interval-join oracle."""
 
     def side(event_type: str, alias: str) -> DataFrame:
-        raw = parquet_stream(
-            spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet"
-        )
+        events = events_stream(spark, sf_dir)
         return (
-            raw.where(F.col("event_type") == event_type)
+            events.where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user"),
-                F.expr(
-                    "timestamp_micros((ts - pmod(ts, 1000)) DIV 1000)"
-                ).alias(f"{alias}_ts"),
+                F.expr("timestamp_micros(ts_us)").alias(f"{alias}_ts"),
             )
             .withWatermark(f"{alias}_ts", "1 hour")
         )
@@ -328,8 +321,7 @@ def stream_static_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaching slowly-changing dims to a stream without shuffling it.
     Per-segment purchase aggregates of the joined stream hash-match the
     batch join oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
+    raw = events_stream(spark, sf_dir)
     purchases = raw.where(F.col("event_type") == "purchase").select("user_id", "value")
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = purchases.join(
@@ -369,15 +361,10 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ..operators.pandas_ops import running_totals_stateful
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="stream_state_")
     shutil.copyfile(f"{sf_dir}/events.parquet", f"{stage}/copy_a.parquet")
     shutil.copyfile(f"{sf_dir}/events.parquet", f"{stage}/copy_b.parquet")
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
+    raw = events_stream(spark, sf_dir, staged=stage)
     totals = running_totals_stateful(raw)
     name = f"stream_state_{next(_COUNTER)}"
     try:
@@ -432,9 +419,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last_event + gap <= max_event_time - watermark``. Pinning that
     eviction rule in the oracle makes watermark semantics themselves
     driver-attested, not just tested."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
-    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    events = events_stream(spark, sf_dir)
     from ..streaming.consumer import session_counts
 
     agg = session_counts(events, ts_col="ts", gap="10 minutes", watermark="30 minutes")

@@ -8,11 +8,16 @@ is the declared contract used by validation tests and by the CSV
 reader path in ``readers.py``.
 
 Scale notes:
-- ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it (under
-  ``spark.sql.legacy.parquet.nanosAsLong``) as epoch-nanos LONG; we
-  derive a TIMESTAMP_NTZ wall-clock column timezone-independently
-  (``timestampadd`` on an NTZ epoch literal), matching DuckDB's
-  nanos→micros truncation. No session-timezone dependence anywhere.
+- ``events.ts`` arrives in TWO fixture layouts (the driver regenerated
+  the tables between rounds): parquet TIMESTAMP(NANOS) — Spark reads it
+  (under ``spark.sql.legacy.parquet.nanosAsLong``) as epoch-nanos
+  LONG — or plain TIMESTAMP(MICROS) without UTC adjustment, which Spark
+  reads directly as TIMESTAMP_NTZ. ``normalize_events`` detects the
+  loaded type and produces the same normalized columns either way
+  (``ts`` TIMESTAMP_NTZ wall-clock, ``ts_ns``/``ts_us`` epoch ints),
+  all timezone-independently (``timestampadd``/``timestampdiff`` on an
+  NTZ epoch literal — pure wall-clock arithmetic), matching DuckDB's
+  ``epoch_us(CAST(ts AS TIMESTAMP))``. No session-timezone dependence.
 - Dimension tables (region, nation, supplier, part) are small even at
   100 TB scale factors — join sides for these should be broadcast
   (see plans/joins.py).
@@ -148,28 +153,79 @@ _NTZ_FROM_NANOS = (
 )
 
 
+# epoch micros of an NTZ wall-clock value, as pure wall-clock
+# arithmetic (unix_micros would interpret NTZ via the session timezone)
+_US_FROM_NTZ = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
 def expected_schema(name: str) -> T.StructType:
     return _SCHEMAS[name]
+
+
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """Sniff the events parquet footer: TIMESTAMP(NANOS) (or raw int64
+    epoch-nanos) vs TIMESTAMP(MICROS). Footer-only read — no data IO."""
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    return t in ("timestamp[ns]", "int64")
+
+
+def raw_events_schema(sf_dir: str) -> T.StructType:
+    """The schema a streaming read of the RAW events file must declare
+    (streams cannot infer): ``ts`` is LONG under the nanos layout
+    (``nanosAsLong``), TIMESTAMP_NTZ under the micros layout."""
+    ts_type = T.LongType() if events_ts_is_nanos(sf_dir) else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize a raw events frame (either fixture layout, batch or
+    streaming) to the declared schema: ``ts`` TIMESTAMP_NTZ wall-clock,
+    ``ts_ns`` epoch nanos, ``ts_us`` epoch micros.
+
+    ts_us is the oracle-parity clock: DuckDB truncates TIMESTAMP(NANOS)
+    to microseconds on read, so micros is the finest precision both
+    engines agree on under either layout. Row-local expressions only —
+    stays inside whole-stage codegen, streaming-safe."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos layout under nanosAsLong
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.expr(_NTZ_FROM_NANOS))
+            .withColumn("ts_us", F.expr("(ts_ns - pmod(ts_ns, 1000)) DIV 1000"))
+        )
+    else:  # micros layout: already a wall-clock timestamp
+        df = (
+            df.withColumn("ts", F.col("ts").cast(T.TimestampNTZType()))
+            .withColumn("ts_us", F.expr(_US_FROM_NTZ))
+            .withColumn("ts_ns", F.col("ts_us") * 1000)
+        )
+    return df.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns", "ts_us"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalized to the declared schema."""
     if name == "events":
-        # required to read parquet TIMESTAMP(NANOS); session-level conf
+        # nanos layout needs nanosAsLong; micros layout needs NTZ
+        # inference (both are the defaults' safe direction and no-ops
+        # for the other layout); session-level confs
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts_us (epoch micros) is the oracle-parity clock: DuckDB's parquet
-        # reader truncates TIMESTAMP(NANOS) to microseconds, so micros is the
-        # finest precision both engines agree on. ts_ns keeps full fidelity.
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.expr(_NTZ_FROM_NANOS))
-            .withColumn("ts_us", F.expr("(ts_ns - pmod(ts_ns, 1000)) DIV 1000"))
-            .select(
-                "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns", "ts_us"
-            )
-        )
+        df = normalize_events(df)
     return df
 
 

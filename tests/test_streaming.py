@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crime_spark_ml_spark.plans.streamplans import RAW_EVENTS_SCHEMA, _NTZ
+from crime_spark_ml_spark.plans.streamplans import events_stream
 from crime_spark_ml_spark.sources.catalog import load_table
 from crime_spark_ml_spark.streaming.consumer import (
     file_lines,
@@ -97,9 +97,7 @@ def test_wire_image_batch(spark, tmp_path):
 def test_stream_batch_parity_windowed(spark, sf_dir):
     """The same windowed agg through a streaming query and a batch
     query must agree row-for-row (complete mode, no watermark)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
-    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    events = events_stream(spark, sf_dir)
     streamed = run_available_now(
         windowed_counts(events, watermark=None), _uname("par"), output_mode="complete"
     )
@@ -162,9 +160,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
 def test_session_window_stream(spark, sf_dir):
     """session_window streaming result agrees with the batch
     gaps-and-islands sessionization for every finalized session."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = parquet_stream(spark, sf_dir, schema=RAW_EVENTS_SCHEMA, glob="events.parquet")
-    events = raw.withColumnRenamed("ts", "ts_ns").withColumn("ts", F.expr(_NTZ))
+    events = events_stream(spark, sf_dir)
     streamed = run_available_now(
         session_counts(events), _uname("sess"), output_mode="append"
     ).collect()
