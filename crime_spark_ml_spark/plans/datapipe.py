@@ -692,19 +692,14 @@ def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, parallelism=spark.sparkContext.defaultParallelism
     )
     clusters = duplicate_clusters(pairs, corpus.select("doc_id"))
-    survivors = (
-        corpus.join(clusters, "doc_id")
-        .groupBy("cluster_id")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    return spark.createDataFrame(
-        [
-            (
-                corpus.count(),
-                survivors.count(),
-            )
-        ],
-        "n_docs_in long, n_survivors long",
+    # clusters carries one row per corpus doc (full-labeling invariant,
+    # hash-attested by dp_cluster_invariants), so the whole funnel is ONE
+    # aggregate over ONE lineage: n_docs_in = labeled rows, n_survivors =
+    # distinct cluster representatives. The previous two-action form
+    # (corpus.count() + survivors.count()) re-ran LSH+CC from scratch.
+    return clusters.agg(
+        F.count("*").cast("long").alias("n_docs_in"),
+        F.countDistinct("cluster_id").cast("long").alias("n_survivors"),
     )
 
 

@@ -105,18 +105,44 @@ def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_pca_embeddings", oracle=None, tags=("ml", "M6", "PCA"))
+@register(
+    "ml_pca_embeddings",
+    oracle="""
+    SELECT 8 AS n_components,
+           MAX(len(embedding)) AS input_dim,
+           TRUE AS ratios_sorted_desc,
+           TRUE AS ratios_positive,
+           TRUE AS ratios_sum_le_one
+    FROM embeddings
+    """,
+    tags=("ml", "M6", "PCA", "invariant"),
+)
 def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA k=8 over embeddings (M6): explained-variance ratios —
-    covariance is a one-pass distributed aggregate; the eigensolve is
-    driver-side on the tiny 64×64 matrix."""
+    """PCA k=8 over embeddings (M6): covariance is a one-pass
+    distributed aggregate; the eigensolve is driver-side on the tiny
+    64×64 matrix. Invariant oracle: explained-variance ratios must be
+    positive, sorted descending, and sum ≤ 1, and the loading matrix's
+    row count must equal the embedding dimension (data anchor DuckDB
+    reproduces with len(embedding)). Exact ratios depend on float
+    aggregation order, so they are pinned with a tolerance in
+    tests/test_ml.py instead of hashed."""
     from pyspark.ml.feature import PCA
 
     emb = _vectors(load_table(spark, sf_dir, "embeddings"))
     model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
-    ev = [round(float(x), 6) for x in model.explainedVariance]
+    ev = [float(x) for x in model.explainedVariance]
     return spark.createDataFrame(
-        [(i, v) for i, v in enumerate(ev)], "component int, explained_variance double"
+        [
+            (
+                len(ev),
+                model.pc.numRows,
+                all(a >= b for a, b in zip(ev, ev[1:])),
+                all(v > 0 for v in ev),
+                sum(ev) <= 1.0,
+            )
+        ],
+        "n_components int, input_dim int, ratios_sorted_desc boolean, "
+        "ratios_positive boolean, ratios_sum_le_one boolean",
     )
 
 
@@ -183,11 +209,24 @@ def ml_crime_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.unionByName(acc_row)
 
 
-@register("ml_gbt_binary_auc", oracle=None, tags=("ml", "M6", "GBT"))
+@register(
+    "ml_gbt_binary_auc",
+    oracle="""
+    SELECT TRUE AS auc_in_range,
+           COUNT(DISTINCT label % 2) AS n_label_values,
+           10 AS n_trees
+    FROM embeddings
+    """,
+    tags=("ml", "M6", "GBT", "invariant"),
+)
 def ml_gbt_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GBTClassifier (M6 GradientBoostingClassifier analog; MLlib GBT
     is binary-only, SURVEY.md §2.9 M3) on a binarized embeddings label
-    + ROC-AUC via BinaryClassificationEvaluator."""
+    + ROC-AUC via BinaryClassificationEvaluator. Invariant oracle: AUC
+    in a sanity band around the expected chance level (labels are
+    random vs the vectors → ~0.5; band [0.2, 0.8] catches NaN /
+    degenerate scorers), the binarized label takes exactly the values
+    DuckDB counts, and the ensemble has the requested tree count."""
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
@@ -201,17 +240,33 @@ def ml_gbt_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
     ).evaluate(model.transform(test))
-    return spark.createDataFrame([(round(auc, 4),)], "auc double")
+    n_label_values = emb.select("label").distinct().count()
+    return spark.createDataFrame(
+        [(0.2 <= auc <= 0.8, n_label_values, model.getNumTrees)],
+        "auc_in_range boolean, n_label_values bigint, n_trees int",
+    )
 
 
-@register("ml_gbt_multiclass", oracle=None, tags=("ml", "M3", "GBT", "multiclass"))
+@register(
+    "ml_gbt_multiclass",
+    oracle="""
+    SELECT TRUE AS acc_in_range,
+           COUNT(DISTINCT label) AS n_classes,
+           TRUE AS one_model_per_class,
+           TRUE AS predicted_classes_bounded
+    FROM embeddings
+    """,
+    tags=("ml", "M3", "GBT", "multiclass", "invariant"),
+)
 def ml_gbt_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiclass boosted trees via OneVsRest(GBTClassifier) — the
     closest pure-MLlib analog of the reference's LightGBM multiclass
     objective (crime.py:171-198, num_class=40): one binary GBT per
     class, fits run in parallel, argmax over per-class raw scores.
-    Returns accuracy + distinct predicted-class count (≥3 proves the
-    model is genuinely multiclass, not collapsed)."""
+    Invariant oracle: accuracy in a chance-level sanity band (random
+    labels → ~1/n_classes), exactly one binary model per distinct
+    label (data anchor), and ≥2 distinct predicted classes (the model
+    is genuinely multiclass, not collapsed)."""
     from pyspark.ml.classification import GBTClassifier, OneVsRest
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
@@ -230,17 +285,41 @@ def ml_gbt_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).evaluate(scored)
     n_pred_classes = scored.select("prediction").distinct().count()
     scored.unpersist()
+    n_distinct = emb.select("label").distinct().count()
     return spark.createDataFrame(
-        [(round(acc, 4), len(model.models), n_pred_classes)],
-        "accuracy double, n_classes int, n_predicted_classes int",
+        [
+            (
+                0.01 <= acc <= 0.5,
+                len(model.models),
+                len(model.models) == n_distinct,
+                2 <= n_pred_classes <= n_distinct,
+            )
+        ],
+        "acc_in_range boolean, n_classes int, one_model_per_class boolean, "
+        "predicted_classes_bounded boolean",
     )
 
 
-@register("ml_linreg_coefs", oracle=None, tags=("ml", "M6", "ridge", "lasso"))
+@register(
+    "ml_linreg_coefs",
+    oracle="""
+    SELECT TRUE AS r2_in_range,
+           2 AS n_coefs,
+           COUNT(*) AS n_instances,
+           TRUE AS intercept_finite
+    FROM orders
+    """,
+    tags=("ml", "M6", "ridge", "lasso", "invariant"),
+)
 def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LinearRegression with elastic-net (M6: Ridge/Lasso/ElasticNetCV
     analogs via regParam/elasticNetParam): predict o_totalprice from
-    order features; returns r2 + coefficient count."""
+    order features. Invariant oracle: r² in a sanity band (the features
+    carry ~no signal → ~0; band [-0.1, 0.5] catches NaN/divergence),
+    one coefficient per input feature, the training summary saw exactly
+    the table's row count (data anchor), and a finite intercept."""
+    import math
+
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
@@ -255,8 +334,15 @@ def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(feats)
     feats.unpersist()
     return spark.createDataFrame(
-        [(round(model.summary.r2, 4), len(model.coefficients))],
-        "r2 double, n_coefs int",
+        [
+            (
+                -0.1 <= model.summary.r2 <= 0.5,
+                len(model.coefficients),
+                int(model.summary.numInstances),
+                math.isfinite(model.intercept),
+            )
+        ],
+        "r2_in_range boolean, n_coefs int, n_instances bigint, intercept_finite boolean",
     )
 
 
@@ -306,12 +392,23 @@ def ml_corr_matrix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_crossval_logreg", oracle=None, tags=("ml", "M6", "KFold"))
+@register(
+    "ml_crossval_logreg",
+    oracle="""
+    SELECT CAST(0.01 AS DOUBLE) AS reg_param, TRUE AS mean_acc_in_range, 3 AS n_folds
+    UNION ALL
+    SELECT CAST(0.1 AS DOUBLE), TRUE, 3
+    ORDER BY reg_param
+    """,
+    tags=("ml", "M6", "KFold", "invariant"),
+)
 def ml_crossval_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrossValidator (M6: KFold/cross_val_score analog, crime.py:27):
     3-fold CV over a small regParam grid for multinomial logistic
-    regression on the embeddings fixture; returns per-candidate mean
-    accuracy."""
+    regression on the embeddings fixture. Invariant oracle: one row per
+    grid candidate (the regParam values are deterministic constants),
+    each mean CV accuracy in the chance-level sanity band
+    [0.02, 0.5] (random labels → ~0.1), fold count echoed."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
@@ -334,26 +431,41 @@ def ml_crossval_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = cv.fit(emb)
     emb.unpersist()
     rows = [
-        (float(g[lr.regParam]), round(float(m), 4))
+        (float(g[lr.regParam]), 0.02 <= float(m) <= 0.5, 3)
         for g, m in zip(grid, model.avgMetrics)
     ]
-    return spark.createDataFrame(rows, "reg_param double, mean_accuracy double").orderBy(
-        "reg_param"
-    )
+    return spark.createDataFrame(
+        rows, "reg_param double, mean_acc_in_range boolean, n_folds int"
+    ).orderBy("reg_param")
 
 
-@register("ml_tfidf_text_classifier", oracle=None, tags=("ml", "M6", "text", "tfidf"))
+@register(
+    "ml_tfidf_text_classifier",
+    oracle="""
+    SELECT TRUE AS acc_above_floor,
+           COUNT(DISTINCT lang) + 1 AS n_classes
+    FROM documents
+    """,
+    tags=("ml", "M6", "text", "tfidf", "invariant"),
+)
 def ml_tfidf_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer→StopWordsRemover→HashingTF→IDF→LogisticRegression on
     the documents fixture (lang as the label) — the sentiment/spam
-    text-classification shape the reference streams (stream.py:248)."""
+    text-classification shape the reference streams (stream.py:248).
+    Invariant oracle: language IS learnable from text, so held-out
+    accuracy must clear a floor well above the worst-split chance
+    level (observed ~0.43 vs 1/5 chance; floor 0.25), and the model's
+    class count equals the table's distinct langs + 1 (the
+    handleInvalid='keep' unseen-label bucket — a data anchor; the
+    rarest lang has ≥64 rows at sf0.01, so a 70% split missing one has
+    probability ~0)."""
     from ..ml.text_pipeline import train_text_classifier
 
     docs = load_table(spark, sf_dir, "documents")
     model, acc = train_text_classifier(docs, num_features=1 << 12, max_iter=10)
     n_classes = model.stages[-1].numClasses
     return spark.createDataFrame(
-        [(round(acc, 4), n_classes)], "accuracy double, n_classes int"
+        [(acc >= 0.25, n_classes)], "acc_above_floor boolean, n_classes bigint"
     )
 
 
@@ -374,13 +486,26 @@ def dp_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_naive_bayes_text", oracle=None, tags=("ml", "M6", "text", "nb"))
+@register(
+    "ml_naive_bayes_text",
+    oracle="""
+    SELECT TRUE AS acc_above_floor,
+           COUNT(DISTINCT lang) AS n_classes
+    FROM documents
+    """,
+    tags=("ml", "M6", "text", "nb", "invariant"),
+)
 def ml_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NaiveBayes over hashed token counts — the classic streaming
     text-classification model (the reference streams sentiment batches,
     stream.py:248); multinomial NB's per-class token-count sufficient
     statistics are one distributed aggregate, which is why it is THE
-    incrementally-trainable baseline."""
+    incrementally-trainable baseline. Invariant oracle: language IS
+    learnable from token counts, so held-out accuracy must clear a
+    floor well above the 1/5 chance level (floor 0.25), and the model's
+    class count equals the table's distinct langs (a data anchor; the
+    indexer here fits on the 70% train split, and every lang has ≥64
+    rows at sf0.01, so a split missing one has probability ~0)."""
     from pyspark.ml.classification import NaiveBayes
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.feature import HashingTF, StringIndexer, Tokenizer
@@ -403,5 +528,5 @@ def ml_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).evaluate(scored)
     n_classes = model.stages[-1].numClasses
     return spark.createDataFrame(
-        [(round(acc, 4), n_classes)], "accuracy double, n_classes int"
+        [(acc >= 0.25, n_classes)], "acc_above_floor boolean, n_classes bigint"
     )
