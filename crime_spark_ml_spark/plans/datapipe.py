@@ -385,6 +385,37 @@ def dp_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@register("dp_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
+def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ (IVFADC) end to end — the composed scale path: 16-cell
+    coarse quantizer, residual PQ codes persisted as cell-partitioned
+    parquet, probe = partition-PRUNED read of 4/16 cells + broadcast
+    per-(query, cell) LUT scoring. The corpus side of the probe plan
+    has no Exchange (pinned in tests/test_ivfpq.py along with the
+    PartitionFilters pin and recall ≥ the PQ-alone floor). KMeans
+    training is not SQL-expressible → rows-only. See ml/ivfpq.py."""
+    import shutil
+    import tempfile
+
+    from ..ml.ivfpq import build_ivfpq, persist_ivfpq, probe_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    index = build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0)
+    path = tempfile.mkdtemp(prefix="ivfpq_")
+    try:
+        persist_ivfpq(index, path)
+        result = probe_ivfpq(
+            spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=4
+        ).orderBy("query_id", "rank")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        emb.unpersist(blocking=False)
+    return spark.createDataFrame(
+        rows, "query_id bigint, cand_id bigint, adist double, rank int"
+    )
+
+
 @register("dp_embedding_near_dups", oracle=None, tags=("dedup", "embedding"))
 def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact

@@ -1,0 +1,119 @@
+"""IVF×PQ composition (ml/ivfpq.py): recall against the exact
+baseline, persist/load fidelity, and the two at-scale plan pins the
+layout exists for — partition pruning on probed cells and a
+shuffle-free corpus side."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crime_spark_ml_spark.ml.ivfpq import (
+    build_ivfpq,
+    ivfpq_topk,
+    load_ivfpq,
+    persist_ivfpq,
+    probe_ivfpq,
+)
+from crime_spark_ml_spark.operators.similarity import brute_force_topk
+
+
+def _planted_corpus(spark, n_clusters=8, per_cluster=5, dim=16):
+    """Same planted geometry as tests/test_pq.py: cluster c at corner
+    c, tiny per-member epsilon — exact nearest neighbors of any vector
+    are its cluster-mates."""
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            vec = [0.0] * dim
+            vec[c * 2] = 1.0
+            vec[c * 2 + 1] = 0.05 * i
+            rows.append((c * per_cluster + i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def planted_index(spark):
+    corpus = _planted_corpus(spark).cache()
+    index = build_ivfpq(corpus, k_cells=8, m=4, k=8, seed=0)
+    index.coded.cache()
+    return corpus, index
+
+
+def test_ivfpq_recall_vs_bruteforce(planted_index):
+    """Probing half the cells must still recover cluster-mates at the
+    PQ-alone floor (0.8) — residual coding should not lose the planted
+    separation, and the right cells must be probed."""
+    corpus, index = planted_index
+    queries = corpus.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(corpus, queries, k=4).collect()
+    approx = ivfpq_topk(index, queries, k=4, nprobe=4).collect()
+    exact_set = {(r.query_id, r.cand_id) for r in exact}
+    approx_set = {(r.query_id, r.cand_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVFPQ recall too low: {recall:.2f}"
+
+
+def test_ivfpq_persist_probe_matches_inmemory(planted_index, tmp_path):
+    """Persisted probe ≡ in-memory probe (same cells, same ADC sums,
+    same tiebreaks) — parquet round-trip loses nothing."""
+    corpus, index = planted_index
+    path = str(tmp_path / "ivfpq")
+    persist_ivfpq(index, path)
+    queries = corpus.where(F.col("vec_id") < 10)
+    mem = sorted(
+        (r.query_id, r.rank, r.cand_id, r.adist)
+        for r in ivfpq_topk(index, queries, k=3, nprobe=3).collect()
+    )
+    disk = sorted(
+        (r.query_id, r.rank, r.cand_id, r.adist)
+        for r in probe_ivfpq(corpus.sparkSession, path, queries, k=3, nprobe=3).collect()
+    )
+    assert mem == disk and len(mem) > 0
+    # geometry survives the round trip (self-describing sidecars)
+    back = load_ivfpq(corpus.sparkSession, path)
+    assert (back.pq.m, back.pq.k, back.pq.sub_dim) == (
+        index.pq.m,
+        index.pq.k,
+        index.pq.sub_dim,
+    )
+
+
+def test_ivfpq_probe_plan_prunes_and_never_shuffles_corpus(
+    planted_index, tmp_path
+):
+    """The two 100 TB properties, pinned on the physical plan:
+    (1) the code-store scan carries a PartitionFilters predicate on
+    cid (directory-level pruning — only probed cells read);
+    (2) the corpus side reaches the broadcast hash join with ZERO
+    exchanges — the only Exchange in the whole probe plan is the
+    per-query ranking of already-scored, group-limited candidates."""
+    corpus, index = planted_index
+    path = str(tmp_path / "ivfpq_pin")
+    persist_ivfpq(index, path)
+    probe = probe_ivfpq(
+        corpus.sparkSession, path, corpus.where(F.col("vec_id") < 10), k=3, nprobe=3
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    after = plan.split("PartitionFilters", 1)[1][:160]
+    assert "cid" in after, after
+    # the cached LUT's inner plan is rendered inside InMemoryRelation
+    # and BroadcastExchange also contains "Exchange" — pin SHUFFLE
+    # exchanges in the main (pre-cache) plan segment only
+    main = plan.split("InMemoryRelation", 1)[0]
+    assert main.count("Exchange hashpartitioning") == 1, main
+    assert "BroadcastHashJoin" in main, main
+
+
+def test_ivfpq_full_probe_scores_whole_corpus(planted_index):
+    """nprobe = k_cells degrades gracefully to PQ-over-everything:
+    every query ranks k candidates and candidate sets are drawn from
+    all cells (sanity that pruning is the ONLY approximation beyond
+    PQ quantization)."""
+    corpus, index = planted_index
+    queries = corpus.where(F.col("vec_id") < 5)
+    full = ivfpq_topk(index, queries, k=4, nprobe=8).collect()
+    assert len(full) == 5 * 4
+    for r in full:
+        assert r.cand_id // 5 == r.query_id // 5, r  # cluster-mates win
