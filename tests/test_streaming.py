@@ -263,6 +263,105 @@ def test_foreachbatch_parquet_sink_idempotent_restart(spark, tmp_path):
     assert sorted(rows) == ["r1", "r2", "r3"]
 
 
+def test_checkpoint_restart_mid_stream_exactly_once(spark, tmp_path):
+    """Kill a STATEFUL availableNow run MID-STREAM (injected sink crash
+    after an emitting batch's output is written but before its commit),
+    resume from the checkpoint, and assert exactly-once output: the
+    crashed-and-resumed run's union equals an uninterrupted twin run
+    byte for byte — no lost windows, no duplicated windows — and the
+    finalized windows match the batch aggregation. This pins the one
+    Structured-Streaming durability property the clean-restart tests
+    above don't: state-store + offset recovery from an UNCOMMITTED
+    batch (Spark replays it with the same batch_id; the id-keyed
+    parquet sink makes the replay idempotent)."""
+    import os
+
+    from crime_spark_ml_spark.streaming.consumer import file_lines, windowed_counts
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    parts = F.split("value", ",")
+    # one file per micro-batch; batch 2 is the first EMITTING batch
+    # (watermark 11:50 finalizes the 10:00 window)
+    for i, content in enumerate(
+        [
+            "2024-01-01 10:00:00,click,1.5\n2024-01-01 10:10:00,click,2.5\n",
+            "2024-01-01 12:00:00,view,1.0\n",
+            "2024-01-01 14:00:00,click,4.0\n",
+            "2024-01-01 16:00:00,view,8.0\n",
+        ]
+    ):
+        (data_dir / f"f{i}.csv").write_text(content)
+        time.sleep(0.05)  # distinct mtimes → deterministic batch order
+
+    def agg():
+        events = file_lines(spark, str(data_dir)).select(
+            F.to_timestamp_ntz(parts.getItem(0)).alias("ts"),
+            parts.getItem(1).alias("event_type"),
+            parts.getItem(2).cast("double").alias("value"),
+        )
+        return windowed_counts(events, watermark="10 minutes")
+
+    def run(ckpt: str, out: str, crash_at: int | None = None) -> None:
+        def sink(df, batch_id):
+            if not df.isEmpty():
+                df.write.mode("overwrite").parquet(
+                    os.path.join(out, f"batch={batch_id}")
+                )
+            if crash_at is not None and batch_id == crash_at:
+                raise RuntimeError("injected mid-stream crash")
+
+        q = (
+            agg()
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def collected(out: str) -> list[tuple]:
+        return sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", out)
+            .parquet(out + "/batch=*")
+            .drop("batch")
+            .collect()
+        )
+
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        run(ckpt, out, crash_at=2)
+    # batch 2's output was written but its commit never happened
+    partial = collected(out)
+    assert any(w.startswith("2024-01-01 10:00") for w, *_ in partial), partial
+
+    run(ckpt, out)  # resume: batch 2 replays with the same id, then 3+
+
+    ckpt2, out2 = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    run(ckpt2, out2)  # uninterrupted twin over the same input
+    resumed, twin = collected(out), collected(out2)
+    assert resumed == twin and len(resumed) > 0
+    # exactly-once: no (window, event_type) appears twice across batches
+    keys = [(w, e) for w, e, *_ in resumed]
+    assert len(keys) == len(set(keys)), keys
+    # and every finalized window matches the batch twin's counts
+    batch_twin = {
+        (r.window_start, r.event_type): (r.cnt, r.sum_value)
+        for r in windowed_counts(
+            spark.read.text(str(data_dir)).select(
+                F.to_timestamp_ntz(parts.getItem(0)).alias("ts"),
+                parts.getItem(1).alias("event_type"),
+                parts.getItem(2).cast("double").alias("value"),
+            ),
+            watermark=None,
+        ).collect()
+    }
+    for w, e, cnt, sv in resumed:
+        assert batch_twin[(w, e)] == (cnt, sv), (w, e)
+
+
 def test_in_stream_model_scoring(spark, tmp_path):
     """The reference's implied end-to-end system: model trained batch-
     side, applied to T2 wire batches ARRIVING AS A STREAM (SURVEY.md
