@@ -36,14 +36,19 @@ def build_ivf(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> IvfIndex:
+    """``sample_fraction`` bounds the centroid FIT at scale (cell
+    geometry converges on a sample); assignment always covers every
+    row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn("features", array_to_vector("vec"))
-    model = KMeans(k=k, seed=seed, featuresCol="features").fit(vecs)
+    fit_on = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(fit_on)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

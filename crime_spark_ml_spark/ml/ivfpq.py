@@ -70,10 +70,22 @@ def build_ivfpq(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> IvfPqIndex:
-    ivf = build_ivf(corpus, k=k_cells, seed=seed, id_col=id_col, vec_col=vec_col)
+    """``train_fraction`` bounds BOTH KMeans fits (coarse cells and
+    residual codebooks) at scale — quantizers converge on a sample;
+    assignment and encoding still touch every row."""
+    ivf = build_ivf(
+        corpus,
+        k=k_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_fraction=train_fraction,
+    )
     res = _residuals(ivf.assigned, ivf.centroids)
-    pq = train_pq(res, m=m, k=k, seed=seed, vec_col="rvec")
+    train = res.sample(train_fraction, seed=seed) if train_fraction else res
+    pq = train_pq(train, m=m, k=k, seed=seed, vec_col="rvec")
     coded = pq_encode(res, pq, id_col="id", vec_col="rvec").join(
         res.select("id", "cid"), "id"
     )

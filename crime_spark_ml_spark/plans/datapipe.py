@@ -372,11 +372,19 @@ def dp_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row against a broadcast per-query lookup table — the
     compressed-storage scale path complementing IVF's pruning. KMeans
     codebook training is not SQL-expressible → rows-only; recall vs
-    brute force pinned in tests/test_pq.py. See ml/pq.py."""
+    brute force pinned in tests/test_pq.py. See ml/pq.py.
+
+    Codebook training is capped at ~4k sampled rows (the scale knob
+    train_pq exposes): codebooks converge on a sample while encode
+    still touches every row. At sf≤0.01 the fraction resolves to 1.0,
+    so driver-attested results are unchanged; at sf0.1+ it removes the
+    only corpus-proportional training cost."""
     from ..ml.pq import pq_encode, pq_topk, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    model = train_pq(emb, m=8, k=16, seed=0)
+    n = emb.count()
+    frac = None if n <= 4000 else 4000.0 / n
+    model = train_pq(emb, m=8, k=16, seed=0, sample_fraction=frac)
     codes = pq_encode(emb, model)
     result = pq_topk(codes, model, emb.where(F.col("vec_id") < 5), k=5).orderBy(
         "query_id", "rank"
@@ -400,7 +408,9 @@ def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.ivfpq import build_ivfpq, persist_ivfpq, probe_ivfpq
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    index = build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0)
+    n = emb.count()
+    frac = None if n <= 4000 else 4000.0 / n
+    index = build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac)
     path = tempfile.mkdtemp(prefix="ivfpq_")
     try:
         persist_ivfpq(index, path)
