@@ -11,11 +11,13 @@ of exact subspace distances, then every corpus row scores with m
 table lookups — no float math per candidate.
 
 Spark mapping (everything DataFrame ops, no Python in the hot path):
-- **train**: m independent KMeans fits over array slices of a sample
-  — the codebook is m×k×(d/m) doubles, kilobytes, always broadcast.
-- **encode**: posexplode the m slices → broadcast-join the codebook →
-  per-(id, sub) argmin window → collect m codes per id. One narrow
-  pass over the corpus plus one groupBy on id.
+- **train**: m seeded Lloyd's fits on a BOUNDED driver-side sample
+  (numpy) — the codebook is m×k×(d/m) doubles, kilobytes; training
+  it distributed would be pure scheduler overhead (the PCA-eigensolve
+  split: Spark bounds the sample, the driver fits the tiny model).
+- **encode**: a pure narrow map — per subspace, an argmin over k
+  literal-array distances evaluated in codegen. Zero shuffles; the
+  100 TB encode is scan → project → write.
 - **search**: the query-side LUT is built the same way (tiny), then
   corpus_codes ⋈ broadcast(LUT) scores via a pure JVM zip_with/
   aggregate expression over the code array. The corpus never
@@ -62,6 +64,37 @@ def _sq_l2(a: str, b: str) -> F.Column:
     )
 
 
+_MAX_TRAIN_ROWS = 200_000  # ~100 MB of float64 at dim 64 — loud cap
+
+
+def _lloyd(X, k: int, seed: int, iters: int = 25):
+    """Seeded k-means++ + Lloyd's on a driver-side sample (numpy).
+    Deterministic for a given (X, k, seed); X is pre-sorted by the
+    caller so the result is independent of Spark partition order."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    centers = [X[rng.randint(n)]]
+    for _ in range(min(k, n) - 1):
+        d2 = ((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1).min(1)
+        total = d2.sum()
+        p = d2 / total if total > 0 else np.full(n, 1.0 / n)
+        centers.append(X[rng.choice(n, p=p)])
+    while len(centers) < k:  # degenerate: fewer points than centroids
+        centers.append(centers[0])
+    C = np.asarray(centers, dtype=np.float64)
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        newC = np.vstack(
+            [X[assign == c].mean(0) if (assign == c).any() else C[c] for c in range(k)]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
 def train_pq(
     corpus: DataFrame,
     m: int = 8,
@@ -70,33 +103,55 @@ def train_pq(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
 ) -> PqModel:
-    """Fit m per-subspace KMeans codebooks. ``sample_fraction`` keeps
-    training bounded at scale — codebooks converge on a sample; only
-    encode touches every row."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Fit m per-subspace codebooks on a DRIVER-SIDE sample.
+
+    The codebook is m×k×(d/m) doubles — kilobytes — so training it
+    with distributed KMeans would spend hundreds of scheduler jobs on
+    a model that fits in a page; like the PCA eigensolve
+    (plans/mlplans.py), the right split is: Spark bounds the sample
+    (``sample_fraction``), numpy fits the tiny model, Spark applies
+    it everywhere (pq_encode is a narrow map). The collected sample
+    is sorted before fitting, so codebooks do not depend on partition
+    order; a corpus above the loud row cap requires an explicit
+    ``sample_fraction`` rather than silently collecting gigabytes."""
+    import numpy as np
 
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
     sample = corpus.sample(sample_fraction, seed=seed) if sample_fraction else corpus
-    sample = sample.select(vec_col).cache()
+    vecs = [r[0] for r in sample.select(vec_col).limit(_MAX_TRAIN_ROWS + 1).collect()]
+    if len(vecs) > _MAX_TRAIN_ROWS:
+        raise ValueError(
+            f"PQ training sample exceeds {_MAX_TRAIN_ROWS} rows; "
+            "pass sample_fraction to bound it"
+        )
+    X = np.asarray(sorted(tuple(v) for v in vecs), dtype=np.float64)
     rows: list[tuple[int, int, list[float]]] = []
     for j in range(m):
-        sub = sample.select(
-            array_to_vector(F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)).alias(
-                "features"
-            )
-        )
-        model = KMeans(k=k, seed=seed + j, featuresCol="features").fit(sub)
-        for code, center in enumerate(model.clusterCenters()):
-            rows.append((j, code, [float(x) for x in center]))
-    sample.unpersist()
+        C = _lloyd(X[:, j * sub_dim : (j + 1) * sub_dim], k, seed + j)
+        rows.extend((j, code, [float(x) for x in C[code]]) for code in range(k))
     codebooks = corpus.sparkSession.createDataFrame(
         rows, "sub int, code int, cvec array<double>"
     )
     return PqModel(codebooks=codebooks, m=m, k=k, sub_dim=sub_dim)
+
+
+def _sq_l2_cols(a: F.Column, b: F.Column) -> F.Column:
+    """Column form of _sq_l2 — same Catalyst aggregate/zip_with ops,
+    same sequential double-precision fold, so distances are bit-equal
+    to the name-based variant."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def pq_encode(
@@ -106,24 +161,41 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int> length m): nearest codebook entry per
-    subspace. Narrow scan + broadcast join + argmin window keyed on
-    (id, sub) + one groupBy(id) — the only shuffle is on id."""
-    sliced = _sliced(
-        corpus.select(F.col(id_col).alias("id"), vec_col), vec_col, model.m, model.sub_dim
-    )
-    dists = sliced.join(F.broadcast(model.codebooks), "sub").withColumn(
-        "d", _sq_l2("subvec", "cvec")
-    )
-    w = Window.partitionBy("id", "sub").orderBy("d", "code")
-    assigned = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "sub", "code")
-    )
-    return assigned.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
-        ).alias("codes")
+    subspace, as a PURE NARROW MAP — the codebook is m×k rows
+    (kilobytes, collected once), so each code is an argmin over k
+    literal-array distances evaluated row-locally in codegen. Zero
+    shuffles: encoding 100 TB is scan → project → write. Tiebreak
+    (first minimum = lowest code) matches the former argmin-window
+    ordering (d, code), and the distance fold is the same sequential
+    aggregate/zip_with, so codes are bit-identical to the join-based
+    encoder this replaces."""
+    cb: dict[int, list[list[float]]] = {}
+    for r in model.codebooks.collect():  # bounded: m*k rows
+        cb.setdefault(r.sub, [None] * model.k)[r.code] = [float(x) for x in r.cvec]
+
+    def code_for(j: int) -> F.Column:
+        # array_min over (d, code) structs orders lexicographically —
+        # one evaluation per distance (array_position(.., array_min(..))
+        # would compute every aggregate twice), lowest code on ties
+        sl = F.slice(F.col(vec_col), j * model.sub_dim + 1, model.sub_dim)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_l2_cols(sl, F.array(*[F.lit(x) for x in cb[j][c]])).alias(
+                            "d"
+                        ),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(model.k)
+                ]
+            )
+        )
+        return best.getField("c").cast("int")
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.array(*[code_for(j) for j in range(model.m)]).alias("codes"),
     )
 
 
