@@ -71,9 +71,11 @@ def synthetic_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .otherwise("video")
         .alias("kind"),
         F.col(text_col).cast("binary").alias("payload"),
+        # dims vary per row via prime-multiplier arithmetic on the id
+        # (not a hash) so an ANSI-SQL oracle can reproduce them exactly
         F.struct(
-            (F.pmod(F.xxhash64(text_col), 640) + 1).cast("int").alias("width"),
-            (F.pmod(F.xxhash64(text_col, F.lit(1)), 480) + 1).cast("int").alias("height"),
+            (F.pmod(F.col(id_col) * 7919 + 13, 640) + 1).cast("int").alias("width"),
+            (F.pmod(F.col(id_col) * 104729 + 7, 480) + 1).cast("int").alias("height"),
             F.lit(16000).alias("sample_rate"),
             (F.pmod(F.col(id_col), 300) + 1).cast("int").alias("n_frames"),
         ).alias("meta"),

@@ -281,10 +281,29 @@ def dp_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@register("dp_multimodal_resize", oracle=None, tags=("multimodal", "resize"))
+@register(
+    "dp_multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST((doc_id * 7919 + 13) % 640 + 1 AS INTEGER) AS width,
+             CAST((doc_id * 104729 + 7) % 480 + 1 AS INTEGER) AS height
+      FROM documents)
+    SELECT media_id, width, height,
+           CAST(ceil(width * least(1.0, 256.0 / greatest(width, height)))
+                AS INTEGER) AS rw,
+           CAST(ceil(height * least(1.0, 256.0 / greatest(width, height)))
+                AS INTEGER) AS rh
+    FROM m ORDER BY media_id
+    """,
+    tags=("multimodal", "resize"),
+)
 def dp_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only resize plan over the synthetic media table
-    (aspect-preserving bound to 256px) — deterministic, rows-only."""
+    (aspect-preserving bound to 256px). The oracle recomputes the
+    scale math (least/greatest/ceil over doubles — identical float
+    ops both engines) from the arithmetic dims, hash-attesting the
+    resize semantics."""
     docs = load_table(spark, sf_dir, "documents")
     media = resize_plan(synthetic_media(docs))
     return media.select(
@@ -349,14 +368,45 @@ def dp_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dp_audio_frame_stats", oracle=None, tags=("multimodal", "audio", "binary"))
+@register(
+    "dp_audio_frame_stats",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id AS media_id,
+             list_transform(embedding,
+                            x -> trunc(CAST(x AS DOUBLE) * 20000)) AS sm
+      FROM embeddings
+      WHERE len(embedding) >= 16
+    ),
+    fr AS (
+      SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+             list_slice(sm, i * 8 + 1, i * 8 + 16) AS w
+      FROM (SELECT media_id, sm,
+                   unnest(range(0, (len(sm) - 16) // 8 + 1)) AS i
+            FROM s)
+    )
+    SELECT media_id, frame_idx,
+           ROUND(sqrt(list_sum(list_transform(w, v -> v * v)) / 16), 6) AS rms,
+           ROUND(list_sum(list_transform(range(2, 17),
+                 j -> CASE WHEN abs(sign(list_extract(w, j))
+                                - sign(list_extract(w, j - 1))) > 1
+                      THEN 1 ELSE 0 END)) / 15.0, 6) AS zcr
+    FROM fr
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("multimodal", "audio", "binary"),
+)
 def dp_audio_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window frame features (RMS + zero-crossing rate, frame
     16 / hop 8) over the PCM payloads — the windowed-decode shape a
     real audio featurizer runs; numpy stride tricks inside the Arrow
     batch, one output row per frame. Physics pinned on a synthesized
-    sine in tests/test_audio.py; rows-only here (DuckDB has no
-    pairwise-lambda to express ZCR)."""
+    sine in tests/test_audio.py. The oracle recomputes both features
+    from the float list (never seeing the binary), so a hash match
+    attests the encode→frombuffer→stride-window path end to end:
+    frame sums of int16 squares are exact integers in float64
+    (order-independent), and ZCR is integer sign-flip counting
+    expressed as a DuckDB lambda over adjacent index pairs."""
     from ..operators.audio import encode_pcm16, frame_features
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -450,11 +500,23 @@ def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(corpus, threshold=0.8).orderBy("id_a", "id_b")
 
 
-@register("dp_pandas_source_stats", oracle=None, tags=("pandas", "applyInPandas"))
+@register(
+    "dp_pandas_source_stats",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(n_chars) / COUNT(*), 6) AS mean_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("pandas", "applyInPandas"),
+)
 def dp_pandas_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source stats via Arrow applyInPandas (the sanctioned Python
-    path; equivalence with the SQL aggregate pinned in
-    tests/test_pandas_ops.py)."""
+    path; equivalence with the SQL aggregate also pinned in
+    tests/test_pandas_ops.py). Hash-safe: the group sums of integer
+    n_chars are exact in float64, so pandas' pairwise mean equals
+    DuckDB's AVG division bit for bit."""
     from ..operators.pandas_ops import source_stats_apply
 
     docs = load_table(spark, sf_dir, "documents")
