@@ -72,7 +72,8 @@ def _rotated(d: dict) -> dict:
     the sequence deterministic across runs.
     """
     last = _attestation_rounds()
-    heavy = {"dp_dedup_pipeline"}  # multi-round iterative job, ~30 s
+    # multi-round iterative / multi-model jobs, tens of seconds each
+    heavy = {"dp_dedup_pipeline", "dp_ann_selfcheck"}
 
     def is_heavy(k: str) -> bool:
         return k.startswith("ml_") or k in heavy

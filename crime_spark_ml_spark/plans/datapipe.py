@@ -476,6 +476,72 @@ def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dp_ann_selfcheck",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           5 AS n_queries, 5 AS k,
+           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
+           TRUE AS pq_recall_ok, TRUE AS ivfpq_recall_ok
+    FROM embeddings
+    """,
+    tags=("similarity", "ann", "invariant"),
+)
+def dp_ann_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant+anchor invariant over the whole ANN family (the r3
+    selfcheck pattern): top-5 recall of each approximate index against
+    the exact brute-force baseline on the real embeddings fixture must
+    clear a floor far above the random-draw rate (~5/corpus ≈ 0.003).
+    The fixture's vectors are unstructured, which is the documented
+    worst case for quantizers — measured recalls at sf0.001/0.01/0.1:
+    LSH 0.64-0.76, IVF(nprobe 4/16) 0.48-0.76, PQ 0.12-0.20,
+    IVF×PQ 0.20-0.28; floors sit at roughly half the observed minimum
+    so they catch degeneration (empty probes, corrupt codes, broken
+    scoring), not noise. Every component is seeded and deterministic,
+    so the booleans are stable. The corpus count is the DuckDB data
+    anchor."""
+    from ..ml.ivf import build_ivf, ivf_topk
+    from ..ml.ivfpq import build_ivfpq, ivfpq_topk
+    from ..ml.pq import pq_encode, pq_topk, train_pq
+    from ..operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df: DataFrame) -> float:
+        got = {(r.query_id, r.cand_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    frac = None if n_corpus <= 4000 else 4000.0 / n_corpus
+    lsh_r = recall(lsh_topk(emb, queries, k=5))
+    ivf_r = recall(
+        ivf_topk(
+            build_ivf(emb, k=16, seed=0, sample_fraction=frac), queries, k=5, nprobe=4
+        )
+    )
+    model = train_pq(emb, m=8, k=16, seed=0, sample_fraction=frac)
+    pq_r = recall(pq_topk(pq_encode(emb, model), model, queries, k=5))
+    ivfpq_r = recall(
+        ivfpq_topk(
+            build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac),
+            queries,
+            k=5,
+            nprobe=4,
+        )
+    )
+    emb.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(n_corpus, 5, 5, lsh_r >= 0.3, ivf_r >= 0.25, pq_r >= 0.06, ivfpq_r >= 0.1)],
+        "n_corpus bigint, n_queries int, k int, lsh_recall_ok boolean, "
+        "ivf_recall_ok boolean, pq_recall_ok boolean, ivfpq_recall_ok boolean",
+    )
+
+
 @register("dp_embedding_near_dups", oracle=None, tags=("dedup", "embedding"))
 def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact
