@@ -838,16 +838,32 @@ def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dp_dedup_pipeline", oracle=None, tags=("dedup", "pipeline", "llm"))
+@register(
+    "dp_dedup_pipeline",
+    oracle="""
+    SELECT CAST(COUNT(*) + 20 AS BIGINT) AS n_docs_in,
+           TRUE AS planted_recall_ok,
+           TRUE AS survivor_frac_ok
+    FROM documents
+    """,
+    tags=("dedup", "pipeline", "llm", "invariant"),
+)
 def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup — the full pass an LLM corpus gets:
     MinHash-LSH candidates → connected-component clustering → keep the
-    min-id representative per cluster. The fixture has no organic
-    near-dups, so 20 planted ones (doc_id+100000, one appended token ⇒
-    shingle-Jaccard ≈ 0.96, well above the 8-band s-curve threshold)
-    prove the pipeline actually removes documents. Deterministic
-    (xxhash64 signatures) but not SQL-expressible → rows-only; recall
-    of the planted dups is pinned in tests/test_datapipe.py."""
+    min-id representative per cluster. 20 planted near-dups
+    (doc_id+100000, one appended token ⇒ shingle-Jaccard ≈ 0.96, well
+    above the 8-band s-curve threshold) prove the pipeline actually
+    removes documents. The signatures are xxhash64-based so the values
+    aren't SQL-expressible, but the FUNNEL is hash-attested via
+    constant+anchor invariants: n_docs_in must equal the table count
+    + 20 planted (DuckDB anchor — also re-attests the CC full-labeling
+    property on every driver run), ≥16/20 planted dups must land in
+    their original's cluster (the tests/test_datapipe.py floor), and
+    the survivor fraction stays in [0.85, 1) — organic near-dups exist
+    in the fixture (23 clusters at sf0.01) but never approach 15%.
+    One aggregate over one lineage (the former two-action form re-ran
+    LSH+CC per count)."""
     from ..operators.dedup import duplicate_clusters
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -860,15 +876,31 @@ def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         corpus, parallelism=spark.sparkContext.defaultParallelism
     )
-    clusters = duplicate_clusters(pairs, corpus.select("doc_id"))
-    # clusters carries one row per corpus doc (full-labeling invariant,
-    # hash-attested by dp_cluster_invariants), so the whole funnel is ONE
-    # aggregate over ONE lineage: n_docs_in = labeled rows, n_survivors =
-    # distinct cluster representatives. The previous two-action form
-    # (corpus.count() + survivors.count()) re-ran LSH+CC from scratch.
-    return clusters.agg(
+    clusters = duplicate_clusters(pairs, corpus.select("doc_id")).cache()
+    funnel = clusters.agg(
         F.count("*").cast("long").alias("n_docs_in"),
         F.countDistinct("cluster_id").cast("long").alias("n_survivors"),
+    ).first()
+    originals = clusters.where(F.col("doc_id") < 20).select(
+        "doc_id", F.col("cluster_id").alias("orig_cluster")
+    )
+    caught = (
+        clusters.where(F.col("doc_id") >= 100000)
+        .select((F.col("doc_id") - 100000).alias("doc_id"), "cluster_id")
+        .join(originals, "doc_id")
+        .where(F.col("cluster_id") == F.col("orig_cluster"))
+        .count()
+    )
+    clusters.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                funnel.n_docs_in,
+                caught >= 16,
+                0.85 <= funnel.n_survivors / funnel.n_docs_in < 1.0,
+            )
+        ],
+        "n_docs_in bigint, planted_recall_ok boolean, survivor_frac_ok boolean",
     )
 
 
