@@ -27,7 +27,7 @@ sys.path.insert(0, _HERE)
 from crime_spark_ml_spark.plans.registry import all_oracles, all_queries  # noqa: E402
 
 
-def _attestation_rounds() -> dict[str, int]:
+def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
     """Latest round in which the driver attested each query green.
 
     The driver's per-round correctness pass caps at ~50 queries taken in
@@ -41,7 +41,7 @@ def _attestation_rounds() -> dict[str, int]:
     within a few rounds instead of never.
     """
     last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         match = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if match is None:
             continue
@@ -61,7 +61,7 @@ def _attestation_rounds() -> dict[str, int]:
     return last
 
 
-def _rotated(d: dict) -> dict:
+def _rotated(d: dict, last: dict[str, int] | None = None) -> dict:
     """Never-attested first (round 0), then stalest-attestation first.
 
     Within each staleness cohort, cheap oracle-checked queries come
@@ -71,7 +71,7 @@ def _rotated(d: dict) -> dict:
     weaker rows-only check anyway). Registry order breaks ties, keeping
     the sequence deterministic across runs.
     """
-    last = _attestation_rounds()
+    last = last if last is not None else _attestation_rounds()
     # multi-round iterative / multi-model jobs, tens of seconds each
     heavy = {"dp_dedup_pipeline", "dp_ann_selfcheck"}
 

@@ -1,0 +1,57 @@
+"""Driver attestation rotation (__spark_entry__._rotated /
+_attestation_rounds): never-attested queries lead, then staleness,
+with heavy trainers deferred inside each cohort — the ordering that
+keeps the driver's ~50-query correctness window re-checking the
+least-recently-attested plans."""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as entry
+
+
+def test_attestation_rounds_reads_latest_green(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "a": {"hash_match": True},
+                "b": {"hash_match": True},
+                "c": {"hash_match": False, "err": "boom"},  # red: no attestation
+                "d": {"hash_match": None, "err": "no_oracle"},  # rows-only counts
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"b": {"hash_match": True}})
+    )
+    # wrong-shaped but valid JSON must be skipped, not crash queries()
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(["not", "a", "dict"]))
+    last = entry._attestation_rounds(here=str(tmp_path))
+    assert last == {"a": 1, "b": 2, "d": 1}
+
+
+def test_rotated_orders_by_staleness_then_defers_heavy():
+    d = {k: k for k in ["q_new", "ml_new", "q_r1", "ml_r1", "q_r2", "dp_dedup_pipeline"]}
+    last = {"q_r1": 1, "ml_r1": 1, "q_r2": 2, "dp_dedup_pipeline": 1}
+    got = list(entry._rotated(d, last=last))
+    # cohort 0 (never attested): cheap before heavy; then r1 cohort the
+    # same way (dp_dedup_pipeline is heavy by name); r2 last
+    assert got == ["q_new", "ml_new", "q_r1", "ml_r1", "dp_dedup_pipeline", "q_r2"]
+
+
+def test_rotated_ties_break_by_registry_order():
+    d = {k: k for k in ["z_first", "a_second", "m_third"]}
+    got = list(entry._rotated(d, last={}))
+    assert got == ["z_first", "a_second", "m_third"]
+
+
+def test_rotated_preserves_membership():
+    from crime_spark_ml_spark.plans.registry import all_oracles, all_queries
+
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(q) == set(all_queries()) and set(o) == set(all_oracles())
+    # oracle ordering is a sub-sequence of the query ordering
+    qpos = {k: i for i, k in enumerate(q)}
+    opos = [qpos[k] for k in o]
+    assert opos == sorted(opos)
