@@ -839,6 +839,85 @@ def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_temperature_mix",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(FLOOR(least(1.0, 50.0 / sqrt(SUM(n_tokens))) * COUNT(*))
+                  AS BIGINT) + 1 AS quota
+      FROM t GROUP BY source),
+    r AS (
+      SELECT t.doc_id, t.source, t.n_tokens,
+             s.n_docs, s.src_tokens, s.quota,
+             ROW_NUMBER() OVER (PARTITION BY t.source
+                                ORDER BY t.fp, t.doc_id) AS rk
+      FROM t JOIN s USING (source))
+    SELECT source, n_docs, src_tokens, quota,
+           CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN rk <= quota THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM r
+    GROUP BY source, n_docs, src_tokens, quota
+    ORDER BY source
+    """,
+    tags=("sampling", "temperature", "mixture", "llm"),
+)
+def dp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the standard multi-source LLM
+    corpus rule): per-source keep rate ∝ src_tokens^-0.5, so sampled
+    tokens scale as src_tokens^T with T=0.5 — small sources are
+    upweighted relative to proportional sampling. Deterministic by
+    construction: integer per-source quotas (floor(f·n_docs)+1 — no
+    round-half ambiguity across engines; the float path is single
+    operations on exact integer aggregates, bit-identical in Spark and
+    DuckDB) filled in md5 content-hash order, the same
+    engine-independent selection dp_stratified_sample uses. One
+    groupBy + one broadcast join + one per-source window — no global
+    sort, no driver loop."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        n_tokens("text").alias("n_tokens"),
+    )
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("src_tokens"),
+        (
+            F.floor(
+                F.least(F.lit(1.0), F.lit(50.0) / F.sqrt(F.sum("n_tokens")))
+                * F.count("*")
+            )
+            + 1
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy("fp", "doc_id")
+    ranked = docs.join(F.broadcast(src), "source").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("source", "n_docs", "src_tokens", "quota")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("quota"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_docs"),
+            F.sum(F.when(F.col("rk") <= F.col("quota"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "dp_dedup_pipeline",
     oracle="""
     SELECT CAST(COUNT(*) + 20 AS BIGINT) AS n_docs_in,
