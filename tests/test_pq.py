@@ -106,3 +106,14 @@ def test_pq_on_fixture_embeddings(spark, sf_dir):
     for r in top:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_encode_plan_is_shuffle_free(spark, sf_dir):
+    """The 100 TB property the literal-argmin encoder exists for:
+    encoding is scan → project — the physical plan contains NO
+    exchange and no Python evaluation node."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_pq(emb, m=8, k=16, seed=0)
+    plan = pq_encode(emb, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan  # no pandas/arrow eval in the map
