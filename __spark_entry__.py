@@ -61,8 +61,32 @@ def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
     return last
 
 
+# Queries whose CONTRACT (oracle and/or output schema) changed after
+# their last driver attestation — the old green row attests a different
+# artifact, so they re-enter the rotation as if never attested. Round 4
+# converted these from rows-only to value oracles; prune entries once
+# the new contract has a hash-matched row in a CORRECTNESS_r*.json.
+_REATTEST = {
+    "ml_kmeans_clusters",
+    "ml_logreg_accuracy",
+    "ml_pca_embeddings",
+    "ml_gbt_binary_auc",
+    "ml_gbt_multiclass",
+    "ml_linreg_coefs",
+    "ml_crossval_logreg",
+    "ml_tfidf_text_classifier",
+    "ml_naive_bayes_text",
+    "ml_crime_pipeline",
+    "dp_audio_frame_stats",
+    "dp_multimodal_resize",
+    "dp_pandas_source_stats",
+    "dp_dedup_pipeline",
+}
+_REATTEST_AS_OF = 4  # attestations from this round on clear the flag
+
+
 def _rotated(d: dict, last: dict[str, int] | None = None) -> dict:
-    """Never-attested first (round 0), then stalest-attestation first.
+    """Never-attested and contract-changed first, then stalest first.
 
     Within each staleness cohort, cheap oracle-checked queries come
     before the expensive rows-only ML trainers (if the driver's cap is
@@ -75,11 +99,17 @@ def _rotated(d: dict, last: dict[str, int] | None = None) -> dict:
     # multi-round iterative / multi-model jobs, tens of seconds each
     heavy = {"dp_dedup_pipeline", "dp_ann_selfcheck"}
 
+    def cohort(k: str) -> int:
+        rnd = last.get(k, 0)
+        if k in _REATTEST and rnd < _REATTEST_AS_OF:
+            return 0  # old attestation predates the contract change
+        return rnd
+
     def is_heavy(k: str) -> bool:
         return k.startswith("ml_") or k in heavy
 
     pos = {k: i for i, k in enumerate(d)}
-    ordered = sorted(d, key=lambda k: (last.get(k, 0), is_heavy(k), pos[k]))
+    ordered = sorted(d, key=lambda k: (cohort(k), is_heavy(k), pos[k]))
     return {k: d[k] for k in ordered}
 
 

@@ -35,9 +35,9 @@ def test_rotated_orders_by_staleness_then_defers_heavy():
     d = {k: k for k in ["q_new", "ml_new", "q_r1", "ml_r1", "q_r2", "dp_dedup_pipeline"]}
     last = {"q_r1": 1, "ml_r1": 1, "q_r2": 2, "dp_dedup_pipeline": 1}
     got = list(entry._rotated(d, last=last))
-    # cohort 0 (never attested): cheap before heavy; then r1 cohort the
-    # same way (dp_dedup_pipeline is heavy by name); r2 last
-    assert got == ["q_new", "ml_new", "q_r1", "ml_r1", "dp_dedup_pipeline", "q_r2"]
+    # cohort 0: never-attested plus dp_dedup_pipeline (in _REATTEST with
+    # a pre-change attestation), cheap before heavy; then r1; r2 last
+    assert got == ["q_new", "ml_new", "dp_dedup_pipeline", "q_r1", "ml_r1", "q_r2"]
 
 
 def test_rotated_ties_break_by_registry_order():
@@ -55,3 +55,17 @@ def test_rotated_preserves_membership():
     qpos = {k: i for i, k in enumerate(q)}
     opos = [qpos[k] for k in o]
     assert opos == sorted(opos)
+
+
+def test_rotated_reattests_contract_changed_queries():
+    """A query in _REATTEST with only a pre-change attestation rejoins
+    cohort 0; one already re-attested at/after _REATTEST_AS_OF does
+    not."""
+    d = {k: k for k in ["plain_old", "ml_kmeans_clusters", "ml_logreg_accuracy"]}
+    last = {
+        "plain_old": 1,
+        "ml_kmeans_clusters": 3,  # attested before the oracle change
+        "ml_logreg_accuracy": entry._REATTEST_AS_OF,  # new contract attested
+    }
+    got = list(entry._rotated(d, last=last))
+    assert got == ["ml_kmeans_clusters", "plain_old", "ml_logreg_accuracy"]
