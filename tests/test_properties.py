@@ -200,3 +200,44 @@ def test_normalization_idempotent(spark, texts):
     ).collect()
     for r in out:
         assert r.once == r.twice
+
+
+def test_temperature_mix_quota_invariants(spark, sf_dir):
+    """Per-source quota math: kept_docs == min(quota, n_docs),
+    kept_tokens <= src_tokens, every source represented (quota >= 1),
+    and the temperature effect holds — keep RATE is weakly decreasing
+    in source token mass (sampled tokens ~ tokens^0.5)."""
+    from crime_spark_ml_spark.plans.registry import all_queries
+
+    rows = all_queries()["dp_temperature_mix"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r.kept_docs == min(r.quota, r.n_docs), r
+        assert 1 <= r.quota and 0 < r.kept_tokens <= r.src_tokens, r
+    by_mass = sorted(rows, key=lambda r: r.src_tokens)
+    fracs = [r.quota / r.n_docs for r in by_mass]
+    # quotas derive from floor(f*n)+1 so allow the integer wobble
+    for small, big in zip(fracs, fracs[1:]):
+        assert big <= small + 0.05, fracs
+
+
+def test_ivfpq_quality_monotone_in_nprobe(spark):
+    """Probing more cells never worsens any query's best ADC distance
+    (candidate sets grow monotonically with nprobe)."""
+    from test_ivfpq import _planted_corpus
+
+    from crime_spark_ml_spark.ml.ivfpq import build_ivfpq, ivfpq_topk
+
+    corpus = _planted_corpus(spark).cache()
+    index = build_ivfpq(corpus, k_cells=8, m=4, k=8, seed=0)
+    index.coded.cache()
+    queries = corpus.where(F.col("vec_id") < 10)
+
+    def best(nprobe):
+        out = ivfpq_topk(index, queries, k=1, nprobe=nprobe).collect()
+        return {r.query_id: r.adist for r in out}
+
+    b2, b4, b8 = best(2), best(4), best(8)
+    for q in b8:
+        assert b8[q] <= b4.get(q, float("inf")) + 1e-9, q
+        assert b4.get(q, float("inf")) <= b2.get(q, float("inf")) + 1e-9, q
