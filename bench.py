@@ -47,6 +47,7 @@ HEADLINE_EXT = [
     "dp_dedup_pipeline",
     "stream_session_window",
     "dp_ann_pq",
+    "dp_ann_ivfpq",
     "dp_decontaminate",
     "j_salted_skew_agg",
 ]

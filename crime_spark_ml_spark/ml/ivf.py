@@ -2,8 +2,9 @@
 coarse-quantizer scale path promised alongside SRP-LSH
 (operators/similarity.py).
 
-Build: KMeans (k centroids) partitions the corpus into cells; each
-vector is assigned once (one narrow transform, centroids broadcast).
+Build: k centroids (driver-side seeded Lloyd's on a bounded sample —
+the model is kilobytes) partition the corpus into cells; each vector
+is assigned once by a zero-shuffle literal-argmin map.
 Search: a query scores only the vectors in its ``nprobe`` nearest
 cells — corpus scanned ∝ nprobe/k instead of 1.0 — then exact cosine
 re-ranks the candidates.
@@ -38,26 +39,52 @@ def build_ivf(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
 ) -> IvfIndex:
-    """``sample_fraction`` bounds the centroid FIT at scale (cell
-    geometry converges on a sample); assignment always covers every
-    row."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Centroids fit DRIVER-SIDE (seeded Lloyd's on a bounded,
+    partition-order-independent sample — the PQ-codebook split: the
+    model is k×dim doubles, kilobytes; distributed KMeans would spend
+    hundreds of scheduler jobs on it). Assignment covers every row as
+    a PURE NARROW MAP: argmin over k literal-array squared-L2
+    distances via one array_min over (d, cid) structs — zero shuffles,
+    so indexing 100 TB is scan → project → write. ``sample_fraction``
+    bounds the fit; corpora above the loud row cap require it."""
+    import numpy as np
 
-    vecs = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("features", array_to_vector("vec"))
-    fit_on = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
-    model = KMeans(k=k, seed=seed, featuresCol="features").fit(fit_on)
+    from .pq import _MAX_TRAIN_ROWS, _lloyd, _sq_l2_lit
+
+    sc = corpus.sparkSession.sparkContext
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # the fixture's single parquet file arrives as ONE input split, which
+    # would serialize the per-row assignment math onto one core; real
+    # corpora have >= cores splits, so this shuffle only fires in the
+    # degenerate case (the single-row-group trap documented in COVERAGE.md)
+    if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
+        vecs = vecs.repartition(sc.defaultParallelism)
+    sample = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
+    collected = [r.vec for r in sample.select("vec").limit(_MAX_TRAIN_ROWS + 1).collect()]
+    if len(collected) > _MAX_TRAIN_ROWS:
+        raise ValueError(
+            f"IVF training sample exceeds {_MAX_TRAIN_ROWS} rows; "
+            "pass sample_fraction to bound it"
+        )
+    X = np.asarray(sorted(tuple(v) for v in collected), dtype=np.float64)
+    C = _lloyd(X, k, seed)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in C[i]]) for i in range(k)],
         "cid int, cvec array<double>",
     )
-    assigned = (
-        model.transform(vecs)
-        .select("id", "vec", F.col("prediction").alias("cid"))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_l2_lit("vec", 0, [float(x) for x in C[i]]).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i in range(k)
+            ]
+        )
     )
+    assigned = vecs.withColumn("cid", best.getField("c").cast("int"))
     return IvfIndex(centroids=centroids, assigned=assigned)
 
 
@@ -104,8 +131,10 @@ def persist_ivf(index: IvfIndex, path: str) -> None:
     via partition PRUNING (directory-level skip, visible as
     PartitionFilters in the scan), instead of scanning the corpus and
     filtering. Centroids are a single tiny file next to it."""
+    from ..sources.writers import write_sidecar
+
     index.assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/assigned")
-    index.centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    write_sidecar(index.centroids, f"{path}/centroids")
 
 
 def load_ivf(spark, path: str) -> IvfIndex:

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ivf import build_ivf
-from .pq import PqModel, _sq_l2, _sliced, pq_encode, train_pq
+from .pq import PqModel, _sq_l2, _sliced, pq_code_expr, train_pq
 
 
 @dataclass
@@ -86,21 +86,23 @@ def build_ivfpq(
     res = _residuals(ivf.assigned, ivf.centroids)
     train = res.sample(train_fraction, seed=seed) if train_fraction else res
     pq = train_pq(train, m=m, k=k, seed=seed, vec_col="rvec")
-    coded = pq_encode(res, pq, id_col="id", vec_col="rvec").join(
-        res.select("id", "cid"), "id"
-    )
+    # cid rides along through the narrow-map encode — a join back on id
+    # would shuffle the whole corpus for a column it already has
+    coded = res.select("id", "cid", pq_code_expr(pq, "rvec").alias("codes"))
     return IvfPqIndex(centroids=ivf.centroids, pq=pq, coded=coded)
 
 
 def persist_ivfpq(index: IvfPqIndex, path: str) -> None:
     """Cell-partitioned code store + tiny sidecar tables. The code
     table is ~m bytes of payload per row (vs 8·dim for floats); the
-    centroid/codebook sidecars are kilobytes and single-file."""
+    centroid/codebook sidecars are kilobytes, written driver-side
+    (sources/writers.write_sidecar — a Spark write job on a kilobyte
+    local relation costs seconds of pure overhead)."""
+    from ..sources.writers import write_sidecar
+
     index.coded.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/coded")
-    index.centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    index.pq.codebooks.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/codebooks"
-    )
+    write_sidecar(index.centroids, f"{path}/centroids")
+    write_sidecar(index.pq.codebooks, f"{path}/codebooks")
 
 
 def load_ivfpq(spark: SparkSession, path: str) -> IvfPqIndex:

@@ -154,21 +154,26 @@ def _sq_l2_cols(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def pq_encode(
-    corpus: DataFrame,
-    model: PqModel,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int> length m): nearest codebook entry per
-    subspace, as a PURE NARROW MAP — the codebook is m×k rows
-    (kilobytes, collected once), so each code is an argmin over k
-    literal-array distances evaluated row-locally in codegen. Zero
-    shuffles: encoding 100 TB is scan → project → write. Tiebreak
-    (first minimum = lowest code) matches the former argmin-window
-    ordering (d, code), and the distance fold is the same sequential
-    aggregate/zip_with, so codes are bit-identical to the join-based
-    encoder this replaces."""
+def _sq_l2_lit(vec_col: str, offset: int, values: list[float]) -> F.Column:
+    """Squared L2 distance between ``vec_col[offset+1 .. offset+len]``
+    and a LITERAL vector, as a zip_with/aggregate fold. (An unrolled
+    sum-of-squares variant was measured strictly worse: it moves the
+    work from interpreted HOF eval into a multi-megabyte Catalyst tree
+    whose optimization + codegen dwarf the row math. The HOF form is
+    plan-cheap and the per-row cost parallelizes across input
+    splits.)"""
+    return _sq_l2_cols(
+        F.slice(F.col(vec_col), offset + 1, len(values)),
+        F.array(*[F.lit(v) for v in values]),
+    )
+
+
+def pq_code_expr(model: PqModel, vec_col: str) -> F.Column:
+    """The m-code array as ONE row-local column expression — nearest
+    codebook entry per subspace, argmin over k literal-vector distances
+    (the codebook is m×k rows, kilobytes, collected once). Callers
+    project it next to whatever columns must ride along (ivfpq keeps
+    ``cid`` beside the codes with no join)."""
     cb: dict[int, list[list[float]]] = {}
     for r in model.codebooks.collect():  # bounded: m*k rows
         cb.setdefault(r.sub, [None] * model.k)[r.code] = [float(x) for x in r.cvec]
@@ -177,14 +182,11 @@ def pq_encode(
         # array_min over (d, code) structs orders lexicographically —
         # one evaluation per distance (array_position(.., array_min(..))
         # would compute every aggregate twice), lowest code on ties
-        sl = F.slice(F.col(vec_col), j * model.sub_dim + 1, model.sub_dim)
         best = F.array_min(
             F.array(
                 *[
                     F.struct(
-                        _sq_l2_cols(sl, F.array(*[F.lit(x) for x in cb[j][c]])).alias(
-                            "d"
-                        ),
+                        _sq_l2_lit(vec_col, j * model.sub_dim, cb[j][c]).alias("d"),
                         F.lit(c).alias("c"),
                     )
                     for c in range(model.k)
@@ -193,9 +195,23 @@ def pq_encode(
         )
         return best.getField("c").cast("int")
 
+    return F.array(*[code_for(j) for j in range(model.m)])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    model: PqModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> length m): a PURE NARROW MAP — zero
+    shuffles, encoding 100 TB is scan → project → write. Tiebreak
+    (first minimum = lowest code) matches the former argmin-window
+    ordering (d, code), and the distance fold is the same sequential
+    aggregate/zip_with, so codes are bit-identical to the join-based
+    encoder this replaces."""
     return corpus.select(
-        F.col(id_col).alias("id"),
-        F.array(*[code_for(j) for j in range(model.m)]).alias("codes"),
+        F.col(id_col).alias("id"), pq_code_expr(model, vec_col).alias("codes")
     )
 
 

@@ -96,3 +96,21 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_sidecar(df: DataFrame, dest: str) -> None:
+    """Write a TINY driver-local table (model sidecars: centroids,
+    codebooks — kilobytes by construction) as one parquet file via
+    pyarrow. Routing a kilobyte local relation through a Spark write
+    job costs seconds of scheduler + python-worker overhead per call;
+    the driver writing it directly costs milliseconds, and Spark reads
+    the directory like any parquet table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = df.collect()  # bounded by contract: sidecars are model-sized
+    os.makedirs(dest, exist_ok=True)
+    table = pa.Table.from_pylist([r.asDict() for r in rows])
+    pq.write_table(table, os.path.join(dest, "part-0.parquet"))
