@@ -839,6 +839,60 @@ def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_heavy_hitters_sketch",
+    oracle="""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM t
+          GROUP BY term ORDER BY true_cnt DESC, term LIMIT 10)
+    SELECT term, true_cnt,
+           TRUE AS est_ge_true, TRUE AS est_within_eps
+    FROM c ORDER BY term
+    """,
+    tags=("sketch", "heavy-hitters", "cms", "llm"),
+)
+def dp_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: one ``count_min_sketch``
+    aggregate (eps=0.001, confidence 0.99, seed 42 — mergeable partial
+    sketches, a few KB crossing the shuffle regardless of corpus size)
+    queried driver-side via the public
+    ``org.apache.spark.util.sketch.CountMinSketch`` codec. The oracle
+    anchors the top-10 TRUE term counts (exact groupBy both engines,
+    count-desc/term tiebreak) and hash-checks the CMS guarantees as
+    booleans: estimate ≥ true count (always, by construction) and
+    estimate ≤ true + eps·N (the seeded sketch is deterministic, so
+    the outcome is stable)."""
+    terms = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    row = terms.agg(
+        F.expr("count_min_sketch(term, 0.001d, 0.99d, 42)").alias("sk"),
+        F.count("*").alias("n"),
+    ).first()
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row.sk)
+    )
+    top = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "term")
+        .limit(10)
+        .collect()
+    )
+    out = [
+        (
+            r.term,
+            r.true_cnt,
+            cms.estimateCount(r.term) >= r.true_cnt,
+            cms.estimateCount(r.term) <= r.true_cnt + 0.001 * row.n,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        out, "term string, true_cnt bigint, est_ge_true boolean, est_within_eps boolean"
+    ).orderBy("term")
+
+
+@register(
     "dp_temperature_mix",
     oracle="""
     WITH t AS (
