@@ -125,8 +125,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so queries without a prior-round driver attestation come
-    first (see ``_attested_names``).
+    Ordered so never-attested / contract-changed queries come first,
+    then least-recently-attested (see ``_attestation_rounds`` and
+    ``_rotated``).
     """
     return _rotated(all_queries())
 

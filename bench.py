@@ -64,26 +64,27 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     # two runs per query, min taken: the first run pays JIT/codegen
-    # compilation that a long-lived cluster wouldn't re-pay per query
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            df = specs[name].fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    # compilation that a long-lived cluster wouldn't re-pay per query.
+    # time_build=True also times the plan-builder call — for queries
+    # that do real work eagerly at build time.
+    def time_queries(names: list[str], time_build: bool) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(2):
+                if time_build:
+                    t0 = time.perf_counter()
+                    df = specs[name].fn(spark, sf_dir)
+                else:
+                    df = specs[name].fn(spark, sf_dir)
+                    t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
 
-    ext_timings: dict[str, float] = {}
-    for name in HEADLINE_EXT:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        ext_timings[name] = round(best, 3)
+    timings = time_queries(HEADLINE, time_build=False)
+    ext_timings = time_queries(HEADLINE_EXT, time_build=True)
 
     total = round(sum(timings.values()), 3)
     print(

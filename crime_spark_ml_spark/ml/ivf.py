@@ -46,10 +46,11 @@ def build_ivf(
     a PURE NARROW MAP: argmin over k literal-array squared-L2
     distances via one array_min over (d, cid) structs — zero shuffles,
     so indexing 100 TB is scan → project → write. ``sample_fraction``
-    bounds the fit; corpora above the loud row cap require it."""
+    bounds the fit; with none given, corpora above the row cap are
+    automatically down-sampled to it."""
     import numpy as np
 
-    from .pq import _MAX_TRAIN_ROWS, _lloyd, _sq_l2_lit
+    from .pq import _bounded_sample, _lloyd, _sq_l2_lit
 
     sc = corpus.sparkSession.sparkContext
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -59,14 +60,10 @@ def build_ivf(
     # degenerate case (the single-row-group trap documented in COVERAGE.md)
     if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
         vecs = vecs.repartition(sc.defaultParallelism)
-    sample = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
-    collected = [r.vec for r in sample.select("vec").limit(_MAX_TRAIN_ROWS + 1).collect()]
-    if len(collected) > _MAX_TRAIN_ROWS:
-        raise ValueError(
-            f"IVF training sample exceeds {_MAX_TRAIN_ROWS} rows; "
-            "pass sample_fraction to bound it"
-        )
-    X = np.asarray(sorted(tuple(v) for v in collected), dtype=np.float64)
+    sample = _bounded_sample(vecs.select("vec"), sample_fraction, seed)
+    X = np.asarray(
+        sorted(tuple(r.vec) for r in sample.collect()), dtype=np.float64
+    )
     C = _lloyd(X, k, seed)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(

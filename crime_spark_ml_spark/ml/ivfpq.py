@@ -232,7 +232,10 @@ def probe_ivfpq(
     pruning (``PartitionFilters`` in the scan node) instead of
     scanning the corpus and filtering."""
     index = load_ivfpq(spark, path)
-    luts = _probe_luts(index, queries, nprobe, id_col, vec_col).cache()
+    luts = _probe_luts(index, queries, nprobe, id_col, vec_col)
+    # no .cache(): the LUT plan re-evaluates once for the broadcast
+    # below (tiny — queries × centroids), and a cached relation here
+    # would leak storage memory for the session lifetime per probe
     cells = [int(r.cid) for r in luts.select("cid").distinct().collect()]
     pruned = index.coded.where(F.col("cid").isin(cells))
     return _score_topk(pruned, luts, k)

@@ -64,28 +64,63 @@ def _sq_l2(a: str, b: str) -> F.Column:
     )
 
 
-_MAX_TRAIN_ROWS = 200_000  # ~100 MB of float64 at dim 64 — loud cap
+_MAX_TRAIN_ROWS = 200_000  # ~100 MB of float64 at dim 64
+
+
+def _bounded_sample(df: DataFrame, fraction: float | None, seed: int) -> DataFrame:
+    """The driver-side training sample, bounded at _MAX_TRAIN_ROWS: an
+    explicit ``fraction`` is honored as-is; with none given, a corpus
+    above the cap is automatically down-sampled to it (deterministic
+    seeded sample) instead of collecting gigabytes or failing — the
+    quantizer-training contract is 'works at any corpus size with
+    bounded driver memory'."""
+    if fraction:
+        return df.sample(fraction, seed=seed)
+    n = df.count()
+    if n <= _MAX_TRAIN_ROWS:
+        return df
+    return df.sample(_MAX_TRAIN_ROWS / n, seed=seed)
+
+
+def _chunked_argmin(X, C, chunk: int = 8192):
+    """Nearest-center index per row via explicit diff-square distances,
+    processed in row blocks so peak memory is O(chunk·k·d) instead of
+    O(n·k·d) (~1.6 GB at the 200k-row cap). Same arithmetic per
+    element as the unchunked form — assignments are bit-identical."""
+    import numpy as np
+
+    out = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), chunk):
+        blk = X[s : s + chunk]
+        out[s : s + chunk] = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    return out
 
 
 def _lloyd(X, k: int, seed: int, iters: int = 25):
     """Seeded k-means++ + Lloyd's on a driver-side sample (numpy).
     Deterministic for a given (X, k, seed); X is pre-sorted by the
-    caller so the result is independent of Spark partition order."""
+    caller so the result is independent of Spark partition order.
+    Seeding keeps a running min-d2 vector (distance only to the newest
+    center per step — O(n·d), not O(n·k·d) with a giant temporary);
+    the probabilities, and therefore the drawn centers, are identical
+    to the recompute-everything form."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     n = len(X)
     centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(1)
     for _ in range(min(k, n) - 1):
-        d2 = ((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1).min(1)
         total = d2.sum()
         p = d2 / total if total > 0 else np.full(n, 1.0 / n)
-        centers.append(X[rng.choice(n, p=p)])
+        c = X[rng.choice(n, p=p)]
+        centers.append(c)
+        d2 = np.minimum(d2, ((X - c) ** 2).sum(1))
     while len(centers) < k:  # degenerate: fewer points than centroids
         centers.append(centers[0])
     C = np.asarray(centers, dtype=np.float64)
     for _ in range(iters):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        assign = _chunked_argmin(X, C)
         newC = np.vstack(
             [X[assign == c].mean(0) if (assign == c).any() else C[c] for c in range(k)]
         )
@@ -112,22 +147,19 @@ def train_pq(
     (``sample_fraction``), numpy fits the tiny model, Spark applies
     it everywhere (pq_encode is a narrow map). The collected sample
     is sorted before fitting, so codebooks do not depend on partition
-    order; a corpus above the loud row cap requires an explicit
-    ``sample_fraction`` rather than silently collecting gigabytes."""
+    order; with no ``sample_fraction`` given, a corpus above the row
+    cap is automatically down-sampled to it (bounded driver memory at
+    any corpus size)."""
     import numpy as np
 
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    sample = corpus.sample(sample_fraction, seed=seed) if sample_fraction else corpus
-    vecs = [r[0] for r in sample.select(vec_col).limit(_MAX_TRAIN_ROWS + 1).collect()]
-    if len(vecs) > _MAX_TRAIN_ROWS:
-        raise ValueError(
-            f"PQ training sample exceeds {_MAX_TRAIN_ROWS} rows; "
-            "pass sample_fraction to bound it"
-        )
-    X = np.asarray(sorted(tuple(v) for v in vecs), dtype=np.float64)
+    sample = _bounded_sample(corpus.select(vec_col), sample_fraction, seed)
+    X = np.asarray(
+        sorted(tuple(r[0]) for r in sample.collect()), dtype=np.float64
+    )
     rows: list[tuple[int, int, list[float]]] = []
     for j in range(m):
         C = _lloyd(X[:, j * sub_dim : (j + 1) * sub_dim], k, seed + j)

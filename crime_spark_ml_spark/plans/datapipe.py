@@ -33,6 +33,16 @@ from ..sources.catalog import load_table
 from .registry import register
 
 
+# Quantizer-training cap shared by the ANN plans: fits converge on a
+# sample, so training cost is corpus-size-independent. Resolves to the
+# full table at sf<=0.01 (driver-attested results unchanged).
+ANN_TRAIN_ROWS = 4000
+
+
+def _train_fraction(n_rows: int) -> float | None:
+    return None if n_rows <= ANN_TRAIN_ROWS else ANN_TRAIN_ROWS / n_rows
+
+
 # ------------------------------------------------------------------ dedup
 @register(
     "dp_exact_dedup",
@@ -432,8 +442,7 @@ def dp_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.pq import pq_encode, pq_topk, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    n = emb.count()
-    frac = None if n <= 4000 else 4000.0 / n
+    frac = _train_fraction(emb.count())
     model = train_pq(emb, m=8, k=16, seed=0, sample_fraction=frac)
     codes = pq_encode(emb, model)
     result = pq_topk(codes, model, emb.where(F.col("vec_id") < 5), k=5).orderBy(
@@ -458,8 +467,7 @@ def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.ivfpq import build_ivfpq, persist_ivfpq, probe_ivfpq
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    n = emb.count()
-    frac = None if n <= 4000 else 4000.0 / n
+    frac = _train_fraction(emb.count())
     index = build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac)
     path = tempfile.mkdtemp(prefix="ivfpq_")
     try:
@@ -517,7 +525,7 @@ def dp_ann_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {(r.query_id, r.cand_id) for r in df.collect()}
         return len(got & exact) / len(exact)
 
-    frac = None if n_corpus <= 4000 else 4000.0 / n_corpus
+    frac = _train_fraction(n_corpus)
     lsh_r = recall(lsh_topk(emb, queries, k=5))
     ivf_r = recall(
         ivf_topk(
@@ -878,12 +886,13 @@ def dp_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .collect()
     )
+    ests = {r.term: cms.estimateCount(r.term) for r in top}  # one py4j call each
     out = [
         (
             r.term,
             r.true_cnt,
-            cms.estimateCount(r.term) >= r.true_cnt,
-            cms.estimateCount(r.term) <= r.true_cnt + 0.001 * row.n,
+            ests[r.term] >= r.true_cnt,
+            ests[r.term] <= r.true_cnt + 0.001 * row.n,
         )
         for r in top
     ]

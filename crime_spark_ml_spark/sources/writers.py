@@ -106,11 +106,15 @@ def write_sidecar(df: DataFrame, dest: str) -> None:
     the driver writing it directly costs milliseconds, and Spark reads
     the directory like any parquet table."""
     import os
+    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = df.collect()  # bounded by contract: sidecars are model-sized
-    os.makedirs(dest, exist_ok=True)
+    # overwrite semantics like the Spark writer it replaces — stale
+    # part files at dest would silently union into the loaded table
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
     table = pa.Table.from_pylist([r.asDict() for r in rows])
     pq.write_table(table, os.path.join(dest, "part-0.parquet"))

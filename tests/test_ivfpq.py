@@ -95,15 +95,21 @@ def test_ivfpq_probe_plan_prunes_and_never_shuffles_corpus(
         corpus.sparkSession, path, corpus.where(F.col("vec_id") < 10), k=3, nprobe=3
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan, plan
-    after = plan.split("PartitionFilters", 1)[1][:160]
+    assert "BroadcastHashJoin" in plan, plan
+    # above the join: exactly the one shuffle of scored candidates
+    above = plan.split("BroadcastHashJoin", 1)[0]
+    assert above.count("Exchange hashpartitioning") == 1, above
+    # the corpus branch (between the join and either the DPP subquery's
+    # LUT plan or the broadcast build side): pruned scan, zero shuffles
+    corpus_branch = (
+        plan.split("BroadcastHashJoin", 1)[1]
+        .split("SubqueryAdaptiveBroadcast", 1)[0]
+        .split("BroadcastExchange", 1)[0]
+    )
+    assert "PartitionFilters: [" in corpus_branch, corpus_branch
+    after = corpus_branch.split("PartitionFilters", 1)[1][:160]
     assert "cid" in after, after
-    # the cached LUT's inner plan is rendered inside InMemoryRelation
-    # and BroadcastExchange also contains "Exchange" — pin SHUFFLE
-    # exchanges in the main (pre-cache) plan segment only
-    main = plan.split("InMemoryRelation", 1)[0]
-    assert main.count("Exchange hashpartitioning") == 1, main
-    assert "BroadcastHashJoin" in main, main
+    assert "Exchange" not in corpus_branch, corpus_branch
 
 
 def test_ivfpq_full_probe_scores_whole_corpus(planted_index):
