@@ -1572,6 +1572,75 @@ def dp_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_upsert_merge",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 4 != 0),
+    updates AS (
+      SELECT o_orderkey,
+             o_custkey,
+             o_totalprice + 10.00 AS o_totalprice,
+             'U' AS o_orderstatus,
+             o_orderkey % 8 = 2 AS is_delete
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                WHEN t.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM target t FULL OUTER JOIN updates u USING (o_orderkey)
+    WHERE u.is_delete IS NULL OR NOT u.is_delete
+    ORDER BY o_orderkey
+    """,
+    tags=("cdc", "merge", "upsert"),
+)
+def dp_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the CDC write path complementing
+    dp_latest_snapshot's read path): a change batch with upserts and
+    deletes applied to a target snapshot in ONE full-outer hash join
+    on the key — matched rows take the update, unmatched target rows
+    survive, unmatched updates insert, delete-flagged rows drop. Both
+    sides derive deterministically from the orders table so the oracle
+    replays the identical merge. At scale both sides shuffle once on
+    the merge key (or zero times if the snapshot is bucketed by it —
+    sources/writers.write_bucketed)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    target = o.where(F.col("o_orderkey") % 4 != 0)
+    updates = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(10.00)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_orderkey") % 8 == 2).alias("is_delete"),
+    )
+    t, u = target.alias("t"), updates.alias("u")
+    merged = (
+        t.join(u, on="o_orderkey", how="full_outer")
+        .where(F.col("u.is_delete").isNull() | ~F.col("u.is_delete"))
+        .select(
+            F.col("o_orderkey"),
+            F.coalesce(F.col("u.o_custkey"), F.col("t.o_custkey")).alias("o_custkey"),
+            F.coalesce(F.col("u.o_totalprice"), F.col("t.o_totalprice")).alias(
+                "o_totalprice"
+            ),
+            F.coalesce(F.col("u.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(F.col("u.o_custkey").isNull(), "kept")
+            .when(F.col("t.o_custkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )
+    return merged.orderBy("o_orderkey")
+
+
+@register(
     "dp_video_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,
