@@ -154,3 +154,45 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
         spark.sql("DROP TABLE IF EXISTS t_facts_b")
         spark.sql("DROP TABLE IF EXISTS t_dims_b")
+
+
+def test_bucketed_merge_upsert_zero_shuffle(spark):
+    """The dp_upsert_merge scale story, pinned: a FULL OUTER merge of a
+    snapshot and a change batch both bucketed by the merge key runs
+    with ZERO exchanges — the CDC write path at 100 TB co-locates by
+    construction instead of shuffling both sides per batch."""
+    from crime_spark_ml_spark.sources.writers import write_bucketed
+
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        snap = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        changes = spark.range(0, 10_000, 2).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 5).alias("v"),
+            (F.col("id") % 8 == 2).alias("is_delete"),
+        )
+        write_bucketed(snap, "t_snap_b", ("k",), n_buckets=8, sort_cols=("k",))
+        write_bucketed(changes, "t_chg_b", ("k",), n_buckets=8, sort_cols=("k",))
+        t, u = spark.table("t_snap_b").alias("t"), spark.table("t_chg_b").alias("u")
+        merged = (
+            t.join(u, on="k", how="full_outer")
+            .where(F.col("u.is_delete").isNull() | ~F.col("u.is_delete"))
+            .select("k", F.coalesce(F.col("u.v"), F.col("t.v")).alias("v"))
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # semantics: deletes (k%8==2 among even k) dropped, updates win
+        got = {r.k: r.v for r in merged.collect()}
+        assert len(got) == 10_000 - 10_000 // 8
+        assert got[4] == 20 and got[1] == 3 and 2 not in got
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_snap_b")
+        spark.sql("DROP TABLE IF EXISTS t_chg_b")
