@@ -932,49 +932,28 @@ def dp_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "temperature", "mixture", "llm"),
 )
 def dp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based source mixing (the standard multi-source LLM
-    corpus rule): per-source keep rate ∝ src_tokens^-0.5, so sampled
-    tokens scale as src_tokens^T with T=0.5 — small sources are
-    upweighted relative to proportional sampling. Deterministic by
-    construction: integer per-source quotas (floor(f·n_docs)+1 — no
-    round-half ambiguity across engines; the float path is single
-    operations on exact integer aggregates, bit-identical in Spark and
-    DuckDB) filled in md5 content-hash order, the same
-    engine-independent selection dp_stratified_sample uses. One
-    groupBy + one broadcast join + one per-source window — no global
-    sort, no driver loop."""
-    from pyspark.sql import Window
+    """Temperature-based source mixing (operators/mix.py — per-source
+    keep rate ∝ src_tokens^-0.5, quotas filled in md5 hash order),
+    summarized per source for the oracle: quota math is single float
+    operations on exact integer aggregates and selection is
+    content-hash order, so DuckDB replays the mix bit for bit."""
+    from ..operators.mix import temperature_mix, temperature_quotas
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("fp"),
-        n_tokens("text").alias("n_tokens"),
-    )
-    src = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("src_tokens"),
-        (
-            F.floor(
-                F.least(F.lit(1.0), F.lit(50.0) / F.sqrt(F.sum("n_tokens")))
-                * F.count("*")
-            )
-            + 1
-        ).alias("quota"),
-    )
-    w = Window.partitionBy("source").orderBy("fp", "doc_id")
-    ranked = docs.join(F.broadcast(src), "source").withColumn(
-        "rk", F.row_number().over(w)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    quotas = temperature_quotas(docs)
+    kept = (
+        temperature_mix(docs)
+        .select("source", n_tokens("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
     )
     return (
-        ranked.groupBy("source", "n_docs", "src_tokens", "quota")
-        .agg(
-            F.sum(F.when(F.col("rk") <= F.col("quota"), 1).otherwise(0))
-            .cast("long")
-            .alias("kept_docs"),
-            F.sum(F.when(F.col("rk") <= F.col("quota"), F.col("n_tokens")).otherwise(0))
-            .cast("long")
-            .alias("kept_tokens"),
+        quotas.join(kept, "source")
+        .select(
+            "source", "n_docs", "src_tokens", "quota", "kept_docs", "kept_tokens"
         )
         .orderBy("source")
     )

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Run the LLM training-data pipeline end-to-end over the documents
 table: normalize → exact dedup → near-dup dedup (MinHash-LSH +
-connected components, min-id representative) → chunk → pack →
-held-out hash sample, writing each stage as parquet.
+connected components, min-id representative) → temperature source
+mix → chunk → pack → held-out hash sample, writing each stage as parquet.
 
 Usage:
   python tools/run_datapipe.py [--sf-dir /root/testdata/sf0.01] [--out DIR]
@@ -31,6 +31,7 @@ from crime_spark_ml_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_candidates,
 )
+from crime_spark_ml_spark.operators.mix import temperature_mix  # noqa: E402
 from crime_spark_ml_spark.session import get_spark  # noqa: E402
 from crime_spark_ml_spark.sources.catalog import load_table  # noqa: E402
 
@@ -41,6 +42,7 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--chunk", type=int, default=20)
     ap.add_argument("--pack-budget", type=int, default=100)
+    ap.add_argument("--mix-scale", type=float, default=50.0, dest="mix_scale")
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="datapipe_out_")
     spark = get_spark("datapipe")
@@ -80,13 +82,19 @@ def main() -> int:
     deduped = spark.read.parquet(f"{out}/deduped")
     funnel.append(("after_near_dedup", deduped.count()))
 
-    # 4. chunk (non-overlapping windows for packing)
+    # 4. temperature source mixing: per-source quota ∝ n_docs·tokens^-0.5
+    # (sampled tokens ~ tokens^0.5 — upweights small sources); 0 disables
+    if args.mix_scale > 0:
+        deduped = temperature_mix(deduped, scale=args.mix_scale)
+        funnel.append(("after_temperature_mix", deduped.count()))
+
+    # 5. chunk (non-overlapping windows for packing)
     chunks = chunk_documents(deduped, chunk_size=args.chunk, stride=args.chunk).join(
         F.broadcast(deduped.select("doc_id", "source")), "doc_id"
     )
     funnel.append(("chunks", chunks.count()))
 
-    # 5. pack: per-source cumulative quota
+    # 6. pack: per-source cumulative quota
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id", "chunk_id")
@@ -101,7 +109,7 @@ def main() -> int:
         ("packs", packed.select("source", "pack_id").distinct().count())
     )
 
-    # 6. held-out sample: deterministic content-hash carve (~25%)
+    # 7. held-out sample: deterministic content-hash carve (~25%)
     heldout = deduped.where(
         F.substring(F.md5("text"), 1, 1).isin("0", "1", "2", "3")
     )
