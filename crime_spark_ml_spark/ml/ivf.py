@@ -50,7 +50,7 @@ def build_ivf(
     automatically down-sampled to it."""
     import numpy as np
 
-    from .pq import _bounded_sample, _lloyd, _sq_l2_lit
+    from .pq import _collect_train_sample, _lloyd, _sq_l2_lit
 
     sc = corpus.sparkSession.sparkContext
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -60,10 +60,8 @@ def build_ivf(
     # degenerate case (the single-row-group trap documented in COVERAGE.md)
     if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
         vecs = vecs.repartition(sc.defaultParallelism)
-    sample = _bounded_sample(vecs.select("vec"), sample_fraction, seed)
-    X = np.asarray(
-        sorted(tuple(r.vec) for r in sample.collect()), dtype=np.float64
-    )
+    rows = _collect_train_sample(vecs.select("vec"), "vec", sample_fraction, seed)
+    X = np.asarray(sorted(tuple(r.vec) for r in rows), dtype=np.float64)
     C = _lloyd(X, k, seed)
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(

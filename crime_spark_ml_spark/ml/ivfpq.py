@@ -84,8 +84,9 @@ def build_ivfpq(
         sample_fraction=train_fraction,
     )
     res = _residuals(ivf.assigned, ivf.centroids)
-    train = res.sample(train_fraction, seed=seed) if train_fraction else res
-    pq = train_pq(train, m=m, k=k, seed=seed, vec_col="rvec")
+    # sampling happens inside train_pq (hash-based, layout-independent,
+    # bounded) — a pre-sample here would be a second, divergent sampler
+    pq = train_pq(res, m=m, k=k, seed=seed, vec_col="rvec", sample_fraction=train_fraction)
     # cid rides along through the narrow-map encode — a join back on id
     # would shuffle the whole corpus for a column it already has
     coded = res.select("id", "cid", pq_code_expr(pq, "rvec").alias("codes"))

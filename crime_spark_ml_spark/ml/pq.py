@@ -65,21 +65,53 @@ def _sq_l2(a: str, b: str) -> F.Column:
 
 
 _MAX_TRAIN_ROWS = 200_000  # ~100 MB of float64 at dim 64
+_SAMPLE_BUCKETS = 1_000_000  # hash-sampling granularity
 
 
-def _bounded_sample(df: DataFrame, fraction: float | None, seed: int) -> DataFrame:
-    """The driver-side training sample, bounded at _MAX_TRAIN_ROWS: an
-    explicit ``fraction`` is honored as-is; with none given, a corpus
-    above the cap is automatically down-sampled to it (deterministic
-    seeded sample) instead of collecting gigabytes or failing — the
-    quantizer-training contract is 'works at any corpus size with
-    bounded driver memory'."""
-    if fraction:
-        return df.sample(fraction, seed=seed)
+def _collect_train_sample(
+    df: DataFrame, col: str, fraction: float | None, seed: int
+) -> list:
+    """Collect the single-column training sample, bounded at
+    _MAX_TRAIN_ROWS whichever path is taken — the quantizer-training
+    contract is 'works at any corpus size with bounded driver memory'.
+
+    Sampling is HASH-based (keep iff xxhash64(value, seed) mod 1e6
+    lands under the keep fraction), not ``DataFrame.sample``: the RDD
+    sampler seeds per partition, so its sampled SET depends on split
+    layout — the fitted centroids would differ between an 8-core and a
+    32-core run of the same corpus. Content hashing is deterministic
+    across layouts, engines, and runs (same property the md5 samplers
+    in plans/datapipe rely on).
+
+    An explicit ``fraction`` that still exceeds the cap fails loudly
+    (a silent multi-GB collect would OOM the driver); with none given,
+    the under-cap fast path is a single limit-probe job, and only an
+    over-cap corpus pays the extra count to derive the auto fraction."""
+    if fraction is not None:
+        if not 0.0 < fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1], got {fraction}")
+        keep = max(1, int(_SAMPLE_BUCKETS * fraction))
+        rows = (
+            df.where(F.pmod(F.xxhash64(F.col(col), F.lit(seed)), _SAMPLE_BUCKETS) < keep)
+            .limit(_MAX_TRAIN_ROWS + 1)
+            .collect()
+        )
+        if len(rows) > _MAX_TRAIN_ROWS:
+            raise ValueError(
+                f"training sample exceeds {_MAX_TRAIN_ROWS} rows at "
+                f"sample_fraction={fraction}; pass a smaller fraction"
+            )
+        return rows
+    rows = df.limit(_MAX_TRAIN_ROWS + 1).collect()
+    if len(rows) <= _MAX_TRAIN_ROWS:
+        return rows
     n = df.count()
-    if n <= _MAX_TRAIN_ROWS:
-        return df
-    return df.sample(_MAX_TRAIN_ROWS / n, seed=seed)
+    keep = max(1, int(_SAMPLE_BUCKETS * (_MAX_TRAIN_ROWS / n) * 0.95))
+    return (
+        df.where(F.pmod(F.xxhash64(F.col(col), F.lit(seed)), _SAMPLE_BUCKETS) < keep)
+        .limit(_MAX_TRAIN_ROWS)
+        .collect()
+    )
 
 
 def _chunked_argmin(X, C, chunk: int = 8192):
@@ -156,10 +188,8 @@ def train_pq(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    sample = _bounded_sample(corpus.select(vec_col), sample_fraction, seed)
-    X = np.asarray(
-        sorted(tuple(r[0]) for r in sample.collect()), dtype=np.float64
-    )
+    rows = _collect_train_sample(corpus.select(vec_col), vec_col, sample_fraction, seed)
+    X = np.asarray(sorted(tuple(r[0]) for r in rows), dtype=np.float64)
     rows: list[tuple[int, int, list[float]]] = []
     for j in range(m):
         C = _lloyd(X[:, j * sub_dim : (j + 1) * sub_dim], k, seed + j)

@@ -57,11 +57,15 @@ def temperature_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    quotas: DataFrame | None = None,
 ) -> DataFrame:
     """The kept rows: each source's quota filled in md5(text) hash
     order (id tiebreak) — deterministic across engines, runs, and
-    partitionings. Returns the input columns unchanged."""
-    quotas = temperature_quotas(docs, scale, text_col, source_col)
+    partitionings. Returns the input columns unchanged. Pass a
+    precomputed ``quotas`` frame to avoid re-aggregating when the
+    caller already built one."""
+    if quotas is None:
+        quotas = temperature_quotas(docs, scale, text_col, source_col)
     w = Window.partitionBy(source_col).orderBy(F.md5(text_col), id_col)
     return (
         docs.join(F.broadcast(quotas.select(source_col, "quota")), source_col)

@@ -942,7 +942,7 @@ def dp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     quotas = temperature_quotas(docs)
     kept = (
-        temperature_mix(docs)
+        temperature_mix(docs, quotas=quotas)
         .select("source", n_tokens("text").alias("n_tokens"))
         .groupBy("source")
         .agg(

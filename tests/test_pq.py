@@ -117,3 +117,27 @@ def test_pq_encode_plan_is_shuffle_free(spark, sf_dir):
     plan = pq_encode(emb, model)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan  # no pandas/arrow eval in the map
+
+
+def test_collect_train_sample_paths(spark, monkeypatch):
+    """Bounded training-sample collection: explicit fractions are
+    hash-based (layout-independent — repartitioned input yields the
+    SAME sampled set), out-of-range and over-cap fractions fail
+    loudly, and the over-cap auto path stays within the cap."""
+    import crime_spark_ml_spark.ml.pq as pqmod
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(400)], "id long, v array<double>"
+    ).select("v")
+    a = pqmod._collect_train_sample(df, "v", 0.25, seed=0)
+    b = pqmod._collect_train_sample(df.repartition(7), "v", 0.25, seed=0)
+    assert sorted(tuple(r.v) for r in a) == sorted(tuple(r.v) for r in b)
+    assert 0 < len(a) < 400
+
+    with pytest.raises(ValueError, match="must be in"):
+        pqmod._collect_train_sample(df, "v", 0.0, seed=0)
+    monkeypatch.setattr(pqmod, "_MAX_TRAIN_ROWS", 50)
+    with pytest.raises(ValueError, match="pass a smaller fraction"):
+        pqmod._collect_train_sample(df, "v", 1.0, seed=0)
+    auto = pqmod._collect_train_sample(df, "v", None, seed=0)  # auto path
+    assert len(auto) <= 50

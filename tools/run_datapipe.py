@@ -85,7 +85,11 @@ def main() -> int:
     # 4. temperature source mixing: per-source quota ∝ n_docs·tokens^-0.5
     # (sampled tokens ~ tokens^0.5 — upweights small sources); 0 disables
     if args.mix_scale > 0:
-        deduped = temperature_mix(deduped, scale=args.mix_scale)
+        mixed = temperature_mix(deduped, scale=args.mix_scale)
+        mixed.write.mode("overwrite").parquet(f"{out}/mixed")
+        # materialize-then-read like stage 3: downstream actions must not
+        # re-run the mix aggregations per action
+        deduped = spark.read.parquet(f"{out}/mixed")
         funnel.append(("after_temperature_mix", deduped.count()))
 
     # 5. chunk (non-overlapping windows for packing)
