@@ -77,3 +77,35 @@ def test_datapipe_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
     assert 0 < stages["heldout_docs"] < stages["after_near_dedup"] // 2
     packed = spark.read.parquet(str(tmp_path / "packed"))
     assert packed.where(F.col("pack_id").isNull()).count() == 0
+
+
+def test_run_ann_cli_build_then_probe(tmp_path, monkeypatch):
+    """The ANN CLI end to end in-process: build+persist an index at
+    sf0.001, then probe it and check every query ranks k neighbors."""
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import run_ann
+
+    idx = str(tmp_path / "idx")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_ann.py", "build", "--sf-dir", "/root/testdata/sf0.001", "--index", idx],
+    )
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert run_ann.main() == 0
+    assert "indexed" in out.getvalue()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_ann.py", "probe", "--index", idx, "--sf-dir", "/root/testdata/sf0.001",
+         "--query-ids", "0,1,2", "--k", "3"],
+    )
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert run_ann.main() == 0
+    lines = [ln for ln in out.getvalue().splitlines() if ln.startswith("query ")]
+    assert len(lines) == 9  # 3 queries x k=3
