@@ -81,6 +81,8 @@ _REATTEST = {
     "dp_multimodal_resize",
     "dp_pandas_source_stats",
     "dp_dedup_pipeline",
+    "approx_distinct",
+    "a8_percentiles_approx",
 }
 _REATTEST_AS_OF = 4  # attestations from this round on clear the flag
 

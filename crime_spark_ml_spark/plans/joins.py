@@ -392,18 +392,38 @@ def distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,  # approximate by design → rows-only check; exact twin above
-    tags=("agg", "approx"),
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_3rsd
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "approx", "invariant"),
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB-scale variant
     of distinct counting — mergeable sketch, no exact-distinct shuffle.
-    Non-deterministic vs DuckDB's HLL → rows-only check; correctness
-    covered by tests asserting ≤2% error vs the exact count."""
+    The sketch VALUE differs from DuckDB's HLL, so the oracle anchors
+    the EXACT per-group distinct count (computed by both engines) and
+    hash-checks the HLL guarantee as a boolean: |approx − exact| ≤
+    3·rsd·exact (rsd 0.02; register-max merges make the Spark estimate
+    deterministic, so the boolean is stable). Tight ≤2%-error behavior
+    stays pinned in tests."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= 0.06 * F.col("exact_customers")
+            ).alias("approx_within_3rsd"),
+        )
         .orderBy("o_orderstatus")
     )
 
