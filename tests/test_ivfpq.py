@@ -123,3 +123,24 @@ def test_ivfpq_full_probe_scores_whole_corpus(planted_index):
     assert len(full) == 5 * 4
     for r in full:
         assert r.cand_id // 5 == r.query_id // 5, r  # cluster-mates win
+
+
+def test_ivfpq_repersist_same_path_overwrites(planted_index, tmp_path):
+    """Persisting twice to one path must NOT union stale sidecar files
+    into the loaded table (write_sidecar carries the Spark writer's
+    overwrite semantics): geometry and probe results stay identical."""
+    corpus, index = planted_index
+    path = str(tmp_path / "ivfpq_twice")
+    persist_ivfpq(index, path)
+    queries = corpus.where(F.col("vec_id") < 5)
+    first = sorted(
+        tuple(r) for r in probe_ivfpq(corpus.sparkSession, path, queries, k=3).collect()
+    )
+    persist_ivfpq(index, path)  # re-persist over the same files
+    back = load_ivfpq(corpus.sparkSession, path)
+    assert back.centroids.count() == 8  # not 16 from unioned stale parts
+    assert back.pq.codebooks.count() == index.pq.m * index.pq.k
+    second = sorted(
+        tuple(r) for r in probe_ivfpq(corpus.sparkSession, path, queries, k=3).collect()
+    )
+    assert first == second
