@@ -63,31 +63,23 @@ def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
 
 # Queries whose CONTRACT (oracle and/or output schema) changed after
 # their last driver attestation — the old green row attests a different
-# artifact, so they re-enter the rotation as if never attested. Round 4
-# converted these from rows-only to value oracles; prune entries once
-# the new contract has a hash-matched row in a CORRECTNESS_r*.json.
-_REATTEST = {
-    "ml_kmeans_clusters",
-    "ml_logreg_accuracy",
-    "ml_pca_embeddings",
-    "ml_gbt_binary_auc",
-    "ml_gbt_multiclass",
-    "ml_linreg_coefs",
-    "ml_crossval_logreg",
-    "ml_tfidf_text_classifier",
-    "ml_naive_bayes_text",
-    "ml_crime_pipeline",
-    "dp_audio_frame_stats",
-    "dp_multimodal_resize",
-    "dp_pandas_source_stats",
-    "dp_dedup_pipeline",
-    "approx_distinct",
-    "a8_percentiles_approx",
-}
+# artifact, so they re-enter the rotation as if never attested. Add a
+# query here (and bump _REATTEST_AS_OF to the upcoming round) whenever
+# its oracle or output schema changes; prune entries once the new
+# contract has a hash-matched row in a CORRECTNESS_r*.json. The 16
+# round-4 rows-only→value-oracle conversions all re-attested green in
+# CORRECTNESS_r04, so the set is drained; with it empty, the rotation's
+# steady state is pure freshness — each window re-checks the
+# least-recently-attested queries (r01/r02-era first).
+_REATTEST: set[str] = set()
 _REATTEST_AS_OF = 4  # attestations from this round on clear the flag
 
 
-def _rotated(d: dict, last: dict[str, int] | None = None) -> dict:
+def _rotated(
+    d: dict,
+    last: dict[str, int] | None = None,
+    reattest: set[str] | None = None,
+) -> dict:
     """Never-attested and contract-changed first, then stalest first.
 
     Within each staleness cohort, cheap oracle-checked queries come
@@ -98,12 +90,13 @@ def _rotated(d: dict, last: dict[str, int] | None = None) -> dict:
     the sequence deterministic across runs.
     """
     last = last if last is not None else _attestation_rounds()
+    reattest = reattest if reattest is not None else _REATTEST
     # multi-round iterative / multi-model jobs, tens of seconds each
     heavy = {"dp_dedup_pipeline", "dp_ann_selfcheck"}
 
     def cohort(k: str) -> int:
         rnd = last.get(k, 0)
-        if k in _REATTEST and rnd < _REATTEST_AS_OF:
+        if k in reattest and rnd < _REATTEST_AS_OF:
             return 0  # old attestation predates the contract change
         return rnd
 

@@ -136,5 +136,7 @@ def load_ivf(spark, path: str) -> IvfIndex:
     assigned = spark.read.parquet(f"{path}/assigned").select(
         "id", "vec", F.col("cid").cast("int").alias("cid")
     )
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = spark.read.parquet(f"{path}/centroids").select(
+        F.col("cid").cast("int").alias("cid"), "cvec"
+    )
     return IvfIndex(centroids=centroids, assigned=assigned)

@@ -112,8 +112,17 @@ def load_ivfpq(spark: SparkSession, path: str) -> IvfPqIndex:
     coded = spark.read.parquet(f"{path}/coded").select(
         "id", "codes", F.col("cid").cast("int").alias("cid")
     )
-    centroids = spark.read.parquet(f"{path}/centroids")
-    codebooks = spark.read.parquet(f"{path}/codebooks")
+    # the int casts make a loaded index schema-identical to a freshly
+    # built one even for pre-schema-preserving sidecars (from_pylist
+    # widened int → int64); new sidecars carry int32 already
+    centroids = spark.read.parquet(f"{path}/centroids").select(
+        F.col("cid").cast("int").alias("cid"), "cvec"
+    )
+    codebooks = spark.read.parquet(f"{path}/codebooks").select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+        "cvec",
+    )
     geom = codebooks.agg(
         (F.max("sub") + 1).alias("m"),
         (F.max("code") + 1).alias("k"),

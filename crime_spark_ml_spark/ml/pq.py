@@ -107,8 +107,16 @@ def _collect_train_sample(
         return rows
     n = df.count()
     keep = max(1, int(_SAMPLE_BUCKETS * (_MAX_TRAIN_ROWS / n) * 0.95))
+    # if the 0.95-headroom hash sample still overshoots the cap, keep
+    # the cap-many SMALLEST full hashes (TakeOrderedAndProject — the
+    # driver never holds more than the cap): content-determined, so the
+    # truncated set is layout-independent like the filter itself. Ties
+    # need a full 64-bit collision, i.e. (in practice) equal vectors —
+    # interchangeable under the caller's sort-before-fit.
+    h = F.xxhash64(F.col(col), F.lit(seed))
     return (
-        df.where(F.pmod(F.xxhash64(F.col(col), F.lit(seed)), _SAMPLE_BUCKETS) < keep)
+        df.where(F.pmod(h, _SAMPLE_BUCKETS) < keep)
+        .orderBy(h)
         .limit(_MAX_TRAIN_ROWS)
         .collect()
     )

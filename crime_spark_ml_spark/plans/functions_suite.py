@@ -212,9 +212,12 @@ def a8_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch values aren't cross-engine-stable, so the oracle
     anchors the per-group row count and hash-checks the accuracy
     guarantee as booleans: the approximate P50/P90 must land within
-    1% of the EXACT percentile Spark also computes (rank error at
-    accuracy 10000 is ≤ 1e-4 — a far tighter bound than the band, so
-    merge-order wiggle can't flip the boolean)."""
+    1% of the EXACT percentile Spark also computes. The sketch's own
+    guarantee is a RANK error ≤ 1e-4 at accuracy 10000; rank error
+    only translates to value error through the local value density,
+    so the 1% band is EMPIRICAL for this fixture (lineitem prices are
+    dense near P50/P90 — a 1e-4 rank slip moves the value by ≪1%),
+    not implied by the sketch bound on arbitrary distributions."""
     li = load_table(spark, sf_dir, "lineitem")
     ep = F.col("l_extendedprice").cast("double")
     return (

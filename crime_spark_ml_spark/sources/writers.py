@@ -108,13 +108,20 @@ def write_sidecar(df: DataFrame, dest: str) -> None:
     import os
     import shutil
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = df.collect()  # bounded by contract: sidecars are model-sized
+    # driver-local write path only — the Spark writer this replaces
+    # spoke any Hadoop FS, but os/shutil below do not
+    if "://" in dest:
+        raise ValueError(f"write_sidecar writes via the local filesystem only: {dest}")
+    # toArrow() carries the exact Spark schema into the parquet footer:
+    # IntegerType stays int32 (no from_pylist int64 widening, so a
+    # loaded sidecar matches a freshly built frame), and an empty
+    # sidecar still round-trips its columns instead of a zero-column
+    # table that would break load_ivf/load_ivfpq
+    table = df.toArrow()  # bounded by contract: sidecars are model-sized
     # overwrite semantics like the Spark writer it replaces — stale
     # part files at dest would silently union into the loaded table
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest)
-    table = pa.Table.from_pylist([r.asDict() for r in rows])
     pq.write_table(table, os.path.join(dest, "part-0.parquet"))

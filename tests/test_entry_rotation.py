@@ -34,9 +34,9 @@ def test_attestation_rounds_reads_latest_green(tmp_path):
 def test_rotated_orders_by_staleness_then_defers_heavy():
     d = {k: k for k in ["q_new", "ml_new", "q_r1", "ml_r1", "q_r2", "dp_dedup_pipeline"]}
     last = {"q_r1": 1, "ml_r1": 1, "q_r2": 2, "dp_dedup_pipeline": 1}
-    got = list(entry._rotated(d, last=last))
-    # cohort 0: never-attested plus dp_dedup_pipeline (in _REATTEST with
-    # a pre-change attestation), cheap before heavy; then r1; r2 last
+    got = list(entry._rotated(d, last=last, reattest={"dp_dedup_pipeline"}))
+    # cohort 0: never-attested plus dp_dedup_pipeline (contract-changed
+    # with a pre-change attestation), cheap before heavy; then r1; r2
     assert got == ["q_new", "ml_new", "dp_dedup_pipeline", "q_r1", "ml_r1", "q_r2"]
 
 
@@ -58,14 +58,26 @@ def test_rotated_preserves_membership():
 
 
 def test_rotated_reattests_contract_changed_queries():
-    """A query in _REATTEST with only a pre-change attestation rejoins
-    cohort 0; one already re-attested at/after _REATTEST_AS_OF does
-    not."""
+    """A query in the reattest set with only a pre-change attestation
+    rejoins cohort 0; one already re-attested at/after _REATTEST_AS_OF
+    does not. (The production _REATTEST set is drained — all r04
+    conversions re-attested — so membership is injected here.)"""
     d = {k: k for k in ["plain_old", "ml_kmeans_clusters", "ml_logreg_accuracy"]}
     last = {
         "plain_old": 1,
         "ml_kmeans_clusters": 3,  # attested before the oracle change
         "ml_logreg_accuracy": entry._REATTEST_AS_OF,  # new contract attested
     }
-    got = list(entry._rotated(d, last=last))
+    got = list(
+        entry._rotated(
+            d, last=last, reattest={"ml_kmeans_clusters", "ml_logreg_accuracy"}
+        )
+    )
     assert got == ["ml_kmeans_clusters", "plain_old", "ml_logreg_accuracy"]
+
+
+def test_production_reattest_set_is_drained():
+    """Steady state after r04: every contract change has a hash-matched
+    row at/after _REATTEST_AS_OF, so the set must stay empty until the
+    next contract change (add the query + bump _REATTEST_AS_OF then)."""
+    assert entry._REATTEST == set()
