@@ -1,0 +1,70 @@
+"""Registry-wide physical-plan linter — the permanent form of the
+anti-pattern sweep that was previously a manual grep per round.
+
+Every registered query's physical plan is asserted free of the three
+scale-killer node types:
+
+- ``CartesianProduct`` — an un-broadcast cross join; O(n·m) row pairs
+  shipped through a shuffle. Never acceptable.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan; the
+  engine's UDF policy (SURVEY.md §2.11) allows only Arrow-batched
+  ``ArrowEvalPython``/``MapInPandas`` at the pickle/codec boundaries.
+- ``BroadcastNestedLoopJoin`` — acceptable ONLY for an intentional
+  ``crossJoin(F.broadcast(tiny))`` where the build side is a
+  model/aggregate-sized relation (kilobytes by construction). Those
+  are enumerated in ``BNLJ_ALLOWED`` with the tiny side named; any
+  other query growing a BNLJ fails the lint until it is either
+  rewritten or explicitly justified here.
+
+Plans are linted at sf0.001 — node types don't depend on fixture
+scale (AQE can only *downgrade* a shuffle join to broadcast-hash,
+never introduce one of the forbidden nodes at larger scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crime_spark_ml_spark.plans.registry import load_all_plans
+
+from conftest import SF_SMOKE
+
+# query name -> the broadcast-tiny build side that makes the BNLJ a
+# deliberate scalar/model fan-out instead of a quadratic join
+BNLJ_ALLOWED = {
+    "dp_ann_bruteforce": "query vectors (nq rows) broadcast over the corpus",
+    "dp_ann_ivf": "query x centroid probe table (nq*k_cells rows)",
+    "dp_ann_pq": "per-query LUTs (nq rows, m*k doubles each)",
+    "dp_cluster_invariants": "single-row aggregate anchors",
+    "dp_simhash_selfcheck": "single-row aggregate anchors",
+    "dp_tfidf_top_terms": "single-row corpus doc-count",
+    "e6_zscore": "per-column mean/std aggregate (one row)",
+    "ev_gap_fill": "global min/max bucket bounds (one row)",
+    "ml_target_encoding": "global target mean (one row)",
+    "q22_global_sales_opportunity": "global avg acctbal (one row)",
+}
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+_SPECS = load_all_plans()
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_no_scale_killer_nodes(spark, name):
+    df = _SPECS[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in FORBIDDEN:
+        assert node not in plan, f"{name}: forbidden {node} in physical plan"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_ALLOWED, (
+            f"{name}: BroadcastNestedLoopJoin not in the allow-list — "
+            "broadcast a tiny side deliberately and justify it in "
+            "BNLJ_ALLOWED, or rewrite the join"
+        )
+
+
+def test_bnlj_allowlist_is_tight():
+    """Every allow-list entry names a registered query, so renames/
+    deletions can't leave stale justifications behind."""
+    unknown = set(BNLJ_ALLOWED) - set(_SPECS)
+    assert not unknown, f"allow-list entries for unregistered queries: {unknown}"
