@@ -47,10 +47,53 @@ HEADLINE_EXT = [
     "dp_dedup_pipeline",
     "stream_session_window",
     "dp_ann_pq",
-    "dp_ann_ivfpq",
+    "dp_ann_ivfpq",  # timed split into _build and _probe below
     "dp_decontaminate",
     "j_salted_skew_agg",
 ]
+
+
+def time_ivfpq_split(spark, sf_dir: str) -> dict[str, float]:
+    """dp_ann_ivfpq's cost, split at the production boundary: BUILD
+    (quantizer fits + zero-shuffle encode + cell-partitioned persist —
+    paid once per index) vs PROBE (pruned scan + broadcast LUT ADC —
+    paid per search, the production-critical half). The registered
+    query runs both as one blob, so a probe-path regression would hide
+    behind the ~10x larger build cost; here each side gets its own
+    min-of-2 line, same parameters as plans/datapipe.dp_ann_ivfpq."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crime_spark_ml_spark.ml.ivfpq import build_ivfpq, persist_ivfpq, probe_ivfpq
+    from crime_spark_ml_spark.plans.datapipe import _train_fraction
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    best_build = best_probe = float("inf")
+    for _ in range(2):
+        emb = load_table(spark, sf_dir, "embeddings").cache()
+        frac = _train_fraction(emb.count())
+        path = tempfile.mkdtemp(prefix="ivfpq_bench_")
+        try:
+            t0 = time.perf_counter()
+            index = build_ivfpq(
+                emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac
+            )
+            persist_ivfpq(index, path)
+            best_build = min(best_build, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            probe_ivfpq(
+                spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=4
+            ).write.format("noop").mode("overwrite").save()
+            best_probe = min(best_probe, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+            emb.unpersist(blocking=False)
+    return {
+        "dp_ann_ivfpq_build": round(best_build, 3),
+        "dp_ann_ivfpq_probe": round(best_probe, 3),
+    }
 
 
 def main() -> None:
@@ -84,7 +127,12 @@ def main() -> None:
         return out
 
     timings = time_queries(HEADLINE, time_build=False)
-    ext_timings = time_queries(HEADLINE_EXT, time_build=True)
+    # dp_ann_ivfpq reports as _build + _probe component lines; their
+    # sum stays comparable to the single pre-split line in BENCH_r04
+    ext_timings = time_queries(
+        [n for n in HEADLINE_EXT if n != "dp_ann_ivfpq"], time_build=True
+    )
+    ext_timings.update(time_ivfpq_split(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
