@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ivf import build_ivf
-from .pq import PqModel, _sq_l2, _sliced, pq_code_expr, train_pq
+from .pq import PqModel, _sq_l2, _sq_l2_lit, _sliced, pq_code_expr, train_pq
 
 
 @dataclass
@@ -104,6 +104,105 @@ def persist_ivfpq(index: IvfPqIndex, path: str) -> None:
     index.coded.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/coded")
     write_sidecar(index.centroids, f"{path}/centroids")
     write_sidecar(index.pq.codebooks, f"{path}/codebooks")
+    # staleness bookkeeping for append_ivfpq/needs_retrain: n_base is
+    # the row count the quantizers were trained against (parquet-footer
+    # count — metadata-only, no data scan)
+    spark = index.coded.sparkSession
+    n_base = spark.read.parquet(f"{path}/coded").count()
+    _write_stats(spark, path, n_base=n_base, n_appended=0)
+
+
+def _write_stats(spark: SparkSession, path: str, n_base: int, n_appended: int) -> None:
+    from ..sources.writers import write_sidecar
+
+    write_sidecar(
+        spark.createDataFrame(
+            [(n_base, n_appended)], "n_base bigint, n_appended bigint"
+        ),
+        f"{path}/stats",
+    )
+
+
+def ivfpq_staleness(spark: SparkSession, path: str) -> dict:
+    """{n_base, n_appended, staleness}: how much of the store was coded
+    by quantizers that never saw it. Appended vectors are assigned and
+    PQ-coded with centroids/codebooks fit before they arrived, so as
+    the appended mass grows the codebooks drift off the data
+    distribution and recall decays — staleness = n_appended / n_base is
+    the retrain signal. Indexes persisted before stats existed read as
+    fresh (n_base = current count, n_appended = 0)."""
+    import os
+
+    if os.path.exists(f"{path}/stats"):
+        row = spark.read.parquet(f"{path}/stats").first()
+        n_base, n_appended = int(row.n_base), int(row.n_appended)
+    else:  # pre-stats index: treat current contents as the trained base
+        n_base = spark.read.parquet(f"{path}/coded").count()
+        n_appended = 0
+    return {
+        "n_base": n_base,
+        "n_appended": n_appended,
+        "staleness": n_appended / n_base if n_base else float("inf"),
+    }
+
+
+def needs_retrain(spark: SparkSession, path: str, max_staleness: float = 0.25) -> bool:
+    """Retrain trigger: True once the appended fraction exceeds
+    ``max_staleness``. The caller owns the retrain itself (build_ivfpq
+    over the full corpus + persist_ivfpq to a fresh path, then swap) —
+    keeping the trigger separate from the act means the expensive
+    rebuild can be scheduled, batched, or vetoed."""
+    return ivfpq_staleness(spark, path)["staleness"] > max_staleness
+
+
+def append_ivfpq(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental maintenance — the piece a production 100 TB ANN
+    store needs beyond build-once: encode NEW vectors with the
+    PERSISTED quantizers (no retrain) and append them to their cells.
+
+    Same shape as the build path: assignment is a zero-shuffle
+    literal-argmin over the k collected centroids (kilobytes), the
+    residual PQ encode is a narrow map, and the write appends only the
+    touched cid partition directories — existing files are never
+    rewritten, and probes pick the new rows up on their next pruned
+    scan with no index-wide operation. Id uniqueness is the caller's
+    contract (append does not dedup against the store). Returns the
+    updated staleness dict; check ``needs_retrain`` (or the returned
+    staleness) to schedule a full rebuild."""
+    index = load_ivfpq(spark, path)
+    cents = sorted(index.centroids.collect(), key=lambda r: r.cid)  # k rows
+    if not cents:
+        raise ValueError(f"no centroids at {path}/centroids — not an IVFPQ index")
+    before = ivfpq_staleness(spark, path)
+    vecs = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_l2_lit("vec", 0, [float(x) for x in r.cvec]).alias("d"),
+                    F.lit(int(r.cid)).alias("c"),
+                )
+                for r in cents
+            ]
+        )
+    )
+    assigned = vecs.withColumn("cid", best.getField("c").cast("int"))
+    res = _residuals(assigned, index.centroids)
+    coded_new = res.select("id", "cid", pq_code_expr(index.pq, "rvec").alias("codes"))
+    coded_new.write.mode("append").partitionBy("cid").parquet(f"{path}/coded")
+    # appended count from footer metadata (no data scan, no cache of
+    # the encode plan): everything beyond n_base is appended mass
+    total = spark.read.parquet(f"{path}/coded").count()
+    _write_stats(
+        spark, path, n_base=before["n_base"], n_appended=total - before["n_base"]
+    )
+    return ivfpq_staleness(spark, path)
 
 
 def load_ivfpq(spark: SparkSession, path: str) -> IvfPqIndex:

@@ -9,9 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from crime_spark_ml_spark.ml.ivfpq import (
+    append_ivfpq,
     build_ivfpq,
+    ivfpq_staleness,
     ivfpq_topk,
     load_ivfpq,
+    needs_retrain,
     persist_ivfpq,
     probe_ivfpq,
 )
@@ -123,6 +126,53 @@ def test_ivfpq_full_probe_scores_whole_corpus(planted_index):
     assert len(full) == 5 * 4
     for r in full:
         assert r.cand_id // 5 == r.query_id // 5, r  # cluster-mates win
+
+
+def test_ivfpq_append_staleness_and_retrain_trigger(planted_index, tmp_path, spark):
+    """Incremental maintenance lifecycle: append encodes with the
+    PERSISTED quantizers (appended twins of existing vectors land in
+    the same cell with the same codes), probes see appended rows with
+    no index-wide operation, the staleness counter tracks appended
+    mass, and needs_retrain flips once it crosses the threshold."""
+    corpus, index = planted_index
+    path = str(tmp_path / "ivfpq_append")
+    persist_ivfpq(index, path)
+    st0 = ivfpq_staleness(spark, path)
+    assert (st0["n_base"], st0["n_appended"], st0["staleness"]) == (40, 0, 0.0)
+    assert not needs_retrain(spark, path)
+
+    # append exact twins of vectors 0-4 under new ids
+    new = corpus.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    st1 = append_ivfpq(spark, path, new)
+    assert (st1["n_base"], st1["n_appended"]) == (40, 5)
+
+    back = load_ivfpq(spark, path)
+    coded = {
+        r.id: (r.cid, tuple(r.codes))
+        for r in back.coded.where(
+            (F.col("id") < 5) | (F.col("id").between(100, 104))
+        ).collect()
+    }
+    for vid in range(5):  # same persisted quantizers => same cell, same codes
+        assert coded[vid + 100] == coded[vid], vid
+
+    # a probe surfaces the appended twin (ADC distance ~0) immediately
+    got = probe_ivfpq(
+        spark, path, corpus.where(F.col("vec_id") < 2), k=5, nprobe=4
+    ).collect()
+    cands = {(r.query_id, r.cand_id) for r in got}
+    assert (0, 100) in cands and (1, 101) in cands
+
+    # 5/40 = 12.5% stale: below a 25% threshold; 15/40 = 37.5%: above
+    assert not needs_retrain(spark, path, max_staleness=0.25)
+    more = corpus.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200).alias("vec_id"), "embedding"
+    )
+    st2 = append_ivfpq(spark, path, more)
+    assert st2["n_appended"] == 15
+    assert needs_retrain(spark, path, max_staleness=0.25)
 
 
 def test_ivfpq_repersist_same_path_overwrites(planted_index, tmp_path):

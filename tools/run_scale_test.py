@@ -1,0 +1,337 @@
+#!/usr/bin/env python
+"""Volume-scale pressure test for the ANN and dedup stacks.
+
+The shipped test fixtures cap `embeddings` at 2000 rows, so every ANN
+bench number there is fixed overhead (BASELINE.md's caveat) and the
+100 TB design claims — pruned probe reads, bounded quantizer training,
+capped LSH buckets — carry plan pins but no observed scaling curve.
+This tool generates a deterministic local fixture at 10-1000x that
+volume and records the curves:
+
+  gen    — synthesize `embeddings` (dim-64 float vectors drawn around
+           64 well-separated latent centers + per-vector noise, all
+           JVM-side hash math, no Python row loop) and `documents`
+           (hash-chosen word sequences over a small vocab, ~5% planted
+           near-duplicates = base text + one appended token) under
+           --dir (default .scale/, gitignored).
+  ann    — IVFPQ build+persist time and cell-occupancy distribution
+           per corpus size (cell size held ~constant by scaling
+           k_cells with the corpus, the production knob); probe time
+           vs corpus size at fixed nprobe (should stay ~flat when
+           cells are constant-sized: the scan reads nprobe cells, not
+           the corpus) and vs nprobe at fixed corpus (should grow
+           ~linearly: each probed cell is one more pruned read).
+  dedup  — MinHash-LSH -> connected-components funnel wall time per
+           doc count (should grow ~linearly at constant dup rate) and
+           the LSH band-bucket size distribution (tail vs the
+           max_bucket=200 skew cap).
+  all    — gen (if missing) + ann + dedup.
+
+Results append to SCALE_r05.json (one JSON object per phase) so a run
+is resumable phase by phase.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crime_spark_ml_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_JSON = os.path.join(REPO, "SCALE_r05.json")
+
+DIM = 64
+N_CLUSTERS = 64
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row table stream merge data join "
+    "shuffle plan stage task codec page split block footer schema vector "
+    "token text model index probe"
+).split()
+
+
+def gen_embeddings(spark, n: int):
+    """Centers are uniform in [-1,1]^64 (component = hash(cluster, j)),
+    noise is ±0.2 per component (hash(vec_id, j)) — center separation
+    ~9.2 vs noise norm ~0.9, so the latent clusters are recoverable
+    and IVF cell occupancy is meaningful, not uniform-random."""
+    center = (
+        f"(pmod(xxhash64(pmod(xxhash64(id, 7), {N_CLUSTERS}), j, 11), 2000) - 1000)"
+        " / 1000.0"
+    )
+    noise = "(pmod(xxhash64(id, j, 13), 2000) - 1000) / 5000.0"
+    return spark.range(0, n, 1, 32).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), j -> CAST({center} + {noise} AS FLOAT))"
+        ).alias("embedding"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(N_CLUSTERS))
+        .cast("int")
+        .alias("label"),
+    )
+
+
+def gen_documents(spark, n: int):
+    """Same schema as the shipped documents table. ~5% of docs (id >=
+    1000) are near-duplicates of id-1000: identical word sequence plus
+    one appended token => 3-shingle Jaccard ~0.97, well above the
+    8-band s-curve threshold (~0.59), mirroring dp_dedup_pipeline's
+    planted-dup construction at volume."""
+    vocab_sql = "array(" + ", ".join(f"'{w}'" for w in VOCAB) + ")"
+    base = (
+        "CASE WHEN id >= 1000 AND pmod(xxhash64(id, 3), 100) < 5 "
+        "THEN id - 1000 ELSE id END"
+    )
+    words = (
+        f"transform(sequence(1, 60 + CAST(pmod(xxhash64({base}, 5), 140) AS INT)), "
+        f"p -> element_at({vocab_sql}, "
+        f"CAST(pmod(xxhash64({base}, p, 17), {len(VOCAB)}) + 1 AS INT)))"
+    )
+    text = (
+        f"CASE WHEN id >= 1000 AND pmod(xxhash64(id, 3), 100) < 5 "
+        f"THEN concat(concat_ws(' ', {words}), ' nearduptail') "
+        f"ELSE concat_ws(' ', {words}) END"
+    )
+    return spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.expr(text).alias("text"),
+        F.expr(
+            "element_at(array('en','zh','de','fr'), "
+            "CAST(pmod(xxhash64(id, 21), 4) + 1 AS INT))"
+        ).alias("lang"),
+        F.expr("concat('src', CAST(pmod(xxhash64(id, 9), 10) AS STRING))").alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _record(phase: str, payload: dict) -> None:
+    rec = dict(json.load(open(OUT_JSON))) if os.path.exists(OUT_JSON) else {}
+    rec[phase] = payload
+    with open(OUT_JSON, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(f"[scale] recorded phase {phase!r} -> {OUT_JSON}")
+
+
+def cmd_gen(spark, args) -> None:
+    t0 = time.perf_counter()
+    gen_embeddings(spark, args.emb).write.mode("overwrite").parquet(
+        f"{args.dir}/embeddings.parquet"
+    )
+    gen_documents(spark, args.docs).write.mode("overwrite").parquet(
+        f"{args.dir}/documents.parquet"
+    )
+    _record(
+        "gen",
+        {
+            "n_embeddings": args.emb,
+            "n_documents": args.docs,
+            "dim": DIM,
+            "latent_clusters": N_CLUSTERS,
+            "gen_sec": round(time.perf_counter() - t0, 1),
+        },
+    )
+
+
+def cmd_ann(spark, args) -> None:
+    from crime_spark_ml_spark.ml.ivfpq import (
+        build_ivfpq,
+        persist_ivfpq,
+        probe_ivfpq,
+    )
+    from crime_spark_ml_spark.plans.datapipe import _train_fraction
+
+    emb = spark.read.parquet(f"{args.dir}/embeddings.parquet")
+    sizes = [int(s) for s in args.sizes.split(",")]
+    nprobes = [int(s) for s in args.nprobes.split(",")]
+    # untimed warmup so the smallest timed size doesn't absorb the
+    # one-time JIT/codegen cost (smoke runs showed it dominating)
+    wpath = f"{args.dir}/ivfpq_warmup"
+    widx = build_ivfpq(
+        emb.where(F.col("vec_id") < 4000), k_cells=8, m=8, k=16, seed=0
+    )
+    persist_ivfpq(widx, wpath)
+    probe_ivfpq(
+        spark, wpath, emb.where(F.col("vec_id") < 4), k=10, nprobe=2
+    ).write.format("noop").mode("overwrite").save()
+    shutil.rmtree(wpath, ignore_errors=True)
+    per_size = []
+    biggest_path = None
+    for s in sizes:
+        corpus = emb.where(F.col("vec_id") < s)
+        # hold cell size ~constant (the production knob): more data ->
+        # more cells, not bigger ones, so a probe's read stays bounded
+        k_cells = max(16, s // args.cell_rows)
+        path = f"{args.dir}/ivfpq_{s}"
+        t0 = time.perf_counter()
+        index = build_ivfpq(
+            corpus, k_cells=k_cells, m=8, k=16, seed=0,
+            train_fraction=_train_fraction(s),
+        )
+        persist_ivfpq(index, path)
+        build_sec = round(time.perf_counter() - t0, 2)
+        occ = (
+            spark.read.parquet(f"{path}/coded")
+            .groupBy("cid")
+            .count()
+            .agg(
+                F.count("*").alias("cells"),
+                F.min("count").alias("min"),
+                F.expr("percentile(count, 0.5)").alias("p50"),
+                F.max("count").alias("max"),
+            )
+            .first()
+        )
+        queries = emb.where(F.col("vec_id") < args.n_queries)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            probe_ivfpq(spark, path, queries, k=10, nprobe=4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_size.append(
+            {
+                "corpus": s,
+                "k_cells": k_cells,
+                "build_persist_sec": build_sec,
+                "probe_nprobe4_sec": round(best, 2),
+                "cell_occupancy": {
+                    "cells": int(occ.cells),
+                    "min": int(occ.min),
+                    "p50": float(occ.p50),
+                    "max": int(occ.max),
+                },
+            }
+        )
+        print(f"[scale][ann] corpus={s} {per_size[-1]}")
+        biggest_path = path
+    nprobe_sweep = []
+    queries = emb.where(F.col("vec_id") < args.n_queries)
+    for np_ in nprobes:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            probe_ivfpq(spark, biggest_path, queries, k=10, nprobe=np_).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        nprobe_sweep.append({"nprobe": np_, "probe_sec": round(best, 2)})
+        print(f"[scale][ann] nprobe={np_} {nprobe_sweep[-1]}")
+    for s in sizes:  # indexes are experiment scratch, not fixture
+        shutil.rmtree(f"{args.dir}/ivfpq_{s}", ignore_errors=True)
+    _record(
+        "ann",
+        {
+            "n_queries": args.n_queries,
+            "cell_rows_target": args.cell_rows,
+            "per_corpus_size": per_size,
+            "nprobe_sweep_at_largest": nprobe_sweep,
+        },
+    )
+
+
+def cmd_dedup(spark, args) -> None:
+    from crime_spark_ml_spark.functions.hashing import band_hashes
+    from crime_spark_ml_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs_all = spark.read.parquet(f"{args.dir}/documents.parquet")
+    sizes = [int(s) for s in args.sizes.split(",")]
+    # untimed warmup (JIT/codegen) — see cmd_ann
+    wdocs = docs_all.where(F.col("doc_id") < 1000).select("doc_id", "text")
+    duplicate_clusters(
+        minhash_lsh_candidates(wdocs), wdocs.select("doc_id")
+    ).agg(F.count("*")).first()
+    per_size = []
+    for s in sizes:
+        docs = docs_all.where(F.col("doc_id") < s).select("doc_id", "text")
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_candidates(
+            docs, parallelism=spark.sparkContext.defaultParallelism
+        )
+        clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+        funnel = clusters.agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_survivors"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 2)
+        per_size.append(
+            {
+                "n_docs": int(funnel.n_docs),
+                "n_survivors": int(funnel.n_survivors),
+                "removed_frac": round(1 - funnel.n_survivors / funnel.n_docs, 4),
+                "wall_sec": wall,
+            }
+        )
+        print(f"[scale][dedup] {per_size[-1]}")
+    docs = docs_all.where(F.col("doc_id") < sizes[-1]).select("doc_id", "text")
+    buckets = (
+        minhash_signatures(
+            docs, parallelism=spark.sparkContext.defaultParallelism
+        )
+        .select(F.posexplode(band_hashes("minhash_sig", 8, 4)).alias("bp", "bh"))
+        .groupBy("bp", "bh")
+        .count()
+    )
+    bstats = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.expr("percentile(count, 0.5)").alias("p50"),
+        F.expr("percentile(count, 0.99)").alias("p99"),
+        F.max("count").alias("max"),
+        F.sum(F.when(F.col("count") > 200, 1).otherwise(0)).alias("over_cap"),
+    ).first()
+    _record(
+        "dedup",
+        {
+            "per_doc_count": per_size,
+            "lsh_bucket_sizes_at_largest": {
+                "n_buckets": int(bstats.n_buckets),
+                "p50": float(bstats.p50),
+                "p99": float(bstats.p99),
+                "max": int(bstats.max),
+                "over_max_bucket_cap_200": int(bstats.over_cap),
+            },
+        },
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "all"])
+    ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
+    ap.add_argument("--emb", type=int, default=400_000)
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--sizes", default=None)
+    ap.add_argument("--nprobes", default="1,2,4,8,16")
+    ap.add_argument("--cell-rows", type=int, default=6250, dest="cell_rows")
+    ap.add_argument("--n-queries", type=int, default=8, dest="n_queries")
+    args = ap.parse_args()
+    spark = get_spark("scale-test", cpus=32, shuffle_partitions=32)
+    if args.phase in ("gen", "all") and (
+        args.phase == "gen" or not os.path.exists(f"{args.dir}/embeddings.parquet")
+    ):
+        cmd_gen(spark, args)
+    if args.phase in ("ann", "all"):
+        if args.sizes is None:
+            args.sizes = f"{args.emb // 4},{args.emb // 2},{args.emb}"
+        cmd_ann(spark, args)
+    if args.phase in ("dedup", "all"):
+        args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
+        cmd_dedup(spark, args)
+
+
+if __name__ == "__main__":
+    main()
