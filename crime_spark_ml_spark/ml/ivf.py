@@ -133,10 +133,19 @@ def persist_ivf(index: IvfIndex, path: str) -> None:
 
 
 def load_ivf(spark, path: str) -> IvfIndex:
+    """Centroids load driver-side into a LOCAL relation (zero Spark
+    jobs for a kilobyte model table — see load_ivfpq); the assigned
+    corpus stays a distributed parquet read."""
+    from ..sources.writers import read_sidecar_rows
+
     assigned = spark.read.parquet(f"{path}/assigned").select(
         "id", "vec", F.col("cid").cast("int").alias("cid")
     )
-    centroids = spark.read.parquet(f"{path}/centroids").select(
-        F.col("cid").cast("int").alias("cid"), "cvec"
+    centroids = spark.createDataFrame(
+        [
+            (int(r["cid"]), [float(x) for x in r["cvec"]])
+            for r in read_sidecar_rows(f"{path}/centroids")
+        ],
+        "cid int, cvec array<double>",
     )
     return IvfIndex(centroids=centroids, assigned=assigned)

@@ -133,9 +133,11 @@ def ivfpq_staleness(spark: SparkSession, path: str) -> dict:
     fresh (n_base = current count, n_appended = 0)."""
     import os
 
+    from ..sources.writers import read_sidecar_rows
+
     if os.path.exists(f"{path}/stats"):
-        row = spark.read.parquet(f"{path}/stats").first()
-        n_base, n_appended = int(row.n_base), int(row.n_appended)
+        row = read_sidecar_rows(f"{path}/stats")[0]  # driver-side, no job
+        n_base, n_appended = int(row["n_base"]), int(row["n_appended"])
     else:  # pre-stats index: treat current contents as the trained base
         n_base = spark.read.parquet(f"{path}/coded").count()
         n_appended = 0
@@ -207,28 +209,41 @@ def append_ivfpq(
 
 def load_ivfpq(spark: SparkSession, path: str) -> IvfPqIndex:
     """Model geometry (m, k, sub_dim) is derived from the codebook
-    table itself, so the parquet layout is self-describing."""
+    table itself, so the parquet layout is self-describing.
+
+    The sidecars are read DRIVER-SIDE (read_sidecar_rows — pyarrow,
+    milliseconds, zero Spark jobs) and rebuilt as LOCAL relations: a
+    probe's latency path pays no scheduler round-trips for kilobyte
+    model tables, the geometry derivation is plain Python instead of
+    an aggregation job per load, and the explicit python-int/float
+    rebuild normalizes any pre-schema-preserving sidecar's widened
+    types. Spark's parquet reader still works on the same directories
+    for any external consumer."""
+    from ..sources.writers import read_sidecar_rows
+
     coded = spark.read.parquet(f"{path}/coded").select(
         "id", "codes", F.col("cid").cast("int").alias("cid")
     )
-    # the int casts make a loaded index schema-identical to a freshly
-    # built one even for pre-schema-preserving sidecars (from_pylist
-    # widened int → int64); new sidecars carry int32 already
-    centroids = spark.read.parquet(f"{path}/centroids").select(
-        F.col("cid").cast("int").alias("cid"), "cvec"
+    cent_rows = read_sidecar_rows(f"{path}/centroids")
+    cb_rows = read_sidecar_rows(f"{path}/codebooks")
+    if not cent_rows or not cb_rows:
+        raise ValueError(f"empty centroid/codebook sidecars at {path}")
+    centroids = spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
+        "cid int, cvec array<double>",
     )
-    codebooks = spark.read.parquet(f"{path}/codebooks").select(
-        F.col("sub").cast("int").alias("sub"),
-        F.col("code").cast("int").alias("code"),
-        "cvec",
+    codebooks = spark.createDataFrame(
+        [
+            (int(r["sub"]), int(r["code"]), [float(x) for x in r["cvec"]])
+            for r in cb_rows
+        ],
+        "sub int, code int, cvec array<double>",
     )
-    geom = codebooks.agg(
-        (F.max("sub") + 1).alias("m"),
-        (F.max("code") + 1).alias("k"),
-        F.max(F.size("cvec")).alias("sub_dim"),
-    ).first()
     pq = PqModel(
-        codebooks=codebooks, m=int(geom.m), k=int(geom.k), sub_dim=int(geom.sub_dim)
+        codebooks=codebooks,
+        m=max(r["sub"] for r in cb_rows) + 1,
+        k=max(r["code"] for r in cb_rows) + 1,
+        sub_dim=max(len(r["cvec"]) for r in cb_rows),
     )
     return IvfPqIndex(centroids=centroids, pq=pq, coded=coded)
 
@@ -342,9 +357,14 @@ def probe_ivfpq(
     scanning the corpus and filtering."""
     index = load_ivfpq(spark, path)
     luts = _probe_luts(index, queries, nprobe, id_col, vec_col)
-    # no .cache(): the LUT plan re-evaluates once for the broadcast
-    # below (tiny — queries × centroids), and a cached relation here
-    # would leak storage memory for the session lifetime per probe
-    cells = [int(r.cid) for r in luts.select("cid").distinct().collect()]
+    # ONE evaluation of the LUT plan: collect the kilobyte table
+    # (nq·nprobe rows), derive the probed-cell IN-list in Python, and
+    # re-ship the rows as a LOCAL relation for the broadcast. The
+    # former flow ran the plan twice (distinct-collect for the cells,
+    # then again under the broadcast) — a full scheduler round-trip of
+    # pure overhead on the per-search latency path. No .cache() so no
+    # storage-memory leak per probe.
+    lut_rows = luts.collect()
+    cells = sorted({int(r.cid) for r in lut_rows})
     pruned = index.coded.where(F.col("cid").isin(cells))
-    return _score_topk(pruned, luts, k)
+    return _score_topk(pruned, spark.createDataFrame(lut_rows, luts.schema), k)

@@ -125,3 +125,22 @@ def write_sidecar(df: DataFrame, dest: str) -> None:
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest)
     pq.write_table(table, os.path.join(dest, "part-0.parquet"))
+
+
+def read_sidecar_rows(src: str) -> list[dict]:
+    """Driver-side read of a ``write_sidecar`` table: list of row
+    dicts, milliseconds, NO Spark job — the mirror of the write path.
+    Model geometry (m, k, sub_dim) and centroid literals come straight
+    off this list; the caller rebuilds a DataFrame (a LOCAL relation
+    that broadcasts for free) only for the columns that join plans
+    need. Spark's reader still works on the same directory — this is
+    the latency path, not a new format."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if "://" in src:
+        raise ValueError(f"read_sidecar_rows reads the local filesystem only: {src}")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no sidecar directory at {src}")
+    return pq.read_table(src).to_pylist()
