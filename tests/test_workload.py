@@ -109,3 +109,25 @@ def test_run_ann_cli_build_then_probe(tmp_path, monkeypatch):
         assert run_ann.main() == 0
     lines = [ln for ln in out.getvalue().splitlines() if ln.startswith("query ")]
     assert len(lines) == 9  # 3 queries x k=3
+
+    # append twins of vectors 0-9 under shifted ids, then stats must
+    # report the appended mass and the retrain trigger at a low bar
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_ann.py", "append", "--index", idx,
+         "--source", "/root/testdata/sf0.001/embeddings.parquet",
+         "--where", "vec_id < 10", "--id-shift", "1000000"],
+    )
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert run_ann.main() == 0
+    assert "appended 10" in out.getvalue()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_ann.py", "stats", "--index", idx, "--max-staleness", "0.01"],
+    )
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert run_ann.main() == 0
+    assert "retrain_needed True" in out.getvalue()

@@ -6,11 +6,17 @@ Usage:
                                 [--cells 16] [--m 8] [--codes 16]
   python tools/run_ann.py probe --index PATH [--sf-dir DIR]
                                 [--query-ids 0,1,2] [--k 5] [--nprobe 4]
+  python tools/run_ann.py append --index PATH --source PARQUET
+                                 [--where SQL] [--id-shift N]
+  python tools/run_ann.py stats --index PATH [--max-staleness 0.25]
 
 ``build`` trains the coarse quantizer + residual codebooks (bounded
 driver-side fits), encodes the corpus, and writes the cell-partitioned
 code store; ``probe`` reads ONLY the probed cells (partition pruning)
-and prints the top-k neighbors per query. Same operators the
+and prints the top-k neighbors per query. ``append`` encodes NEW
+vectors with the persisted quantizers (no retrain) into their cells
+and prints the updated staleness; ``stats`` prints the staleness
+counter and whether the retrain trigger has fired. Same operators the
 registered dp_ann_* queries use — this CLI is the one-command face a
 similarity-search operator would schedule.
 """
@@ -27,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from crime_spark_ml_spark.ml.ivfpq import (  # noqa: E402
+    append_ivfpq,
     build_ivfpq,
+    ivfpq_staleness,
+    needs_retrain,
     persist_ivfpq,
     probe_ivfpq,
 )
@@ -37,7 +46,7 @@ from crime_spark_ml_spark.sources.catalog import load_table  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "probe"])
+    ap.add_argument("mode", choices=["build", "probe", "append", "stats"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--index", default=None)
     ap.add_argument("--cells", type=int, default=16)
@@ -46,7 +55,49 @@ def main() -> int:
     ap.add_argument("--query-ids", default="0,1,2,3,4")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--nprobe", type=int, default=4)
+    ap.add_argument("--source", default=None, help="parquet of new vectors to append")
+    ap.add_argument("--where", default=None, help="SQL filter on the append source")
+    ap.add_argument(
+        "--id-shift", type=int, default=0,
+        help="add N to appended vec_ids (id uniqueness is the caller's contract)",
+    )
+    ap.add_argument("--max-staleness", type=float, default=0.25)
     args = ap.parse_args()
+
+    if args.mode == "stats":
+        if not args.index or not os.path.isdir(args.index):
+            print("stats requires --index pointing at a built index", file=sys.stderr)
+            return 2
+        spark = get_spark("ann-cli")
+        st = ivfpq_staleness(spark, args.index)
+        retrain = needs_retrain(spark, args.index, max_staleness=args.max_staleness)
+        print(
+            f"base {st['n_base']}  appended {st['n_appended']}  "
+            f"staleness {st['staleness']:.3f}  "
+            f"retrain_needed {retrain} (threshold {args.max_staleness})"
+        )
+        return 0
+
+    if args.mode == "append":
+        if not args.index or not os.path.isdir(args.index):
+            print("append requires --index pointing at a built index", file=sys.stderr)
+            return 2
+        spark = get_spark("ann-cli")
+        src = args.source or f"{args.sf_dir}/embeddings.parquet"
+        new = spark.read.parquet(src)
+        if args.where:
+            new = new.where(args.where)
+        if args.id_shift:
+            new = new.withColumn(
+                "vec_id", (F.col("vec_id") + F.lit(args.id_shift)).cast("long")
+            )
+        st = append_ivfpq(spark, args.index, new)
+        print(
+            f"appended into {args.index}: base {st['n_base']}  "
+            f"appended {st['n_appended']}  staleness {st['staleness']:.3f}"
+        )
+        return 0
+
     spark = get_spark("ann-cli")
     emb = load_table(spark, args.sf_dir, "embeddings")
 
