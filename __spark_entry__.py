@@ -68,11 +68,11 @@ def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
 # its oracle or output schema changes; prune entries once the new
 # contract has a hash-matched row in a CORRECTNESS_r*.json. The 16
 # round-4 rows-only→value-oracle conversions all re-attested green in
-# CORRECTNESS_r04, so the set is drained; with it empty, the rotation's
-# steady state is pure freshness — each window re-checks the
-# least-recently-attested queries (r01/r02-era first).
-_REATTEST: set[str] = set()
-_REATTEST_AS_OF = 4  # attestations from this round on clear the flag
+# CORRECTNESS_r04. Round 5 adds one: dp_embedding_near_dups went
+# rows-only → exact brute-force-cosine value oracle (cos re-rounded to
+# 2 decimals), so its r0x rows-only green attests a different contract.
+_REATTEST: set[str] = {"dp_embedding_near_dups"}
+_REATTEST_AS_OF = 5  # attestations from this round on clear the flag
 
 
 def _rotated(

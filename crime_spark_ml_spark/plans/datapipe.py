@@ -550,7 +550,26 @@ def dp_ann_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dp_embedding_near_dups", oracle=None, tags=("dedup", "embedding"))
+@register(
+    "dp_embedding_near_dups",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding,
+                            x -> CAST(x * CAST(1.0001 AS FLOAT) AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id < 10
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                           AS DOUBLE), 2) AS DOUBLE) AS cos
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "embedding"),
+)
 def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact
     threshold 0.8) on the corpus plus 10 planted twins (vec_id+1000000,
@@ -559,7 +578,18 @@ def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold on their own, which made this query vacuous in round 1;
     the planted twins make the driver-visible result ≥10 rows while the
     operator's recall on unscaled perturbations stays covered by
-    tests/test_datapipe.py."""
+    tests/test_datapipe.py.
+
+    EXACT oracle (upgraded from rows-only in r5): the oracle is the
+    brute-force all-pairs cosine threshold, which equals the LSH∩
+    threshold output on this corpus because (a) a positive scalar
+    multiple preserves every hyperplane sign, so each twin shares ALL
+    ``tables`` buckets with its original and is always a candidate, and
+    (b) the fixture's max random pairwise cosine is 0.51 (sf0.01) /
+    0.60 (sf0.1) — measured, ~0.2 below the threshold — so no
+    non-planted pair can cross 0.8 in either engine's float math. cos
+    is re-rounded to 2 decimals (twins sit at 1.0 ± 1e-6, so float32
+    Spark vs float64 DuckDB round identically with huge margin)."""
     from ..operators.similarity import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -571,7 +601,10 @@ def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = emb.unionByName(planted)
-    return embedding_near_dups(corpus, threshold=0.8).orderBy("id_a", "id_b")
+    pairs = embedding_near_dups(corpus, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 2).cast("double").alias("cos")
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -812,6 +845,84 @@ def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "dp_bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, dl, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    consts AS (
+      SELECT COUNT(*) AS n,
+             SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+      FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(LN(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN consts
+      GROUP BY tf.doc_id),
+    topk AS (
+      SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+    FROM topk ORDER BY rk
+    """,
+    tags=("text", "bm25", "llm"),
+)
+def dp_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf = ln(1+(N-df+0.5)/(df+0.5)))
+    top-15 documents for the fixed query {spark, join, vector}. Shape:
+    one explode pre-filtered to the query terms (so the doc-scale
+    aggregate only sees matching tokens), tf keyed by (doc_id, dl,
+    term) carries the doc length through the explode without a second
+    scan-and-join, then vocabulary-sized df and the (N, avgdl) scalars
+    broadcast back onto tf. Top-k is orderBy+limit
+    (TakeOrderedAndProject — no single-partition global window over the
+    full candidate set); row_number runs on the 15 survivors only.
+    Ranking happens AFTER rounding to 4 so both engines order identical
+    values; avgdl = exact-int sum / count is bit-identical IEEE in both
+    engines."""
+    from pyspark.sql import Window
+
+    k1, b = 1.2, 0.75
+    terms = ("spark", "join", "vector")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).where(F.col("term").isin(*terms))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    consts = docs.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), "doc_id").limit(15)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return topk.withColumn("rk", F.row_number().over(w).cast("int")).orderBy("rk")
 
 
 @register(

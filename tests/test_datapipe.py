@@ -258,3 +258,39 @@ def test_dedup_pipeline_removes_planted_dups(spark, sf_dir):
     # representative selection: the original (lower id) wins its cluster
     survivors = {min(i for i, c in clusters.items() if c == cid) for cid in set(clusters.values())}
     assert all(i + 100000 not in survivors for i in range(20) if clusters[i] == clusters[i + 100000])
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    """Third implementation: compute Okapi BM25 in pure Python over the
+    fixture and require the registered top-15 to match rank-for-rank
+    (ids and 4-decimal scores). Guards the Spark plan and the DuckDB
+    oracle against agreeing on the same mistake."""
+    import math
+
+    from crime_spark_ml_spark.plans.datapipe import dp_bm25_rank
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    terms = ("spark", "join", "vector")
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    k1, b = 1.2, 0.75
+
+    def score(toks):
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        return round(s, 4)
+
+    expected = sorted(
+        ((score(toks), doc_id) for doc_id, toks in docs.items() if score(toks) > 0),
+        key=lambda p: (-p[0], p[1]),
+    )[:15]
+    got = [(r.score, r.doc_id) for r in dp_bm25_rank(spark, sf_dir).collect()]
+    assert got == expected
