@@ -848,6 +848,80 @@ def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_incremental_dedup",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 != 0),
+    batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 5 != 0 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id, md5(text) AS fp
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0),
+    verdicts AS (
+      SELECT b.doc_id, b.fp,
+             CASE WHEN e.fp IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN ROW_NUMBER() OVER (PARTITION BY b.fp
+                                          ORDER BY b.doc_id) > 1
+                       THEN 'dup_in_batch'
+                  ELSE 'new' END AS verdict
+      FROM batch b LEFT JOIN existing e USING (fp))
+    SELECT doc_id, fp, verdict FROM verdicts ORDER BY doc_id
+    """,
+    tags=("dedup", "incremental", "cdc", "llm"),
+)
+def dp_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new document batch checked against
+    an existing corpus fingerprint store (dup_of_corpus), then within
+    itself (dup_in_batch, lowest doc_id wins), survivors marked new —
+    the shape every continuously-ingesting training-data pipeline
+    needs, where re-fingerprinting the whole corpus per batch is not an
+    option. Existing = fixture docs with doc_id%5!=0 (fp store only,
+    never re-read as text); batch = the %5==0 docs plus planted
+    corpus-dups (+500000) and planted intra-batch dups (+600000), so
+    all three verdict branches are exercised (vacuity audit). Scale
+    shape: one left join keyed by the 16-byte digest against the fp
+    store (shuffle hash join — the store is corpus-sized, never
+    broadcast) and one batch-local window; the corpus is never
+    rescanned."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    existing = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select("fp")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    fresh = docs.where(F.col("doc_id") % 5 == 0)
+    corpus_dups = docs.where((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "fp"
+    )
+    batch_dups = docs.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 == 0)).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "fp"
+    )
+    batch = fresh.unionByName(corpus_dups).unionByName(batch_dups)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        batch.join(existing, "fp", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dp_bm25_rank",
     oracle="""
     WITH toks AS (

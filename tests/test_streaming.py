@@ -701,3 +701,17 @@ def test_producer_cli_socket_end_to_end(spark, tmp_path):
         query.stop()
         proc.terminate()
     assert got_lines == sorted(f"log line {i}" for i in range(7))
+
+
+def test_cdc_upsert_split_independent(spark, sf_dir):
+    """Latest-wins incremental merge must converge to the identical
+    snapshot under ANY micro-batch split of the change log — run the
+    CDC stream with a 7-way split (vs the registered 4-way) and require
+    row-for-row equality with the one-shot batch compaction."""
+    from crime_spark_ml_spark.plans.datapipe import dp_latest_snapshot
+    from crime_spark_ml_spark.plans.streamplans import stream_cdc_upsert
+
+    streamed = stream_cdc_upsert(spark, sf_dir, n_batches=7).collect()
+    batch = dp_latest_snapshot(spark, sf_dir).collect()
+    assert len(streamed) == len(batch) > 0
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
