@@ -848,6 +848,118 @@ def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_pagerank_authority",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 10000000 AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT s AS src, c AS dst FROM pairs
+              UNION ALL SELECT c AS src, s AS dst FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, 1.0 / n.n AS r FROM deg CROSS JOIN n),
+    c1 AS (SELECT e.dst AS node, SUM(r0.r / deg.d) AS contrib
+           FROM edges e JOIN r0 ON e.src = r0.node
+           JOIN deg ON e.src = deg.node GROUP BY e.dst),
+    r1 AS (SELECT node, 0.15 / n.n + 0.85 * contrib AS r FROM c1 CROSS JOIN n),
+    c2 AS (SELECT e.dst AS node, SUM(r1.r / deg.d) AS contrib
+           FROM edges e JOIN r1 ON e.src = r1.node
+           JOIN deg ON e.src = deg.node GROUP BY e.dst),
+    r2 AS (SELECT node, 0.15 / n.n + 0.85 * contrib AS r FROM c2 CROSS JOIN n),
+    c3 AS (SELECT e.dst AS node, SUM(r2.r / deg.d) AS contrib
+           FROM edges e JOIN r2 ON e.src = r2.node
+           JOIN deg ON e.src = deg.node GROUP BY e.dst),
+    r3 AS (SELECT node, 0.15 / n.n + 0.85 * contrib AS r FROM c3 CROSS JOIN n),
+    scored AS (
+      SELECT node, ROUND(r * n.n, 6) AS rank_scaled,
+             CASE WHEN node >= 10000000 THEN 'customer' ELSE 'supplier' END AS kind
+      FROM r3 CROSS JOIN n)
+    SELECT node, rank_scaled, kind,
+           CAST(ROW_NUMBER() OVER (PARTITION BY kind
+                                   ORDER BY rank_scaled DESC, node) AS INTEGER) AS rk
+    FROM scored
+    QUALIFY rk <= 15
+    ORDER BY kind, rk
+    """,
+    tags=("graph", "pagerank", "iterative", "llm"),
+)
+def dp_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 power iterations from uniform) over the
+    undirected supplier-customer bipartite graph from lineitem x orders
+    — the domain-authority computation web-scale corpus pipelines use
+    to weight documents by source quality. Iterative-on-Spark done the
+    scale-correct way: edges and degrees are computed once and
+    persisted (each iteration reuses the same shuffle partitioning on
+    src instead of rescanning fact tables), every iteration is one
+    src-keyed join + one dst-keyed partial-aggregated groupBy — the
+    canonical Pregel-as-DataFrame step — and only the top-k (25 rows,
+    TakeOrderedAndProject) ever reaches the driver before the persisted
+    frames are dropped. The oracle unrolls the identical three
+    iterations as nested CTEs; ranks are scaled by n to O(1) and
+    rounded to 6 so both engines rank identical values (customer ids
+    offset by 10^7 into a shared node namespace)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 10000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("s AS src", "c AS dst").unionByName(
+        pairs.selectExpr("c AS src", "s AS dst")
+    )
+    edges = edges.repartition("src").persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d")).persist()
+    n_nodes = deg.count()  # also materializes edges+deg for the loop
+    ranks = deg.select("node", (F.lit(1.0) / n_nodes).alias("r"))
+    scored = None
+    try:
+        for _ in range(3):
+            contrib = (
+                edges.join(ranks, edges.src == ranks.node)
+                .join(deg.withColumnRenamed("node", "dn"), F.col("src") == F.col("dn"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("r") / F.col("d")).alias("contrib"))
+            )
+            ranks = contrib.select(
+                "node", (0.15 / n_nodes + 0.85 * F.col("contrib")).alias("r")
+            )
+        scored = ranks.select(
+            "node",
+            F.round(F.col("r") * n_nodes, 6).alias("rank_scaled"),
+            F.when(F.col("node") >= 10000000, "customer")
+            .otherwise("supplier")
+            .alias("kind"),
+        ).persist()
+        # top-15 PER KIND as two TakeOrderedAndProject branches over the
+        # persisted ranks — a kind-partitioned global window would run
+        # the whole node set through 2 partitions at scale
+        top = scored.where(F.col("kind") == "supplier").orderBy(
+            F.desc("rank_scaled"), "node"
+        ).limit(15).unionByName(
+            scored.where(F.col("kind") == "customer")
+            .orderBy(F.desc("rank_scaled"), "node")
+            .limit(15)
+        )
+        rows = top.collect()  # bounded: 2k rows
+        schema = top.schema
+    finally:
+        for frame in (edges, deg, scored):
+            if frame is not None:
+                frame.unpersist(blocking=False)
+    out = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("kind").orderBy(F.desc("rank_scaled"), "node")
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("int")).orderBy("kind", "rk")
+    )
+
+
+@register(
     "dp_incremental_dedup",
     oracle="""
     WITH existing AS (
