@@ -848,6 +848,109 @@ def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_chisq_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, SUM(o) AS row_tot FROM obs GROUP BY source),
+    ct AS (SELECT lang, SUM(o) AS col_tot FROM obs GROUP BY lang),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.o, rt.row_tot * ct.col_tot * 1.0 / n.n AS e
+      FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n)
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((SELECT COUNT(DISTINCT source) - 1 FROM obs)
+                * (SELECT COUNT(DISTINCT lang) - 1 FROM obs) AS BIGINT) AS dof,
+           (SELECT CAST(n AS BIGINT) FROM n) AS n
+    FROM cells
+    """,
+    tags=("stats", "chisq", "quality"),
+)
+def dp_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for the source × lang
+    contingency table (the feature-selection / drift-detection statistic,
+    computed exactly rather than via MLlib's ChiSquareTest so the DuckDB
+    oracle can replay it). Scale shape: one groupBy builds the
+    contingency cells, the row/column marginals are
+    category-cardinality-sized and broadcast back, and the statistic is
+    a single partial-aggregated sum — no collect of anything
+    data-sized."""
+    obs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = obs.groupBy("source").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("lang").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(
+        F.sum("o").alias("n"),
+        (F.count_distinct("source") - 1).alias("r1"),
+        (F.count_distinct("lang") - 1).alias("c1"),
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    return cells.groupBy().agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+        (F.first("r1") * F.first("c1")).cast("bigint").alias("dof"),
+        F.first("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "dp_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+    per_src AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, term),
+    src_tot AS (SELECT source, SUM(c) AS tot FROM per_src GROUP BY source),
+    corpus AS (SELECT term, SUM(c) AS cc FROM per_src GROUP BY term),
+    all_tot AS (SELECT SUM(c) AS tot_all FROM per_src)
+    SELECT source,
+           ROUND(SUM((c * 1.0 / tot) * LN((c * 1.0 / tot)
+                                          / (cc * 1.0 / tot_all))), 6) AS kl
+    FROM per_src JOIN src_tot USING (source)
+    JOIN corpus USING (term) CROSS JOIN all_tot
+    GROUP BY source ORDER BY source
+    """,
+    tags=("stats", "divergence", "quality", "llm"),
+)
+def dp_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's term distribution from the corpus
+    distribution — the data-curation statistic for spotting sources
+    whose text drifts from the mixture (only terms the source emits
+    contribute, and the corpus distribution dominates each of them, so
+    the sum is finite and exact). One doc-scale explode-aggregate; the
+    source-cardinality totals broadcast back onto it, while the corpus
+    term counts join by TERM-KEYED SHUFFLE — a web-scale vocabulary is
+    not broadcastable, and per_src is already partitioned compatibly
+    from its own aggregation; one partial-aggregated sum per source."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    per_src = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus = per_src.groupBy("term").agg(F.sum("c").alias("cc"))
+    all_tot = per_src.agg(F.sum("c").alias("tot_all"))
+    p = F.col("c") * 1.0 / F.col("tot")
+    q = F.col("cc") * 1.0 / F.col("tot_all")
+    return (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(all_tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+        .orderBy("source")
+    )
+
+
+@register(
     "dp_pagerank_authority",
     oracle="""
     WITH pairs AS (

@@ -36,7 +36,9 @@ BNLJ_ALLOWED = {
     "dp_ann_ivf": "query x centroid probe table (nq*k_cells rows)",
     "dp_ann_pq": "per-query LUTs (nq rows, m*k doubles each)",
     "dp_bm25_rank": "single-row (N, avgdl) corpus scalars",
+    "dp_chisq_independence": "single-row (n, r-1, c-1) grand totals",
     "dp_cluster_invariants": "single-row aggregate anchors",
+    "dp_source_divergence": "single-row corpus token total",
     "dp_simhash_selfcheck": "single-row aggregate anchors",
     "dp_tfidf_top_terms": "single-row corpus doc-count",
     "e6_zscore": "per-column mean/std aggregate (one row)",
