@@ -1,0 +1,131 @@
+"""Z-order (morton) data layout for multi-dimensional scan pruning.
+
+The 100 TB problem this solves: a parquet scan prunes row groups by
+min/max statistics, but a table sorted by ONE column only has tight
+stats on that column — a filter on any other dimension reads
+everything. Interleaving the bits of two (or more) dimension keys into
+a single morton code and range-sorting the write by it gives every row
+group a tight bounding box in ALL interleaved dimensions, so a
+multi-dimensional box query skips most of the file bytes. This is the
+layout strategy behind Delta's OPTIMIZE ZORDER BY; here it is plain
+Spark: uniform binning via ``width_bucket``, bit interleaving as a
+fold of JVM bitwise expressions (whole-stage codegen, no UDF),
+``repartitionByRange`` + ``sortWithinPartitions`` on the key, one
+ordinary parquet write. Nothing depends on a table format.
+
+``scan_output_rows`` measures the effect honestly: it executes a
+filtered scan and reads the scan node's ``numOutputRows`` metric —
+rows that survived row-group pruning — rather than trusting the plan
+text. tests/test_layout.py asserts a 2-D box query on the z-ordered
+layout scans strictly fewer rows than the same query on a
+single-column-sorted layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def interleave_bits(a: Column, b: Column, bits: int) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative
+    integer columns (a's bit i lands at 2i+1, b's at 2i). Pure bitwise
+    JVM expressions — 2*bits shift/and/or terms, all inside
+    whole-stage codegen; bits<=31 keeps the key in a long."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i)
+        )
+    return key
+
+
+def zorder_key(df: DataFrame, cols: tuple[str, str], bits: int = 12) -> Column:
+    """Morton key over two numeric columns, each uniform-binned into
+    [0, 2^bits) between its observed min and max (one bounded agg —
+    four scalars reach the driver, never data). Uniform bins are the
+    v1 binning; a skewed dimension wants quantile boundaries instead,
+    which slot in here without touching the interleave."""
+    ca, cb = cols
+    mn_a, mx_a, mn_b, mx_b = df.agg(
+        F.min(ca), F.max(ca), F.min(cb), F.max(cb)
+    ).collect()[0]
+    nbins = 1 << bits
+
+    def binned(c: str, mn, mx) -> Column:
+        if mn is None or mx is None or mx <= mn:
+            return F.lit(0)
+        # width_bucket returns 1..nbins+1 (nbins+1 for col == mx exactly)
+        return F.least(
+            F.lit(nbins - 1),
+            F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(mn)),
+                F.lit(float(mx)),
+                F.lit(nbins),
+            )
+            - 1,
+        )
+
+    return interleave_bits(binned(ca, mn_a, mx_a), binned(cb, mn_b, mx_b), bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 12,
+    n_files: int = 8,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Write ``df`` z-ordered by ``cols``: range-partition on the
+    morton key (each output file covers a contiguous key range, i.e. a
+    bounding box), sort within partitions (tight row-group stats
+    inside each file), drop the key before writing. At cluster scale
+    ``n_files`` is the rewrite parallelism; ``row_group_bytes``
+    shrinks parquet row groups for fine-grained skipping (default
+    128 MiB is tuned for real files, far too coarse for test
+    fixtures)."""
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits))
+    writer = (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+    )
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", row_group_bytes)
+    writer.parquet(path)
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Execute ``df`` and return the scan node's post-pruning row
+    count (``numOutputRows`` summed over parquet scan leaves) — the
+    rows actually decoded after row-group/file skipping, the honest
+    measure of a layout's pruning power."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName().startswith("AdaptiveSparkPlan"):
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.nodeName().startswith("Scan"):
+            total += node.metrics().apply("numOutputRows").value()
+    return total
+
+
+def skipping_report(
+    spark: SparkSession, path: str, predicate: str
+) -> dict[str, int]:
+    """Rows scanned vs rows matched for ``predicate`` over the parquet
+    at ``path`` (scanned == matched would be perfect pruning)."""
+    scanned = scan_output_rows(spark.read.parquet(path).filter(predicate))
+    matched = spark.read.parquet(path).filter(predicate).count()
+    total = spark.read.parquet(path).count()
+    return {"rows_total": total, "rows_scanned": scanned, "rows_matched": matched}
