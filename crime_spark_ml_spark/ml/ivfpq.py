@@ -368,3 +368,84 @@ def probe_ivfpq(
     cells = sorted({int(r.cid) for r in lut_rows})
     pruned = index.coded.where(F.col("cid").isin(cells))
     return _score_topk(pruned, spark.createDataFrame(lut_rows, luts.schema), k)
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ADC shortlist (the Faiss IndexRefineFlat
+    step): fetch the ORIGINAL vectors for the shortlist's candidates
+    only and keep the top-k by exact cosine. Output schema matches
+    brute_force_topk, so refined probes stay swappable with the rest
+    of the ANN family.
+
+    Scale shape: the (query_id, cand_id) shortlist is nq·k·expand rows
+    — kilobytes — so it BROADCASTS onto one corpus scan
+    (BroadcastHashJoin keyed by id, no corpus shuffle); an id-sorted or
+    z-ordered corpus layout (operators/layout.py) additionally turns
+    the broadcast id set into row-group pruning. Queries broadcast the
+    same way. Recall can only improve: every true neighbor the
+    unrefined top-k finds is in the shortlist, and exact-cosine
+    ordering never ranks >k items above a true top-k member."""
+    from ..functions.vectors import cosine
+
+    cand = shortlist.select("query_id", "cand_id")
+    fetched = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("ce")
+    ).join(F.broadcast(cand), "cand_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+    scored = fetched.join(F.broadcast(q), "query_id").withColumn(
+        "cos", F.round(cosine("qe", "ce"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def ivfpq_topk_refined(
+    index: IvfPqIndex,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC + exact re-rank: ADC shortlist of k·expand, then
+    ``exact_rerank`` on the originals — the standard recall knob that
+    costs nq·k·expand exact distances instead of a wider nprobe's
+    extra cell scans."""
+    shortlist = ivfpq_topk(
+        index, queries, k=k * expand, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )
+    return exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def probe_ivfpq_refined(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persisted-store probe with exact re-rank: the pruned-scan ADC
+    shortlist (probe_ivfpq) followed by ``exact_rerank`` against the
+    original-vector table."""
+    shortlist = probe_ivfpq(
+        spark, path, queries, k=k * expand, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)

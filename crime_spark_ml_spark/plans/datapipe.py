@@ -485,6 +485,58 @@ def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_ann_refine_selfcheck",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           5 AS n_queries, 5 AS k, 8 AS expand,
+           TRUE AS refined_ge_base, TRUE AS refined_recall_ok
+    FROM embeddings
+    """,
+    tags=("similarity", "ann", "refine", "invariant"),
+)
+def dp_ann_refine_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant+anchor invariant for the exact re-rank stage
+    (ml/ivfpq.py::exact_rerank, the Faiss IndexRefineFlat shape):
+    IVFADC top-5 recall with an expand=8 shortlist re-ranked by exact
+    cosine must (a) dominate the unrefined ADC recall — a theorem
+    given shortlist ⊇ top-k and exact ordering, so its failure means a
+    broken re-rank join, not noise — and (b) clear an absolute floor.
+    Measured refined recalls at sf0.001/0.01/0.1: 0.48/0.36/0.40 vs
+    unrefined 0.12/0.20/0.16; the 0.18 floor sits at half the observed
+    minimum, same convention as dp_ann_selfcheck. All components are
+    seeded and deterministic."""
+    from ..ml.ivfpq import build_ivfpq, ivfpq_topk, ivfpq_topk_refined
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df: DataFrame) -> float:
+        got = {(r.query_id, r.cand_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    index = build_ivfpq(
+        emb, k_cells=16, m=8, k=16, seed=0,
+        train_fraction=_train_fraction(n_corpus),
+    )
+    base = recall(ivfpq_topk(index, queries, k=5, nprobe=4))
+    refined = recall(
+        ivfpq_topk_refined(index, emb, queries, k=5, nprobe=4, expand=8)
+    )
+    emb.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(n_corpus, 5, 5, 8, refined >= base, refined >= 0.18)],
+        "n_corpus bigint, n_queries int, k int, expand int, "
+        "refined_ge_base boolean, refined_recall_ok boolean",
+    )
+
+
+@register(
     "dp_ann_selfcheck",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,

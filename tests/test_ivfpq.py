@@ -194,3 +194,54 @@ def test_ivfpq_repersist_same_path_overwrites(planted_index, tmp_path):
         tuple(r) for r in probe_ivfpq(corpus.sparkSession, path, queries, k=3).collect()
     )
     assert first == second
+
+
+def test_refined_subset_of_shortlist_and_dominates(planted_index, spark):
+    """The re-rank can only choose from the ADC shortlist, and its
+    recall against the exact baseline dominates the unrefined probe's
+    (shortlist ⊇ top-k + exact ordering make this a theorem — failure
+    means the refine join is broken)."""
+    from crime_spark_ml_spark.ml.ivfpq import exact_rerank, ivfpq_topk_refined
+
+    corpus, index = planted_index
+    queries = corpus.where(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+    shortlist = ivfpq_topk(index, queries, k=12, nprobe=4)
+    short_pairs = {(r.query_id, r.cand_id) for r in shortlist.collect()}
+    refined = ivfpq_topk_refined(
+        index, corpus, queries, k=3, nprobe=4, expand=4
+    ).collect()
+    ref_pairs = {(r.query_id, r.cand_id) for r in refined}
+    assert ref_pairs <= short_pairs
+    # per-query exactly k results, ranks 1..k
+    for qid in {p[0] for p in ref_pairs}:
+        ranks = sorted(r.rank for r in refined if r.query_id == qid)
+        assert ranks == [1, 2, 3]
+    base = ivfpq_topk(index, queries, k=3, nprobe=4)
+    base_hits = {(r.query_id, r.cand_id) for r in base.collect()} & exact
+    assert len(ref_pairs & exact) >= len(base_hits)
+    # sanity on the rerank helper: identity shortlist == brute force
+    all_pairs = brute_force_topk(corpus, queries, k=12)
+    assert {
+        (r.query_id, r.cand_id)
+        for r in exact_rerank(all_pairs, corpus, queries, k=3).collect()
+    } == exact
+
+
+def test_refined_persisted_matches_inmemory(planted_index, tmp_path, spark):
+    from crime_spark_ml_spark.ml.ivfpq import ivfpq_topk_refined, probe_ivfpq_refined
+
+    corpus, index = planted_index
+    queries = corpus.where(F.col("vec_id") < 4)
+    path = str(tmp_path / "refidx")
+    persist_ivfpq(index, path)
+    mem = ivfpq_topk_refined(index, corpus, queries, k=3, nprobe=4, expand=4)
+    disk = probe_ivfpq_refined(
+        spark, path, corpus, queries, k=3, nprobe=4, expand=4
+    )
+    assert sorted(map(tuple, mem.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, disk.collect()), key=lambda t: (t[0], t[3])
+    )

@@ -39,6 +39,7 @@ from crime_spark_ml_spark.ml.ivfpq import (  # noqa: E402
     needs_retrain,
     persist_ivfpq,
     probe_ivfpq,
+    probe_ivfpq_refined,
 )
 from crime_spark_ml_spark.session import get_spark  # noqa: E402
 from crime_spark_ml_spark.sources.catalog import load_table  # noqa: E402
@@ -55,6 +56,10 @@ def main() -> int:
     ap.add_argument("--query-ids", default="0,1,2,3,4")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--nprobe", type=int, default=4)
+    ap.add_argument(
+        "--refine", type=int, default=0, metavar="EXPAND",
+        help="exact re-rank an EXPAND*k ADC shortlist (0 = off)",
+    )
     ap.add_argument("--source", default=None, help="parquet of new vectors to append")
     ap.add_argument("--where", default=None, help="SQL filter on the append source")
     ap.add_argument(
@@ -123,6 +128,14 @@ def main() -> int:
         return 2
     ids = [int(x) for x in args.query_ids.split(",") if x != ""]
     queries = emb.where(F.col("vec_id").isin(ids))
+    if args.refine > 0:
+        top = probe_ivfpq_refined(
+            spark, args.index, emb, queries,
+            k=args.k, nprobe=args.nprobe, expand=args.refine,
+        ).orderBy("query_id", "rank")
+        for r in top.collect():
+            print(f"query {r.query_id}  #{r.rank}: vec {r.cand_id}  cos {r.cos}")
+        return 0
     top = probe_ivfpq(
         spark, args.index, queries, k=args.k, nprobe=args.nprobe
     ).orderBy("query_id", "rank")
