@@ -156,3 +156,65 @@ def frame_features(df: DataFrame, frame: int = 16, hop: int = 8) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(batches, FRAME_FEATURES_SCHEMA)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_fft", T.IntegerType()),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType())),
+        T.StructField("dom_bin", T.IntegerType()),
+        T.StructField("spectral_total", T.DoubleType()),
+    ]
+)
+
+
+def spectral_features(df: DataFrame, n_fft: int = 64, bands: int = 4) -> DataFrame:
+    """Power-spectrum features over the first ``n_fft`` samples of each
+    clip: per-band energies (``bands`` equal slices of the rfft bins),
+    the dominant non-DC bin, and ``spectral_total`` — the total energy
+    recovered from the spectrum via Parseval's theorem. numpy rfft
+    inside the Arrow batch (mapInPandas), one vectorized pass, no
+    per-sample Python.
+
+    ``spectral_total`` is the oracle hook: Parseval says it EQUALS the
+    time-domain sum of squares, which is an exact integer DuckDB can
+    recompute from the float source — so rounding it to that integer
+    turns energy conservation into a hash-checkable per-row value
+    (float64 rfft keeps the error ~1e-4 absolute against a ~1e10
+    magnitude, three orders under the 0.5 rounding slack)."""
+    if n_fft < 4 or n_fft % 2:
+        raise ValueError(f"n_fft must be even and >= 4, got {n_fft}")
+    half = n_fft // 2  # rfft yields half+1 bins
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bes, doms, totals = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = _samples(payload)
+                if s.size < n_fft:
+                    continue
+                p = np.abs(np.fft.rfft(s[:n_fft].astype(np.float64))) ** 2
+                # Parseval weights for even n_fft: DC and Nyquist once,
+                # interior bins twice (conjugate-symmetric halves)
+                w = np.full(half + 1, 2.0)
+                w[0] = w[-1] = 1.0
+                contrib = w * p / n_fft
+                edges = np.linspace(0, half + 1, bands + 1).astype(int)
+                bes.append(
+                    [round(float(contrib[a:b].sum()), 6) for a, b in zip(edges, edges[1:])]
+                )
+                doms.append(int(np.argmax(p[1:]) + 1))
+                totals.append(float(contrib.sum()))
+                ids.append(media_id)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_fft": pd.Series([n_fft] * len(ids), dtype="int32"),
+                    "band_energy": pd.Series(bes, dtype="object"),
+                    "dom_bin": pd.Series(doms, dtype="int32"),
+                    "spectral_total": pd.Series(totals, dtype="float64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, SPECTRAL_SCHEMA)

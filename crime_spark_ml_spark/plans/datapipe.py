@@ -379,6 +379,40 @@ def dp_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dp_audio_spectral",
+    oracle="""
+    SELECT vec_id, CAST(64 AS INTEGER) AS n_fft,
+           CAST(ROUND(list_sum(list_transform(list_slice(embedding, 1, 64),
+                x -> pow(trunc(CAST(x AS DOUBLE) * 20000), 2))), 0) AS BIGINT)
+               AS energy
+    FROM embeddings WHERE len(embedding) >= 64
+    ORDER BY vec_id
+    """,
+    tags=("multimodal", "audio", "fft", "binary"),
+)
+def dp_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT-based spectral features through the binary PCM path, with
+    energy conservation as the oracle: the per-clip ``spectral_total``
+    (power spectrum summed with Parseval weights) must round to the
+    exact time-domain sum of squares, which DuckDB recomputes from the
+    float source without ever seeing the binary or an FFT. A hash
+    match attests encode→frombuffer→rfft→band math end to end (the
+    float64 rfft error is ~1e-4 absolute against ~1e10 magnitudes —
+    three orders under the 0.5 rounding slack). Band energies and
+    dominant-bin physics are pinned on synthesized sines in
+    tests/test_audio.py."""
+    from ..operators.audio import encode_pcm16, spectral_features
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spec = spectral_features(encode_pcm16(emb), n_fft=64, bands=4)
+    return spec.select(
+        F.col("media_id").alias("vec_id"),
+        "n_fft",
+        F.round("spectral_total", 0).cast("bigint").alias("energy"),
+    ).orderBy("vec_id")
+
+
+@register(
     "dp_audio_frame_stats",
     oracle="""
     WITH s AS (

@@ -78,3 +78,48 @@ def test_fixture_embeddings_in_pcm_range(spark, sf_dir):
         F.max(F.expr("array_max(transform(embedding, x -> abs(x)))")).alias("m")
     ).collect()[0].m
     assert mx < 32767.0 / PCM_SCALE
+
+
+def test_spectral_sine_concentrates_in_right_bin(spark):
+    """A pure sine at FFT bin f must put the dominant bin at f and
+    >90% of its (DC-free) energy in f's band; Parseval total must
+    round to the exact integer time-domain sum of squares."""
+    import numpy as np
+
+    from crime_spark_ml_spark.operators.audio import (
+        PCM_SCALE,
+        encode_pcm16,
+        spectral_features,
+    )
+
+    n = 64
+    rows = []
+    for f in (4, 11, 27):  # bands of 64-pt rfft: [0,8) [8,16) [16,24) [24,33)
+        x = 0.5 * np.sin(2 * np.pi * f * np.arange(n) / n)
+        rows.append((f, [float(v) for v in x]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    spec = {
+        r.media_id: r
+        for r in spectral_features(encode_pcm16(df), n_fft=64, bands=4).collect()
+    }
+    for f, band in ((4, 0), (11, 1), (27, 3)):
+        r = spec[f]
+        assert r.dom_bin == f, (f, r.dom_bin)
+        assert r.band_energy[band] > 0.9 * sum(r.band_energy), (f, r.band_energy)
+        # Parseval against the exact integer sum of squares
+        s = np.trunc(
+            np.array([float(v) for v in dict(rows)[f]], dtype=np.float64) * PCM_SCALE
+        ).astype(np.int64)
+        assert round(r.spectral_total) == int(np.sum(s * s))
+
+
+def test_spectral_rejects_bad_nfft(spark):
+    import pytest as _pytest
+
+    from crime_spark_ml_spark.operators.audio import spectral_features
+
+    df = spark.createDataFrame([(1, bytearray(b"\x00\x00"))], "media_id long, payload binary")
+    with _pytest.raises(ValueError):
+        spectral_features(df, n_fft=63)
+    with _pytest.raises(ValueError):
+        spectral_features(df, n_fft=2)
