@@ -44,13 +44,49 @@ def interleave_bits(a: Column, b: Column, bits: int) -> Column:
     return key
 
 
-def zorder_key(df: DataFrame, cols: tuple[str, str], bits: int = 12) -> Column:
-    """Morton key over two numeric columns, each uniform-binned into
-    [0, 2^bits) between its observed min and max (one bounded agg —
-    four scalars reach the driver, never data). Uniform bins are the
-    v1 binning; a skewed dimension wants quantile boundaries instead,
-    which slot in here without touching the interleave."""
+def zorder_key(
+    df: DataFrame,
+    cols: tuple[str, str],
+    bits: int = 12,
+    binning: str = "uniform",
+) -> Column:
+    """Morton key over two numeric columns, each binned into
+    [0, 2^bits).
+
+    ``binning="uniform"``: equal-width bins between observed min/max
+    (one bounded agg — four scalars reach the driver, never data).
+    Right when the dimensions are roughly evenly spread.
+
+    ``binning="quantile"``: equal-POPULATION bins from approxQuantile
+    boundaries — the Delta OPTIMIZE ZORDER shape (range-partition ids).
+    A skewed dimension under uniform binning collapses most rows into
+    a few bins, so most row groups share the same bounding box and
+    nothing prunes; quantile bins keep every bin ~equally full
+    regardless of distribution. Costs one approxQuantile pass per
+    column (boundaries are 2^bits-1 doubles driver-side) and caps bits
+    at 8 — 256 bins/dim = 65k tiles, plenty, and bin assignment is a
+    JVM filter-count over the literal boundary array (O(2^bits)
+    comparisons per row, codegen-friendly, no UDF)."""
+    if binning not in ("uniform", "quantile"):
+        raise ValueError(f"binning must be 'uniform' or 'quantile', got {binning!r}")
     ca, cb = cols
+    if binning == "quantile":
+        if bits > 8:
+            raise ValueError(f"quantile binning caps bits at 8, got {bits}")
+        nbins = 1 << bits
+
+        def binned_q(c: str) -> Column:
+            probs = [i / nbins for i in range(1, nbins)]
+            # dedupe: repeated values produce equal quantiles; equal
+            # boundaries would double-count in the filter rank
+            bounds = sorted(set(df.stat.approxQuantile(c, probs, 0.001)))
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            return F.size(
+                F.filter(arr, lambda b: b < F.col(c).cast("double"))
+            ).cast("long")
+
+        return interleave_bits(binned_q(ca), binned_q(cb), bits)
+
     mn_a, mx_a, mn_b, mx_b = df.agg(
         F.min(ca), F.max(ca), F.min(cb), F.max(cb)
     ).collect()[0]
@@ -81,6 +117,7 @@ def zorder_write(
     bits: int = 12,
     n_files: int = 8,
     row_group_bytes: int | None = None,
+    binning: str = "uniform",
 ) -> None:
     """Write ``df`` z-ordered by ``cols``: range-partition on the
     morton key (each output file covers a contiguous key range, i.e. a
@@ -90,7 +127,7 @@ def zorder_write(
     shrinks parquet row groups for fine-grained skipping (default
     128 MiB is tuned for real files, far too coarse for test
     fixtures)."""
-    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits))
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits, binning))
     writer = (
         keyed.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")

@@ -80,3 +80,52 @@ def test_zorder_prunes_2d_box_queries(spark, sf_dir, tmp_path):
     t_rows = scan_output_rows(spark.read.parquet(tdir).filter(box))
     assert z_rows < t_rows, (z_rows, t_rows)
     assert z_rows < 0.5 * total, (z_rows, total)
+
+
+def test_quantile_binning_survives_skew(spark, tmp_path):
+    """A power-law dimension under uniform binning collapses most rows
+    into one bin (every row group spans the hot region → nothing
+    prunes); quantile bins stay ~equally full, so a box query on the
+    dense end still skips. Measured, not asserted from plan text."""
+    from crime_spark_ml_spark.operators.layout import zorder_key
+
+    n = 20000
+    df = (
+        spark.range(n)
+        .withColumn("heavy", (F.lit(1.0) / (F.rand(seed=7) + 1e-4)).cast("double"))
+        .withColumn("other", (F.col("id") % 100).cast("double"))
+        .cache()
+    )
+    # bin-population balance on the skewed dimension alone (constant
+    # partner column, so the key IS the heavy bin)
+    flat = df.withColumn("const", F.lit(0.0))
+
+    def top_bin_share(binning):
+        key = zorder_key(flat, ("heavy", "const"), bits=6, binning=binning)
+        counts = (
+            flat.withColumn("k", key).groupBy("k").count().agg(F.max("count")).collect()
+        )
+        return counts[0][0] / n
+
+    uni, qt = top_bin_share("uniform"), top_bin_share("quantile")
+    assert qt < 0.10 < uni, (uni, qt)
+
+    udir, qdir = str(tmp_path / "uni"), str(tmp_path / "qt")
+    zorder_write(df, udir, ("heavy", "other"), bits=6, n_files=32)
+    zorder_write(df, qdir, ("heavy", "other"), bits=6, n_files=32, binning="quantile")
+    med = df.agg(F.expr("percentile(heavy, 0.5)")).collect()[0][0]
+    box = f"heavy <= {med} AND other <= 10"
+    u_rows = scan_output_rows(spark.read.parquet(udir).filter(box))
+    q_rows = scan_output_rows(spark.read.parquet(qdir).filter(box))
+    df.unpersist()
+    assert q_rows < u_rows, (q_rows, u_rows)
+
+
+def test_quantile_binning_guards(spark):
+    from crime_spark_ml_spark.operators.layout import zorder_key
+
+    df = spark.range(10).withColumn("v", F.col("id").cast("double"))
+    with pytest.raises(ValueError):
+        zorder_key(df, ("id", "v"), bits=9, binning="quantile")
+    with pytest.raises(ValueError):
+        zorder_key(df, ("id", "v"), bits=4, binning="nope")
