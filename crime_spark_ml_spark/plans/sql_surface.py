@@ -460,3 +460,39 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare is bit-identical across engines and partitionings. At
     sf0.01 this keeps 52 of 1204 parts (vacuity-audited)."""
     return _sql(spark, sf_dir, _Q11, ("lineitem", "supplier", "nation"))
+
+
+_RECURSIVE = """
+WITH RECURSIVE edges AS (
+  SELECT CONCAT('R', CAST(r_regionkey AS STRING)) AS parent,
+         CONCAT('N', CAST(n_nationkey AS STRING)) AS child
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT CONCAT('N', CAST(c_nationkey AS STRING)) AS parent,
+         CONCAT('C', CAST(c_custkey AS STRING)) AS child
+  FROM customer),
+roots AS (
+  SELECT CONCAT('R', CAST(r_regionkey AS STRING)) AS node, r_name AS root
+  FROM region),
+walk AS (
+  SELECT node, root, 0 AS depth FROM roots
+  UNION ALL
+  SELECT e.child AS node, w.root, w.depth + 1 AS depth
+  FROM walk w JOIN edges e ON e.parent = w.node)
+SELECT root, depth, CAST(COUNT(*) AS BIGINT) AS n
+FROM walk GROUP BY root, depth ORDER BY root, depth
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE, tags=("sql", "recursive", "cte"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk (new in Spark 4.x) — transitive
+    descent of the region→nation→customer tree over a string-typed
+    node namespace, aggregated per root and depth. The identical text
+    runs on DuckDB; recursion terminates because the edge relation is
+    a DAG (depth caps at 2), so both engines' fixpoint iterations see
+    the same frontier sizes. Each iteration is one parent-keyed hash
+    join of the frontier against the edge table — the same
+    Pregel-as-relational shape as dp_pagerank_authority, but driven by
+    the engine's recursion operator instead of a Python loop."""
+    return _sql(spark, sf_dir, _RECURSIVE, ("region", "nation", "customer"))

@@ -76,8 +76,20 @@ def test_rotated_reattests_contract_changed_queries():
     assert got == ["ml_kmeans_clusters", "plain_old", "ml_logreg_accuracy"]
 
 
-def test_production_reattest_set_is_drained():
-    """Steady state after r04: every contract change has a hash-matched
-    row at/after _REATTEST_AS_OF, so the set must stay empty until the
-    next contract change (add the query + bump _REATTEST_AS_OF then)."""
-    assert entry._REATTEST == set()
+def test_production_reattest_set_has_no_stale_entries():
+    """Housekeeping invariant (replaces the r04 'drained' pin, which a
+    legitimate r05 contract change re-populated): every _REATTEST entry
+    must (a) name a registered query and (b) still LACK a green row
+    at/after _REATTEST_AS_OF — once the driver re-attests the new
+    contract, the entry must be pruned. An empty set trivially
+    passes."""
+    from crime_spark_ml_spark.plans.registry import all_queries
+
+    registered = set(all_queries())
+    last = entry._attestation_rounds()
+    for name in entry._REATTEST:
+        assert name in registered, f"_REATTEST names unregistered query {name}"
+        assert last.get(name, 0) < entry._REATTEST_AS_OF, (
+            f"{name} re-attested in r{last[name]} >= {entry._REATTEST_AS_OF}; "
+            "prune it from _REATTEST"
+        )
