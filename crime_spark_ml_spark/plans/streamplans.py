@@ -154,6 +154,59 @@ def src_cifar_pickle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_cifar_pydatasource",
+    oracle="""
+    WITH img AS (
+      SELECT f.file_id, i.i
+      FROM generate_series(0, 1) f(file_id), generate_series(0, 49) i(i)),
+    px AS (
+      SELECT CAST(i % 10 AS INTEGER) AS label,
+             (SELECT CAST(SUM((i*7 + j*13) % 256) AS BIGINT)
+              FROM generate_series(0, 3071) t(j)) AS pixel_sum
+      FROM img)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(pixel_sum) AS BIGINT) AS total_pixel_sum,
+           3072 AS n_features
+    FROM px GROUP BY label ORDER BY label
+    """,
+    tags=("sources", "S7", "pickle", "datasource"),
+)
+def src_cifar_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME CIFAR format through the Spark 4 Python DataSource API
+    (sources/pydatasource.py: per-file InputPartitions + path-filter
+    pushdown) instead of binaryFile+mapInPandas — and the SAME oracle
+    as src_cifar_pickle_batches, so the driver hash-checks that two
+    independent implementations of the format agree with the
+    closed-form pixel sums."""
+    from ..sources.imagebatch import ensure_fixture_dir
+    from ..sources.pydatasource import register_cifarbatch
+
+    register_cifarbatch(spark)
+    df = (
+        spark.read.format("cifarbatch")
+        .option("path", ensure_fixture_dir("cifar"))
+        .load()
+    )
+    per_img = df.select(
+        "label",
+        F.aggregate("features", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "pixel_sum"
+        ),
+        F.size("features").alias("nf"),
+    )
+    return (
+        per_img.groupBy("label")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+            F.max("nf").alias("n_features"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "src_pokemon_pickle_batches",
     oracle="""
     WITH px AS (

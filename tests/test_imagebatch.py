@@ -94,3 +94,60 @@ def test_corrupt_pickle_fails_loudly(spark, tmp_path):
         pickle.dump({"wrong": "layout"}, f)
     with pytest.raises(PythonException):
         read_cifar_batches(spark, str(tmp_path)).count()
+
+
+def test_python_datasource_matches_mapinpandas_reader(spark):
+    """Two independent implementations of the CIFAR pickle format —
+    the binaryFile+mapInPandas reader and the Spark 4 Python
+    DataSource — must produce identical rows."""
+    from crime_spark_ml_spark.sources.imagebatch import (
+        ensure_fixture_dir,
+        read_cifar_batches,
+    )
+    from crime_spark_ml_spark.sources.pydatasource import register_cifarbatch
+
+    fixture = ensure_fixture_dir("cifar")
+    register_cifarbatch(spark)
+    via_ds = spark.read.format("cifarbatch").option("path", fixture).load()
+    via_mip = read_cifar_batches(spark, fixture)
+    key = lambda t: (t[0], t[1])
+    assert sorted(map(tuple, via_ds.collect()), key=key) == sorted(
+        map(tuple, via_mip.collect()), key=key
+    )
+
+
+def test_python_datasource_pushes_path_filters(spark):
+    """EqualTo/In/StartsWith on path prune partitions driver-side;
+    other filters are reported unsupported and still applied by Spark
+    (correctness never depends on the pushdown)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+    from crime_spark_ml_spark.sources.imagebatch import ensure_fixture_dir
+    from crime_spark_ml_spark.sources.pydatasource import (
+        CifarBatchReader,
+        register_cifarbatch,
+    )
+
+    fixture = ensure_fixture_dir("cifar")
+    reader = CifarBatchReader({"path": fixture})
+    n_all = len(reader.partitions())
+    assert n_all >= 2
+    first = reader.partitions()[0].path.split("/")[-1]
+    unsupported = list(
+        reader.pushFilters([EqualTo(("path",), first), GreaterThan(("label",), 0)])
+    )
+    assert [type(f) for f in unsupported] == [GreaterThan]
+    assert len(reader.partitions()) == 1
+
+    r2 = CifarBatchReader({"path": fixture})
+    assert list(r2.pushFilters([StringStartsWith(("path",), "data_batch")])) == []
+    assert len(r2.partitions()) == n_all
+
+    # end-to-end: the pushed filter's answer matches a post-scan filter
+    register_cifarbatch(spark)
+    pushed = (
+        spark.read.format("cifarbatch").option("path", fixture).load()
+        .where(F.col("path") == first)
+    )
+    assert pushed.count() > 0
+    assert {r.path for r in pushed.select("path").distinct().collect()} == {first}
