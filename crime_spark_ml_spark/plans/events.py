@@ -534,3 +534,37 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+@register(
+    "ev_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           ROUND(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
+                 / COUNT(*), 6) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "json", "variant"),
+)
+def ev_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    parse_json shreds props into a variant, variant_get pulls the
+    typed path — the open-schema path a JSON-heavy event pipeline
+    uses instead of per-field get_json_object strings
+    (ev_json_extract covers that legacy form). avg is computed as
+    exact-integer SUM / COUNT so both engines divide identical
+    numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("CAST(variant_get(parse_json(props), '$.k', 'long') AS BIGINT)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k") * 1.0 / F.count("*"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -496,3 +496,31 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel-as-relational shape as dp_pagerank_authority, but driven by
     the engine's recursion operator instead of a Python loop."""
     return _sql(spark, sf_dir, _RECURSIVE, ("region", "nation", "customer"))
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_PIPE_SPARK = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(MAX(o_totalprice), 2) AS max_price
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "pipe"))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, new in Spark 4.0) — the same logical plan
+    as the classic GROUP BY oracle, entered through the pipeline
+    parser. One dialect where the oracle CANNOT share the text
+    (DuckDB has no pipe operator), so the compare is plan-level
+    equivalence rather than parser parity."""
+    return _sql(spark, sf_dir, _PIPE_SPARK, ("orders",))
