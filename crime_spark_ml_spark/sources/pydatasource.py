@@ -109,3 +109,82 @@ def register_cifarbatch(spark) -> None:
     pushFilters, so registration owns turning it on."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CifarBatchDataSource)
+
+
+# ---------------------------------------------------------------- streaming
+# The reference's tabular wire format (stream.py:184-204, one JSON
+# frame per producer send) as a Spark 4 STREAMING Python DataSource:
+# each frame file is one micro-batch, the committed offset is the
+# number of frames consumed, and readBetweenOffsets replays an exact
+# frame range on recovery — engine-managed exactly-once over the same
+# payloads streaming/wire.py parses from sockets.
+
+import json
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class WireStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("wirestream requires .option('path', <dir>)")
+        self._n_numeric = int(options.get("n_numeric", 1))
+        self._n_string = int(options.get("n_string", 0))
+
+    def _files(self) -> list[str]:
+        return sorted(_glob.glob(os.path.join(self._dir, "*.frame")))
+
+    def _rows(self, path: str) -> Iterator[tuple]:
+        with open(path) as f:
+            payload = json.load(f)
+        base = os.path.basename(path)
+        n = self._n_numeric
+        for idx in sorted(payload, key=int):
+            rec = payload[idx]
+            numeric = [
+                None if rec.get(f"feature{i}") is None else float(rec[f"feature{i}"])
+                for i in range(n)
+            ]
+            strings = [rec.get(f"feature{n + i}") for i in range(self._n_string)]
+            yield (base, int(idx), *numeric, *strings)
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        i = start["i"]
+        if i >= len(files):
+            return iter([]), start  # nothing new; offset unchanged
+        # one frame per micro-batch — the producer's send cadence.
+        # Materialized: the engine's prefetch cache copy.copy()s the
+        # iterator, which a generator cannot survive (a frame is one
+        # producer send — bounded by construction)
+        return iter(list(self._rows(files[i]))), {"i": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = self._files()
+        for path in files[start["i"] : end["i"]]:
+            yield from self._rows(path)
+
+
+class WireStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wirestream"
+
+    def schema(self) -> str:
+        n = int(self.options.get("n_numeric", 1))
+        m = int(self.options.get("n_string", 0))
+        cols = ["frame_file string", "row_idx int"]
+        cols += [f"feature{i} double" for i in range(n)]
+        cols += [f"feature{n + i} string" for i in range(m)]
+        return ", ".join(cols)
+
+    def simpleStreamReader(self, schema) -> WireStreamReader:
+        return WireStreamReader(self.options)
+
+
+def register_wirestream(spark) -> None:
+    spark.dataSource.register(WireStreamDataSource)

@@ -780,3 +780,72 @@ def test_transform_with_state_matches_legacy_api(spark, sf_dir):
     assert [t[:2] for t in tws] == [t[:2] for t in legacy]
     for (_, _, v_new), (_, _, v_old) in zip(tws, legacy):
         assert abs(v_new - v_old) <= 1e-5, (v_new, v_old)
+
+
+def test_wirestream_datasource_reads_producer_frames(spark, sf_dir, tmp_path):
+    """The wire format through the Spark 4 streaming Python DataSource:
+    producer-encoded frames land as one micro-batch each, parsed rows
+    match the source table, and a checkpointed RESTART with a new
+    frame emits ONLY the new frame's rows (offset-tracked
+    exactly-once, engine-managed)."""
+    from crime_spark_ml_spark.sources.catalog import load_table
+    from crime_spark_ml_spark.sources.pydatasource import register_wirestream
+    from crime_spark_ml_spark.streaming.producer import tabular_frames
+
+    rows = [
+        {"c_custkey": float(r.c_custkey), "c_acctbal": float(r.c_acctbal),
+         "c_mktsegment": r.c_mktsegment}
+        for r in load_table(spark, sf_dir, "customer")
+        .orderBy("c_custkey").limit(30)
+        .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+    ]
+    frames = list(tabular_frames(rows, batch_size=10, keep_keys=()))
+    stage = tmp_path / "frames"
+    stage.mkdir()
+    for i, frame in enumerate(frames):
+        (stage / f"{i:04d}.frame").write_text(frame)
+
+    register_wirestream(spark)
+    reader = (
+        spark.readStream.format("wirestream")
+        .option("path", str(stage)).option("n_numeric", 2).option("n_string", 1)
+    )
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain(expect: int) -> None:
+        """processingTime trigger (one frame per read() call) until the
+        sink reaches ``expect`` rows — memory sinks can't recover a
+        checkpoint, so the file sink carries the restart."""
+        q = (
+            reader.load().writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds").start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= expect:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    drain(30)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 30
+    assert {r.frame_file for r in got} == {f"{i:04d}.frame" for i in range(3)}
+    by_key = sorted((r.feature0, r.feature1, r.feature2) for r in got)
+    expected = sorted((r["c_custkey"], r["c_acctbal"], r["c_mktsegment"]) for r in rows)
+    assert by_key == expected
+
+    # restart from the checkpoint with one NEW frame: exactly-once —
+    # only the new frame's 5 rows append, nothing replays
+    extra = list(tabular_frames(rows[:5], batch_size=5, keep_keys=()))
+    (stage / "9999.frame").write_text(extra[0])
+    drain(35)
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == 35
+    assert sum(1 for r in got2 if r.frame_file == "9999.frame") == 5
