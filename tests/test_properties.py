@@ -241,3 +241,56 @@ def test_ivfpq_quality_monotone_in_nprobe(spark):
     for q in b8:
         assert b8[q] <= b4.get(q, float("inf")) + 1e-9, q
         assert b4.get(q, float("inf")) <= b2.get(q, float("inf")) + 1e-9, q
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1, max_size=30, unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_morton_interleave_bijective(spark, pairs):
+    """interleave_bits is a bijection on 10-bit pairs: a pure-Python
+    de-interleave recovers exactly the inputs, and distinct pairs get
+    distinct keys (the property the z-order layout's tiling relies
+    on)."""
+    from crime_spark_ml_spark.operators.layout import interleave_bits
+
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", interleave_bits(F.col("a"), F.col("b"), 10)
+    )
+    got = df.collect()
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(10):
+            b |= ((z >> (2 * i)) & 1) << i
+            a |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in got:
+        assert deinterleave(r.z) == (r.a, r.b)
+    assert len({r.z for r in got}) == len(pairs)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2, max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_uniform_bins_are_monotone(spark, vals):
+    """Uniform binning preserves order: sorting by the morton key of
+    (v, const) sorts by v's bin — no value ever lands in a lower bin
+    than a smaller value (the locality the layout depends on)."""
+    from crime_spark_ml_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    ).withColumn("c", F.lit(0.0))
+    key = zorder_key(df, ("v", "c"), bits=8)
+    rows = df.withColumn("z", key).orderBy("v").collect()
+    zs = [r.z for r in rows]
+    assert zs == sorted(zs)
