@@ -91,3 +91,45 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Engine-native skew handling, complementing operators/skew.py's
+    manual salting: with skew-join thresholds scaled to fixture bytes,
+    AQE must detect the hot key's oversized shuffle partition and split
+    it (SortMergeJoin(skew=true) in the FINAL adaptive plan) — and the
+    row count must match the unskewed semantics. At production scale
+    the same mechanism fires at the default 256 MiB threshold."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        big = spark.range(300000).selectExpr(
+            "IF(id < 200000, 0, id % 1000) AS k", "id AS v", "repeat('x', 40) AS pad"
+        )
+        small = spark.range(1000).selectExpr("id AS k", "id * 10 AS w")
+        joined = big.join(small, "k")
+        assert len(joined.collect()) == 300000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, "AQE did not split the skewed join"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
