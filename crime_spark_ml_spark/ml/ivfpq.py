@@ -88,8 +88,14 @@ def build_ivfpq(
     # bounded) — a pre-sample here would be a second, divergent sampler
     pq = train_pq(res, m=m, k=k, seed=seed, vec_col="rvec", sample_fraction=train_fraction)
     # cid rides along through the narrow-map encode — a join back on id
-    # would shuffle the whole corpus for a column it already has
-    coded = res.select("id", "cid", pq_code_expr(pq, "rvec").alias("codes"))
+    # would shuffle the whole corpus for a column it already has.
+    # The one-element-array transform BINDS the residual: without it,
+    # projection collapse inlines rvec's zip_with into all m*k distance
+    # subtrees (measured 4x row work + seconds of codegen per build)
+    codes = F.element_at(
+        F.transform(F.array(F.col("rvec")), lambda rv: pq_code_expr(pq, rv)), 1
+    )
+    coded = res.select("id", "cid", codes.alias("codes"))
     return IvfPqIndex(centroids=ivf.centroids, pq=pq, coded=coded)
 
 
@@ -101,7 +107,16 @@ def persist_ivfpq(index: IvfPqIndex, path: str) -> None:
     local relation costs seconds of pure overhead)."""
     from ..sources.writers import write_sidecar
 
-    index.coded.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/coded")
+    # repartition by cid before the partitioned write: without it every
+    # input split emits a file into every cell directory — input_splits
+    # × k_cells files (measured 64 vs 16 on the fixture; at cluster
+    # scale that's millions of tiny files). The ENCODE stays
+    # shuffle-free; this one organization shuffle moves the m-byte CODE
+    # table (a few % of corpus bytes), not vectors, and caps the layout
+    # at one file per cell.
+    index.coded.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/coded")
     write_sidecar(index.centroids, f"{path}/centroids")
     write_sidecar(index.pq.codebooks, f"{path}/codebooks")
     # staleness bookkeeping for append_ivfpq/needs_retrain: n_base is
@@ -196,8 +211,15 @@ def append_ivfpq(
     )
     assigned = vecs.withColumn("cid", best.getField("c").cast("int"))
     res = _residuals(assigned, index.centroids)
-    coded_new = res.select("id", "cid", pq_code_expr(index.pq, "rvec").alias("codes"))
-    coded_new.write.mode("append").partitionBy("cid").parquet(f"{path}/coded")
+    # same residual-binding as build_ivfpq (see comment there)
+    codes_new = F.element_at(
+        F.transform(F.array(F.col("rvec")), lambda rv: pq_code_expr(index.pq, rv)), 1
+    )
+    coded_new = res.select("id", "cid", codes_new.alias("codes"))
+    # same file-per-cell organization shuffle as persist_ivfpq
+    coded_new.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+        f"{path}/coded"
+    )
     # appended count from footer metadata (no data scan, no cache of
     # the encode plan): everything beyond n_base is appended mass
     total = spark.read.parquet(f"{path}/coded").count()

@@ -224,26 +224,35 @@ def _sq_l2_cols(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def _sq_l2_lit(vec_col: str, offset: int, values: list[float]) -> F.Column:
-    """Squared L2 distance between ``vec_col[offset+1 .. offset+len]``
+def _sq_l2_lit(vec: str | F.Column, offset: int, values: list[float]) -> F.Column:
+    """Squared L2 distance between ``vec[offset+1 .. offset+len]``
     and a LITERAL vector, as a zip_with/aggregate fold. (An unrolled
     sum-of-squares variant was measured strictly worse: it moves the
     work from interpreted HOF eval into a multi-megabyte Catalyst tree
     whose optimization + codegen dwarf the row math. The HOF form is
     plan-cheap and the per-row cost parallelizes across input
     splits.)"""
+    col = F.col(vec) if isinstance(vec, str) else vec
     return _sq_l2_cols(
-        F.slice(F.col(vec_col), offset + 1, len(values)),
+        F.slice(col, offset + 1, len(values)),
         F.array(*[F.lit(v) for v in values]),
     )
 
 
-def pq_code_expr(model: PqModel, vec_col: str) -> F.Column:
+def pq_code_expr(model: PqModel, vec: str | F.Column) -> F.Column:
     """The m-code array as ONE row-local column expression — nearest
     codebook entry per subspace, argmin over k literal-vector distances
     (the codebook is m×k rows, kilobytes, collected once). Callers
     project it next to whatever columns must ride along (ivfpq keeps
-    ``cid`` beside the codes with no join)."""
+    ``cid`` beside the codes with no join).
+
+    ``vec`` may be a Column (e.g. a lambda variable): when the input
+    vector is itself a computed expression, wrap the call as
+    ``element_at(transform(array(<expr>), v -> pq_code_expr(m, v)), 1)``
+    so the expression is evaluated ONCE per row — otherwise Catalyst's
+    projection collapse inlines it into all m*k distance subtrees
+    (measured: 4x the row work and seconds of codegen per fresh
+    codebook on the IVFPQ residual path)."""
     cb: dict[int, list[list[float]]] = {}
     for r in model.codebooks.collect():  # bounded: m*k rows
         cb.setdefault(r.sub, [None] * model.k)[r.code] = [float(x) for x in r.cvec]
@@ -256,7 +265,7 @@ def pq_code_expr(model: PqModel, vec_col: str) -> F.Column:
             F.array(
                 *[
                     F.struct(
-                        _sq_l2_lit(vec_col, j * model.sub_dim, cb[j][c]).alias("d"),
+                        _sq_l2_lit(vec, j * model.sub_dim, cb[j][c]).alias("d"),
                         F.lit(c).alias("c"),
                     )
                     for c in range(model.k)
