@@ -279,13 +279,27 @@ def duplicate_clusters(
     converges in a few rounds; each round is one shuffle join keyed by
     node id — no driver-side graph. Rounds stop early when a round
     changes nothing.
-    """
+
+    The iteration runs ONLY over pair-touched nodes: an isolated node
+    can never change its label, so looping it through every round just
+    scales each join by |corpus| for nothing. Touched nodes are
+    2·|pairs| at most — on a deduped web corpus a few percent of
+    documents — and every propagated label is itself a touched node,
+    so restricting the frontier is exact. Untouched ids rejoin as
+    their own singleton cluster at the end (one anti-join, no
+    iteration)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize ONCE: every round fires 2+ actions that would
+        # otherwise re-evaluate the whole upstream candidate pipeline
+        # (shingle→minhash→band-join) behind this frame — shuffle-stage
+        # reuse absorbs some of that, but not the map-side re-runs
+        .localCheckpoint(eager=True)
     )
-    labels = ids.select(F.col(id_col).alias("node")).withColumn("label", F.col("node"))
+    touched = edges.select(F.col("src").alias("node")).distinct()
+    labels = touched.withColumn("label", F.col("node"))
     converged = False
     prev_cached = None
     for _ in range(max_iter):
@@ -341,4 +355,12 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iter} rounds — a "
             f"connected component is deeper than 2^{max_iter}; raise max_iter"
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = (
+        ids.select(F.col(id_col).alias("node"))
+        .join(touched, "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return (
+        labels.unionByName(singletons)
+        .select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    )
