@@ -849,3 +849,15 @@ def test_wirestream_datasource_reads_producer_frames(spark, sf_dir, tmp_path):
     got2 = spark.read.parquet(out).collect()
     assert len(got2) == 35
     assert sum(1 for r in got2 if r.frame_file == "9999.frame") == 5
+
+
+def test_incremental_rollup_split_independent(spark, sf_dir):
+    """Additive decimal merge must converge to the identical rollup
+    under ANY micro-batch split — 7-way vs the registered 4-way, row
+    for row (the decimal state makes this exact, not approximate)."""
+    from crime_spark_ml_spark.plans.streamplans import stream_incremental_rollup
+
+    a = stream_incremental_rollup(spark, sf_dir, n_batches=7).collect()
+    b = stream_incremental_rollup(spark, sf_dir, n_batches=4).collect()
+    assert len(a) == len(b) > 0
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
