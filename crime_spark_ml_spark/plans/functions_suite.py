@@ -338,3 +338,33 @@ def fn_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode_outer(arr).alias("pos", "word"))
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(BIT_AND(o_orderkey) AS BIGINT) AS all_and,
+           CAST(BIT_OR(o_orderkey % 256) AS BIGINT) AS low_or,
+           CAST(BIT_XOR(o_orderkey) AS BIGINT) AS keys_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — exact
+    integer semantics shared by both engines; xor aggregates are the
+    primitive behind order-independent checksum columns."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").cast("bigint").alias("all_and"),
+            F.bit_or(F.col("o_orderkey") % 256).cast("bigint").alias("low_or"),
+            F.bit_xor("o_orderkey").cast("bigint").alias("keys_xor"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -209,3 +209,45 @@ def w_range_frame_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "w_value_suite",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(FIRST_VALUE(c_custkey) OVER w AS BIGINT) AS poorest,
+           CAST(LAST_VALUE(c_custkey) OVER
+                (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS richest,
+           CAST(NTH_VALUE(c_custkey, 2) OVER w AS BIGINT) AS second_poorest,
+           ROUND(c_acctbal - FIRST_VALUE(c_acctbal) OVER w, 2) AS above_floor
+    FROM customer
+    WHERE c_custkey <= 400
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_acctbal, c_custkey
+    """,
+    tags=("windows", "value"),
+)
+def w_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family (first_value / last_value / nth_value)
+    with explicit frames — last_value needs the UNBOUNDED FOLLOWING
+    frame (the default frame ends at CURRENT ROW, a classic silent-bug
+    corner both engines must agree on). Deterministic ordering via the
+    (acctbal, custkey) tiebreak."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.first("c_custkey").over(w).cast("bigint").alias("poorest"),
+            F.last("c_custkey").over(w_full).cast("bigint").alias("richest"),
+            F.nth_value("c_custkey", 2).over(w).cast("bigint").alias("second_poorest"),
+            F.round(
+                F.col("c_acctbal") - F.first("c_acctbal").over(w), 2
+            ).alias("above_floor"),
+        )
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    )
