@@ -2130,3 +2130,87 @@ def dp_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("frame_indices").alias("n_sampled"),
         F.concat_ws(",", F.col("frame_indices").cast("array<string>")).alias("frame_csv"),
     ).orderBy("media_id")
+
+
+@register(
+    "dp_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i + 4), ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+      WHERE len(t) >= 5
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+    ), hits AS (
+      SELECT gr.doc_id, gr.pos FROM grams gr JOIN dup USING (g)
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+    tags=("datapipe", "dedup", "spans"),
+)
+def dp_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection — the substring-level sibling of
+    document-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": boilerplate repeats *inside*
+    otherwise-unique documents are what substring dedup removes).
+
+    Shape: token 5-grams with positions (one JVM-side transform over
+    the split array — no explode-then-self-join to rebuild n-grams),
+    the cross-document duplicate set via one groupBy on the gram text,
+    a hash join back to positions, then the classic islands trick
+    (pos - row_number → constant per consecutive run) to merge adjacent
+    duplicated grams into maximal spans.
+
+    At 100 TB: the gram groupBy is the only big shuffle and its key
+    cardinality is bounded by corpus n-gram diversity; in production
+    the gram column would carry xxhash64(g) instead of the text (the
+    oracle keeps the text so DuckDB can reproduce it).  The hits join
+    shuffles only duplicated grams — a small fraction of the corpus —
+    and the window runs per-document after a doc_id repartition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 5)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-4),"
+                " i -> struct(i AS pos, concat_ws(' ', slice(t, i, 5)) AS g))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + 4).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + 5).cast("bigint").alias("span_tokens"),
+        )
+        .drop("grp")
+        .orderBy("doc_id", "span_start")
+    )

@@ -368,3 +368,123 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "fn_stats_agg_suite",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             avg(l_quantity) AS m1,
+             avg(l_quantity*l_quantity) AS m2r,
+             avg(l_quantity*l_quantity*l_quantity) AS m3r,
+             avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4r,
+             regr_slope(l_extendedprice, l_quantity) AS slope,
+             regr_intercept(l_extendedprice, l_quantity) AS icept,
+             regr_r2(l_extendedprice, l_quantity) AS r2,
+             regr_count(l_extendedprice, l_quantity) AS rn,
+             corr(l_quantity, l_extendedprice) AS c,
+             covar_samp(l_quantity, l_extendedprice) AS cs,
+             covar_pop(l_quantity, l_extendedprice) AS cp,
+             median(l_quantity) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), md AS (
+      SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS md FROM (
+        SELECT l_returnflag, l_linenumber,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, l_linenumber ASC) AS rk
+        FROM lineitem GROUP BY l_returnflag, l_linenumber
+      ) WHERE rk = 1
+    )
+    SELECT m.l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(slope, 4) AS slope, ROUND(icept, 4) AS icept,
+           ROUND(r2, 6) AS r2, CAST(rn AS BIGINT) AS rn,
+           ROUND(c, 6) AS c, ROUND(cs, 4) AS cs, ROUND(cp, 4) AS cp,
+           ROUND(med, 4) AS med,
+           ROUND((m3r - 3*m1*m2r + 2*m1*m1*m1)
+                 / pow(m2r - m1*m1, 1.5), 4) AS sk,
+           ROUND((m4r - 4*m1*m3r + 6*m1*m1*m2r - 3*pow(m1, 4))
+                 / pow(m2r - m1*m1, 2) - 3, 4) AS ku,
+           md.md AS md
+    FROM m JOIN md ON m.l_returnflag = md.l_returnflag
+    ORDER BY m.l_returnflag
+    """,
+    tags=("functions", "stats_agg"),
+)
+def fn_stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: the SQL:2016 regr_* linear-fit
+    aggregates, covariance (sample + population), Pearson correlation,
+    exact median, deterministic mode, and the population skewness /
+    excess-kurtosis moments.
+
+    Definitional care (the part a naive oracle gets wrong): Spark's
+    ``skewness``/``kurtosis`` are the *population* moment forms
+    (m3/m2^1.5, m4/m2^2 - 3) while DuckDB's builtins apply sample
+    bias-correction, so the oracle reconstructs the population form
+    from raw power sums instead of calling them; and ``mode`` is only
+    well-defined under a tie-break, so Spark runs ``mode(col, true)``
+    (smallest winner) and the oracle a count-desc/value-asc window.
+    One partial+final hash aggregate per group at any scale — every
+    one of these aggregates is algebraic (constant-size state), so the
+    map-side combine does almost all the work on a 100 TB fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(p, q), 4).alias("slope"),
+            F.round(F.regr_intercept(p, q), 4).alias("icept"),
+            F.round(F.regr_r2(p, q), 6).alias("r2"),
+            F.regr_count(p, q).cast("bigint").alias("rn"),
+            F.round(F.corr(q, p), 6).alias("c"),
+            F.round(F.covar_samp(q, p), 4).alias("cs"),
+            F.round(F.covar_pop(q, p), 4).alias("cp"),
+            F.round(F.median(q), 4).alias("med"),
+            F.round(F.skewness(q), 4).alias("sk"),
+            F.round(F.kurtosis(q), 4).alias("ku"),
+            F.expr("mode(l_linenumber, true)").cast("bigint").alias("md"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_ordered_agg_suite",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n,
+           string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+           array_to_string(list_sort(list(n_name)), '|') AS names_sorted,
+           min(n_name) AS first_name,
+           max(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("functions", "ordered_agg"),
+)
+def fn_ordered_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: SQL:2023 ``listagg … WITHIN GROUP
+    (ORDER BY …)`` (new in Spark 4.0) against DuckDB's ordered
+    ``string_agg``, plus the pre-4.0 idiom ``array_sort(collect_list)``
+    canonicalized to a joined string (arrays are unhashable in the
+    driver's pandas gate — pattern: fn_higher_order_suite).  The
+    within-group sort is what makes the result partition-order
+    independent and therefore hashable at all — an unordered
+    ``collect_list`` is nondeterministic under shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "names_csv"
+            ),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "names_sorted"
+            ),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -702,3 +702,56 @@ def j_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# ------------------------------------------------- runtime bloom filter
+@register(
+    "j_runtime_bloom_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-02-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("joins", "runtime_filter"),
+)
+def j_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension fact join — the shape Spark's runtime
+    bloom-filter injection (SPARK-32268) exists for: the month filter
+    on orders makes the build side tiny relative to the lineitem scan,
+    so with ``spark.sql.optimizer.runtime.bloomFilter.enabled`` a
+    bloom_filter_agg over the filtered o_orderkey set is planted under
+    the lineitem scan and discards ~99% of fact rows before the join
+    shuffle.  On a 100 TB fact that is the difference between
+    shuffling the whole table and shuffling one month of it.
+
+    The plan is declared conf-independently (results identical either
+    way; the oracle is the plain join) — tests/test_plan_linter.py
+    pins that the bloom filter IS injected once broadcast is off and
+    the thresholds admit the build side, and that the filtered result
+    still matches the unfiltered plan exactly despite the bloom's
+    false-positive rate (FPs only pass rows to the exact join, never
+    into the result)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-02-01")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -137,3 +137,35 @@ def test_latest_snapshot_single_shuffle_before_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dp_latest_snapshot", mode="simple")
     before_sort = plan.split("Window", 1)[1] if "Window" in plan else plan
     assert "hashpartitioning(user_id" in before_sort
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """j_runtime_bloom_join: with runtime bloom filters enabled and
+    broadcast off (forcing the shuffle-join shape the optimization
+    exists for), Catalyst plants a bloom_filter_agg over the filtered
+    o_orderkey set under the lineitem scan — and the result is
+    identical to the default-conf plan (bloom false positives only
+    reach the exact join, never the output)."""
+    name = "j_runtime_bloom_join"
+    fn = load_all_plans()[name].fn
+    baseline = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
