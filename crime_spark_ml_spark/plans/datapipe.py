@@ -2214,3 +2214,122 @@ def dp_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("doc_id", "span_start")
     )
+
+
+@register(
+    "dp_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) / pow(2, 52)) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rk <= 3
+    ORDER BY source, doc_id
+    """,
+    tags=("datapipe", "sampling"),
+)
+def dp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    (2006): each row gets key u^(1/w) for u ~ Uniform(0,1] — here
+    ranked by the order-equivalent ln(u)/w — and the top-k keys per
+    group ARE a weighted sample without replacement.  One pass, no
+    rejection loop, mergeable across partitions: exactly the shape a
+    100 TB quality-weighted corpus subsample needs (weight = n_chars
+    stands in for a quality score).
+
+    Determinism is the point of the construction: u is derived from
+    md5(doc_id) — the only hash both engines (and any future engine)
+    compute bit-identically — via the first 13 hex digits / 2^52, so
+    u has exactly 52 mantissa bits and the division is float-exact.
+    Spark's rand(seed) and DuckDB's random() could never oracle-match.
+    Physical shape: one shuffle by source feeding a WindowGroupLimit
+    (rk<=3 pushed below the full sort) — top-k per group, not a global
+    sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = F.expr(
+        "conv(substring(md5(cast(doc_id AS string)), 1, 13), 16, 10)"
+    ).cast("double") / F.lit(2.0 ** 52)
+    keyed = docs.select(
+        "source", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "dp_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           ROUND(avg(CASE WHEN n_chars < lo THEN lo
+                          WHEN n_chars > hi THEN hi
+                          ELSE n_chars END), 4) AS clipped_mean,
+           ROUND(max(lo), 4) AS lo, ROUND(max(hi), 4) AS hi
+    FROM documents d JOIN bounds b ON d.source = b.source
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("datapipe", "robust_scaling"),
+)
+def dp_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization (clip at the exact p05/p95) — the
+    robust-scaling prep step that keeps outlier documents from
+    dominating length-normalized quality scores.  Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation definition, so the bounds — and therefore the
+    clipped means — hash-match.
+
+    Shape: the per-source bounds are a tiny aggregate (one row per
+    source) broadcast back onto the fact — the same
+    aggregate-then-broadcast pattern as e6_zscore, two scans but no
+    second wide shuffle; at 100 TB the alternative single-pass window
+    would shuffle and sort every row by source for two scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    clipped = F.when(F.col("n_chars") < F.col("lo"), F.col("lo")).when(
+        F.col("n_chars") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("n_chars"))
+    return (
+        docs.join(F.broadcast(bounds), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("n_chars") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("n_chars") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(F.avg(clipped), 4).alias("clipped_mean"),
+            F.round(F.max("lo"), 4).alias("lo"),
+            F.round(F.max("hi"), 4).alias("hi"),
+        )
+        .orderBy("source")
+    )

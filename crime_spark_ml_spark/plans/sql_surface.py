@@ -524,3 +524,27 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB has no pipe operator), so the compare is plan-level
     equivalence rather than parser parity."""
     return _sql(spark, sf_dir, _PIPE_SPARK, ("orders",))
+
+
+_LATERAL = """
+SELECT n_name, c.c_name, c.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) AS c
+ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+@register("sql_lateral_join", oracle=_LATERAL, tags=("sql", "lateral"))
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in FROM (SQL:1999 feature T491;
+    Spark 3.2+ via DecorrelateInnerQuery): per-nation top-2 customers
+    by balance, expressed as a dependent subquery instead of a window.
+    Catalyst decorrelates the ORDER BY … LIMIT into a partitioned
+    window-group-limit over one customer shuffle — same physical shape
+    as w_topn_per_group, reached from the other SQL dialect direction.
+    The oracle text is shared verbatim: DuckDB executes the identical
+    LATERAL query."""
+    return _sql(spark, sf_dir, _LATERAL, ("nation", "customer"))
