@@ -2333,3 +2333,90 @@ def dp_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dp_scalar_quantize_int8",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ), dims AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim
+    ), codes AS (
+      SELECT ex.vec_id, ex.label, ex.x, d.lo,
+             (CASE WHEN d.hi > d.lo THEN (d.hi - d.lo) / 255.0
+                   ELSE 1.0 END) AS scale,
+             CAST(floor((ex.x - d.lo)
+                        / (CASE WHEN d.hi > d.lo THEN (d.hi - d.lo) / 255.0
+                                ELSE 1.0 END) + 0.5) AS BIGINT) AS code
+      FROM ex JOIN dims d USING (dim)
+    )
+    SELECT label,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(max(code) AS BIGINT) AS code_max,
+           CAST(min(code) AS BIGINT) AS code_min,
+           ROUND(avg(pow(lo + code * scale - x, 2)), 9) AS mse,
+           CAST(max(CASE WHEN abs(lo + code * scale - x) <= scale / 2 + 1e-9
+                         THEN 0 ELSE 1 END) AS BIGINT) AS any_oob
+    FROM codes GROUP BY label ORDER BY label
+    """,
+    tags=("datapipe", "ann", "quantization"),
+)
+def dp_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4×
+    memory compression every large ANN corpus applies before (or
+    instead of) PQ: per-dimension [min,max] mapped onto 0..255 with
+    round-to-nearest, here audited end-to-end with an EXACT value
+    oracle (code checksums are integer-exact; both engines cast the
+    float32 element to double first, so the arithmetic is
+    bit-identical — and floor(x+0.5) sidesteps the engines' differing
+    round-half conventions).
+
+    The output proves the quantizer's contract per label slice:
+    code range exactly [0,255], reconstruction error never beyond
+    scale/2 (any_oob=0), and the MSE an order below scale²/12.
+
+    Shape: pass 1 posexplodes to (dim, x) and reduces to d rows —
+    map-side partial aggregation means the shuffle carries 64 rows per
+    partition, not n·d; pass 2 re-scans, broadcast-joins the d-row
+    bounds table, and aggregates codes with the same partial-agg
+    collapse. No Python, no window, two scans, two tiny shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "xf"),
+    ).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    dims = ex.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    scale = F.when(F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / 255.0).otherwise(
+        F.lit(1.0)
+    )
+    codes = ex.join(F.broadcast(dims), "dim").select(
+        "vec_id",
+        "label",
+        "x",
+        "lo",
+        scale.alias("scale"),
+        F.floor((F.col("x") - F.col("lo")) / scale + 0.5).cast("bigint").alias("code"),
+    )
+    recon_err = F.col("lo") + F.col("code") * F.col("scale") - F.col("x")
+    return (
+        codes.groupBy("label")
+        .agg(
+            F.count_distinct("vec_id").cast("bigint").alias("n_vecs"),
+            F.sum("code").cast("bigint").alias("code_sum"),
+            F.max("code").cast("bigint").alias("code_max"),
+            F.min("code").cast("bigint").alias("code_min"),
+            F.round(F.avg(F.pow(recon_err, 2)), 9).alias("mse"),
+            F.max(
+                F.when(F.abs(recon_err) <= F.col("scale") / 2 + 1e-9, 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("any_oob"),
+        )
+        .orderBy("label")
+    )

@@ -755,3 +755,58 @@ def j_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------- join strategy hints
+@register(
+    "j_strategy_hints",
+    oracle="""
+    WITH agg AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT s.strategy, a.n_name, a.n_cust, a.bal
+    FROM agg a CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) AS s(strategy)
+    ORDER BY s.strategy, a.n_name
+    """,
+    tags=("joins", "hints"),
+)
+def j_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same customer⋈nation aggregate executed under all three
+    join-strategy hints — BROADCAST, MERGE (sort-merge), SHUFFLE_HASH
+    — unioned with a strategy label.  Semantics are hint-invariant
+    (the oracle is one plain join replicated per label); what the
+    hints change is the physical node, pinned in
+    tests/test_plans.py::test_strategy_hints_bind: the broadcast arm
+    plans BroadcastHashJoin, the merge arm SortMergeJoin, the
+    shuffle_hash arm ShuffledHashJoin.
+
+    Why this is registry-worthy: at 100 TB the hint surface is the
+    manual override when AQE's estimates are wrong (a dimension just
+    over the broadcast threshold, a sort-merge where the build side
+    fits in memory) — declaring it here keeps the override path
+    tested, not folklore."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def arm(hint: str, label: str) -> DataFrame:
+        return (
+            c.join(n.hint(hint), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_cust"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("bal"),
+            )
+            .select(F.lit(label).alias("strategy"), "n_name", "n_cust", "bal")
+        )
+
+    return (
+        arm("broadcast", "broadcast")
+        .unionAll(arm("merge", "merge"))
+        .unionAll(arm("shuffle_hash", "shuffle_hash"))
+        .orderBy("strategy", "n_name")
+    )

@@ -169,3 +169,18 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_strategy_hints_bind(spark, sf_dir):
+    """j_strategy_hints: each hinted arm plans its named physical join
+    even with broadcast auto-detection off (the hint, not the size
+    estimate, must decide)."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "j_strategy_hints", mode="simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan
+        assert "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
