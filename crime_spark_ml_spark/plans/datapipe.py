@@ -2420,3 +2420,82 @@ def dp_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "dp_phash_near_dups",
+    oracle="""
+    WITH ph AS (
+      SELECT doc_id AS media_id,
+             CAST(('0x' || rpad(substring(hex(encode(text)), 1, 12), 12, '0'))
+                  AS BIGINT) AS ph
+      FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    )
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 6
+    ORDER BY media_id_a, media_id_b
+    """,
+    tags=("datapipe", "multimodal", "dedup"),
+)
+def dp_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the image slice of
+    the synthetic media table — multimodal dedup as a first-class,
+    HASH-MATCHED pipeline (the simhash twin is rows-only; here the
+    48-bit stand-in phash is bit-reproducible in ANSI SQL via the hex
+    of the payload prefix, so the whole hamming pipeline sits inside
+    the value-oracle gate).
+
+    Spark side: decode_image's Arrow-batched mapInPandas produces the
+    phash (the documented codec boundary — a real deploy swaps DCT
+    pHash into that one function and nothing here changes), then 8
+    hamming bands of 6 bits generate candidates: by pigeonhole any
+    pair within distance 6 < 8 bands agrees exactly on ≥1 band, so
+    banded recall is guaranteed, not probabilistic — which is what
+    lets a banded plan match a brute-force oracle. The oracle
+    self-joins all image pairs (fine at fixture scale); the Spark plan
+    never goes quadratic: one explode(8) + equi-join on (band, val),
+    distinct pairs, exact bit_count filter. A production 64-bit pHash
+    uses 8-bit bands for the same guarantee at distance ≤ 7."""
+    from ..operators.multimodal import decode_image, synthetic_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    media = synthetic_media(docs).where(F.col("kind") == "image")
+    feats = decode_image(media).select("media_id", "phash")
+    bands = feats.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", 6 * b).bitwiseAND(F.lit(63)).alias("val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("band"), F.col("val"), F.col("media_id").alias("media_id_a"), F.col("phash").alias("ph_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("val"), F.col("media_id").alias("media_id_b"), F.col("phash").alias("ph_b")
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "media_id_a",
+            "media_id_b",
+            F.bit_count(F.expr("ph_a ^ ph_b")).cast("bigint").alias("dist"),
+        )
+        .where(F.col("dist") <= 6)
+        .orderBy("media_id_a", "media_id_b")
+    )
