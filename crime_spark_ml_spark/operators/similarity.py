@@ -30,15 +30,34 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Exact top-k cosine neighbors (excluding self) per query."""
+    """Exact top-k cosine neighbors (excluding self) per query.
+
+    ``match_cols`` turns this into *filtered* search: a candidate
+    scores only when it agrees with the query on every listed metadata
+    column (the production "search within tenant/label/language"
+    constraint). The filter becomes part of the join condition — an
+    equi-join key instead of a post-filter — so with a partitioned
+    corpus the non-matching slices are never scanned, and the
+    broadcast stays queries-sized either way."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qe"),
+        *[F.col(c).alias(f"q_{c}") for c in match_cols],
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("ce"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("ce"),
+        *[F.col(col) for col in match_cols],
+    )
+    if match_cols:
+        cond = [F.col(col) == F.col(f"q_{col}") for col in match_cols]
+        joined = c.join(F.broadcast(q), cond)
+    else:
+        joined = c.crossJoin(F.broadcast(q))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("cand_id") != F.col("query_id"))
+        joined.where(F.col("cand_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine("qe", "ce"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")

@@ -2499,3 +2499,102 @@ def dp_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 6)
         .orderBy("media_id_a", "media_id_b")
     )
+
+
+@register(
+    "dp_ann_filtered",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS cos
+      FROM embeddings e JOIN q ON e.label = q.ql
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "filtered"),
+)
+def dp_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact ANN: top-5 cosine neighbors restricted
+    to candidates sharing the query's label — the production
+    "search within tenant / language / shard" constraint, which naive
+    post-filtering gets wrong (filter AFTER top-k returns < k rows;
+    the filter must join INTO candidate generation).  Same output
+    schema as dp_ann_bruteforce, so the two are swappable.
+
+    Shape: the label becomes an equi-join key with the broadcast query
+    set — on a label-partitioned 100 TB corpus that is a partition-
+    pruned scan of only the queried labels, not a full scan plus
+    discard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, match_cols=("label",)
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "dp_cleaning_funnel",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+           CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                          AND n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                          AND n_chars >= 100 AND lang IN ('en','de','fr','es')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                          AND n_chars >= 100 AND lang IN ('en','de','fr','es')
+                          AND len(string_split(text, ' ')) >= 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens,
+           ROUND(sum(CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                           AND n_chars >= 100 AND lang IN ('en','de','fr','es')
+                           AND len(string_split(text, ' ')) >= 20
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS survival_rate
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "quality", "funnel"),
+)
+def dp_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-cleaning funnel: per-source survivor counts
+    through the nested filter cascade (non-empty → length floor →
+    language allowlist → token floor) plus the end-to-end survival
+    rate — the report every training-data pipeline runs before and
+    after a cleaning change to see WHERE documents die.
+
+    One scan, one partial+final aggregate: the cascade is expressed as
+    nested conditional sums rather than four filtered sub-queries, so
+    a 100 TB corpus is read once and the shuffle carries one row per
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    len_ok = nonempty & (F.col("n_chars") >= 100)
+    lang_ok = len_ok & F.col("lang").isin("en", "de", "fr", "es")
+    tok_ok = lang_ok & (F.size(F.split(F.col("text"), " ")) >= 20)
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            cnt(nonempty).alias("n_nonempty"),
+            cnt(len_ok).alias("n_len"),
+            cnt(lang_ok).alias("n_lang"),
+            cnt(tok_ok).alias("n_tokens"),
+            F.round(
+                F.sum(F.when(tok_ok, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("survival_rate"),
+        )
+        .orderBy("source")
+    )
