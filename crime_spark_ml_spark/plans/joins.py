@@ -810,3 +810,49 @@ def j_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(arm("shuffle_hash", "shuffle_hash"))
         .orderBy("strategy", "n_name")
     )
+
+
+@register(
+    "setop_multiset_all",
+    oracle="""
+    WITH i AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ), e AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS multiplicity, 'intersect_all' AS op
+    FROM i GROUP BY o_custkey
+    UNION ALL
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS multiplicity, 'except_all' AS op
+    FROM e GROUP BY o_custkey
+    ORDER BY op, o_custkey
+    """,
+    tags=("setops", "multiset"),
+)
+def setop_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+    per-key multiplicities (min(m,n) and max(m−n,0)) where the
+    distinct forms collapse to membership; the SQL:1999 semantics both
+    engines implement natively (Spark ``intersectAll``/``exceptAll``).
+    Multiplicities are re-aggregated per key so the hash compare is
+    order-insensitive over what is otherwise a duplicate-bearing bag.
+    One shuffle per operand pair on the key, same as the distinct
+    forms — multiplicity tracking rides the existing aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("multiplicity"), F.lit(op).alias("op")
+        )
+
+    return (
+        counted(f_cust.intersectAll(o_cust), "intersect_all")
+        .unionAll(counted(f_cust.exceptAll(o_cust), "except_all"))
+        .orderBy("op", "o_custkey")
+    )
