@@ -364,3 +364,57 @@ def duplicate_clusters(
         labels.unionByName(singletons)
         .select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact duplicated-span detection (substring-level dedup, Lee et
+    al. 2022): positioned token n-grams, the cross-document duplicate
+    set via one groupBy on the gram, a join back to positions, and the
+    islands trick (pos − row_number) merging consecutive duplicated
+    grams into maximal spans.
+
+    ``hashed=True`` is the scale path: grams travel as xxhash64 values
+    (8 bytes) instead of the n-token text through the groupBy and join
+    shuffles — the only change of representation; span output is
+    identical because only gram equality is ever used.  The text form
+    exists so an ANSI-SQL oracle can reproduce the pipeline
+    (plans/datapipe.py::dp_duplicate_spans)."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    ).where(F.size("t") >= n)
+    gram = f"concat_ws(' ', slice(t, i, {n}))"
+    if hashed:
+        gram = f"xxhash64({gram})"
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t)-{n - 1}),"
+                f" i -> struct(i AS pos, {gram} AS g))"
+            )
+        ).alias("x"),
+    ).select(id_col, F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + n).cast("bigint").alias("span_tokens"),
+        )
+        .drop("grp")
+    )

@@ -2180,40 +2180,10 @@ def dp_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the text so DuckDB can reproduce it).  The hits join
     shuffles only duplicated grams — a small fraction of the corpus —
     and the window runs per-document after a doc_id repartition."""
-    from pyspark.sql import Window
+    from ..operators.dedup import duplicate_spans
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).where(F.size("t") >= 5)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t)-4),"
-                " i -> struct(i AS pos, concat_ws(' ', slice(t, i, 5)) AS g))"
-            )
-        ).alias("x"),
-    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + 4).cast("bigint").alias("span_end"),
-            (F.max("pos") - F.min("pos") + 5).cast("bigint").alias("span_tokens"),
-        )
-        .drop("grp")
-        .orderBy("doc_id", "span_start")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=5).orderBy("doc_id", "span_start")
 
 
 @register(

@@ -294,3 +294,16 @@ def test_bm25_matches_pure_python(spark, sf_dir):
     )[:15]
     got = [(r.score, r.doc_id) for r in dp_bm25_rank(spark, sf_dir).collect()]
     assert got == expected
+
+
+def test_duplicate_spans_hashed_equals_text(spark, sf_dir):
+    """The hashed-gram scale path must produce byte-identical spans to
+    the text-gram oracle path (only gram equality is consumed)."""
+    from crime_spark_ml_spark.operators.dedup import duplicate_spans
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, duplicate_spans(docs, n=5).collect()))
+    b = sorted(map(tuple, duplicate_spans(docs, n=5, hashed=True).collect()))
+    assert a == b
+    assert len(a) > 0

@@ -308,9 +308,50 @@ def cmd_dedup(spark, args) -> None:
     )
 
 
+def cmd_spans(spark, args) -> None:
+    """Duplicated-span detection (operators/dedup.duplicate_spans,
+    hashed gram path) per doc count: wall time should grow ~linearly
+    at constant dup rate — the gram groupBy dominates and its input is
+    ~tokens-per-doc x n_docs. Also records the span yield so the run
+    is evidently non-vacuous (the planted near-dups make every gram of
+    ~10% of docs duplicated)."""
+    from crime_spark_ml_spark.operators.dedup import duplicate_spans
+
+    docs_all = spark.read.parquet(f"{args.dir}/documents.parquet")
+    sizes = [int(s) for s in args.sizes.split(",")]
+    # untimed warmup (JIT/codegen) — see cmd_ann
+    duplicate_spans(
+        docs_all.where(F.col("doc_id") < 1000), hashed=True
+    ).agg(F.count("*")).first()
+    per_size = []
+    for s in sizes:
+        docs = docs_all.where(F.col("doc_id") < s).select("doc_id", "text")
+        t0 = time.perf_counter()
+        spans = duplicate_spans(docs, hashed=True)
+        agg = spans.agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs_with_spans"),
+            F.sum("span_tokens").alias("total_span_tokens"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        ).first()
+        wall = round(time.perf_counter() - t0, 2)
+        per_size.append(
+            {
+                "n_docs": s,
+                "n_spans": int(agg.n_spans),
+                "n_docs_with_spans": int(agg.n_docs_with_spans),
+                "total_span_tokens": int(agg.total_span_tokens),
+                "max_span_tokens": int(agg.max_span_tokens),
+                "wall_sec": wall,
+            }
+        )
+        print(f"[scale][spans] {per_size[-1]}")
+    _record("spans", {"per_doc_count": per_size})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -328,6 +369,10 @@ def main() -> None:
         if args.sizes is None:
             args.sizes = f"{args.emb // 4},{args.emb // 2},{args.emb}"
         cmd_ann(spark, args)
+    if args.phase in ("spans", "all"):
+        if args.sizes is None:
+            args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
+        cmd_spans(spark, args)
     if args.phase in ("dedup", "all"):
         args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
         cmd_dedup(spark, args)
