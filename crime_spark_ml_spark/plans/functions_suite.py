@@ -488,3 +488,35 @@ def fn_ordered_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "fn_approx_top_k",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, event_type)
+                AS INTEGER) AS rk
+    FROM events GROUP BY event_type
+    ORDER BY rk
+    """,
+    tags=("functions", "sketch", "topk"),
+)
+def fn_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches frequent-items surface (``approx_top_k``, Spark
+    4.0) over the event-type column.  k is set above the column's
+    cardinality, so the sketch tracks every item exactly and the
+    result is deterministically the exact top list — which is what
+    lets a sketch query sit inside the hash gate (the same trick as
+    the CMS guarantee bands, taken to the exact-regime end).  The
+    exploded list is re-ranked count-desc/value-asc on both sides so a
+    count tie cannot flip the hash.  One mergeable sketch aggregate:
+    constant-size state per partition regardless of row volume."""
+    ev = load_table(spark, sf_dir, "events")
+    top = ev.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
+    items = top.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("event_type"), F.col("x.count").cast("bigint").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), "event_type")
+    return items.withColumn("rk", F.row_number().over(w).cast("int")).orderBy("rk")
