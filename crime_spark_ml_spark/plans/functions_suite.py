@@ -520,3 +520,40 @@ def fn_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.col("cnt").desc(), "event_type")
     return items.withColumn("rk", F.row_number().over(w).cast("int")).orderBy("rk")
+
+
+@register(
+    "fn_try_suite",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN (p_size % 7) = 0 THEN NULL
+                ELSE ROUND(p_retailprice / (p_size % 7), 6) END AS safe_div,
+           TRY_CAST(p_brand AS INTEGER) AS bad_int,
+           TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+           string_split(p_name, ' ')[8] AS word8,
+           TRY_CAST(p_type AS DOUBLE) AS bad_dbl
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "try", "ansi"),
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe family — the ANSI-mode escape hatches that
+    turn would-be runtime errors into NULLs (division by zero, failed
+    casts, out-of-range array access).  On a 100 TB corpus this family
+    is what keeps one malformed row from killing a stage: the NULL is
+    auditable downstream where an exception is not.  DuckDB twins:
+    TRY_CAST, a guarded CASE for the zero divisor, and its natively
+    NULL-on-out-of-range list index."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.try_divide(F.col("p_retailprice"), F.col("p_size") % 7), 6).alias(
+            "safe_div"
+        ),
+        F.expr("try_cast(p_brand AS INT)").alias("bad_int"),
+        F.expr(
+            "try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)"
+        ).alias("brand_num"),
+        F.try_element_at(F.split("p_name", " "), F.lit(8)).alias("word8"),
+        F.expr("try_cast(p_type AS DOUBLE)").alias("bad_dbl"),
+    ).orderBy("p_partkey")
