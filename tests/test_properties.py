@@ -294,3 +294,64 @@ def test_zorder_uniform_bins_are_monotone(spark, vals):
     rows = df.withColumn("z", key).orderBy("v").collect()
     zs = [r.z for r in rows]
     assert zs == sorted(zs)
+
+
+@prop
+@given(st.lists(TEXT, min_size=2, max_size=8))
+def test_duplicate_spans_match_python_reference(spark, texts):
+    """Spans = maximal runs of positions whose 5-gram occurs in >=2
+    distinct docs — checked against a direct Python reference."""
+    from crime_spark_ml_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(df, n=5).collect()
+    )
+    # python reference
+    from collections import defaultdict
+
+    grams = defaultdict(set)
+    pos = {}
+    for i, t in enumerate(texts):
+        ws = t.strip().split()
+        pos[i] = []
+        for p in range(len(ws) - 4):
+            g = " ".join(ws[p : p + 5])
+            grams[g].add(i)
+            pos[i].append((p + 1, g))
+    expected = []
+    for i, plist in pos.items():
+        dup_pos = [p for p, g in plist if len(grams[g]) > 1]
+        run = []
+        for p in dup_pos:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expected.append((i, run[0], run[-1] + 4, run[-1] - run[0] + 5))
+                run = [p]
+        if run:
+            expected.append((i, run[0], run[-1] + 4, run[-1] - run[0] + 5))
+    assert got == sorted(expected)
+
+
+def test_weighted_sample_key_monotone_in_weight(spark):
+    """Efraimidis–Spirakis: for a fixed doc the selection key ln(u)/w
+    strictly increases with weight (u<1 → ln(u)<0), so up-weighting a
+    row can only move it INTO the sample, never out — the invariant
+    that makes weight a meaningful quality knob."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).cast("double").alias("w1"),
+        ((F.col("id") % 7 + 1) * 3).cast("double").alias("w2"),
+    )
+    u = F.expr(
+        "conv(substring(md5(cast(doc_id AS string)), 1, 13), 16, 10)"
+    ).cast("double") / F.lit(2.0 ** 52)
+    rows = df.select(
+        (F.log(u) / F.col("w1")).alias("k1"), (F.log(u) / F.col("w2")).alias("k2")
+    ).collect()
+    assert all(r.k2 > r.k1 for r in rows)
