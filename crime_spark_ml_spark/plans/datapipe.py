@@ -2664,3 +2664,71 @@ def dp_minhash_estimate_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("mean_err") <= 0.10).alias("mean_abs_err_ok"),
         (F.col("max_err") <= 0.45).alias("max_abs_err_ok"),
     )
+
+
+@register(
+    "dp_source_overlap_matrix",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, u.tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+      WHERE text IS NOT NULL
+    ), sizes AS (
+      SELECT source, count(*) AS n_toks FROM st GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 /
+                 (sa.n_toks + sb.n_toks - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    tags=("datapipe", "contamination", "overlap"),
+)
+def dp_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary-overlap matrix between sources — the
+    cross-source contamination report that tells a mixture designer
+    which corpora are near-copies before weights are assigned
+    (complement of dp_source_divergence's per-source KL against the
+    corpus).  Exact Jaccard over distinct (source, token) sets.
+
+    Shape: one distinct shuffle to (source, token), a token-keyed
+    self-join whose per-token fan-out is bounded by n_sources² (a
+    token in every source yields 45 pairs for 10 sources — constant,
+    not corpus-sized), and a broadcast of the per-source set sizes.
+    n_sources is assumed dimension-like (10s–100s), which is what
+    keeps the matrix itself broadcastable."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    st = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").alias("n_toks"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_toks").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_toks").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
