@@ -2562,9 +2562,9 @@ def dp_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt(len_ok).alias("n_len"),
             cnt(lang_ok).alias("n_lang"),
             cnt(tok_ok).alias("n_tokens"),
-            F.round(
-                F.sum(F.when(tok_ok, 1).otherwise(0)) / F.count("*"), 6
-            ).alias("survival_rate"),
+        )
+        .withColumn(
+            "survival_rate", F.round(F.col("n_tokens") / F.col("n_raw"), 6)
         )
         .orderBy("source")
     )
@@ -2574,7 +2574,7 @@ def dp_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dp_minhash_estimate_selfcheck",
     oracle="""
     SELECT 'minhash_estimates_shingle_jaccard' AS check_name,
-           CAST(COUNT(*) + 10 AS BIGINT) AS n_docs,
+           CAST(COUNT(text) + 10 AS BIGINT) AS n_docs,
            TRUE AS pairs_nonvacuous,
            TRUE AS planted_exact_estimated_1,
            TRUE AS mean_abs_err_ok,

@@ -707,11 +707,10 @@ def j_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- runtime bloom filter
 @register(
     "j_runtime_bloom_join",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           {dec_sum_sql(_REVENUE, 6)} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1995-01-01'
       AND o_orderdate <  TIMESTAMP '1995-02-01'
@@ -745,13 +744,9 @@ def j_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            )
-            .cast("double")
-            .alias("revenue"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
         )
         .orderBy("l_returnflag")
     )

@@ -370,7 +370,10 @@ def main() -> None:
             args.sizes = f"{args.emb // 4},{args.emb // 2},{args.emb}"
         cmd_ann(spark, args)
     if args.phase in ("spans", "all"):
-        if args.sizes is None:
+        # doc-count sizes, never the ann phase's embedding-count sizes
+        # (in "all" the ann branch mutates args.sizes to emb-derived
+        # values that would silently run the full corpus three times)
+        if args.phase == "all" or args.sizes is None:
             args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
         cmd_spans(spark, args)
     if args.phase in ("dedup", "all"):
