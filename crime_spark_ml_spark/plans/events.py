@@ -568,3 +568,69 @@ def ev_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), seg AS (
+      SELECT user_id, value, ts_us,
+             LEAD(value) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS v_next,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS t_next
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_samples,
+           ROUND((MAX(t_next) - MIN(ts_us)) / 1e6, 6) AS span_s,
+           ROUND(SUM((value + v_next) / 2 * (t_next - ts_us) / 1e6)
+                 / (SUM((t_next - ts_us)) / 1e6), 6) AS twa
+    FROM seg WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "timeseries", "twa"),
+)
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over irregularly-sampled event
+    values — the trapezoidal TWA a hypertable engine ships for exactly
+    this shape (a plain AVG over-weights bursts; the integral weights
+    each value by how long it was current).  Σ½(vᵢ+vᵢ₊₁)Δtᵢ / ΣΔtᵢ via
+    one lead() window with the module's canonical (ts_us, event_id)
+    tie-break; users with a single event drop out with the last
+    NULL-lead segment.
+
+    One shuffle by user_id feeding both the window sort and the final
+    aggregate (the window's partitioning is reused), arithmetic on
+    identical (µs-int → double) inputs in both engines, rounded at
+    6 dp — orders of magnitude above the double-sum reorder noise."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts_us"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        "ts_us",
+        F.lead("value").over(w).alias("v_next"),
+        F.lead("ts_us").over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    dt_s = (F.col("t_next") - F.col("ts_us")) / 1e6
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).cast("bigint").alias("n_samples"),
+            F.round((F.max("t_next") - F.min("ts_us")) / 1e6, 6).alias("span_s"),
+            F.round(
+                F.sum((F.col("value") + F.col("v_next")) / 2 * dt_s) / F.sum(dt_s), 6
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
