@@ -2732,3 +2732,105 @@ def dp_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "dp_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3
+    ), firsts AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM grams gr JOIN firsts f USING (g)
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+    """,
+    tags=("datapipe", "novelty", "repetition"),
+)
+def dp_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty against everything earlier in the
+    corpus (ingestion order = doc_id): the fraction of a document's
+    grams whose FIRST corpus occurrence is in that document.  The
+    curve of this metric over ingestion order is the standard
+    diminishing-returns diagnostic for continued crawling — novelty
+    decaying toward zero means new data is re-treading old data.
+
+    Note the trap this formulation avoids: "novel vs earlier docs"
+    looks like it needs a per-doc scan of all predecessors (quadratic);
+    min(doc_id) per gram plus a join back gets the same answer with
+    one gram-keyed shuffle — same skeleton as dp_duplicate_spans, so
+    at 100 TB the gram would travel as xxhash64.  A gram repeated
+    WITHIN its first document still counts novel on every copy (both
+    engines agree by construction)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-2),"
+                " i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dp_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           ROUND(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    GROUP BY label, i ORDER BY label, dim
+    """,
+    tags=("datapipe", "embeddings", "centroids"),
+)
+def dp_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long (label, dim, mean) form —
+    the class-prototype table behind dataset cartography, nearest-
+    centroid classifiers, and KMeans warm starts.  Long form is chosen
+    deliberately: it oracles exactly (no array canonicalization) and
+    the posexplode feeds a partial+final hash aggregate whose shuffle
+    carries labels×dims rows per partition — constant in corpus size,
+    like the scalar-quantizer bounds pass (dp_scalar_quantize_int8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select("label", "dim", F.col("xf").cast("double").alias("x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count("*").cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
