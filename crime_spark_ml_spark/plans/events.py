@@ -634,3 +634,70 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ev_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ), mad AS (
+      SELECT e.user_id, max(m.med) AS med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (user_id) GROUP BY e.user_id
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(max(m.med), 6) AS med,
+           ROUND(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN m.mad > 0
+                          AND abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e JOIN mad m USING (user_id)
+    GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    tags=("events", "anomaly", "robust"),
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly counting via median absolute deviation —
+    the outlier detector that, unlike z-scores (e6_zscore), is not
+    corrupted by the outliers it is hunting (50% breakdown point vs
+    0%).  Threshold 3·1.4826·MAD ≈ 3σ under normality.
+
+    Two grouped exact medians (value, then |value − med|) and two
+    joins, ALL keyed by user_id: the first shuffle's partitioning is
+    reused by every later join and aggregate, so at scale this is one
+    wide exchange plus co-partitioned passes — and the per-user
+    median/MAD tables are never assumed broadcastable (users scale
+    with the data, unlike dimensions).  The anomaly boolean is
+    engine-deterministic because med and mad derive from the same
+    interpolated-percentile definition in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        ev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .orderBy("user_id")
+    )
