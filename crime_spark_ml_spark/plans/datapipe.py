@@ -2834,3 +2834,83 @@ def dp_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "dp_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), uni AS (
+      SELECT u.w, count(*) AS c1 FROM toks, UNNEST(t) AS u(w) GROUP BY u.w
+    ), tot AS (SELECT sum(c1) AS n FROM uni),
+    bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c2
+      FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(c2 AS BIGINT) AS n_pair,
+           ROUND(ln((c2 * (SELECT n FROM tot)) * 1.0 / (ua.c1 * ub.c1)), 6)
+             AS pmi
+    FROM bi JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2
+    WHERE c2 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    tags=("datapipe", "text", "collocations"),
+)
+def dp_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information —
+    PMI(x,y) = ln(N·c(xy)/(c(x)c(y))) — the phrase-induction signal
+    behind merged-token vocabularies and multi-word expression lists
+    (complements dp_bpe_token_count's frequency-merge view with the
+    association view). min-count 5 is the standard PMI noise floor
+    (rare pairs otherwise dominate the top of the ranking).
+
+    Shape: one unigram groupBy, one bigram groupBy (positions via the
+    same JVM transform as dp_duplicate_spans), two joins keyed by the
+    unigram token — shuffles bounded by vocabulary, not corpus — a
+    one-row broadcast for N, and TakeOrderedAndProject for the top-20
+    (sorted on the ROUNDED pmi then the pair, so the cut is
+    engine-deterministic)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c1")
+    )
+    tot = uni.agg(F.sum("c1").alias("n"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i+1) AS w2))"
+                )
+            ).alias("x")
+        )
+        .select("x.w1", "x.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= 5)
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c2") * F.col("n")) / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
