@@ -2914,3 +2914,75 @@ def dp_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "dp_profile_documents",
+    oracle="""
+    WITH s AS (
+      SELECT
+        count(*) AS n_rows,
+        count(doc_id) AS nn_doc_id, count(DISTINCT doc_id) AS nd_doc_id,
+          CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+          CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+        count(text) AS nn_text, count(DISTINCT text) AS nd_text,
+          min(text) AS mn_text, max(text) AS mx_text,
+        count(lang) AS nn_lang, count(DISTINCT lang) AS nd_lang,
+          min(lang) AS mn_lang, max(lang) AS mx_lang,
+        count(source) AS nn_source, count(DISTINCT source) AS nd_source,
+          min(source) AS mn_source, max(source) AS mx_source,
+        count(n_chars) AS nn_n_chars, count(DISTINCT n_chars) AS nd_n_chars,
+          CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
+          CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+      FROM documents
+    )
+    SELECT col,
+           CAST(n_rows - nn AS BIGINT) AS n_nulls,
+           CAST(nd AS BIGINT) AS n_distinct,
+           mn AS min_str, mx AS max_str
+    FROM s, LATERAL (VALUES
+      ('doc_id', nn_doc_id, nd_doc_id, mn_doc_id, mx_doc_id),
+      ('text', nn_text, nd_text, mn_text, mx_text),
+      ('lang', nn_lang, nd_lang, mn_lang, mx_lang),
+      ('source', nn_source, nd_source, mn_source, mx_source),
+      ('n_chars', nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars)
+    ) AS v(col, nn, nd, mn, mx)
+    ORDER BY col
+    """,
+    tags=("datapipe", "profiling"),
+)
+def dp_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table in long form — null
+    count, exact distinct count, lexicographic min/max per column (the
+    deequ/DESCRIBE-EXTENDED report a pipeline runs before trusting a
+    new drop).  Values are canonicalized to strings so one schema
+    covers every column type.
+
+    One scan: Spark expands the multi-column exact count_distinct
+    into grouped partial aggregates internally (expand factor =
+    n_columns — the price of exactness; the approx variant for wide
+    tables is approx_distinct's HLL path), then a stack() unpivots the
+    single stats row to long form driver-side-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    s = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', CAST(n_rows - nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), mn_{c}, mx_{c}"
+        for c in cols
+    )
+    return (
+        s.select(
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct, min_str, max_str)"
+            )
+        )
+        .orderBy("col")
+    )
