@@ -2986,3 +2986,56 @@ def dp_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "dp_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substring(text, i, 1) AS c
+      FROM documents, UNNEST(generate_series(1, len(text))) AS u(i)
+      WHERE text IS NOT NULL
+    ), freq AS (
+      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, sum(k) AS n FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(max(t.n) AS BIGINT) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS alphabet,
+           ROUND(-sum((k * 1.0 / t.n) * ln(k * 1.0 / t.n)), 6) AS entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id ORDER BY f.doc_id
+    """,
+    tags=("datapipe", "text", "quality"),
+)
+def dp_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap
+    gibberish/compression-artifact detector every corpus quality
+    stack runs (natural language sits ~2.5–4.5 nats; base64 blobs and
+    repeated-char junk fall far outside).  Chars are materialized with
+    the same substring-over-positions construction in both engines
+    (split-on-empty-regex differs between them), frequencies in one
+    (doc, char) groupBy whose map-side combine bounds the shuffle at
+    alphabet × docs rows, and the entropy sum re-aggregates per doc."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("c"),
+    )
+    freq = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    from pyspark.sql import Window
+
+    tot = freq.withColumn("n", F.sum("k").over(Window.partitionBy("doc_id")))
+    p = F.col("k") / F.col("n")
+    return (
+        tot.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars_counted"),
+            F.count("*").cast("bigint").alias("alphabet"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -251,3 +251,41 @@ def w_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
     )
+
+
+@register(
+    "w_moving_avg_rows_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 6) AS mavg7
+    FROM events
+    ORDER BY user_id, epoch_us(CAST(ts AS TIMESTAMP)), event_id
+    """,
+    tags=("windows", "frame", "rows"),
+)
+def w_moving_avg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average — the ROWS-frame counterpart of
+    w_range_frame_time_sum's RANGE frame (count-bounded vs
+    time-bounded lookback; the two frames behave differently under
+    ties and gaps, so both deserve a pinned oracle).  Ordered by the
+    module's canonical (ts_us, event_id) tie-break; one user_id
+    shuffle, one sort, sliding-frame aggregation inside the window
+    operator."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts_us"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg7"),
+    ).orderBy("user_id", "ts_us", "event_id").drop("value", "ts_us")
