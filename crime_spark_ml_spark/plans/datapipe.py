@@ -3039,3 +3039,51 @@ def dp_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dp_key_balance",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 32 AS bucket
+      FROM orders
+    ), h AS (
+      SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n * 32.0 / (SELECT sum(n) FROM h), 6) AS load_factor
+    FROM h ORDER BY bucket
+    """,
+    tags=("datapipe", "skew", "diagnostics"),
+)
+def dp_key_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key balance report: the 32-bucket hash histogram of a
+    candidate partition key with each bucket's load factor (1.0 =
+    perfectly even) — the diagnostic run BEFORE committing a 100 TB
+    job to a key, where a hot bucket (load ≫ 1) predicts a straggler
+    task and argues for salting (operators/skew.py) or a different
+    key.  The bucket hash is md5-derived (the dp_weighted_sample
+    construction) so the oracle reproduces it bit-exactly; production
+    would use the cheaper xxhash64 — the histogram shape, not the hash
+    choice, is the diagnostic."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.expr("conv(substring(md5(cast(o_custkey AS string)), 1, 8), 16, 10)")
+        .cast("bigint")
+        % 32
+    )
+    h = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+    tot = h.agg(F.sum("n").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 32.0 / F.col("total"), 6).alias("load_factor"),
+        )
+        .orderBy("bucket")
+    )

@@ -701,3 +701,62 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ev_cumulative_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ), dau AS (
+      SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day
+    ), firsts AS (
+      SELECT min(day) AS first_day FROM days GROUP BY user_id
+    ), new_users AS (
+      SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT d.day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(COALESCE(n.n_new, 0))
+                OVER (ORDER BY d.day) AS BIGINT) AS cumulative_users
+    FROM dau d LEFT JOIN new_users n ON n.day = d.day
+    ORDER BY d.day
+    """,
+    tags=("events", "growth", "distinct"),
+)
+def ev_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus the cumulative-distinct-users growth
+    curve.  The naive formulation — COUNT(DISTINCT user) OVER (ORDER BY
+    day) — re-scans every prior day per row (and Spark refuses DISTINCT
+    window aggregates outright); the scale-correct identity is that a
+    user adds to the cumulative count only on their FIRST day, so
+    min(day) per user + a running sum of first-appearances gives the
+    same curve with two key-bounded aggregates and a days-sized window.
+    The final global-order window runs over one row per day — a
+    dimension-sized relation, the only safe place for an unpartitioned
+    window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
+    )
+    dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_users = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dau.join(new_users, "day", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "dp_ann_ivf": "query x centroid probe table (nq*k_cells rows)",
     "dp_ann_pq": "per-query LUTs (nq rows, m*k doubles each)",
     "dp_bigram_pmi": "single-row corpus token total N",
+    "dp_key_balance": "single-row total-count scalar",
     "dp_bm25_rank": "single-row (N, avgdl) corpus scalars",
     "dp_chisq_independence": "single-row (n, r-1, c-1) grand totals",
     "dp_cluster_invariants": "single-row aggregate anchors",
