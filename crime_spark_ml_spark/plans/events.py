@@ -760,3 +760,69 @@ def ev_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev_cohort_retention_matrix",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT)
+               AS week,
+             count(*) AS n_purch
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), act AS (SELECT user_id, week FROM wk WHERE n_purch >= 4),
+    c AS (SELECT user_id, min(week) AS cohort FROM act GROUP BY user_id),
+    m AS (
+      SELECT c.cohort, a.week - c.cohort AS offs, count(*) AS n
+      FROM act a JOIN c USING (user_id) GROUP BY 1, 2
+    ), base AS (SELECT cohort, n AS n0 FROM m WHERE offs = 0)
+    SELECT m.cohort, CAST(m.offs AS BIGINT) AS offs,
+           CAST(m.n AS BIGINT) AS n,
+           ROUND(m.n * 1.0 / b.n0, 6) AS retention
+    FROM m JOIN base b USING (cohort)
+    ORDER BY m.cohort, m.offs
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def ev_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the full generalization of
+    ev_retention_next_day: users are cohorted by their first ACTIVE
+    week (≥4 purchases that week — a raw activity definition is
+    saturated on this dense fixture and would make the matrix a
+    vacuous constant), and each (cohort, week-offset) cell reports
+    active users and their share of the cohort's week-0 size.
+
+    Shape: every stage is keyed by user_id or the (cohorts×offsets)-
+    sized matrix — the (user, week) groupBy is the only corpus-sized
+    shuffle; cohorts join back to activity on user_id (co-partitioned
+    with the first shuffle) and the base sizes are matrix-row-sized."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    wk = (
+        ev.select(
+            "user_id", F.expr("ts_us DIV 604800000000").cast("bigint").alias("week")
+        )
+        .groupBy("user_id", "week")
+        .agg(F.count("*").alias("n_purch"))
+    )
+    act = wk.where(F.col("n_purch") >= 4).select("user_id", "week")
+    cohorts = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    m = (
+        act.join(cohorts, "user_id")
+        .select("cohort", (F.col("week") - F.col("cohort")).alias("offs"))
+        .groupBy("cohort", "offs")
+        .agg(F.count("*").alias("n"))
+    )
+    base = m.where(F.col("offs") == 0).select("cohort", F.col("n").alias("n0"))
+    return (
+        m.join(F.broadcast(base), "cohort")
+        .select(
+            "cohort",
+            F.col("offs").cast("bigint").alias("offs"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("n0"), 6).alias("retention"),
+        )
+        .orderBy("cohort", "offs")
+    )
