@@ -557,3 +557,46 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(F.split("p_name", " "), F.lit(8)).alias("word8"),
         F.expr("try_cast(p_type AS DOUBLE)").alias("bad_dbl"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "fn_array_set_suite",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(ws, ['the', 'a', 'of'])) > 0 AS BOOLEAN)
+             AS has_stop,
+           CAST(COALESCE(list_position(ws, 'the'), 0) AS INTEGER) AS pos_the,
+           CAST(len(list_filter(ws, x -> x <> 'the')) AS INTEGER) AS n_wo_the,
+           CAST(len(list_distinct(ws)) AS INTEGER) AS n_uniq,
+           array_to_string(list_slice(list_sort(list_distinct(ws)), 1, 5), ',')
+             AS first5_sorted
+    FROM w ORDER BY doc_id
+    """,
+    tags=("functions", "array_set"),
+)
+def fn_array_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-function family: overlap test, element position
+    (1-based in both engines), removal, distinct cardinality, and a
+    sorted-slice canonicalization — the JVM-side set algebra the
+    dedup/overlap operators are built from, exercised directly.
+    NULL-position semantics differ between engines (Spark
+    array_position returns 0 on a miss, DuckDB list_position NULL),
+    so misses are normalized to 0 on both sides."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ws = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.arrays_overlap(ws, F.array(F.lit("the"), F.lit("a"), F.lit("of"))).alias(
+            "has_stop"
+        ),
+        F.array_position(ws, "the").cast("int").alias("pos_the"),
+        F.size(F.array_remove(ws, "the")).alias("n_wo_the"),
+        F.size(F.array_distinct(ws)).alias("n_uniq"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.array_distinct(ws)), 1, 5)
+        ).alias("first5_sorted"),
+    ).orderBy("doc_id")

@@ -548,3 +548,29 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle text is shared verbatim: DuckDB executes the identical
     LATERAL query."""
     return _sql(spark, sf_dir, _LATERAL, ("nation", "customer"))
+
+
+_EXISTS = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+@register("sql_exists_subqueries", oracle=_EXISTS, tags=("sql", "exists"))
+def sql_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS correlated subqueries in one predicate —
+    the SQL-dialect route to the semi ∧ anti join composition the
+    DataFrame surface registers as join_semi_urgent_customers /
+    join_anti_orderless_customers.  Catalyst rewrites the pair into a
+    LeftSemi followed by a LeftAnti on the same key, so the customer
+    side shuffles once per probe with no row multiplication (the
+    subqueries never project columns out — existence only).  The
+    oracle shares the identical SQL text."""
+    return _sql(spark, sf_dir, _EXISTS, ("customer", "orders"))
