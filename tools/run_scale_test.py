@@ -349,9 +349,74 @@ def cmd_spans(spark, args) -> None:
     _record("spans", {"per_doc_count": per_size})
 
 
+def cmd_tpch(spark, args) -> None:
+    """Relational-core volume scaling: replicate the sf0.1 TPC-H-ish
+    fact tables 1x/4x/16x by key-shifted union (orderkey stride
+    150000, custkey stride 15000 — the sf0.1 key ranges), then time
+    the scan-agg (q1, q6) and 3-way-join (q3) headline shapes at each
+    factor with the bench harness's noop sink, min of 2. The claim
+    under test is the one the fixed-size bench cannot show: wall time
+    grows ~linearly with fact volume (partial aggregation and AQE keep
+    the plan shape constant), i.e. no super-linear shuffle blow-up
+    hiding in the relational core."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    specs = load_all_plans()
+    src_dir = "/root/testdata/sf0.1"
+    factors = [int(x) for x in args.factors.split(",")]
+    queries = ["q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue"]
+    per = []
+    for fct in factors:
+        d = f"{args.dir}/tpch_f{fct}"
+        if not os.path.exists(f"{d}/lineitem.parquet"):
+            li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+            o = spark.read.parquet(f"{src_dir}/orders.parquet")
+            c = spark.read.parquet(f"{src_dir}/customer.parquet")
+            reps = list(range(fct))
+            import functools
+
+            def shifted(df, shifts):
+                parts = []
+                for i in reps:
+                    p = df
+                    for col, stride in shifts:
+                        p = p.withColumn(col, F.col(col) + F.lit(i * stride))
+                    parts.append(p)
+                return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+            shifted(li, [("l_orderkey", 150000)]).write.mode("overwrite").parquet(
+                f"{d}/lineitem.parquet"
+            )
+            shifted(
+                o, [("o_orderkey", 150000), ("o_custkey", 15000)]
+            ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+            shifted(c, [("c_custkey", 15000)]).write.mode("overwrite").parquet(
+                f"{d}/customer.parquet"
+            )
+            for t in ("supplier", "part", "nation", "region"):
+                spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
+                    "overwrite"
+                ).parquet(f"{d}/{t}.parquet")
+        # untimed warmup (JIT/codegen) — see cmd_ann
+        specs["q6_forecast_revenue"].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        row = {"factor": fct, "lineitem_rows": 600000 * fct}
+        for q in queries:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            row[q] = round(best, 3)
+        per.append(row)
+        print(f"[scale][tpch] {row}")
+    _record("tpch", {"per_factor": per})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -359,6 +424,7 @@ def main() -> None:
     ap.add_argument("--nprobes", default="1,2,4,8,16")
     ap.add_argument("--cell-rows", type=int, default=6250, dest="cell_rows")
     ap.add_argument("--n-queries", type=int, default=8, dest="n_queries")
+    ap.add_argument("--factors", default="1,4,16")
     args = ap.parse_args()
     spark = get_spark("scale-test", cpus=32, shuffle_partitions=32)
     if args.phase in ("gen", "all") and (
@@ -376,6 +442,8 @@ def main() -> None:
         if args.phase == "all" or args.sizes is None:
             args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
         cmd_spans(spark, args)
+    if args.phase in ("tpch", "all"):
+        cmd_tpch(spark, args)
     if args.phase in ("dedup", "all"):
         args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
         cmd_dedup(spark, args)
