@@ -414,9 +414,66 @@ def cmd_tpch(spark, args) -> None:
     _record("tpch", {"per_factor": per})
 
 
+def cmd_events(spark, args) -> None:
+    """Window/event-family volume scaling, completing the four-family
+    evidence (relational=tpch, dedup=dedup/spans, ANN=ann): replicate
+    events by user-shifted union (per-user event counts — and thus
+    per-window work — stay constant, so growth is in the number of
+    windows, the scale axis a 100 TB event store actually grows
+    along), then time sessionize / tumbling-window / as-of headline
+    shapes via the noop sink, min of 2."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    specs = load_all_plans()
+    src_dir = "/root/testdata/sf0.1"
+    factors = [int(x) for x in args.factors.split(",")]
+    queries = ["ev_sessionize", "ev_window_tumbling", "ev_asof_last_purchase"]
+    per = []
+    for fct in factors:
+        d = f"{args.dir}/events_f{fct}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            ev = spark.read.parquet(f"{src_dir}/events.parquet")
+            cu = spark.read.parquet(f"{src_dir}/customer.parquet")
+            import functools
+
+            parts = [
+                ev.withColumn("user_id", F.col("user_id") + F.lit(i * 15000))
+                .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+                for i in range(fct)
+            ]
+            functools.reduce(lambda a, b: a.unionByName(b), parts).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/events.parquet")
+            cparts = [
+                cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 15000))
+                for i in range(fct)
+            ]
+            functools.reduce(lambda a, b: a.unionByName(b), cparts).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/customer.parquet")
+            for t in ("orders", "nation", "region"):
+                spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
+                    "overwrite"
+                ).parquet(f"{d}/{t}.parquet")
+        specs["ev_window_tumbling"].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        row = {"factor": fct, "event_rows": 100000 * fct}
+        for q in queries:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            row[q] = round(best, 3)
+        per.append(row)
+        print(f"[scale][events] {row}")
+    _record("events", {"per_factor": per})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -444,6 +501,8 @@ def main() -> None:
         cmd_spans(spark, args)
     if args.phase in ("tpch", "all"):
         cmd_tpch(spark, args)
+    if args.phase in ("events", "all"):
+        cmd_events(spark, args)
     if args.phase in ("dedup", "all"):
         args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
         cmd_dedup(spark, args)
