@@ -763,3 +763,93 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts_us) FROM c),
+                        (SELECT max(ts_us) FROM p)) - 3600000000 AS w),
+    matched AS (
+      SELECT p.user_id FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us
+    ), unmatched_p AS (
+      SELECT p.user_id FROM p
+      WHERE p.ts_us < (SELECT w FROM wm)
+        AND NOT EXISTS (SELECT 1 FROM c
+                        WHERE c.user_id = p.user_id
+                          AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us)
+    ), unmatched_c AS (
+      SELECT c.user_id FROM c
+      WHERE c.ts_us + 1800000000 < (SELECT w FROM wm)
+        AND NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.user_id = c.user_id
+                          AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us)
+    ), rows_all AS (
+      SELECT user_id, 1 AS m, 0 AS up, 0 AS uc FROM matched
+      UNION ALL SELECT user_id, 0, 1, 0 FROM unmatched_p
+      UNION ALL SELECT user_id, 0, 0, 1 FROM unmatched_c
+    )
+    SELECT user_id,
+           CAST(sum(m) AS BIGINT) AS n_matched,
+           CAST(sum(up) AS BIGINT) AS n_unmatched_purchases,
+           CAST(sum(uc) AS BIGINT) AS n_unmatched_clicks
+    FROM rows_all GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stream-stream", "outer-join", "watermark"),
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — state eviction in BOTH
+    directions, each with its own emission bound derived from the join
+    condition's geometry: an unmatched purchase needs the watermark
+    past p_ts (clicks up to p_ts could still arrive); an unmatched
+    click needs it past c_ts + 30 min (purchases up to that point can
+    still reach back to it).  The oracle replicates both gates plus
+    the unconditional matched pairs; the asymmetry of the two bounds
+    is exactly what the engine's per-side state-value watermarks
+    compute from the inequality constraints (and what a hand-rolled
+    symmetric cutoff would get wrong).  Verified hash-exact at
+    sf0.001/0.01/0.1 like stream_left_outer_join."""
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        ev = events_stream(spark, sf_dir)
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.expr("timestamp_micros(ts_us)").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("purchase", "p").join(
+        side("click", "c"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    )
+    name = f"stream_fouter_{next(_COUNTER)}"
+    pairs = run_available_now(joined, name, output_mode="append")
+    return (
+        pairs.select(
+            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+            F.when(F.col("p_user").isNotNull() & F.col("c_user").isNotNull(), 1)
+            .otherwise(0)
+            .alias("m"),
+            F.when(F.col("c_user").isNull(), 1).otherwise(0).alias("up"),
+            F.when(F.col("p_user").isNull(), 1).otherwise(0).alias("uc"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_matched"),
+            F.sum("up").cast("bigint").alias("n_unmatched_purchases"),
+            F.sum("uc").cast("bigint").alias("n_unmatched_clicks"),
+        )
+        .orderBy("user_id")
+    )
