@@ -131,3 +131,29 @@ def test_run_ann_cli_build_then_probe(tmp_path, monkeypatch):
     with contextlib.redirect_stdout(out):
         assert run_ann.main() == 0
     assert "retrain_needed True" in out.getvalue()
+
+
+def test_run_query_cli_smoke():
+    """The generic query-runner CLI: --list filters by tag, --oracle
+    prints SQL, a real run reports the row count."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "tools/run_query.py", "--list", "--tag", "twa"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0 and "ev_time_weighted_avg" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "tools/run_query.py", "a7_topk", "--oracle"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0 and "SELECT" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "tools/run_query.py", "a7_topk", "--limit", "3"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0 and "[a7_topk] 8 rows" in out.stdout
