@@ -826,3 +826,55 @@ def ev_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "offs")
     )
+
+
+@register(
+    "ev_gap_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             ts_us - LAG(ts_us) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts_us, event_id) AS gap_us
+      FROM e
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_s,
+           ROUND(quantile_cont(gap_us, 0.95) / 1e6, 4) AS p95_s,
+           ROUND(max(gap_us) / 1e6, 4) AS max_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "gaps"),
+)
+def ev_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (median / p95 /
+    max of per-user consecutive gaps) — the heartbeat-health report
+    that sizes session thresholds (ev_sessionize's 30-min gap) and
+    watermark delays (the streaming suite's 1 h) from data instead of
+    folklore.  One (user, type) window for the lag, one exact-
+    percentile aggregate per type; both engines share the interpolated
+    percentile definition, and the µs-integer gaps divide exactly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_us"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "event_type", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 4).alias("p50_s"),
+            F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 4).alias("p95_s"),
+            F.round(F.max("gap_us") / 1e6, 4).alias("max_s"),
+        )
+        .orderBy("event_type")
+    )
