@@ -600,3 +600,79 @@ def fn_array_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.array_sort(F.array_distinct(ws)), 1, 5)
         ).alias("first5_sorted"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_null_semantics_suite",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_size END AS sz,
+             p_brand
+      FROM part
+    ), j AS (
+      SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
+      FROM p a JOIN p b
+        ON a.sz IS NOT DISTINCT FROM b.sz
+       AND a.p_partkey = b.p_partkey - 1000
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_nullsafe_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM p WHERE sz IS NULL)
+             AS n_nulls,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT sz FROM p GROUP BY sz)) AS n_distinct_with_null,
+           (SELECT p_partkey FROM p
+            ORDER BY sz ASC NULLS FIRST, p_partkey LIMIT 1)
+             AS first_nulls_first,
+           (SELECT p_partkey FROM p
+            ORDER BY sz DESC NULLS LAST, p_partkey LIMIT 1)
+             AS first_desc_nulls_last
+    """,
+    tags=("functions", "null_semantics"),
+)
+def fn_null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-handling corners every engine defines differently until
+    pinned: null-safe equality as a JOIN key (<=> / IS NOT DISTINCT
+    FROM — a plain = would drop the NULL=NULL pairs), GROUP BY treating
+    NULL as one group (n_distinct includes it), and explicit NULLS
+    FIRST / NULLS LAST ordering (Spark defaults nulls-first on ASC
+    where standard SQL engines often default last — relying on the
+    default is a portability bug, so both sides declare it).  NULLs
+    are manufactured from p_size % 5 identically in both engines.
+
+    The null-safe join plans as a hash join (EqualNullSafe is a valid
+    equi-join key in Catalyst), not a nested loop — the property that
+    matters when the key is a 100 TB fact's nullable column."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.when(F.col("p_size") % 5 == 0, None)
+            .otherwise(F.col("p_size"))
+            .alias("sz"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    n_pairs = (
+        a.join(
+            b,
+            F.col("a.sz").eqNullSafe(F.col("b.sz"))
+            & (F.col("a.p_partkey") == F.col("b.p_partkey") - 1000),
+        )
+        .count()
+    )
+    n_nulls = p.where(F.col("sz").isNull()).count()
+    n_distinct = p.select("sz").distinct().count()
+    first_nf = (
+        p.orderBy(F.col("sz").asc_nulls_first(), "p_partkey").first().p_partkey
+    )
+    first_dnl = (
+        p.orderBy(F.col("sz").desc_nulls_last(), "p_partkey").first().p_partkey
+    )
+    return load_table(spark, sf_dir, "region").limit(1).select(
+        F.lit(n_pairs).cast("bigint").alias("n_nullsafe_pairs"),
+        F.lit(n_nulls).cast("bigint").alias("n_nulls"),
+        F.lit(n_distinct).cast("bigint").alias("n_distinct_with_null"),
+        F.lit(first_nf).cast("bigint").alias("first_nulls_first"),
+        F.lit(first_dnl).cast("bigint").alias("first_desc_nulls_last"),
+    )
