@@ -878,3 +878,73 @@ def ev_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_first_touch_attribution",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+             c.event_id AS c_id, c.ts_us AS c_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_us, c.event_id) AS rk
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us
+    )
+    SELECT user_id, purchase_id,
+           CAST(max(CASE WHEN rk = 1 THEN c_id END) AS BIGINT)
+             AS first_click_id,
+           CAST(min(c_ts) AS BIGINT) AS first_click_us,
+           CAST(count(*) AS BIGINT) AS n_clicks_in_window
+    FROM j GROUP BY user_id, purchase_id
+    ORDER BY user_id, purchase_id
+    """,
+    tags=("events", "attribution"),
+)
+def ev_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for each purchase, the EARLIEST click
+    in the preceding 30 minutes — the complement of the as-of join's
+    last-touch semantics (ev_asof_last_purchase picks the latest
+    predecessor; marketing attribution wants the session opener).
+    The first click is picked by an explicit (ts, event_id)-tiebroken
+    window (composite-key min_by isn't portable — the ev_ohlc_hourly
+    lesson).  Interval join + per-purchase aggregate; at scale
+    the join shuffles on user_id and the aggregate reuses that
+    partitioning (purchase keys are user-local)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts_us").alias("c_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("p_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - 1800000000)
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "c_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .groupBy("user_id", "purchase_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("c_id")))
+            .cast("bigint")
+            .alias("first_click_id"),
+            F.min("c_ts").cast("bigint").alias("first_click_us"),
+            F.count("*").cast("bigint").alias("n_clicks_in_window"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
