@@ -3135,3 +3135,40 @@ def dp_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
         F.max("c").cast("bigint").alias("top_freq"),
     )
+
+
+@register(
+    "dp_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           ROUND(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+             AS dup_rate,
+           CAST(count(*) - count(text) AS BIGINT) AS n_null_text
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "dedup", "reporting"),
+)
+def dp_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-source slice of
+    dp_exact_dedup's corpus-wide view, and the number a mixture
+    designer reads next to dp_temperature_mix's quotas (a source
+    that is 30% self-copies contributes far fewer effective tokens
+    than its row count claims).  Distinctness is counted over
+    md5(text) — both engines hash the digest, not the document, so
+    the exact count_distinct state stays 16 bytes per distinct text
+    at any document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique"),
+            F.round(
+                1 - F.count_distinct(F.md5("text")) / F.count("*"), 6
+            ).alias("dup_rate"),
+            (F.count("*") - F.count("text")).cast("bigint").alias("n_null_text"),
+        )
+        .orderBy("source")
+    )
