@@ -3172,3 +3172,94 @@ def dp_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dp_top_terms_per_lang",
+    oracle="""
+    WITH tf AS (
+      SELECT lang, u.term FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+      WHERE text IS NOT NULL
+    ), counts AS (
+      SELECT lang, term, count(*) AS n FROM tf GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term) AS rk
+      FROM counts
+    )
+    SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+    """,
+    tags=("datapipe", "text", "topk"),
+)
+def dp_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters: top-5 terms per language — the per-slice
+    twin of dp_top_terms (per-document) and dp_heavy_hitters_sketch
+    (global CMS).  One (lang, term) groupBy with map-side combine,
+    then WindowGroupLimit pushes the rk<=5 cut below the per-language
+    sort — the vocabulary never globally sorts."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("lang", "term", F.col("n").cast("bigint").alias("n"), "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "dp_equidepth_hist2d",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), binned AS (
+      SELECT ntile(8) OVER (ORDER BY n_chars, doc_id) AS bx,
+             ntile(8) OVER (ORDER BY n_tokens, doc_id) AS by
+      FROM t
+    )
+    SELECT CAST(bx AS INTEGER) AS bx, CAST(by AS INTEGER) AS by,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bx, by ORDER BY bx, by
+    """,
+    tags=("datapipe", "histogram", "layout"),
+)
+def dp_equidepth_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth 2-D histogram (8×8 ntile bins over chars × tokens,
+    both tiebroken by doc_id so the bin edges are deterministic) — the
+    joint-distribution report behind the z-order layout's quantile
+    binning (operators/layout.py uses the same equal-population idea
+    to keep skewed dimensions prunable).  A diagonal-heavy matrix here
+    says the two dimensions are redundant for layout; a spread one
+    says multi-dimensional clustering pays.
+
+    The fixture-honest caveat: global ntile is a total sort — fine for
+    a report, but the LAYOUT path computes the same bins from
+    approxQuantile boundaries without one (layout.py), which is the
+    100 TB form."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    binned = t.select(
+        F.ntile(8).over(Window.orderBy("n_chars", "doc_id")).alias("bx"),
+        F.ntile(8).over(Window.orderBy("n_tokens", "doc_id")).alias("by"),
+    )
+    return (
+        binned.groupBy("bx", "by")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("bx").cast("int"), F.col("by").cast("int"), "n")
+        .orderBy("bx", "by")
+    )
