@@ -3263,3 +3263,45 @@ def dp_equidepth_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bx").cast("int"), F.col("by").cast("int"), "n")
         .orderBy("bx", "by")
     )
+
+
+@register(
+    "dp_doc_embedding_join",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           e.label,
+           ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 6)
+             AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.text IS NOT NULL
+    ORDER BY d.doc_id
+    """,
+    tags=("datapipe", "multimodal", "join"),
+)
+def dp_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text↔embedding enrichment join (doc_id = vec_id): the canonical
+    multimodal-view shape — token counts from the text modality next
+    to the vector norm and label from the embedding modality, one hash
+    join on the shared id.  At 100 TB both tables would be bucketed on
+    the id so this join is shuffle-free (the bucketed-merge plan pin
+    in tests/test_scale_ops.py is exactly this layout); the norm is
+    the same sequential-double arithmetic as the cosine kernel, so it
+    hash-matches DuckDB's list_dot_product."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            "label",
+            F.round(F.sqrt(norm_sq), 6).alias("emb_norm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -676,3 +676,35 @@ def fn_null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(first_nf).cast("bigint").alias("first_nulls_first"),
         F.lit(first_dnl).cast("bigint").alias("first_desc_nulls_last"),
     )
+
+
+@register(
+    "fn_codec_hash_suite",
+    oracle="""
+    SELECT n_nationkey,
+           to_base64(encode(n_name)) AS b64,
+           hex(encode(n_name)) AS hx,
+           md5(n_name) AS m5,
+           sha256(n_name) AS s256,
+           CAST(octet_length(encode(n_name)) AS BIGINT) AS n_bytes
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("functions", "codec", "hashing"),
+)
+def fn_codec_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec + cryptographic hash family: base64 (RFC 4648,
+    identical padding in both engines), hex, md5, sha-256, byte
+    length.  These are the content-addressing primitives the dedup
+    stack builds on (dp_exact_dedup keys on md5; the sidecar stores
+    hash-named files) — pinned here directly so a codec regression
+    can't hide behind the operators that consume it."""
+    n = load_table(spark, sf_dir, "nation")
+    b = F.col("n_name").cast("binary")
+    return n.select(
+        "n_nationkey",
+        F.base64(b).alias("b64"),
+        F.upper(F.hex(b)).alias("hx"),
+        F.md5(b).alias("m5"),
+        F.sha2(b, 256).alias("s256"),
+        F.octet_length("n_name").cast("bigint").alias("n_bytes"),
+    ).orderBy("n_nationkey")
