@@ -561,3 +561,44 @@ def ml_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(acc >= 0.25, n_classes)], "acc_above_floor boolean, n_classes bigint"
     )
+
+
+@register(
+    "ml_kmeans_elbow",
+    oracle="""
+    SELECT COUNT(*) AS n_points,
+           TRUE AS cost_monotone_nonincreasing,
+           TRUE AS all_costs_positive
+    FROM embeddings
+    """,
+    tags=("ml", "kmeans", "invariant"),
+)
+def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The elbow-curve invariant: KMeans training cost (within-cluster
+    sum of squares) at k = 2, 4, 8 (seed 0) must be non-increasing in
+    k — more centroids can only reduce (or hold) the within-cluster
+    SSE when each larger fit actually converges; a violation means a
+    broken fit (bad seeding, early stop), which is precisely what this
+    attests.  Exact costs depend on k-means|| sampling order, so the
+    curve's MONOTONICITY is the oracle-stable property, with the point
+    count as the data anchor (pattern: ml_kmeans_clusters)."""
+    from pyspark.ml.clustering import KMeans
+
+    emb = _vectors(load_table(spark, sf_dir, "embeddings")).cache()
+    n_points = emb.count()
+    costs = []
+    for k in (2, 4, 8):
+        model = KMeans(k=k, seed=0, featuresCol="features").fit(emb)
+        costs.append(float(model.summary.trainingCost))
+    emb.unpersist()
+    monotone = all(costs[i + 1] <= costs[i] * (1 + 1e-9) for i in range(len(costs) - 1))
+    positive = all(c > 0 for c in costs)
+    return (
+        load_table(spark, sf_dir, "region")
+        .limit(1)
+        .select(
+            F.lit(n_points).cast("bigint").alias("n_points"),
+            F.lit(monotone).alias("cost_monotone_nonincreasing"),
+            F.lit(positive).alias("all_costs_positive"),
+        )
+    )
