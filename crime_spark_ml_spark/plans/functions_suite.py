@@ -708,3 +708,46 @@ def fn_codec_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(b, 256).alias("s256"),
         F.octet_length("n_name").cast("bigint").alias("n_bytes"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_arith_semantics_suite",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_orderkey - 75000 AS x FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(x % 7 AS BIGINT) AS mod_c,
+           CAST(((x % 7) + 7) % 7 AS BIGINT) AS mod_pos,
+           CAST(x // 7 AS BIGINT) AS div_trunc,
+           CAST(floor(x / 7.0) AS BIGINT) AS div_floor,
+           CAST(abs(x) AS BIGINT) AS mag,
+           CAST(sign(x) AS INTEGER) AS sgn
+    FROM v ORDER BY o_orderkey
+    """,
+    tags=("functions", "arithmetic"),
+)
+def fn_arith_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed integer arithmetic corners, pinned over a half-negative
+    domain: C-style modulo (sign of the dividend — Spark % and DuckDB
+    % agree), the always-positive pmod (what every hash-bucket
+    expression in this repo uses, mirrored as ((x%7)+7)%7), and the
+    two division conventions — truncating (Spark ``div`` = DuckDB
+    ``//``, both toward zero on integers) vs flooring (floor(x/7.0),
+    what bucket/time-window math needs: events.py's pmod-floor form
+    exists precisely because truncation misassigns negative
+    timestamps).  One wrong convention here silently shifts every
+    negative key one bucket — the kind of bug only a signed-domain pin
+    catches."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") - 75000).alias("x")
+    )
+    return o.select(
+        "o_orderkey",
+        (F.col("x") % 7).cast("bigint").alias("mod_c"),
+        F.pmod(F.col("x"), F.lit(7)).cast("bigint").alias("mod_pos"),
+        F.expr("x div 7").cast("bigint").alias("div_trunc"),
+        F.floor(F.col("x") / 7.0).cast("bigint").alias("div_floor"),
+        F.abs("x").cast("bigint").alias("mag"),
+        F.signum("x").cast("int").alias("sgn"),
+    ).orderBy("o_orderkey")
