@@ -471,9 +471,54 @@ def cmd_events(spark, args) -> None:
     _record("events", {"per_factor": per})
 
 
+def cmd_text(spark, args) -> None:
+    """Text-family volume scaling (fifth family: relational, events,
+    dedup/spans, ANN, text): replicate documents by id-shifted union
+    and time the row-local text kernels (token stats, quality score,
+    langid confusion) plus the vocabulary-bounded top-terms groupBy.
+    Row-local JVM expressions should scale ~linearly with perfect
+    parallelism — this is the family where a stray Python UDF would
+    show up as a 10-100x cliff, so the curve doubles as a UDF-policy
+    regression check."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    specs = load_all_plans()
+    src_dir = "/root/testdata/sf0.1"
+    factors = [int(x) for x in args.factors.split(",")]
+    queries = ["dp_token_stats", "dp_quality_score", "dp_lang_id", "dp_top_terms_per_lang"]
+    per = []
+    for fct in factors:
+        d = f"{args.dir}/text_f{fct}"
+        if not os.path.exists(f"{d}/documents.parquet"):
+            docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+            import functools
+
+            parts = [
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                for i in range(fct)
+            ]
+            functools.reduce(lambda a, b: a.unionByName(b), parts).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/documents.parquet")
+        specs["dp_token_stats"].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        row = {"factor": fct, "doc_rows": 2000 * fct}
+        for q in queries:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            row[q] = round(best, 3)
+        per.append(row)
+        print(f"[scale][text] {row}")
+    _record("text", {"per_factor": per})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -503,6 +548,8 @@ def main() -> None:
         cmd_tpch(spark, args)
     if args.phase in ("events", "all"):
         cmd_events(spark, args)
+    if args.phase in ("text", "all"):
+        cmd_text(spark, args)
     if args.phase in ("dedup", "all"):
         args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
         cmd_dedup(spark, args)
