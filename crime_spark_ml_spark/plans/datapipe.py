@@ -26,6 +26,7 @@ from ..functions.text import (
     quality_score,
 )
 from ..functions.vectors import cosine_sql
+from ..operators.linkage import prefix_filter_jaccard_join, snm_edit_pairs
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
 from ..operators.similarity import brute_force_topk, lsh_topk
@@ -3304,4 +3305,89 @@ def dp_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(norm_sq), 6).alias("emb_norm"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------- record linkage
+@register(
+    "dp_snm_edit_neardups",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang,
+             length(text) // 64 AS lb
+      FROM documents WHERE text IS NOT NULL),
+    l AS (
+      SELECT doc_id AS id, text AS tx,
+             lead(doc_id, 1) OVER w1 AS nid, lead(text, 1) OVER w1 AS ntx
+      FROM base WINDOW w1 AS (PARTITION BY lang, lb ORDER BY text, doc_id)
+      UNION ALL
+      SELECT doc_id, text,
+             lead(doc_id, 2) OVER w2, lead(text, 2) OVER w2
+      FROM base WINDOW w2 AS (PARTITION BY lang, lb ORDER BY text, doc_id)
+      UNION ALL
+      SELECT doc_id, text,
+             lead(doc_id, 3) OVER w3, lead(text, 3) OVER w3
+      FROM base WINDOW w3 AS (PARTITION BY lang, lb ORDER BY text, doc_id)),
+    pairs AS (
+      SELECT LEAST(id, nid) AS id_a, GREATEST(id, nid) AS id_b,
+             levenshtein(substr(tx, 1, 120), substr(ntx, 1, 120)) AS edit_dist
+      FROM l WHERE nid IS NOT NULL)
+    SELECT id_a, id_b, edit_dist
+    FROM pairs ORDER BY edit_dist, id_a, id_b LIMIT 25
+    """,
+    tags=("dedup", "linkage", "snm"),
+)
+def dp_snm_edit_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: block on (lang, length/64),
+    sort each block by text, compare each doc with its next 3
+    neighbors via JVM ``levenshtein`` on 120-char prefixes — O(n*w)
+    comparisons total, never n**2 (operators/linkage.py::snm_edit_pairs).
+    Top 25 closest pairs; planted exact dups surface as edit_dist 0.
+    NULL texts are filtered on BOTH sides because Spark sorts NULLs
+    first and DuckDB last — the one ordering-semantics difference that
+    would silently shift every neighborhood."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        snm_edit_pairs(docs, block_cols=("lang",), length_bucket=64,
+                       window=3, prefix_chars=120)
+        .orderBy("edit_dist", "id_a", "id_b")
+        .limit(25)
+    )
+
+
+@register(
+    "dp_setsim_prefix_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (ca.n_tok + cb.n_tok - n_inter), 6) AS jaccard
+    FROM inter JOIN counts ca ON ca.doc_id = id_a
+               JOIN counts cb ON cb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_tok + cb.n_tok - n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "linkage", "ppjoin"),
+)
+def dp_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 same-source pairs via PPJoin prefix
+    filtering (operators/linkage.py::prefix_filter_jaccard_join):
+    candidates join only on each doc's rarest ``n - ceil(t*n) + 1``
+    tokens (by ascending document frequency), then verify with a full
+    intersection count. Losslessness of prefix filtering is the whole
+    point — the DuckDB oracle is the naive ALL-PAIRS join, and the
+    results must be bit-identical. The Spark plan stays sub-quadratic
+    where the oracle's token self-join explodes on stopwords."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        prefix_filter_jaccard_join(docs, threshold=0.5, scope_col="source")
+        .orderBy("id_a", "id_b")
     )
