@@ -26,6 +26,7 @@ from ..functions.text import (
     quality_score,
 )
 from ..functions.vectors import cosine_sql
+from ..operators.chunk import cdc_chunks
 from ..operators.linkage import prefix_filter_jaccard_join, snm_edit_pairs
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
@@ -3391,3 +3392,62 @@ def dp_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_filter_jaccard_join(docs, threshold=0.5, scope_col="source")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dp_cdc_chunk_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, source, text,
+      CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+           ELSE list_filter(range(8, length(text) + 1),
+                i -> substr(md5(substr(text, i - 7, 8)), 1, 2) <= '07') END AS bpos
+      FROM d),
+    e AS (SELECT doc_id, source, text,
+      CASE WHEN length(bpos) > 0 AND list_extract(bpos, length(bpos)) = length(text)
+           THEN bpos ELSE list_append(bpos, length(text)) END AS ends
+      FROM b),
+    c AS (SELECT doc_id, source,
+      unnest(list_transform(range(1, length(ends) + 1),
+        j -> substr(text,
+             CASE WHEN j = 1 THEN 1 ELSE list_extract(ends, j - 1) + 1 END,
+             list_extract(ends, j)
+               - CASE WHEN j = 1 THEN 0 ELSE list_extract(ends, j - 1) END))) AS chunk
+      FROM e)
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT md5(chunk)) AS n_distinct,
+           ROUND(AVG(length(chunk)), 6) AS avg_len,
+           ROUND(1 - CAST(COUNT(DISTINCT md5(chunk)) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM c GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "cdc", "chunk"),
+)
+def dp_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile per source: chunk every
+    document at md5-window boundaries (operators/chunk.py::cdc_chunks,
+    the LBFS/FastCDC boundary rule in declarative form), then measure
+    how much chunk-level content is shared — n_chunks vs distinct
+    chunk hashes and the duplicate-chunk fraction. This is the
+    storage-dedup view of the corpus: near-identical documents that
+    whole-doc hashing (dp_exact_dedup) misses still share most CDC
+    chunks, because an edit only perturbs the chunk it lands in and
+    boundaries re-synchronize from content. One explode + one groupBy;
+    the boundary scan is row-local JVM HOF work, no shuffle before the
+    final per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    chunks = cdc_chunks(docs, keep_cols=("source",))
+    agg = chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct(F.md5("chunk_text")).alias("n_distinct"),
+        F.round(F.avg(F.length("chunk_text")), 6).alias("avg_len"),
+    )
+    return agg.select(
+        "source",
+        "n_chunks",
+        "n_distinct",
+        "avg_len",
+        F.round(
+            F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_chunks"), 6
+        ).alias("dup_frac"),
+    ).orderBy("source")
