@@ -130,13 +130,17 @@ def prefix_filter_jaccard_join(
         *scope,
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
     freq = toks.groupBy(*scope, "tok").agg(F.count("*").alias("df_tok"))
-    ordered = toks.join(freq, on=[*scope, "tok"]).join(sizes, on=id_col)
-    rank_w = Window.partitionBy(id_col).orderBy("df_tok", "tok")
+    ordered = toks.join(freq, on=[*scope, "tok"])
+    # per-doc size rides the SAME doc_id window partitioning as the
+    # canonical-order rank — one shuffle serves both, instead of a
+    # separate groupBy(doc).count + join-back (one fewer scan+shuffle)
+    doc_w = Window.partitionBy(id_col)
+    rank_w = doc_w.orderBy("df_tok", "tok")
     prefix_len = F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
     prefix = (
-        ordered.withColumn("__rk", F.row_number().over(rank_w))
+        ordered.withColumn("n_tok", F.count("*").over(doc_w))
+        .withColumn("__rk", F.row_number().over(rank_w))
         .where(F.col("__rk") <= prefix_len)
         .select(id_col, *scope, "tok", "n_tok")
     )
