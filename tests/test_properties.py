@@ -355,3 +355,46 @@ def test_weighted_sample_key_monotone_in_weight(spark):
         (F.log(u) / F.col("w1")).alias("k1"), (F.log(u) / F.col("w2")).alias("k2")
     ).collect()
     assert all(r.k2 > r.k1 for r in rows)
+
+
+@prop
+@given(st.lists(TEXT, min_size=1, max_size=8), st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_matches_python_all_pairs(spark, texts, threshold):
+    """PPJoin prefix filtering is lossless: its output equals a Python
+    brute-force Jaccard over all pairs, at every threshold."""
+    from crime_spark_ml_spark.operators.linkage import prefix_filter_jaccard_join
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_join(
+            df, threshold=threshold, scope_col=None
+        ).collect()
+    }
+    want = {}
+    sets = [set(t.split(" ")) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+
+
+@prop
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_cdc_reassembly_on_random_texts(spark, texts):
+    """CDC chunks always concatenate back to the exact input."""
+    from crime_spark_ml_spark.operators.chunk import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    rebuilt: dict[int, list] = {}
+    for r in rows:
+        rebuilt.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for i, t in enumerate(texts):
+        assert "".join(c for _, c in sorted(rebuilt[i])) == t
