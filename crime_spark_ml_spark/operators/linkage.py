@@ -114,8 +114,15 @@ def prefix_filter_jaccard_join(
          explodes on stopwords), with the id_a < id_b and the length
          filter ``n_b >= ceil(t·n_a)`` (Jaccard >= t implies the size
          ratio bound, so this prunes without loss);
-      5. verify: exact |intersection| per candidate pair over the FULL
-         token sets, Jaccard = |∩| / (n_a + n_b - |∩|), keep >= t.
+      5. verify: join each candidate pair to the two docs' sorted
+         distinct-token ARRAYS and count the overlap with JVM
+         ``array_intersect`` — O(|x|+|y|) per candidate row, the
+         classic PPJoin merge-verify. (Verifying by re-joining the
+         exploded token table looks equivalent but materializes
+         |candidates| x tokens-per-doc rows before the second join
+         condition can filter — a ~100x blowup that OOMs at volume;
+         tools/run_scale_test.py's linkage phase found exactly that.)
+         Jaccard = |∩| / (n_a + n_b - |∩|), keep >= t.
 
     Prefix filtering is lossless for Jaccard — the result is
     bit-identical to the all-pairs join, which is exactly how the
@@ -164,16 +171,24 @@ def prefix_filter_jaccard_join(
     cand = (
         pa.join(pb, on="tok")
         .where(join_cond)
-        .select("id_a", "id_b", "n_a", "n_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    doc_toks = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tok")).alias("toks")
+    )
+    da = doc_toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    db = doc_toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = (
-        cand.join(ta, on="id_a")
-        .join(tb, on=["id_b", "tok"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_inter"))
+        cand.join(da, on="id_a")
+        .join(db, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            F.size("toks_a").alias("n_a"),
+            F.size("toks_b").alias("n_b"),
+        )
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
