@@ -516,9 +516,77 @@ def cmd_text(spark, args) -> None:
     _record("text", {"per_factor": per})
 
 
+def cmd_linkage(spark, args) -> None:
+    """Volume curves for the round-5 linkage/CDC operators.
+
+    SNM and CDC are O(n·w) / O(n·len) row-local work — wall time should
+    grow ~linearly with doc count. The PPJoin prefix filter runs over
+    4-word SHINGLES instead of raw tokens, for two reasons. (1) The
+    synthetic 44-word vocab makes every doc share nearly every raw
+    token (token-set Jaccard ≈ 1 for all pairs — a quadratic OUTPUT,
+    no algorithm fixes that). (2) Shingle-space SIZE controls the
+    regime: a measured 3-shingle run (44³ = 85k possible) saturated —
+    per-shingle df grew ∝ n, so prefix-bucket candidate mass grew
+    ∝ Σ df² ≈ n² (25k docs: 47 s / 120 pairs; 50k: 205 s / 240 pairs
+    — 4.3x time for 2x docs). That is the published boundary of prefix
+    filtering: it is sub-quadratic only while prefix tokens stay RARE.
+    Real corpora stay in that regime because vocabulary grows with the
+    corpus (Heaps' law); 4-word shingles (44⁴ ≈ 3.7M possible) emulate
+    it here. Production guidance for low-discrimination token spaces
+    is LSH (operators/dedup.py), not prefix filtering.
+    Recorded per size: wall seconds + output cardinality for each op.
+    """
+    from crime_spark_ml_spark.operators.chunk import cdc_chunks
+    from crime_spark_ml_spark.operators.linkage import (
+        prefix_filter_jaccard_join,
+        snm_edit_pairs,
+    )
+
+    docs_all = spark.read.parquet(f"{args.dir}/documents.parquet")
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    def shingled(docs):
+        sh = (
+            "concat_ws(' ', transform("
+            "sequence(1, greatest(size(split(text, ' ')) - 3, 1)), "
+            "i -> concat_ws('_', slice(split(text, ' '), i, 4))))"
+        )
+        return docs.select("doc_id", "source", F.expr(sh).alias("text"))
+
+    # untimed warmup (JIT/codegen) — see cmd_ann
+    wdocs = docs_all.where(F.col("doc_id") < 1000)
+    snm_edit_pairs(wdocs).count()
+    prefix_filter_jaccard_join(shingled(wdocs), 0.5, scope_col="source").count()
+    cdc_chunks(wdocs).agg(F.count("*")).first()
+
+    per_size = []
+    for s in sizes:
+        docs = docs_all.where(F.col("doc_id") < s)
+        row = {"n_docs": s}
+        t0 = time.perf_counter()
+        row["snm_pairs"] = snm_edit_pairs(docs).count()
+        row["snm_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        row["ppjoin_pairs"] = prefix_filter_jaccard_join(
+            shingled(docs), 0.5, scope_col="source"
+        ).count()
+        row["ppjoin_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cstats = cdc_chunks(docs).agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct(F.md5("chunk_text")).alias("n_distinct"),
+        ).first()
+        row["cdc_sec"] = round(time.perf_counter() - t0, 2)
+        row["cdc_chunks"] = int(cstats.n_chunks)
+        row["cdc_distinct"] = int(cstats.n_distinct)
+        per_size.append(row)
+        print(f"[scale][linkage] {row}")
+    _record("linkage", {"per_doc_count": per_size})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -553,6 +621,9 @@ def main() -> None:
     if args.phase in ("dedup", "all"):
         args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
         cmd_dedup(spark, args)
+    if args.phase in ("linkage", "all"):
+        args.sizes = f"{args.docs // 4},{args.docs // 2},{args.docs}"
+        cmd_linkage(spark, args)
 
 
 if __name__ == "__main__":
