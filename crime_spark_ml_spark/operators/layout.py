@@ -27,31 +27,48 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def interleave_bits(a: Column, b: Column, bits: int) -> Column:
-    """Morton-interleave the low ``bits`` bits of two non-negative
-    integer columns (a's bit i lands at 2i+1, b's at 2i). Pure bitwise
-    JVM expressions — 2*bits shift/and/or terms, all inside
-    whole-stage codegen; bits<=31 keeps the key in a long."""
-    if not 1 <= bits <= 31:
-        raise ValueError(f"bits must be in [1, 31], got {bits}")
+def interleave_bits_n(cols: list[Column], bits: int) -> Column:
+    """Morton-interleave the low ``bits`` bits of N non-negative
+    integer columns, round-robin: column c's bit i lands at position
+    ``i*N + (N-1-c)`` (earlier columns take the more-significant slot
+    within each round, so for N=2 this is the classic a→2i+1, b→2i).
+    Pure bitwise JVM expressions — N*bits shift/and/or terms, all
+    inside whole-stage codegen; N*bits <= 63 keeps the key in a long."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError(f"need at least 2 columns, got {n}")
+    if not 1 <= bits or n * bits > 63:
+        raise ValueError(
+            f"bits must be >= 1 with n_cols*bits <= 63, got {n} cols x {bits} bits"
+        )
     key = F.lit(0).cast("long")
     for i in range(bits):
-        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
-        key = key.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(
-            F.shiftleft(bbit, 2 * i)
-        )
+        for c, col in enumerate(cols):
+            bit = F.shiftright(col.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + (n - 1 - c)))
     return key
+
+
+def interleave_bits(a: Column, b: Column, bits: int) -> Column:
+    """Two-column morton interleave (a's bit i lands at 2i+1, b's at
+    2i) — the N=2 case of interleave_bits_n, kept as the common-path
+    API. bits<=31 keeps the key in a long."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    return interleave_bits_n([a, b], bits)
 
 
 def zorder_key(
     df: DataFrame,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     bits: int = 12,
     binning: str = "uniform",
 ) -> Column:
-    """Morton key over two numeric columns, each binned into
-    [0, 2^bits).
+    """Morton key over two or more numeric columns, each binned into
+    [0, 2^bits). (The production OPTIMIZE ZORDER BY shape takes any
+    column count; each extra dimension dilutes per-dimension locality —
+    2^bits bins each — so 2-4 columns is the useful range, same
+    guidance as Delta's.)
 
     ``binning="uniform"``: equal-width bins between observed min/max
     (one bounded agg — four scalars reach the driver, never data).
@@ -69,7 +86,8 @@ def zorder_key(
     comparisons per row, codegen-friendly, no UDF)."""
     if binning not in ("uniform", "quantile"):
         raise ValueError(f"binning must be 'uniform' or 'quantile', got {binning!r}")
-    ca, cb = cols
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {len(cols)}")
     if binning == "quantile":
         if bits > 8:
             raise ValueError(f"quantile binning caps bits at 8, got {bits}")
@@ -85,10 +103,12 @@ def zorder_key(
                 F.filter(arr, lambda b: b < F.col(c).cast("double"))
             ).cast("long")
 
-        return interleave_bits(binned_q(ca), binned_q(cb), bits)
+        return interleave_bits_n([binned_q(c) for c in cols], bits)
 
-    mn_a, mx_a, mn_b, mx_b = df.agg(
-        F.min(ca), F.max(ca), F.min(cb), F.max(cb)
+    # one bounded agg for every dimension's min/max — 2*N scalars
+    # reach the driver, never data
+    stats = df.agg(
+        *[f for c in cols for f in (F.min(c), F.max(c))]
     ).collect()[0]
     nbins = 1 << bits
 
@@ -107,13 +127,16 @@ def zorder_key(
             - 1,
         )
 
-    return interleave_bits(binned(ca, mn_a, mx_a), binned(cb, mn_b, mx_b), bits)
+    return interleave_bits_n(
+        [binned(c, stats[2 * i], stats[2 * i + 1]) for i, c in enumerate(cols)],
+        bits,
+    )
 
 
 def zorder_write(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     bits: int = 12,
     n_files: int = 8,
     row_group_bytes: int | None = None,

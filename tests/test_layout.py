@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from crime_spark_ml_spark.operators.layout import (
     interleave_bits,
+    interleave_bits_n,
     scan_output_rows,
+    skipping_report,
     zorder_write,
 )
 from crime_spark_ml_spark.sources.catalog import load_table
@@ -129,3 +131,58 @@ def test_quantile_binning_guards(spark):
         zorder_key(df, ("id", "v"), bits=9, binning="quantile")
     with pytest.raises(ValueError):
         zorder_key(df, ("id", "v"), bits=4, binning="nope")
+
+
+def test_interleave_bits_n_three_cols_known_values(spark):
+    # a=0b11, b=0b01, c=0b10 with bits=2, round-robin a->pos 3k+2,
+    # b->3k+1, c->3k: bit layout (msb..lsb) a1 b0 c1 a0 b0(c? ) —
+    # computed by hand: positions: a0->2, a1->5, b0->1, b1->4, c0->0, c1->3
+    # a=3 (a0=1,a1=1): 1<<2 | 1<<5 = 36; b=1 (b0=1): 1<<1 = 2;
+    # c=2 (c1=1): 1<<3 = 8  => 46
+    df = spark.range(1).select(
+        interleave_bits_n([F.lit(3), F.lit(1), F.lit(2)], 2).alias("z")
+    )
+    assert df.collect()[0].z == 46
+
+
+def test_interleave_bits_n_rejects_overflow(spark):
+    with pytest.raises(ValueError, match="bits"):
+        interleave_bits_n([F.lit(1)] * 4, 16)  # 64 > 63
+    with pytest.raises(ValueError, match="columns"):
+        interleave_bits_n([F.lit(1)], 4)
+
+
+def test_zorder_3d_prunes_better_than_1d_sort(spark, tmp_path):
+    ev = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts_us").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("user_id", "ts_us", "value")
+    )
+    p10 = ev.agg(
+        F.expr("percentile(user_id, 0.2)"),
+        F.expr("percentile(ts_us, 0.2)"),
+        F.expr("percentile(value, 0.2)"),
+    ).collect()[0]
+    pred = (
+        f"user_id <= {p10[0]} AND ts_us <= {int(p10[1])} AND value <= {p10[2]}"
+    )
+    zdir, sdir = str(tmp_path / "z3"), str(tmp_path / "s1")
+    zorder_write(
+        ev, zdir, ("user_id", "ts_us", "value"), bits=8, n_files=32,
+        row_group_bytes=16 * 1024,
+    )
+    (
+        ev.repartitionByRange(32, "ts_us")
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16 * 1024)
+        .parquet(sdir)
+    )
+    z = skipping_report(spark, zdir, pred)
+    s = skipping_report(spark, sdir, pred)
+    assert z["rows_matched"] == s["rows_matched"] > 0
+    assert z["rows_scanned"] < s["rows_scanned"]
