@@ -471,3 +471,155 @@ def probe_ivfpq_refined(
         id_col=id_col, vec_col=vec_col,
     )
     return exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def cell_sizes(spark: SparkSession, path: str) -> dict[int, int]:
+    """{cid: rows} for the persisted store — one metadata-cheap group
+    count over the code table (m-byte rows), the imbalance monitor
+    that drives ``split_oversized_cells``."""
+    return {
+        int(r.cid): int(r.n)
+        for r in spark.read.parquet(f"{path}/coded")
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def split_oversized_cells(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    max_rows: int,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Hierarchical-coarse-quantizer maintenance: split every cell
+    holding more than ``max_rows`` vectors into two sub-cells — the
+    production fix for k-means cell imbalance (SCALE.md measured a
+    4x max/p50 tail at 64 cells; a probe landing in a fat cell scans
+    that multiple of the median). Each fat cell gets a seeded 2-means
+    on a bounded driver-side sample of ITS vectors, its members are
+    re-assigned by literal argmin and re-encoded as residuals against
+    their new centroid with the UNCHANGED global PQ codebooks, and the
+    store gains two fresh cid partitions.
+
+    ``corpus`` is the system of record (id → vector): codes are
+    re-derived from source vectors, never round-tripped through the
+    lossy PQ decode. Only fat cells' members are touched — the rest of
+    the store's files are never rewritten or read beyond the size
+    count.
+
+    Commit protocol (ordering matters): (1) append the new cid
+    partitions, (2) rewrite the centroids sidecar — the COMMIT POINT,
+    since probes route by the centroid table and a cid absent from it
+    is never scanned (PartitionFilters prune it), (3) delete the old
+    cell directories (bookkeeping GC — required for load_ivfpq /
+    staleness counts, unreachable by probes either way). A crash
+    before (2) leaves the old index fully intact; between (2) and (3)
+    probes are already correct and only the orphan GC remains.
+
+    Splitting iterates: a 2-means halves a fat cell, and a child that
+    is still over the cap re-enters the next pass — the hierarchical
+    refinement converges in O(log2(n_fat/max_rows)) passes. A cell
+    whose 2-means makes no progress (every member lands in one child —
+    e.g. more than ``max_rows`` IDENTICAL vectors, which no geometry
+    separates) is recorded under ``"unsplittable"`` and left intact
+    rather than looping or failing the whole maintenance job.
+
+    Returns {"split": [{cid, n, into}, ...], "unsplittable": [cids],
+    "k_cells": new count}.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    from ..sources.writers import write_sidecar
+    from .pq import _collect_train_sample, _lloyd, _sq_l2_lit
+
+    if max_rows < 2:
+        raise ValueError(f"max_rows must be >= 2, got {max_rows}")
+    index = load_ivfpq(spark, path)
+    sizes = cell_sizes(spark, path)
+    centroid_map = {
+        int(r.cid): [float(x) for x in r.cvec] for r in index.centroids.collect()
+    }
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    next_cid = max(sizes) + 1
+    split_info: list[dict] = []
+    unsplittable: list[int] = []
+    gc_dirs: list[int] = []
+
+    fat = sorted(c for c, n in sizes.items() if n > max_rows)
+    while fat:
+        cid = fat.pop(0)
+        coded_store = spark.read.parquet(f"{path}/coded")
+        members = coded_store.where(F.col("cid") == cid).select("id")
+        cell_vecs = vecs.join(members, "id")
+        sample = _collect_train_sample(cell_vecs.select("vec"), "vec", None, seed)
+        X = np.asarray(sorted(tuple(r.vec) for r in sample), dtype=np.float64)
+        C2 = _lloyd(X, 2, seed)
+        cid_a, cid_b = next_cid, next_cid + 1
+        next_cid += 2
+        pair = [(cid_a, [float(x) for x in C2[0]]), (cid_b, [float(x) for x in C2[1]])]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_l2_lit("vec", 0, cv).alias("d"), F.lit(c).alias("c")
+                    )
+                    for c, cv in pair
+                ]
+            )
+        )
+        assigned = cell_vecs.withColumn("cid", best.getField("c").cast("int"))
+        child_n = {
+            int(r.cid): int(r.n)
+            for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        }
+        if len(child_n) < 2:  # no geometric progress: all members in one child
+            unsplittable.append(int(cid))
+            next_cid -= 2
+            continue
+        sub_cents = spark.createDataFrame(pair, "cid int, cvec array<double>")
+        res = _residuals(assigned, sub_cents)
+        # same residual-binding as build_ivfpq (see comment there)
+        codes = F.element_at(
+            F.transform(F.array(F.col("rvec")), lambda rv: pq_code_expr(index.pq, rv)),
+            1,
+        )
+        coded_new = res.select("id", "cid", codes.alias("codes"))
+        coded_new.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+            f"{path}/coded"
+        )
+        del centroid_map[cid]
+        centroid_map[cid_a], centroid_map[cid_b] = pair[0][1], pair[1][1]
+        split_info.append({"cid": int(cid), "n": sizes[cid], "into": [cid_a, cid_b]})
+        gc_dirs.append(int(cid))
+        for c in (cid_a, cid_b):  # children over the cap re-enter the queue
+            sizes[c] = child_n[c]
+            if child_n[c] > max_rows:
+                fat.append(c)
+    if not split_info:
+        return {
+            "split": [],
+            "unsplittable": unsplittable,
+            "k_cells": len(centroid_map),
+        }
+    # commit point: probes route by this table from here on
+    write_sidecar(
+        spark.createDataFrame(
+            sorted((c, v) for c, v in centroid_map.items()),
+            "cid int, cvec array<double>",
+        ),
+        f"{path}/centroids",
+    )
+    for cid in gc_dirs:  # orphan GC
+        shutil.rmtree(os.path.join(path, "coded", f"cid={cid}"))
+    return {
+        "split": split_info,
+        "unsplittable": unsplittable,
+        "k_cells": len(centroid_map),
+    }

@@ -245,3 +245,73 @@ def test_refined_persisted_matches_inmemory(planted_index, tmp_path, spark):
     assert sorted(map(tuple, mem.collect()), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, disk.collect()), key=lambda t: (t[0], t[3])
     )
+
+
+def test_split_oversized_cells_rebalances_and_probes_match(spark, tmp_path):
+    from crime_spark_ml_spark.ml.ivfpq import (
+        cell_sizes,
+        load_ivfpq,
+        split_oversized_cells,
+    )
+
+    corpus = _planted_corpus(spark)
+    # k_cells=2 over 8 planted clusters forces fat cells (~20 rows each)
+    index = build_ivfpq(corpus, k_cells=2, m=4, k=8, seed=0)
+    path = str(tmp_path / "fatidx")
+    persist_ivfpq(index, path)
+    before_sizes = cell_sizes(spark, path)
+    assert max(before_sizes.values()) > 10
+    queries = corpus.where(F.col("vec_id") < 4)
+    before = {
+        (r.query_id, r.rank): r.cand_id
+        for r in probe_ivfpq(spark, path, queries, k=3, nprobe=2).collect()
+    }
+
+    report = split_oversized_cells(spark, path, corpus, max_rows=10, seed=0)
+    assert report["split"], "fat cells must have been split"
+    after_sizes = cell_sizes(spark, path)
+    # total mass conserved; every split cid is gone; each child either
+    # survives (under the cap) or was itself split in a later pass
+    assert sum(after_sizes.values()) == sum(before_sizes.values())
+    resplit = {info["cid"] for info in report["split"]}
+    for info in report["split"]:
+        assert info["cid"] not in after_sizes
+        for c in info["into"]:
+            assert c in after_sizes or c in resplit
+    assert report["k_cells"] == len(after_sizes)
+    assert report["unsplittable"] == []
+
+    # the store stays probe-consistent: requantizing residuals against
+    # the new sub-centroids can reorder near-tied cluster-mates (the
+    # planted epsilons are 0.05 apart), but the top-1 must still come
+    # from the query's own planted cluster — same floor the recall
+    # tests pin; probe nprobe=all cells to compare modulo routing
+    after = {
+        (r.query_id, r.rank): r.cand_id
+        for r in probe_ivfpq(
+            spark, path, queries, k=3, nprobe=report["k_cells"]
+        ).collect()
+    }
+    for q in {qq for qq, _ in before}:
+        assert after[(q, 1)] // 5 == q // 5
+        assert before[(q, 1)] // 5 == q // 5
+
+    # convergence: every surviving cell is under the cap, so a second
+    # call is a no-op
+    assert all(n <= 10 for n in after_sizes.values())
+    again = split_oversized_cells(spark, path, corpus, max_rows=10, seed=0)
+    assert again["split"] == [] and again["k_cells"] == report["k_cells"]
+
+
+def test_split_oversized_cells_noop_below_cap(spark, tmp_path):
+    from crime_spark_ml_spark.ml.ivfpq import cell_sizes, split_oversized_cells
+
+    corpus = _planted_corpus(spark)
+    index = build_ivfpq(corpus, k_cells=8, m=4, k=8, seed=0)
+    path = str(tmp_path / "balidx")
+    persist_ivfpq(index, path)
+    sizes = cell_sizes(spark, path)
+    report = split_oversized_cells(
+        spark, path, corpus, max_rows=max(sizes.values()), seed=0
+    )
+    assert report == {"split": [], "unsplittable": [], "k_cells": len(sizes)}
