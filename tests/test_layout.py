@@ -113,10 +113,27 @@ def test_quantile_binning_survives_skew(spark, tmp_path):
     assert qt < 0.10 < uni, (uni, qt)
 
     udir, qdir = str(tmp_path / "uni"), str(tmp_path / "qt")
-    zorder_write(df, udir, ("heavy", "other"), bits=6, n_files=32)
-    zorder_write(df, qdir, ("heavy", "other"), bits=6, n_files=32, binning="quantile")
-    med = df.agg(F.expr("percentile(heavy, 0.5)")).collect()[0][0]
-    box = f"heavy <= {med} AND other <= 10"
+    # small row groups: with the default 128 MiB (one group per file)
+    # pruning granularity is 32 files and the uniform-vs-quantile gap
+    # drowns in range-sampling noise (repartitionByRange's boundary
+    # sample is seeded by RDD id, i.e. session history — the margin
+    # moved ±2% between standalone and full-suite runs)
+    zorder_write(df, udir, ("heavy", "other"), bits=6, n_files=32,
+                 row_group_bytes=16 * 1024)
+    zorder_write(df, qdir, ("heavy", "other"), bits=6, n_files=32,
+                 binning="quantile", row_group_bytes=16 * 1024)
+    # box selective INSIDE the dense region (p40-p60 of heavy): uniform
+    # binning put virtually every row in heavy-bin 0, so its layout
+    # cannot prune this range at all (the skew failure mode this test
+    # exists to show); quantile bins resolve it to ~13/64 bins. (A box
+    # like heavy <= median is NOT a fair probe: degenerate uniform
+    # binning collapses the layout to a pure sort on `other`, which
+    # happens to suit a query selective on `other` — measured better
+    # than honest 2-D tiling once row groups were fine enough to see.)
+    p40, p60 = df.agg(
+        F.expr("percentile(heavy, 0.4)"), F.expr("percentile(heavy, 0.6)")
+    ).collect()[0]
+    box = f"heavy BETWEEN {p40} AND {p60} AND other <= 10"
     u_rows = scan_output_rows(spark.read.parquet(udir).filter(box))
     q_rows = scan_output_rows(spark.read.parquet(qdir).filter(box))
     df.unpersist()
