@@ -9,6 +9,8 @@ Usage:
   python tools/run_ann.py append --index PATH --source PARQUET
                                  [--where SQL] [--id-shift N]
   python tools/run_ann.py stats --index PATH [--max-staleness 0.25]
+  python tools/run_ann.py rebalance --index PATH [--sf-dir DIR]
+                                    [--max-cell-rows N] [--source PARQUET]
 
 ``build`` trains the coarse quantizer + residual codebooks (bounded
 driver-side fits), encodes the corpus, and writes the cell-partitioned
@@ -16,7 +18,9 @@ code store; ``probe`` reads ONLY the probed cells (partition pruning)
 and prints the top-k neighbors per query. ``append`` encodes NEW
 vectors with the persisted quantizers (no retrain) into their cells
 and prints the updated staleness; ``stats`` prints the staleness
-counter and whether the retrain trigger has fired. Same operators the
+counter and whether the retrain trigger has fired; ``rebalance``
+iteratively splits cells over --max-cell-rows (re-encoding only their
+members from the source corpus) and prints the split report. Same operators the
 registered dp_ann_* queries use — this CLI is the one-command face a
 similarity-search operator would schedule.
 """
@@ -35,11 +39,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from crime_spark_ml_spark.ml.ivfpq import (  # noqa: E402
     append_ivfpq,
     build_ivfpq,
+    cell_sizes,
     ivfpq_staleness,
     needs_retrain,
     persist_ivfpq,
     probe_ivfpq,
     probe_ivfpq_refined,
+    split_oversized_cells,
 )
 from crime_spark_ml_spark.session import get_spark  # noqa: E402
 from crime_spark_ml_spark.sources.catalog import load_table  # noqa: E402
@@ -47,7 +53,7 @@ from crime_spark_ml_spark.sources.catalog import load_table  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "probe", "append", "stats"])
+    ap.add_argument("mode", choices=["build", "probe", "append", "stats", "rebalance"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--index", default=None)
     ap.add_argument("--cells", type=int, default=16)
@@ -67,6 +73,7 @@ def main() -> int:
         help="add N to appended vec_ids (id uniqueness is the caller's contract)",
     )
     ap.add_argument("--max-staleness", type=float, default=0.25)
+    ap.add_argument("--max-cell-rows", type=int, default=None, dest="max_cell_rows")
     args = ap.parse_args()
 
     if args.mode == "stats":
@@ -100,6 +107,33 @@ def main() -> int:
         print(
             f"appended into {args.index}: base {st['n_base']}  "
             f"appended {st['n_appended']}  staleness {st['staleness']:.3f}"
+        )
+        return 0
+
+    if args.mode == "rebalance":
+        if not args.index or not os.path.isdir(args.index):
+            print(
+                "rebalance requires --index pointing at a built index",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.max_cell_rows:
+            print("rebalance requires --max-cell-rows", file=sys.stderr)
+            return 2
+        spark = get_spark("ann-cli")
+        src = args.source or f"{args.sf_dir}/embeddings.parquet"
+        corpus = spark.read.parquet(src)
+        report = split_oversized_cells(
+            spark, args.index, corpus, max_rows=args.max_cell_rows
+        )
+        for info in report["split"]:
+            print(f"split cid {info['cid']} (n={info['n']}) -> {info['into']}")
+        if report["unsplittable"]:
+            print(f"unsplittable (left intact): {report['unsplittable']}")
+        sizes = cell_sizes(spark, args.index)
+        print(
+            f"{report['k_cells']} cells, rows min/max "
+            f"{min(sizes.values())}/{max(sizes.values())}"
         )
         return 0
 
