@@ -27,6 +27,7 @@ from ..functions.text import (
 )
 from ..functions.vectors import cosine_sql
 from ..operators.chunk import cdc_chunks
+from ..operators.shard import shard_manifest
 from ..operators.linkage import prefix_filter_jaccard_join, snm_edit_pairs
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
@@ -3451,3 +3452,84 @@ def dp_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_chunks"), 6
         ).alias("dup_frac"),
     ).orderBy("source")
+
+
+# ------------------------------------------------------ training shards
+@register(
+    "dp_shard_manifest",
+    oracle="""
+    WITH routed AS (
+      SELECT
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+             AS INTEGER) AS shard,
+        length(COALESCE(text, '')) AS len,
+        ('0x' || substr(md5(COALESCE(text, '')), 1, 8))::BIGINT AS h
+      FROM documents)
+    SELECT shard, COUNT(*) AS n_rows, SUM(len) AS n_chars,
+           SUM(h) AS checksum
+    FROM routed GROUP BY shard ORDER BY shard
+    """,
+    tags=("datapipe", "shard", "sink"),
+)
+def dp_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-shard routing manifest over documents
+    (operators/shard.py): md5-routed shard membership plus per-shard
+    row count, char mass, and an order-independent content checksum
+    (sum of md5-int32 over text). This is the REPRODUCIBLE-SINK
+    contract a training pipeline needs — same inputs give byte-stable
+    shard membership and an auditable manifest on any cluster; md5
+    (not hash()/xxhash64) precisely so the oracle can recompute it.
+    Routing/checksum are row-local; the manifest is one groupBy over
+    8 shard ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=8)
+
+
+@register(
+    "dp_epoch_shuffle",
+    oracle="""
+    WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+               AS okey
+      FROM documents d CROSS JOIN e),
+    ranked AS (
+      SELECT epoch, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY okey, doc_id)
+                  AS INTEGER) AS pos
+      FROM keyed)
+    SELECT epoch, pos, doc_id FROM ranked WHERE pos <= 10
+    ORDER BY epoch, pos
+    """,
+    tags=("datapipe", "shard", "shuffle"),
+)
+def dp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic pseudo-shuffle: order documents by
+    md5('epoch:id') — a reproducible permutation that differs per
+    epoch and is derivable from (epoch, id) alone, so any worker
+    re-derives its slice with no materialized permutation table
+    (operators/shard.py::epoch_order_key). First 10 positions of
+    epochs 0 and 1; the two prefixes differing is the point. The
+    per-epoch rank is a window over the whole table — fine for a
+    top-N probe; a full training run SORTS by the key instead
+    (range-partitioned, no single-partition window)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    okey = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", okey.alias("okey")
+    )
+    w = Window.partitionBy("epoch").orderBy("okey", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 10)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
