@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "dp_source_divergence": "single-row corpus token total",
     "dp_simhash_selfcheck": "single-row aggregate anchors",
     "dp_tfidf_top_terms": "single-row corpus doc-count",
+    "dp_epoch_shuffle": "two-row epoch relation fanned over documents",
     "e6_zscore": "per-column mean/std aggregate (one row)",
     "ev_gap_fill": "global min/max bucket bounds (one row)",
     "ml_target_encoding": "global target mean (one row)",
