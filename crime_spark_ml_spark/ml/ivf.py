@@ -50,7 +50,7 @@ def build_ivf(
     automatically down-sampled to it."""
     import numpy as np
 
-    from .pq import _collect_train_sample, _lloyd, _sq_l2_lit
+    from .pq import _collect_train_sample, _lloyd, argmin_cid_expr
 
     sc = corpus.sparkSession.sparkContext
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -68,18 +68,9 @@ def build_ivf(
         [(i, [float(x) for x in C[i]]) for i in range(k)],
         "cid int, cvec array<double>",
     )
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_l2_lit("vec", 0, [float(x) for x in C[i]]).alias("d"),
-                    F.lit(i).alias("c"),
-                )
-                for i in range(k)
-            ]
-        )
+    assigned = vecs.withColumn(
+        "cid", argmin_cid_expr([(i, C[i]) for i in range(k)], "vec")
     )
-    assigned = vecs.withColumn("cid", best.getField("c").cast("int"))
     return IvfIndex(centroids=centroids, assigned=assigned)
 
 
@@ -176,7 +167,7 @@ def two_level_assign_expr(
     """
     import numpy as np
 
-    from .pq import _lloyd, _sq_l2_lit
+    from .pq import _lloyd, _sq_l2_lit, argmin_cid_expr
 
     k = len(centroid_rows)
     if k < 4:
@@ -195,17 +186,7 @@ def two_level_assign_expr(
         members.setdefault(int(grp), []).append(idx)
 
     def argmin_cells(idxs: list[int]):
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_l2_lit(vec_col, 0, [float(x) for x in C[i]]).alias("d"),
-                        F.lit(cids[i]).alias("c"),
-                    )
-                    for i in idxs
-                ]
-            )
-        ).getField("c")
+        return argmin_cid_expr([(cids[i], C[i]) for i in idxs], vec_col)
 
     super_best = F.array_min(
         F.array(

@@ -192,24 +192,17 @@ def append_ivfpq(
     contract (append does not dedup against the store). Returns the
     updated staleness dict; check ``needs_retrain`` (or the returned
     staleness) to schedule a full rebuild."""
+    from .pq import argmin_cid_expr
+
     index = load_ivfpq(spark, path)
     cents = sorted(index.centroids.collect(), key=lambda r: r.cid)  # k rows
     if not cents:
         raise ValueError(f"no centroids at {path}/centroids — not an IVFPQ index")
     before = ivfpq_staleness(spark, path)
     vecs = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_l2_lit("vec", 0, [float(x) for x in r.cvec]).alias("d"),
-                    F.lit(int(r.cid)).alias("c"),
-                )
-                for r in cents
-            ]
-        )
+    assigned = vecs.withColumn(
+        "cid", argmin_cid_expr([(r.cid, list(r.cvec)) for r in cents], "vec")
     )
-    assigned = vecs.withColumn("cid", best.getField("c").cast("int"))
     res = _residuals(assigned, index.centroids)
     # same residual-binding as build_ivfpq (see comment there)
     codes_new = F.element_at(
@@ -537,7 +530,7 @@ def split_oversized_cells(
     import numpy as np
 
     from ..sources.writers import write_sidecar
-    from .pq import _collect_train_sample, _lloyd, _sq_l2_lit
+    from .pq import _collect_train_sample, _lloyd, argmin_cid_expr
 
     if max_rows < 2:
         raise ValueError(f"max_rows must be >= 2, got {max_rows}")
@@ -547,7 +540,12 @@ def split_oversized_cells(
         int(r.cid): [float(x) for x in r.cvec] for r in index.centroids.collect()
     }
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    next_cid = max(sizes) + 1
+    # next id from BOTH tables: an empty cell (centroid present, zero
+    # coded rows — _lloyd pads degenerate fits with duplicate centers
+    # that lose every argmin tie) holds the max cid in centroids only;
+    # deriving from sizes alone would hand its cid to a new child and
+    # silently overwrite the existing centroid
+    next_cid = max(max(sizes), max(centroid_map)) + 1
     split_info: list[dict] = []
     unsplittable: list[int] = []
     gc_dirs: list[int] = []
@@ -558,23 +556,24 @@ def split_oversized_cells(
         coded_store = spark.read.parquet(f"{path}/coded")
         members = coded_store.where(F.col("cid") == cid).select("id")
         cell_vecs = vecs.join(members, "id")
+        n_covered = cell_vecs.count()
+        if n_covered != sizes[cid]:
+            # the old cell directory is DELETED after re-encode — an
+            # inner join that silently drops members absent from the
+            # corpus (e.g. appended vectors when the caller passes the
+            # original source) would be silent data loss
+            raise ValueError(
+                f"corpus covers {n_covered}/{sizes[cid]} members of cell "
+                f"{cid} — pass the full system-of-record (base + appended "
+                f"vectors) to split_oversized_cells"
+            )
         sample = _collect_train_sample(cell_vecs.select("vec"), "vec", None, seed)
         X = np.asarray(sorted(tuple(r.vec) for r in sample), dtype=np.float64)
         C2 = _lloyd(X, 2, seed)
         cid_a, cid_b = next_cid, next_cid + 1
         next_cid += 2
         pair = [(cid_a, [float(x) for x in C2[0]]), (cid_b, [float(x) for x in C2[1]])]
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_l2_lit("vec", 0, cv).alias("d"), F.lit(c).alias("c")
-                    )
-                    for c, cv in pair
-                ]
-            )
-        )
-        assigned = cell_vecs.withColumn("cid", best.getField("c").cast("int"))
+        assigned = cell_vecs.withColumn("cid", argmin_cid_expr(pair, "vec"))
         child_n = {
             int(r.cid): int(r.n)
             for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()

@@ -239,6 +239,30 @@ def _sq_l2_lit(vec: str | F.Column, offset: int, values: list[float]) -> F.Colum
     )
 
 
+def argmin_cid_expr(
+    pairs: list[tuple[int, list[float]]], vec: str | F.Column
+) -> F.Column:
+    """Nearest-centroid id over LITERAL (cid, centroid) pairs as one
+    row-local expression: array_min over (distance, cid) structs. The
+    tie-break contract — smaller distance wins, equal distances fall
+    to the smaller cid (struct ordering) — is load-bearing for the
+    flat/two-level assignment agreement and for probe determinism, so
+    every assignment site (build_ivf, two_level_assign_expr,
+    append_ivfpq, split_oversized_cells, the scale harness) routes
+    through this one definition."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_l2_lit(vec, 0, [float(x) for x in cv]).alias("d"),
+                    F.lit(int(c)).alias("c"),
+                )
+                for c, cv in pairs
+            ]
+        )
+    ).getField("c").cast("int")
+
+
 def pq_code_expr(model: PqModel, vec: str | F.Column) -> F.Column:
     """The m-code array as ONE row-local column expression — nearest
     codebook entry per subspace, argmin over k literal-vector distances

@@ -92,18 +92,23 @@ def zorder_key(
         if bits > 8:
             raise ValueError(f"quantile binning caps bits at 8, got {bits}")
         nbins = 1 << bits
+        probs = [i / nbins for i in range(1, nbins)]
+        # ONE quantile pass for all dimensions (approxQuantile takes a
+        # column list) — N separate calls would scan the input N times
+        all_bounds = df.stat.approxQuantile(list(cols), probs, 0.001)
 
-        def binned_q(c: str) -> Column:
-            probs = [i / nbins for i in range(1, nbins)]
+        def binned_q(c: str, raw_bounds: list[float]) -> Column:
             # dedupe: repeated values produce equal quantiles; equal
             # boundaries would double-count in the filter rank
-            bounds = sorted(set(df.stat.approxQuantile(c, probs, 0.001)))
+            bounds = sorted(set(raw_bounds))
             arr = F.array(*[F.lit(float(b)) for b in bounds])
             return F.size(
                 F.filter(arr, lambda b: b < F.col(c).cast("double"))
             ).cast("long")
 
-        return interleave_bits_n([binned_q(c) for c in cols], bits)
+        return interleave_bits_n(
+            [binned_q(c, all_bounds[i]) for i, c in enumerate(cols)], bits
+        )
 
     # one bounded agg for every dimension's min/max — 2*N scalars
     # reach the driver, never data

@@ -144,7 +144,19 @@ def prefix_filter_jaccard_join(
     # separate groupBy(doc).count + join-back (one fewer scan+shuffle)
     doc_w = Window.partitionBy(id_col)
     rank_w = doc_w.orderBy("df_tok", "tok")
-    prefix_len = F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+    # ceil(t*n) must never round ABOVE the minimal overlap the float
+    # verification accepts: for t=0.55, n=100 the double product is
+    # 55.000000000000007, ceil gives 56, yet jaccard 55/100 compares
+    # >= t — the qualifying pair would be dropped and losslessness
+    # silently broken. The 1e-9 slack relaxes the bound downward only
+    # (a longer prefix / looser size filter admits extra CANDIDATES,
+    # never loses one); verification remains the exact gate.
+    eps = 1e-9
+
+    def t_bound(n):
+        return F.ceil(F.lit(threshold) * n - F.lit(eps))
+
+    prefix_len = F.col("n_tok") - t_bound(F.col("n_tok")) + 1
     prefix = (
         ordered.withColumn("n_tok", F.count("*").over(doc_w))
         .withColumn("__rk", F.row_number().over(rank_w))
@@ -164,8 +176,8 @@ def prefix_filter_jaccard_join(
         F.col("n_tok").alias("n_b"),
     )
     join_cond = (F.col("id_a") < F.col("id_b")) & (
-        F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a"))
-    ) & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        F.col("n_b") >= t_bound(F.col("n_a"))
+    ) & (F.col("n_a") >= t_bound(F.col("n_b")))
     for c in scope:
         join_cond = join_cond & (F.col(f"sc_{c}") == F.col(f"scb_{c}"))
     cand = (

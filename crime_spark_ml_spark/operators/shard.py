@@ -44,14 +44,18 @@ def shard_id(id_col: Column | str, n_shards: int) -> Column:
     return F.pmod(md5_int32(id_col), F.lit(n_shards)).cast("int")
 
 
-def epoch_order_key(id_col: Column | str, epoch: int) -> Column:
+def epoch_order_key(id_col: Column | str, epoch: int | Column) -> Column:
     """Deterministic per-epoch pseudo-shuffle key: md5 of
     ``epoch:id``. Ordering by it is a reproducible permutation that
     differs per epoch — the standard trick for epoch-varying sample
     order without materializing permutations (order is derivable from
-    (epoch, id) alone, so any worker can re-derive its slice)."""
+    (epoch, id) alone, so any worker can re-derive its slice).
+    ``epoch`` may be a literal int or a Column (one plan fanning out
+    several epochs at once); both share this one key format, which the
+    dp_epoch_shuffle oracle re-implements hex-for-hex."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.md5(F.concat(F.lit(str(epoch)), F.lit(":"), c.cast("string")))
+    e = F.lit(str(epoch)) if isinstance(epoch, int) else epoch.cast("string")
+    return F.md5(F.concat(e, F.lit(":"), c.cast("string")))
 
 
 def shard_manifest(
@@ -104,7 +108,15 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(f"{path}/shards")
     )
-    manifest = shard_manifest(df, n_shards, id_col=id_col, text_col=text_col)
+    # manifest from the WRITTEN shards, not a second pass over df: one
+    # routing computation total, and the manifest describes exactly the
+    # bytes on disk even if df's lineage is non-deterministic between
+    # actions
+    spark = df.sparkSession
+    manifest = shard_manifest(
+        spark.read.parquet(f"{path}/shards"), n_shards,
+        id_col=id_col, text_col=text_col,
+    )
     write_sidecar(manifest, f"{path}/_manifest")
     return manifest
 

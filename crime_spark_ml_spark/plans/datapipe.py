@@ -27,7 +27,7 @@ from ..functions.text import (
 )
 from ..functions.vectors import cosine_sql
 from ..operators.chunk import cdc_chunks
-from ..operators.shard import shard_manifest
+from ..operators.shard import epoch_order_key, shard_manifest
 from ..operators.linkage import prefix_filter_jaccard_join, snm_edit_pairs
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
@@ -3518,13 +3518,10 @@ def dp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
-    okey = F.md5(
-        F.concat(
-            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
-        )
-    )
     keyed = docs.crossJoin(F.broadcast(epochs)).select(
-        "epoch", "doc_id", okey.alias("okey")
+        "epoch",
+        "doc_id",
+        epoch_order_key("doc_id", F.col("epoch")).alias("okey"),
     )
     w = Window.partitionBy("epoch").orderBy("okey", "doc_id")
     return (

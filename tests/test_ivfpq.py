@@ -341,3 +341,26 @@ def test_two_level_assignment_rejects_tiny_k(spark):
 
     with pytest.raises(ValueError, match="k >= 4"):
         two_level_assign_expr([(0, [0.0]), (1, [1.0])])
+
+
+def test_split_refuses_partial_corpus(spark, tmp_path):
+    """The old cell directory is deleted after re-encode, so a corpus
+    that does not cover every member (the append --id-shift flow fed
+    back the ORIGINAL source) must fail loudly, not silently drop the
+    uncovered vectors."""
+    from crime_spark_ml_spark.ml.ivfpq import append_ivfpq, split_oversized_cells
+
+    corpus = _planted_corpus(spark)
+    index = build_ivfpq(corpus, k_cells=2, m=4, k=8, seed=0)
+    path = str(tmp_path / "partidx")
+    persist_ivfpq(index, path)
+    shifted = corpus.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    append_ivfpq(spark, path, shifted)
+    with pytest.raises(ValueError, match="covers"):
+        split_oversized_cells(spark, path, corpus, max_rows=10, seed=0)
+    # the full system of record (base + appended) succeeds
+    full = corpus.unionByName(shifted)
+    report = split_oversized_cells(spark, path, full, max_rows=30, seed=0)
+    assert report["split"]

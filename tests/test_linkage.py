@@ -122,3 +122,20 @@ def test_prefix_join_rejects_bad_threshold(spark):
         prefix_filter_jaccard_join(df, threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         prefix_filter_jaccard_join(df, threshold=1.5)
+
+
+def test_prefix_filter_float_ceil_boundary(spark):
+    """t=0.55 with |x|=100, |y|=55, y ⊂ x: Jaccard is exactly 55/100,
+    which compares >= 0.55 in doubles — but ceil(0.55*100) rounds to
+    56 in double arithmetic, so an unrelaxed size filter would drop
+    the qualifying pair and break the lossless guarantee."""
+    x = " ".join(f"t{i}" for i in range(100))
+    y = " ".join(f"t{i}" for i in range(55))
+    df = _docs(spark, [(1, x, "en", "s1"), (2, y, "en", "s1")])
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_join(
+            df, threshold=0.55, scope_col="source"
+        ).collect()
+    }
+    assert out == {(1, 2): 0.55}

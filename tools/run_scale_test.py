@@ -590,7 +590,7 @@ def cmd_assign(spark, args) -> None:
     Times ONLY the assignment map (noop write, no PQ encode), at a
     k_cells large enough for the coarse-quantizer term to matter."""
     from crime_spark_ml_spark.ml.ivf import build_ivf, two_level_assign_expr
-    from crime_spark_ml_spark.ml.pq import _sq_l2_lit
+    from crime_spark_ml_spark.ml.pq import argmin_cid_expr
 
     emb = spark.read.parquet(f"{args.dir}/embeddings.parquet")
     n = emb.count()
@@ -602,14 +602,7 @@ def cmd_assign(spark, args) -> None:
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     if vecs.rdd.getNumPartitions() < 32:
         vecs = vecs.repartition(32)
-    flat = F.array_min(
-        F.array(
-            *[
-                F.struct(_sq_l2_lit("vec", 0, cv).alias("d"), F.lit(c).alias("c"))
-                for c, cv in cent_rows
-            ]
-        )
-    ).getField("c").cast("int")
+    flat = argmin_cid_expr(cent_rows, "vec")
     two = two_level_assign_expr(cent_rows, vec_col="vec")
     out = {"n_vectors": n, "k_cells": k}
     for name, expr in (("flat", flat), ("two_level", two)):
