@@ -3530,3 +3530,91 @@ def dp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "pos", "doc_id")
         .orderBy("epoch", "pos")
     )
+
+
+# ------------------------------------------------------- data quality
+@register(
+    "dp_quality_suite",
+    oracle="""
+    WITH o AS (SELECT * FROM orders), l AS (SELECT * FROM lineitem),
+    r AS (
+      SELECT 'accepted_values(o_orderstatus)' AS check,
+             COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O','F','P')) AS violations
+      FROM o
+      UNION ALL
+      SELECT 'in_range(o_totalprice)',
+             COUNT(*) FILTER (WHERE o_totalprice < 0) FROM o
+      UNION ALL
+      SELECT 'in_range_strict(o_totalprice)',
+             COUNT(*) FILTER (WHERE o_totalprice < 1000 OR o_totalprice > 100000)
+      FROM o
+      UNION ALL
+      SELECT 'not_null(o_custkey)',
+             COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM o
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM o
+      UNION ALL
+      SELECT 'in_range(l_quantity)',
+             COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) FROM l
+      UNION ALL
+      SELECT 'in_range_tight(l_discount)',
+             COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.05) FROM l
+      UNION ALL
+      SELECT 'unique(l_orderkey)',
+             COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) FROM l
+      UNION ALL
+      SELECT 'ref_integrity(l_orderkey->o_orderkey)',
+             (SELECT COUNT(*) FROM l WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM o))
+    )
+    SELECT "check", violations, violations = 0 AS passed
+    FROM r ORDER BY "check"
+    """,
+    tags=("datapipe", "quality", "constraints"),
+)
+def dp_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders+lineitem
+    (operators/quality.py): completeness, uniqueness, ranges, accepted
+    values in ONE aggregation pass per table, plus the two-relation
+    referential-integrity orphan count — the validation gate an ingest
+    pipeline runs before trusting a drop. The suite deliberately mixes
+    checks the fixture PASSES (key uniqueness, FK integrity, status
+    domain) with checks it FAILS (tight price band, discount ≤ 0.05,
+    lineitem-key uniqueness — multi-line orders) so both report
+    branches are exercised (vacuity audit), and the report itself is
+    the oracle-hashed artifact."""
+    from ..operators.quality import (
+        accepted_values,
+        check_suite,
+        in_range,
+        not_null,
+        ref_integrity,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o_report = check_suite(
+        orders,
+        [
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", lo=0),
+            in_range("o_totalprice", lo=1000, hi=100000,
+                     name="in_range_strict(o_totalprice)"),
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+        ],
+    )
+    l_report = check_suite(
+        lineitem,
+        [
+            in_range("l_quantity", lo=1, hi=50),
+            in_range("l_discount", lo=0, hi=0.05,
+                     name="in_range_tight(l_discount)"),
+            unique("l_orderkey"),
+        ],
+    )
+    fk = ref_integrity(lineitem, "l_orderkey", orders, "o_orderkey")
+    return o_report.unionByName(l_report).unionByName(fk).orderBy("check")
