@@ -10,7 +10,7 @@ get exactness/recall tests in tests/test_datapipe.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -3618,3 +3618,77 @@ def dp_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = ref_integrity(lineitem, "l_orderkey", orders, "o_orderkey")
     return o_report.unionByName(l_report).unionByName(fk).orderBy("check")
+
+
+@register(
+    "dp_cdc_near_dups",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, text,
+      CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+           ELSE list_filter(range(8, length(text) + 1),
+                i -> substr(md5(substr(text, i - 7, 8)), 1, 2) <= '07') END AS bpos
+      FROM d),
+    e AS (SELECT doc_id, text,
+      CASE WHEN length(bpos) > 0 AND list_extract(bpos, length(bpos)) = length(text)
+           THEN bpos ELSE list_append(bpos, length(text)) END AS ends
+      FROM b),
+    c AS (SELECT doc_id,
+      unnest(list_transform(range(1, length(ends) + 1),
+        j -> substr(text,
+             CASE WHEN j = 1 THEN 1 ELSE list_extract(ends, j - 1) + 1 END,
+             list_extract(ends, j)
+               - CASE WHEN j = 1 THEN 0 ELSE list_extract(ends, j - 1) END))) AS chunk
+      FROM e),
+    h AS (
+      SELECT DISTINCT doc_id, md5(chunk) AS ch
+      FROM c WHERE length(chunk) >= 20),
+    bounded AS (
+      SELECT ch FROM h GROUP BY ch
+      HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared
+    FROM h a JOIN bounded USING (ch) JOIN h b USING (ch)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "cdc"),
+)
+def dp_cdc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-sharing near-dup candidates — the APPLICATION of CDC
+    chunking to dedup: two documents sharing >= 3 distinct content-
+    defined chunks of >= 20 chars are near-dup candidates (an edit
+    perturbs one chunk; the rest still collide). Fully value-oracled,
+    unlike the probabilistic MinHash candidates (xxhash64, rows-only
+    by contract) — md5 chunk hashes exist identically in DuckDB.
+    Scale shape mirrors LSH: one explode, DISTINCT per-doc chunk
+    hashes, a bucket-size band on the join key (2..50 — singleton
+    buckets can't pair; a chunk shared by hundreds of docs is
+    boilerplate, not identity, and would emit b^2/2 pairs), then the
+    self-join and a pair-count threshold. The length floor keeps
+    low-entropy micro-chunks from manufacturing candidates."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    chunks = cdc_chunks(docs)
+    h = (
+        chunks.where(F.length("chunk_text") >= 20)
+        .select("doc_id", F.md5("chunk_text").alias("ch"))
+        .distinct()
+    )
+    bucket_w = Window.partitionBy("ch")
+    bounded = (
+        h.withColumn("__n", F.count("*").over(bucket_w))
+        .where(F.col("__n").between(2, 50))
+        .drop("__n")
+    )
+    pairs = (
+        bounded.alias("a")
+        .join(bounded.alias("b"), on="ch")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+    return pairs.orderBy("id_a", "id_b")
