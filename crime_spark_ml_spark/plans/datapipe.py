@@ -3395,26 +3395,37 @@ def dp_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dp_cdc_chunk_stats",
-    oracle="""
-    WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
-    b AS (SELECT doc_id, source, text,
+
+# DuckDB transcription of cdc_chunks' chunk reconstruction (window=8,
+# mask='07'), shared by every CDC oracle so the boundary rule has ONE
+# SQL copy to keep in lockstep with operators/chunk.cdc_chunks.
+# Expects a CTE ``d`` providing (doc_id, text [, ...]) and yields CTEs
+# b/e/c where ``c`` is one row per chunk with the d-columns + chunk.
+def _cdc_chunk_ctes(carry_cols: str) -> str:
+    return f"""
+    b AS (SELECT doc_id, {carry_cols} text,
       CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
            ELSE list_filter(range(8, length(text) + 1),
                 i -> substr(md5(substr(text, i - 7, 8)), 1, 2) <= '07') END AS bpos
       FROM d),
-    e AS (SELECT doc_id, source, text,
+    e AS (SELECT doc_id, {carry_cols} text,
       CASE WHEN length(bpos) > 0 AND list_extract(bpos, length(bpos)) = length(text)
            THEN bpos ELSE list_append(bpos, length(text)) END AS ends
       FROM b),
-    c AS (SELECT doc_id, source,
+    c AS (SELECT doc_id, {carry_cols}
       unnest(list_transform(range(1, length(ends) + 1),
         j -> substr(text,
              CASE WHEN j = 1 THEN 1 ELSE list_extract(ends, j - 1) + 1 END,
              list_extract(ends, j)
                - CASE WHEN j = 1 THEN 0 ELSE list_extract(ends, j - 1) END))) AS chunk
-      FROM e)
+      FROM e)"""
+
+
+@register(
+    "dp_cdc_chunk_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+    {_cdc_chunk_ctes("source,")}
     SELECT source,
            COUNT(*) AS n_chunks,
            COUNT(DISTINCT md5(chunk)) AS n_distinct,
@@ -3566,8 +3577,13 @@ def dp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) FROM l
       UNION ALL
       SELECT 'ref_integrity(l_orderkey->o_orderkey)',
-             (SELECT COUNT(*) FROM l WHERE l_orderkey IS NOT NULL
-              AND l_orderkey NOT IN (SELECT o_orderkey FROM o))
+             -- anti-join form, NOT the NOT IN form: a NULL parent key
+             -- makes NOT IN evaluate to NULL for every row (0 reported
+             -- violations), while the Spark side is a left-anti join
+             (SELECT COUNT(*) FROM l LEFT JOIN (SELECT DISTINCT o_orderkey
+                FROM o WHERE o_orderkey IS NOT NULL) p
+              ON l.l_orderkey = p.o_orderkey
+              WHERE l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL)
     )
     SELECT "check", violations, violations = 0 AS passed
     FROM r ORDER BY "check"
@@ -3622,24 +3638,9 @@ def dp_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dp_cdc_near_dups",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-    b AS (SELECT doc_id, text,
-      CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
-           ELSE list_filter(range(8, length(text) + 1),
-                i -> substr(md5(substr(text, i - 7, 8)), 1, 2) <= '07') END AS bpos
-      FROM d),
-    e AS (SELECT doc_id, text,
-      CASE WHEN length(bpos) > 0 AND list_extract(bpos, length(bpos)) = length(text)
-           THEN bpos ELSE list_append(bpos, length(text)) END AS ends
-      FROM b),
-    c AS (SELECT doc_id,
-      unnest(list_transform(range(1, length(ends) + 1),
-        j -> substr(text,
-             CASE WHEN j = 1 THEN 1 ELSE list_extract(ends, j - 1) + 1 END,
-             list_extract(ends, j)
-               - CASE WHEN j = 1 THEN 0 ELSE list_extract(ends, j - 1) END))) AS chunk
-      FROM e),
+    {_cdc_chunk_ctes("")},
     h AS (
       SELECT DISTINCT doc_id, md5(chunk) AS ch
       FROM c WHERE length(chunk) >= 20),
