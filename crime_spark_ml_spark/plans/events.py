@@ -948,3 +948,180 @@ def ev_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+@register(
+    "ev_ewma_value",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rk
+      FROM base),
+    lists AS (
+      SELECT user_id, list(value ORDER BY ts_us, event_id) AS vals,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ranked WHERE rk <= 32 GROUP BY user_id)
+    SELECT user_id, n AS n_events,
+           ROUND(list_reduce(vals, (acc, x) ->
+                   CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc), 6) AS ewma
+    FROM lists ORDER BY user_id
+    """,
+    tags=("events", "timeseries", "fold"),
+)
+def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user over
+    each user's LAST 32 events (α = 0.2, seeded at the oldest retained
+    event) — the inherently-sequential recursion y ← α·x + (1−α)·y that
+    window frames cannot express, run as an in-row higher-order
+    ``aggregate`` fold (JVM codegen, no Python).
+
+    Shape: one shuffle keyed by user_id; the per-key state is BOUNDED
+    (32 doubles) by the row_number prefilter, so executor memory per
+    key is constant at any corpus size — the same bounded-state layout
+    a streaming EWMA would keep. The fold's IEEE double ops run in the
+    identical order in DuckDB's ``list_reduce`` (accumulator-first
+    lambda, first element as seed), so the oracle is bit-exact before
+    the defensive ROUND(…, 6).
+
+    Reference analog: rolling statistics over the crime frame
+    (crime.py's pandas groupby/agg family); this is the recursive
+    variant pandas computes with ewm().mean()."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    lastn = ev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 32)
+    return (
+        lastn.groupBy("user_id")
+        # array_sort on (ts_us, event_id, value) structs replays the
+        # events oldest-first regardless of collect_list arrival order
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "value"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.size("evs").cast("bigint").alias("n_events"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(transform(evs, e -> e.value), 2, size(evs)-1), "
+                    "transform(evs, e -> e.value)[0], "
+                    "(acc, x) -> CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc)"
+                ),
+                6,
+            ).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ev_peak_concurrency",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    gaps AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - LAG(ts_us) OVER w >= 600000000 THEN 1 ELSE 0 END AS ns
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sess AS (
+      SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid, ts_us
+      FROM gaps),
+    iv AS (
+      SELECT user_id, sid, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+      FROM sess GROUP BY user_id, sid),
+    segs AS (
+      SELECT d, GREATEST(s_us, d*86400000000) AS seg_s,
+             LEAST(e_us, d*86400000000 + 86399999999) AS seg_e
+      FROM iv, UNNEST(generate_series(s_us//86400000000, e_us//86400000000)) AS u(d)),
+    changes AS (
+      SELECT d, seg_s AS t, 1 AS delta FROM segs
+      UNION ALL
+      SELECT d, seg_e + 1 AS t, -1 AS delta FROM segs),
+    per_t AS (SELECT d, t, SUM(delta) AS delta FROM changes GROUP BY d, t),
+    run AS (
+      SELECT d, t, SUM(delta) OVER (PARTITION BY d ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS active
+      FROM per_t),
+    pk AS (SELECT d, t, active, MAX(active) OVER (PARTITION BY d) AS peak FROM run)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR) AS day,
+           CAST(MAX(peak) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(t) AS BIGINT) AS peak_at_us
+    FROM pk WHERE active = peak GROUP BY d ORDER BY day
+    """,
+    tags=("events", "interval", "sweepline"),
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per UTC day — the interval-overlap
+    sweep line: sessionize (10-min gap, inclusive [start, end]
+    intervals), split sessions at day boundaries, then turn each
+    segment into a +1/−1 change pair (−1 one µs PAST the inclusive
+    end, so a session starting exactly when another ends counts as
+    concurrent) and take the running sum's per-day max plus the first
+    instant it is reached.
+
+    Shape: the sessionize shuffle is keyed by user_id (bounded per-key
+    state); the sweep's running sum is partitioned by DAY — never a
+    global single-partition window — and its input is pre-aggregated
+    per (day, µs), so a day's sweep rows are at most 2× that day's
+    session-segment count. Day-boundary splitting is what keeps the
+    sweep partitionable at 100 TB: each day's count is self-contained
+    (a cross-midnight session contributes one segment to each side).
+    Integer µs arithmetic end-to-end — no float, no timezone (epoch-day
+    ordinals, date rendered via 1970-01-01 + d in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    gap_us = 600_000_000
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(wo)
+    new_s = F.when(prev.isNull() | (F.col("ts_us") - prev >= gap_us), 1).otherwise(0)
+    sess = (
+        ev.withColumn("ns", new_s)
+        .withColumn("sid", F.sum("ns").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+    segs = sess.withColumn(
+        "d",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / day_us).cast("long"),
+                (F.col("e_us") / day_us).cast("long"),
+            )
+        ),
+    ).select(
+        "d",
+        F.greatest("s_us", F.col("d") * day_us).alias("seg_s"),
+        F.least("e_us", F.col("d") * day_us + day_us - 1).alias("seg_e"),
+    )
+    changes = segs.select(
+        "d", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(segs.select("d", (F.col("seg_e") + 1).alias("t"), F.lit(-1).alias("delta")))
+    per_t = changes.groupBy("d", "t").agg(F.sum("delta").alias("delta"))
+    wrun = Window.partitionBy("d").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = per_t.withColumn("active", F.sum("delta").over(wrun))
+    return (
+        run.withColumn("peak", F.max("active").over(Window.partitionBy("d")))
+        .where(F.col("active") == F.col("peak"))
+        .groupBy("d")
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+            F.min("t").cast("bigint").alias("peak_at_us"),
+        )
+        .select(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("d").cast("int"))
+            .cast("string")
+            .alias("day"),
+            "peak_concurrency",
+            "peak_at_us",
+        )
+        .orderBy("day")
+    )
