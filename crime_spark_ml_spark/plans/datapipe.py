@@ -3693,3 +3693,155 @@ def dp_cdc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= 3)
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "dp_hll_union_rollup",
+    oracle="""
+    WITH per_day AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             COUNT(DISTINCT user_id) AS nd
+      FROM events GROUP BY 1, 2),
+    rolled AS (
+      SELECT event_type, CAST(SUM(nd) AS BIGINT) AS sum_day_distinct
+      FROM per_day GROUP BY 1),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1)
+    SELECT e.event_type, e.exact_users, r.sum_day_distinct,
+           TRUE AS merged_within_band
+    FROM exact e JOIN rolled r USING (event_type)
+    ORDER BY e.event_type
+    """,
+    tags=("datapipe", "sketch", "rollup", "invariant"),
+)
+def dp_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-count rollup: build ONE Datasketches
+    HLL sketch of user_id per (event_type, day), then roll up to
+    per-event_type totals by UNIONING the sketches — no rescan of the
+    fact table for the coarse grain, the hypertable/OLAP-cube pattern
+    that makes distinct counts pre-aggregatable at 100 TB (per-day
+    sketches are kilobytes; the union is register-wise max, associative
+    and order-independent).
+
+    ``sum_day_distinct`` (the WRONG naive rollup — per-day distincts
+    summed, double-counting returning users) is emitted alongside the
+    exact count to pin WHY sketch merge matters; the hash-checked
+    boolean asserts the merged estimate lands within 3·rsd of exact
+    (lgK=12 → rsd ≈ 1.6%, band 5%). The estimate itself is excluded
+    from the hashed columns (DuckDB's HLL is a different
+    implementation — the approx_distinct lesson, joins.py:394)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    fine = ev.groupBy("event_type", day.alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("nd"),
+    )
+    rolled = fine.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("nd").cast("bigint").alias("sum_day_distinct"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "sum_day_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dp_jsonl_roundtrip",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (10000000, 'line one' || chr(10) || 'line two' || chr(9) || 'tabbed',
+         'en', 'jsonl_probe', 26),
+        (10000001, 'quote " backslash \ slash / control' || chr(1) || 'end',
+         'en', 'jsonl_probe', 40),
+        (10000002, 'unicode: naïve café — 日本語 🙂', 'en', 'jsonl_probe', 24)
+      ) v(doc_id, text, lang, source, n_chars)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM corpus GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "source", "jsonl"),
+)
+def dp_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) sink → source roundtrip — the
+    interchange format LLM corpus pipelines actually ship. Writes the
+    documents table plus three planted adversarial rows (embedded
+    newline/tab, quote-backslash-control chars, non-BMP unicode) as
+    gzip JSONL, reads it back with an EXPLICIT schema (no inference
+    scan — at 100 TB a schema-inference pass is a full extra read),
+    and aggregates per source. The oracle computes the same aggregate
+    from the parquet truth + the same planted literals, so a hash
+    match proves the transport is LOSSLESS through JSON escaping:
+    string lengths survive \\n, \\u0001, surrogate-pair emoji, and the
+    multiline=false one-record-per-line framing (the property that
+    makes JSONL splittable line-parallel at scale).
+
+    Shape: write is one narrow pass (4 output files), read-back scans
+    only (source, lang, n_chars, text) — column pruning still applies
+    to JSON scans (dropped fields are never parsed into rows)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(
+        [
+            (10000000, "line one\nline two\ttabbed", "en", "jsonl_probe", 26),
+            (10000001, 'quote " backslash \\ slash / control\x01end', "en", "jsonl_probe", 40),
+            (10000002, "unicode: naïve café — 日本語 🙂", "en", "jsonl_probe", 24),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    corpus = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(planted)
+    path = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        corpus.repartition(4).write.mode("overwrite").json(path, compression="gzip")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        back = spark.read.schema(schema).json(path)
+        agg = (
+            back.groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+                F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+                F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            )
+            .orderBy("source")
+        )
+        # materialize BEFORE the finally-block deletes the temp files —
+        # the caller's collect must not depend on them; the aggregate is
+        # one row per source, so re-wrapping it is driver-safe
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).orderBy("source")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
