@@ -3845,3 +3845,96 @@ def dp_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema).orderBy("source")
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "dp_semdedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding,
+                            x -> CAST(x * CAST(1.0001 AS FLOAT) AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id < 20
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ka, b.vec_id AS kb,
+             list_cosine_similarity(a.embedding, b.embedding) AS cos
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    )
+    SELECT kb AS dropped_id, CAST(MIN(ka) AS BIGINT) AS kept_id,
+           CAST(ROUND(CAST(MAX(cos) AS DOUBLE), 2) AS DOUBLE) AS max_cos
+    FROM pairs GROUP BY kb ORDER BY dropped_id
+    """,
+    tags=("dedup", "embedding", "semdedup"),
+)
+def dp_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    k-means, then prune WITHIN each cluster — a vector is dropped when
+    an earlier (lower-id) cluster-mate has cosine ≥ 0.9, keeping the
+    earliest as the group representative. Clustering bounds the
+    pairwise work to Σ|cluster|² instead of the all-pairs |corpus|²:
+    with k sized so cells hold ~√n vectors the prune is ~linear, and
+    the per-cluster join shuffles on cid only (the same cell layout
+    ivf.py persists, so at 100 TB the prune reads cell-partitioned
+    files and never re-shuffles the corpus).
+
+    EXACT oracle despite the k-means stage: the oracle is brute-force
+    all-pairs (no clusters), which equals the clustered prune on this
+    fixture because every ≥0.9 pair is a planted twin pair (20
+    originals scaled by 1.0001 — max random pairwise cosine is
+    0.51/0.60 at sf0.01/0.1, the dp_embedding_near_dups measurement),
+    and a twin shares its original's cell: clustering runs on
+    L2-NORMALIZED vectors (as SemDeDup prescribes), where the twin and
+    its original collapse to the same unit vector up to one float ulp,
+    so their squared-L2 argmin can only differ on an exact centroid
+    tie (none exist — pinned by tests/test_datapipe.py's same-cell
+    assertion). Cross-engine float margins are huge: twins sit at
+    cos ≈ 1.0, random pairs ≥ 0.3 below the 0.9 threshold."""
+    from ..functions.vectors import cosine, norm
+    from ..ml.ivf import build_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    unit = corpus.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding", lambda x: F.try_divide(x.cast("double"), norm("embedding"))
+        ).alias("unit_vec"),
+    )
+    idx = build_ivf(unit, k=16, seed=0, vec_col="unit_vec")
+    cells = idx.assigned.select("id", "cid").join(
+        corpus.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    a = cells.select(
+        F.col("cid").alias("cid_x"),
+        F.col("id").alias("ka"),
+        F.col("embedding").alias("va"),
+    )
+    b = cells.select(
+        F.col("cid").alias("cid_y"),
+        F.col("id").alias("kb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, (F.col("cid_x") == F.col("cid_y")) & (F.col("ka") < F.col("kb")))
+        .withColumn("cos", cosine("va", "vb"))
+        .where(F.col("cos") >= 0.9)
+    )
+    return (
+        pairs.groupBy(F.col("kb").alias("dropped_id"))
+        .agg(
+            F.min("ka").cast("bigint").alias("kept_id"),
+            F.round(F.max("cos"), 2).alias("max_cos"),
+        )
+        .orderBy("dropped_id")
+    )

@@ -307,3 +307,41 @@ def test_duplicate_spans_hashed_equals_text(spark, sf_dir):
     b = sorted(map(tuple, duplicate_spans(docs, n=5, hashed=True).collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_semdedup_twins_share_cell_and_prune(spark, sf_dir):
+    """dp_semdedup's exact-oracle argument rests on every planted twin
+    landing in its original's k-means cell (normalized vectors → same
+    unit vector up to one ulp). Pin that, plus the prune result: the
+    dropped set is exactly the 20 twins, each kept by its original."""
+    from crime_spark_ml_spark.functions.vectors import norm
+    from crime_spark_ml_spark.ml.ivf import build_ivf
+    from crime_spark_ml_spark.plans.datapipe import dp_semdedup
+    from crime_spark_ml_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    unit = corpus.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.try_divide(x.cast("double"), norm("embedding"))
+        ).alias("unit_vec"),
+    )
+    idx = build_ivf(unit, k=16, seed=0, vec_col="unit_vec")
+    cells = {r.id: r.cid for r in idx.assigned.select("id", "cid").collect()}
+    for orig in range(20):
+        assert cells[orig] == cells[orig + 1000000], (
+            f"twin of {orig} crossed cells: {cells[orig]} vs {cells[orig + 1000000]}"
+        )
+
+    rows = dp_semdedup(spark, sf_dir).collect()
+    assert [r.dropped_id for r in rows] == [1000000 + i for i in range(20)]
+    assert all(r.kept_id == r.dropped_id - 1000000 for r in rows)
+    assert all(r.max_cos == 1.0 for r in rows)
