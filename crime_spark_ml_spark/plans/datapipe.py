@@ -3938,3 +3938,199 @@ def dp_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dropped_id")
     )
+
+
+@register(
+    "dp_incremental_agg_merge",
+    oracle="""
+    WITH full_agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, sum_chars, min_chars, max_chars,
+           ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+           TRUE AS merge_equals_direct
+    FROM full_agg ORDER BY source
+    """,
+    tags=("datapipe", "incremental", "agg-state"),
+)
+def dp_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    pattern: per-source doc stats are kept as ALGEBRAIC AGGREGATE
+    STATES (count, sum, min, max — each mergeable), so when a delta
+    batch arrives the view updates by merging states key-by-key
+    instead of rescanning the base corpus. At 100 TB this is the
+    difference between an O(|delta|) refresh and an O(|base|) rebuild;
+    avg is derived from (sum, count) AFTER the merge — never stored,
+    since averages don't merge.
+
+    The query splits documents into base (doc_id % 10 != 0) and delta
+    (doc_id % 10 == 0), aggregates each INDEPENDENTLY, merges the
+    states with a full-outer key join + null-safe combine, and
+    hash-checks the merged view against the direct full-corpus
+    aggregate (the oracle recomputes it from scratch) — plus a boolean
+    pinning Spark-side merge == direct equality for every state."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def states(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+
+    base = states(docs.where(F.col("doc_id") % 10 != 0))
+    delta = states(docs.where(F.col("doc_id") % 10 == 0))
+    d = delta.select(*[F.col(c).alias(f"d_{c}") for c in delta.columns])
+    merged = (
+        base.join(d, base.source == d.d_source, "full_outer")
+        .select(
+            F.coalesce("source", "d_source").alias("source"),
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_n_docs", F.lit(0))).alias(
+                "n_docs"
+            ),
+            (
+                F.coalesce("sum_chars", F.lit(0)) + F.coalesce("d_sum_chars", F.lit(0))
+            ).alias("sum_chars"),
+            F.least(
+                F.coalesce("min_chars", F.col("d_min_chars")),
+                F.coalesce("d_min_chars", F.col("min_chars")),
+            ).alias("min_chars"),
+            F.greatest(
+                F.coalesce("max_chars", F.col("d_max_chars")),
+                F.coalesce("d_max_chars", F.col("max_chars")),
+            ).alias("max_chars"),
+        )
+    )
+    direct = states(docs)
+    dd = direct.select(*[F.col(c).alias(f"t_{c}") for c in direct.columns])
+    return (
+        merged.join(dd, merged.source == dd.t_source, "inner")
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            "min_chars",
+            "max_chars",
+            F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 6).alias(
+                "avg_chars"
+            ),
+            (
+                (F.col("n_docs") == F.col("t_n_docs"))
+                & (F.col("sum_chars") == F.col("t_sum_chars"))
+                & (F.col("min_chars") == F.col("t_min_chars"))
+                & (F.col("max_chars") == F.col("t_max_chars"))
+            ).alias("merge_equals_direct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dp_csv_roundtrip",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (20000000, 'comma, separated, fields', 'en', 'csv_probe', 24),
+        (20000001, 'quoted "inner" and ''single'' text', 'en', 'csv_probe', 32),
+        (20000002, 'unicode: Łódź Ελλάδα 中文 🚀', 'en', 'csv_probe', 22),
+        (20000003, '  leading and trailing spaces  ', 'en', 'csv_probe', 31)
+      ) v(doc_id, text, lang, source, n_chars)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(SUM(CASE WHEN text LIKE '%,%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_commas
+    FROM corpus GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "source", "csv"),
+)
+def dp_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → source roundtrip under RFC-4180 quoting torture:
+    embedded commas, embedded double quotes (writer doubles them),
+    single quotes, multi-script unicode, and significant leading/
+    trailing whitespace (read with ignore*WhiteSpace off — trimming is
+    data corruption). Written gzip, read back with the EXPLICIT schema
+    and mode=FAILFAST — a malformed line must be an error, never a
+    silent NULL row (the reference's inferSchema+permissive default is
+    the anti-pattern, SURVEY.md §1.3).
+
+    multiLine stays FALSE so the scan remains line-splittable — the
+    property that lets a 100 TB CSV read fan out per-block; documents
+    with embedded NEWLINES therefore don't belong in this query (that
+    roundtrip, which forces multiLine=true single-split parsing, is
+    pinned in tests/test_io.py instead). The oracle aggregates the
+    parquet truth + the same planted literals, so a hash match proves
+    lossless field transport."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(
+        [
+            (20000000, "comma, separated, fields", "en", "csv_probe", 24),
+            (20000001, 'quoted "inner" and \'single\' text', "en", "csv_probe", 32),
+            (20000002, "unicode: Łódź Ελλάδα 中文 🚀", "en", "csv_probe", 22),
+            (20000003, "  leading and trailing spaces  ", "en", "csv_probe", 31),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    corpus = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(planted)
+    path = tempfile.mkdtemp(prefix="csvrt_")
+    try:
+        (
+            corpus.repartition(4)
+            .write.mode("overwrite")
+            # the WRITER also trims by default — both trim switches are
+            # write-side options too, and shipping "  x  " as "x" is
+            # silent corruption the hash below would catch
+            .options(
+                header=True,
+                compression="gzip",
+                ignoreLeadingWhiteSpace=False,
+                ignoreTrailingWhiteSpace=False,
+            )
+            .csv(path)
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        back = spark.read.schema(schema).options(
+            header=True,
+            mode="FAILFAST",
+            multiLine=False,
+            ignoreLeadingWhiteSpace=False,
+            ignoreTrailingWhiteSpace=False,
+        ).csv(path)
+        agg = (
+            back.groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+                F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+                F.sum(F.when(F.col("text").contains(","), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_with_commas"),
+            )
+            .orderBy("source")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).orderBy("source")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -196,3 +196,30 @@ def test_bucketed_merge_upsert_zero_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
         spark.sql("DROP TABLE IF EXISTS t_snap_b")
         spark.sql("DROP TABLE IF EXISTS t_chg_b")
+
+
+def test_csv_multiline_roundtrip(spark, tmp_path):
+    """Embedded newlines survive a CSV roundtrip ONLY with
+    multiLine=true on the read (quoted-field framing), which costs
+    line-splittability — why dp_csv_roundtrip keeps newline-free rows
+    and this torture case lives here instead."""
+    rows = [
+        (1, "plain"),
+        (2, "two\nlines"),
+        (3, "crlf\r\nline"),
+        (4, 'mix, "quote"\nand comma'),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    path = str(tmp_path / "ml_csv")
+    (
+        df.write.mode("overwrite")
+        .options(header=True, ignoreLeadingWhiteSpace=False, ignoreTrailingWhiteSpace=False)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("id bigint, text string")
+        .options(header=True, mode="FAILFAST", multiLine=True)
+        .csv(path)
+    )
+    got = sorted((r.id, r.text) for r in back.collect())
+    assert got == sorted(rows)
