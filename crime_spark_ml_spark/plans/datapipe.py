@@ -4134,3 +4134,61 @@ def dp_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema).orderBy("source")
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "dp_private_counts",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(DATE '1970-01-01'
+                  + CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS INTEGER)
+                  AS VARCHAR) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    noised AS (
+      SELECT event_type, day, CAST(n AS BIGINT) AS n,
+             (CAST(('0x' || substr(md5('dp-noise-v1|' || event_type || '|' || day),
+                                   1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM agg)
+    SELECT event_type, day, n,
+           ROUND(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 4)
+             AS noisy_n
+    FROM noised ORDER BY event_type, day
+    """,
+    tags=("datapipe", "privacy", "laplace"),
+)
+def dp_private_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per (event_type, day) — the
+    ε-differential-privacy release shape for a sensitivity-1 count
+    (ε = 1): noisy = n + Lap(1/ε), noise drawn by inverse-CDF from a
+    uniform in (0, 1). The uniform here is DERIVED DETERMINISTICALLY
+    from md5 of a versioned salt + the group key so the release is
+    oracle-checkable; a production release swaps in a cryptographic
+    RNG — the mechanism (group → exact → calibrated noise → rounded
+    release) is what this query pins, not the sampling entropy.
+
+    Shape: one partial+final count aggregate; the noise is a row-local
+    JVM expression on the ~|groups| aggregate output, never on raw
+    rows. Cross-engine note: ln() could differ in the last ulp between
+    the JVM and DuckDB's libm; ROUND(…, 4) leaves ~1e-12 per-row odds
+    of straddling a boundary — empirically exact at all three fixture
+    scales (the a8_percentiles_approx precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    eps = 1.0
+    day = F.date_add(
+        F.to_date(F.lit("1970-01-01")),
+        (F.col("ts_us") / 86_400_000_000).cast("int"),
+    ).cast("string")
+    agg = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    key = F.concat(F.lit("dp-noise-v1|"), F.col("event_type"), F.lit("|"), F.col("day"))
+    u = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") + 0.5) / F.lit(
+        2.0**32
+    )
+    p = u - 0.5
+    noise = -(1.0 / eps) * F.signum(p) * F.log(1.0 - 2.0 * F.abs(p))
+    return agg.select(
+        "event_type", "day", "n", F.round(F.col("n") + noise, 4).alias("noisy_n")
+    ).orderBy("event_type", "day")
