@@ -214,3 +214,81 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_seen", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_seen", T.LongType()),
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def ewma_last_n_stateful(
+    events: DataFrame, alpha: float = 0.2, last_n: int = 32
+) -> DataFrame:
+    """Streaming twin of plans/events.ev_ewma_value: per-user EWMA over
+    the user's last ``last_n`` events, as an applyInPandasWithState
+    operator. State per key is BOUNDED — the top-``last_n`` events by
+    (ts_us, event_id) plus one counter — maintained incrementally
+    across micro-batches, so arrival order across batches doesn't
+    matter and state never grows with the stream. Each batch re-emits
+    (total_seen, n_events, unrounded ewma); the fold replays the kept
+    window oldest-first with the same IEEE double recursion as the
+    batch twin (rounding is left to the caller — Python's round()
+    banker's-rounds, F.round half-ups)."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            total, ts, eid, val = state.get
+            ts, eid, val = list(ts), list(eid), list(val)
+        else:
+            total, ts, eid, val = 0, [], [], []
+        for pdf in batches:
+            total += len(pdf)
+            ts.extend(int(x) for x in pdf["ts_us"])
+            eid.extend(int(x) for x in pdf["event_id"])
+            val.extend(float(x) for x in pdf["value"])
+        order = np.lexsort((np.asarray(eid), np.asarray(ts)))[-last_n:]
+        ts = [ts[i] for i in order]
+        eid = [eid[i] for i in order]
+        val = [val[i] for i in order]
+        state.update((total, ts, eid, val))
+        acc = val[0]
+        for x in val[1:]:
+            acc = alpha * x + (1.0 - alpha) * acc
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_seen": [total],
+                "n_events": [len(val)],
+                "ewma": [acc],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts_us", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

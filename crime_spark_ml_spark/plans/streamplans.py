@@ -853,3 +853,73 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_ewma_stateful",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rk
+      FROM base),
+    lists AS (
+      SELECT user_id, list(value ORDER BY ts_us, event_id) AS vals,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ranked WHERE rk <= 32 GROUP BY user_id)
+    SELECT user_id, n AS n_events,
+           ROUND(list_reduce(vals, (acc, x) ->
+                   CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc), 6) AS ewma
+    FROM lists ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "ewma", "applyInPandasWithState"),
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA through a REAL two-micro-batch run,
+    hash-matched against the SAME oracle as its batch twin
+    (ev_ewma_value) — stream-batch parity for an order-sensitive FOLD,
+    a strictly harder bar than parity for commutative aggregates: the
+    stateful operator must reconstruct the per-user last-32 window
+    incrementally (events row-sliced into two disjoint batches, so a
+    user's history arrives split across micro-batches) and replay it
+    oldest-first with the identical IEEE recursion.
+
+    The final emission per user (max total_seen — strictly monotone,
+    users re-emit each batch they appear in) carries the unrounded
+    fold; F.round(…, 6) happens here, JVM-side, because Python's
+    round() banker's-rounding is NOT SQL ROUND. State per key is
+    bounded (one counter + 32 triples) — executor memory is flat no
+    matter how long the stream runs."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from ..operators.pandas_ops import ewma_last_n_stateful
+
+    stage = tempfile.mkdtemp(prefix="stream_ewma_")
+    # split by row slice with pyarrow: preserves the fixture's physical
+    # schema bit-for-bit (spark rewriting would normalize the nanos
+    # layout away); disjoint halves — NOT the staged-twice duplication
+    # stream_stateful_running_counts uses, which would corrupt a fold
+    t = papq.read_table(f"{sf_dir}/events.parquet")
+    half = t.num_rows // 2
+    papq.write_table(t.slice(0, half), f"{stage}/part_a.parquet")
+    papq.write_table(t.slice(half), f"{stage}/part_b.parquet")
+    raw = events_stream(spark, sf_dir, staged=stage)
+    folded = ewma_last_n_stateful(raw, alpha=0.2, last_n=32)
+    name = f"stream_ewma_{next(_COUNTER)}"
+    try:
+        emissions = run_available_now(folded, name, output_mode="update")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows
+    return (
+        emissions.groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "total_seen").cast("bigint").alias("n_events"),
+            F.round(F.max_by("ewma", "total_seen"), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
