@@ -1125,3 +1125,94 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev_holt_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, list(y ORDER BY d) AS ys,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type),
+    fitted AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_prepend(
+                 [CAST(ys[2] AS DOUBLE), CAST(ys[2] AS DOUBLE) - CAST(ys[1] AS DOUBLE)],
+                 list_transform(ys[3:], y -> [CAST(y AS DOUBLE), CAST(0 AS DOUBLE)])
+               ),
+               (acc, x) -> [
+                 CAST(0.2 AS DOUBLE)*x[1] + CAST(0.8 AS DOUBLE)*(acc[1] + acc[2]),
+                 CAST(0.1 AS DOUBLE)*((CAST(0.2 AS DOUBLE)*x[1]
+                     + CAST(0.8 AS DOUBLE)*(acc[1] + acc[2])) - acc[1])
+                   + CAST(0.9 AS DOUBLE)*acc[2]
+               ]
+             ) AS st
+      FROM series)
+    SELECT event_type, n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast_next
+    FROM fitted ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "forecast", "fold"),
+)
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, alpha=0.2 beta=0.1)
+    over each event type's DAILY count series, emitting the one-step
+    forecast l+b — the classic workload-forecasting recursion, which
+    needs a two-field state and so can't be a window frame OR a single
+    prefix sum. Runs as a higher-order ``aggregate`` fold with a
+    two-element ARRAY accumulator over the collected per-type series
+    (JVM codegen; series length = #days, bounded and tiny relative to
+    the events scanned, so collect_list here is a per-group rollup,
+    not a data-sized materialization).
+
+    Init (l2=y2, b2=y2-y1), fold from y3 — stated explicitly because
+    textbook inits vary. The state is an array, NOT a struct, on both
+    sides: DuckDB 1.0's list_reduce evaluates struct accumulator
+    fields sequentially and a later field reads the CURRENT
+    application's already-updated earlier field (measured: folding
+    (a+x, b+a) over [(1,10),(2,0),(3,0)] yields b=17, not 14) — array
+    elements don't clobber. The new-level subexpression is
+    deliberately INLINED twice in the trend formula, identically in
+    both engines, to keep the float op sequence equal."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s.y).alias(
+            "ys"
+        ),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    fitted = series.withColumn(
+        "st",
+        F.expr(
+            "aggregate(slice(ys, 3, size(ys)-2), "
+            "array(CAST(element_at(ys, 2) AS DOUBLE), "
+            "      CAST(element_at(ys, 2) AS DOUBLE)"
+            "      - CAST(element_at(ys, 1) AS DOUBLE)), "
+            "(acc, y) -> array("
+            "  CAST(0.2 AS DOUBLE)*y "
+            "    + CAST(0.8 AS DOUBLE)*(element_at(acc, 1) + element_at(acc, 2)), "
+            "  CAST(0.1 AS DOUBLE)*((CAST(0.2 AS DOUBLE)*y "
+            "      + CAST(0.8 AS DOUBLE)*(element_at(acc, 1) + element_at(acc, 2)))"
+            "      - element_at(acc, 1)) "
+            "    + CAST(0.9 AS DOUBLE)*element_at(acc, 2)))"
+        ),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("trend"),
+        F.round(F.element_at("st", 1) + F.element_at("st", 2), 6).alias("forecast_next"),
+    ).orderBy("event_type")
