@@ -4192,3 +4192,54 @@ def dp_private_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "day", "n", F.round(F.col("n") + noise, 4).alias("noisy_n")
     ).orderBy("event_type", "day")
+
+
+@register(
+    "dp_compact_small_files",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           TRUE AS compacted_to_fewer_files
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "maintenance", "compaction"),
+)
+def dp_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a registered, hash-checked pass: the
+    documents table is first fragmented into 64 tiny parquet files
+    (the per-trigger/per-task debris a long-lived streaming ingest
+    directory accumulates), then compacted by sources/writers.
+    compact_parquet, which sizes the output file count from the ACTUAL
+    input bytes via a metadata-only binaryFile listing — at 100 TB the
+    sizing pass reads footers and lengths, never data. The hash gate
+    checks (a) per-source contents after the rewrite are identical to
+    the parquet truth and (b) the boolean that compaction produced
+    strictly fewer files than the fragmented input — corruption or a
+    no-op rewrite both flip a hashed column."""
+    import shutil
+    import tempfile
+
+    from ..sources.writers import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = tempfile.mkdtemp(prefix="frag_")
+    dst = tempfile.mkdtemp(prefix="compacted_")
+    try:
+        docs.repartition(64).write.mode("overwrite").parquet(frag)
+        n_out = compact_parquet(spark, frag, dst, target_file_bytes=64 * 1024 * 1024)
+        back = spark.read.parquet(dst)
+        agg = (
+            back.groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+            )
+            .withColumn("compacted_to_fewer_files", F.lit(n_out < 64))
+            .orderBy("source")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).orderBy("source")
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
