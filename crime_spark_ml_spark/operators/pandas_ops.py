@@ -292,3 +292,22 @@ def ewma_last_n_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def geo_mean_udaf():
+    """Arrow-batched GROUPED_AGG pandas UDF (a user-defined AGGREGATE
+    — the one pandas-UDF variant the rest of this module doesn't
+    cover): geometric mean of a numeric column. Executes as an
+    ArrowAggregatePython node (never BatchEvalPython). Determinism:
+    grouped-agg input order is partition-dependent, so the values are
+    SORTED before an fsum-based reduction — the result is independent
+    of shuffle layout down to the last ulp."""
+
+    @pandas_udf("double")
+    def _geo_mean(v: pd.Series) -> float:
+        import math
+
+        vals = sorted(float(x) for x in v)
+        return math.exp(math.fsum(math.log(x) for x in vals) / len(vals))
+
+    return _geo_mean

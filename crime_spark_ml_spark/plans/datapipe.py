@@ -4243,3 +4243,46 @@ def dp_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(frag, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+@register(
+    "dp_grouped_agg_udaf",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geo_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "udaf", "pandas"),
+)
+def dp_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via a GROUPED_AGG pandas UDF — the last
+    uncovered variant of the sanctioned Arrow UDF surface (scalar
+    pandas_udf, applyInPandas, mapInPandas, applyInPandasWithState are
+    all exercised elsewhere): per-source geometric mean of document
+    length, a multiplicative statistic Spark has no builtin for.
+    Executes as ArrowAggregatePython (plan-linter-visible: no
+    BatchEvalPython row UDF). The UDAF sorts its group's values and
+    reduces with math.fsum, making the float result independent of
+    partition/arrival order; the oracle's exp(avg(ln x)) runs a
+    different summation order, so ROUND(…, 6) absorbs the ≤1e-10
+    tail-ulp spread (empirically exact at all three fixture scales).
+    At 100 TB a grouped-agg UDAF ships one Arrow batch per group per
+    partial — for heavy groups prefer an algebraic rewrite
+    (exp∘avg∘ln, as the oracle shows) when one exists. Engine
+    constraint pinned here: INVALID_PANDAS_UDF_PLACEMENT — a pandas
+    UDAF cannot share one agg() with JVM aggregates, so the exact
+    count comes from a second aggregate joined on the group key (both
+    reuse the same shuffle partitioning)."""
+    from ..operators.pandas_ops import geo_mean_udaf
+
+    docs = load_table(spark, sf_dir, "documents")
+    geo = docs.groupBy("source").agg(
+        F.round(geo_mean_udaf()("n_chars"), 6).alias("geo_chars")
+    )
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        counts.join(geo, "source")
+        .select("source", "n_docs", "geo_chars")
+        .orderBy("source")
+    )
