@@ -418,3 +418,55 @@ def duplicate_spans(
         )
         .drop("grp")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str = "source",
+    max_scope: int = 10_000,
+) -> DataFrame:
+    """Directed set-CONTAINMENT |A∩B| / min(|A|, |B|) for pairs within
+    a scope key — the asymmetric complement of ``jaccard_pairs``:
+    Jaccard misses a short document wholly embedded in a long one
+    (|∩|/|∪| stays small when |B| ≫ |A|), which is exactly the
+    boilerplate/quotation/near-superset case corpus curation needs to
+    catch. Same explode→self-join shape and Σ n_scope² bound; the
+    ``max_scope`` cap drops oversized scopes loudly (identical
+    semantics to jaccard_pairs, so the two metrics compose over the
+    same candidate universe)."""
+    scope_w = Window.partitionBy(scope_col)
+    bounded = (
+        df.withColumn("__scope_n", F.count("*").over(scope_w))
+        .where(F.col("__scope_n") <= max_scope)
+        .drop("__scope_n")
+    )
+    toks = bounded.select(
+        id_col,
+        scope_col,
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    counts = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    inter = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col(f"a.{scope_col}") == F.col(f"b.{scope_col}"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .select("id_a", "id_b", "containment")
+    )

@@ -4286,3 +4286,69 @@ def dp_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "geo_chars")
         .orderBy("source")
     )
+
+
+@register(
+    "dp_containment_near_supersets",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' zzcontainmentpad0 zzcontainmentpad1 zzcontainmentpad2' AS text,
+             source
+      FROM documents WHERE doc_id < 5
+    ),
+    bounded AS (
+      SELECT * FROM corpus
+      WHERE source IN (SELECT source FROM corpus
+                       GROUP BY source HAVING COUNT(*) <= 10000)),
+    toks AS (
+      SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM bounded),
+    counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / LEAST(ca.n_tok, cb.n_tok), 6) AS containment
+    FROM inter JOIN counts ca ON ca.doc_id = id_a
+               JOIN counts cb ON cb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / LEAST(ca.n_tok, cb.n_tok), 6) >= 0.999999
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "containment"),
+)
+def dp_containment_near_supersets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection by directed set containment
+    |A∩B| / min(|A|,|B|) — the asymmetric metric that catches a short
+    document embedded verbatim in a longer one, which Jaccard
+    structurally misses (|∩|/|∪| → small as the container grows).
+    Five planted supersets (each doc_id < 5 re-emitted with three
+    sentinel tokens appended, id+2000000) must surface at containment
+    exactly 1.0; the ≥0.999999 filter keeps the result the exact
+    containment-duplicate set in both engines (the fixture's random
+    same-source pairs never fully contain each other — if one ever
+    did, BOTH engines would emit it identically, so the oracle stays
+    exact at any scale). Same explode→self-join shape and scope cap
+    as dp_ngram_jaccard; the two metrics compose over one candidate
+    universe."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" zzcontainmentpad0 zzcontainmentpad1 zzcontainmentpad2"),
+        ).alias("text"),
+        "source",
+    )
+    corpus = docs.select("doc_id", "text", "source").unionByName(planted)
+    return (
+        containment_pairs(corpus)
+        .where(F.col("containment") >= 0.999999)
+        .orderBy("id_a", "id_b")
+    )
