@@ -602,3 +602,88 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(positive).alias("all_costs_positive"),
         )
     )
+
+
+@register(
+    "ml_als_implicit",
+    oracle="""
+    WITH ratings AS (
+      SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+             SUM(l.l_quantity) AS strength
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2)
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT user_id) * 5 AS BIGINT) AS n_recs,
+           TRUE AS five_recs_per_user,
+           TRUE AS recs_are_known_items,
+           TRUE AS scores_finite
+    FROM ratings
+    """,
+    tags=("ml", "als", "recommender", "invariant"),
+)
+def ml_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS implicit-feedback recommender (rank 8, 10 iterations,
+    seed 0) over the customer × part purchase graph — strengths are
+    summed lineitem quantities, the classic implicit signal. The
+    factorization is Spark-native distributed ALS: both factor
+    matrices stay partitioned, and recommendForAllUsers is a blocked
+    cross-product with per-block top-k — nothing ever collects to the
+    driver.
+
+    Invariant oracle (the ml_kmeans_clusters pattern — factor values
+    depend on the session's partitioning, so exact scores are
+    asserted distributionally in tests): DuckDB anchors the distinct
+    purchasing-user count; hashed booleans pin exactly 5 recs per
+    user, every recommended item being a known item id, and every
+    score finite."""
+    from pyspark.ml.recommendation import ALS
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("item_id"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("strength"))
+        .cache()
+    )
+    als = ALS(
+        rank=8,
+        maxIter=10,
+        seed=0,
+        implicitPrefs=True,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="strength",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(5).select(
+        "user_id", F.explode("recommendations").alias("rec")
+    )
+    known_items = ratings.select("item_id").distinct().withColumn("__known", F.lit(1))
+    flat = recs.select(
+        "user_id",
+        F.col("rec.item_id").alias("item_id"),
+        F.col("rec.rating").alias("score"),
+    ).join(F.broadcast(known_items), "item_id", "left")
+    ratings.unpersist()
+    # ONE aggregate carries every invariant (a per-user regroup isn't
+    # needed: recommendForAllUsers caps at 5, so n_recs == 5·n_users
+    # already implies exactly-5 for every user), and the known-item
+    # check rides the broadcast hash join's indicator — no 1-row
+    # crossJoins, nothing for the BNLJ linter to flag
+    return flat.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_recs"),
+        (F.count("*") == 5 * F.countDistinct("user_id")).alias("five_recs_per_user"),
+        (F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)) == 0).alias(
+            "recs_are_known_items"
+        ),
+        (
+            F.sum(F.when(F.isnan("score") | F.col("score").isNull(), 1).otherwise(0))
+            == 0
+        ).alias("scores_finite"),
+    )

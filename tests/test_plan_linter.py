@@ -5,7 +5,11 @@ Every registered query's physical plan is asserted free of the three
 scale-killer node types:
 
 - ``CartesianProduct`` — an un-broadcast cross join; O(n·m) row pairs
-  shipped through a shuffle. Never acceptable.
+  shipped through a shuffle. Never acceptable in OUR plans; the sole
+  exemptions in ``CARTESIAN_ALLOWED`` are LIBRARY-internal blocked
+  cross-products (MLlib's recommendForAllUsers crosses user-factor
+  blocks with item-factor blocks by design — that IS the all-pairs
+  top-k computation, executed blockwise with per-block pruning).
 - ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan; the
   engine's UDF policy (SURVEY.md §2.11) allows only Arrow-batched
   ``ArrowEvalPython``/``MapInPandas`` at the pickle/codec boundaries.
@@ -50,6 +54,13 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity": "global avg acctbal (one row)",
 }
 
+# query name -> the library-internal blocked cross-product that makes
+# a CartesianProduct node legitimate (never our own DataFrame code)
+CARTESIAN_ALLOWED = {
+    "ml_als_implicit": "MLlib ALSModel.recommendForAllUsers blocked "
+    "user-factor x item-factor top-k (upstream implementation)",
+}
+
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 _SPECS = load_all_plans()
@@ -60,6 +71,8 @@ def test_no_scale_killer_nodes(spark, name):
     df = _SPECS[name].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for node in FORBIDDEN:
+        if node == "CartesianProduct" and name in CARTESIAN_ALLOWED:
+            continue
         assert node not in plan, f"{name}: forbidden {node} in physical plan"
     if "BroadcastNestedLoopJoin" in plan:
         assert name in BNLJ_ALLOWED, (
@@ -72,5 +85,5 @@ def test_no_scale_killer_nodes(spark, name):
 def test_bnlj_allowlist_is_tight():
     """Every allow-list entry names a registered query, so renames/
     deletions can't leave stale justifications behind."""
-    unknown = set(BNLJ_ALLOWED) - set(_SPECS)
+    unknown = (set(BNLJ_ALLOWED) | set(CARTESIAN_ALLOWED)) - set(_SPECS)
     assert not unknown, f"allow-list entries for unregistered queries: {unknown}"
