@@ -160,3 +160,49 @@ def test_gbt_multiclass_ovr(spark):
     assert a == b  # same seed -> identical per-row argmax
     assert len({p for _, p in a}) >= 2  # not collapsed to one class
     emb.unpersist()
+
+
+def test_als_implicit_model_shape(spark, sf_dir):
+    """Distributional pins for ml_als_implicit (exact factor values are
+    partitioning-dependent): factor matrices have the requested rank,
+    every purchasing user is factorized, and each user's recs arrive
+    score-descending."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("item_id"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("strength"))
+        .cache()
+    )
+    n_users = ratings.select("user_id").distinct().count()
+    model = ALS(
+        rank=8,
+        maxIter=5,
+        seed=0,
+        implicitPrefs=True,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="strength",
+        coldStartStrategy="drop",
+    ).fit(ratings)
+    assert model.rank == 8
+    assert model.userFactors.count() == n_users
+    assert len(model.userFactors.first()["features"]) == 8
+    recs = model.recommendForAllUsers(3).select(
+        "user_id", F.col("recommendations.rating").alias("scores")
+    )
+    bad = recs.where(
+        (F.element_at("scores", 1) < F.element_at("scores", 2))
+        | (F.element_at("scores", 2) < F.element_at("scores", 3))
+    ).count()
+    assert bad == 0
+    ratings.unpersist()
