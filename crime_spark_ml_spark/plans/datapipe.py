@@ -4352,3 +4352,195 @@ def dp_containment_near_supersets(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("containment") >= 0.999999)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dp_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 7 != 0),
+    snap_b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id % 3 != 0),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN md5(a.text) != md5(b.text) THEN 'changed'
+               ELSE 'unchanged'
+             END AS change
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id)
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY change ORDER BY change
+    """,
+    tags=("datapipe", "cdc", "diff"),
+)
+def dp_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diff — the data-regression operator: two
+    snapshots (A = doc_id % 7 != 0; B = doc_id % 3 != 0 with every
+    %5==0 text edited) are compared by ONE full-outer hash join on the
+    key, classifying each id as added / removed / changed / unchanged.
+    Values compare via md5 digests, not raw text — at 100 TB the diff
+    then shuffles 16-byte digests instead of documents, and a
+    column-subset diff is just a digest over fewer columns. One
+    shuffle, counts out; the per-class totals are exact in both
+    engines because the snapshot predicates and the edit rule are
+    deterministic arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    snap_a = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id_a"), F.md5("text").alias("dig_a")
+    )
+    snap_b = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("id_b"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("dig_b"),
+    )
+    diff = snap_a.join(snap_b, snap_a.id_a == snap_b.id_b, "full_outer").select(
+        F.when(F.col("id_a").isNull(), F.lit("added"))
+        .when(F.col("id_b").isNull(), F.lit("removed"))
+        .when(F.col("dig_a") != F.col("dig_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change")
+    )
+    return (
+        diff.groupBy("change")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .orderBy("change")
+    )
+
+
+@register(
+    "dp_schema_evolution_read",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, source, n_chars, NULL AS quality FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars % 100 AS DOUBLE) / 100.0 AS quality
+      FROM documents WHERE doc_id % 2 = 1)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy_rows,
+           ROUND(SUM(COALESCE(quality, 0.0)), 6) AS sum_quality
+    FROM merged GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "source", "schema-evolution"),
+)
+def dp_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations — the lake
+    reality at 100 TB: old files lack columns newer writers added.
+    Generation 1 (even doc_ids) is written WITHOUT the ``quality``
+    column; generation 2 (odd doc_ids) carries it. A single
+    ``mergeSchema=true`` read unifies the directory: legacy rows
+    surface the new column as NULL (never a default, never an error),
+    which the per-source legacy-row count and COALESCE'd quality sum
+    pin exactly against the oracle's UNION reconstruction.
+
+    Scale note: mergeSchema reconciles FOOTERS (a metadata operation);
+    the data pages of old files are untouched. The quality value is
+    derived deterministically (n_chars%100/100) so both engines
+    reproduce it; the double sum can differ across summation orders by
+    ~1e-13, far inside the ROUND(…, 6) band (empirically exact at all
+    three fixture scales)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="schemaevo_")
+    try:
+        gen1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars")
+        gen2 = docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "source",
+            "n_chars",
+            ((F.col("n_chars") % 100).cast("double") / 100.0).alias("quality"),
+        )
+        gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
+        back = spark.read.option("mergeSchema", "true").option(
+            "recursiveFileLookup", "true"
+        ).parquet(path)
+        agg = (
+            back.groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_legacy_rows"),
+                F.round(F.sum(F.coalesce("quality", F.lit(0.0))), 6).alias(
+                    "sum_quality"
+                ),
+            )
+            .orderBy("source")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).orderBy("source")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "dp_k_anonymity_suppression",
+    oracle="""
+    WITH quasi AS (
+      SELECT source, lang, n_chars // 100 AS len_bucket FROM documents),
+    sized AS (
+      SELECT source, lang, len_bucket,
+             COUNT(*) OVER (PARTITION BY lang, len_bucket) AS grp_n
+      FROM quasi)
+    SELECT source,
+           CAST(SUM(CASE WHEN grp_n >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_released,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+           TRUE AS released_is_k_anonymous
+    FROM sized GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "privacy", "k-anonymity"),
+)
+def dp_k_anonymity_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement by suppression (k = 5): rows whose
+    quasi-identifier combination (lang, 100-char length bucket) is
+    shared by fewer than k documents are withheld from the release —
+    the standard record-suppression mechanism, complementing
+    dp_private_counts' noise mechanism on the privacy surface. One
+    window count per quasi-identifier group (a single shuffle keyed
+    by the quasi-identifier — NOT by source, so a group spanning
+    sources is sized globally, which is what the anonymity guarantee
+    requires), then a per-source release/suppress report. The hashed
+    boolean re-checks the guarantee ON THE RELEASED SET: its smallest
+    surviving group must still have ≥ k members. Vacuity: 13 rows are
+    genuinely suppressed at sf0.01 (7 at sf0.001); at sf0.1 every
+    group clears k=5 — denser fixtures make suppression rarer, which
+    is itself the expected k-anonymity behavior."""
+    docs = load_table(spark, sf_dir, "documents")
+    grp_w = Window.partitionBy("lang", "len_bucket")
+    sized = docs.select(
+        "source", "lang", (F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    ).withColumn("grp_n", F.count("*").over(grp_w))
+    released_min = (
+        sized.where(F.col("grp_n") >= 5)
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.min("n") >= 5, F.lit(True)).alias("ok"))
+    )
+    ok = bool(released_min.first()["ok"])
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("grp_n") >= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_released"),
+            F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_suppressed"),
+        )
+        .withColumn("released_is_k_anonymous", F.lit(ok))
+        .orderBy("source")
+    )
