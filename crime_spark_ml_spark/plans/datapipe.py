@@ -4544,3 +4544,58 @@ def dp_k_anonymity_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("released_is_k_anonymous", F.lit(ok))
         .orderBy("source")
     )
+
+
+@register(
+    "dp_trimmed_mean_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents),
+    kept AS (
+      SELECT source, n_chars, n
+      FROM ranked
+      WHERE rk > n // 10 AND rk <= n - n // 10)
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean_chars
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "robust-stats"),
+)
+def dp_trimmed_mean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean of document length per source — the robust
+    location statistic corpus-quality dashboards want when a handful
+    of truncated or concatenated documents would drag a plain mean:
+    each source drops its lowest and highest ⌊n/10⌋ values by rank
+    (ties broken by doc_id so the trim boundary is deterministic, the
+    ev_ohlc_hourly lesson) and averages the integer remainder — the
+    division is the single float op, so ROUND(…, 6) compares
+    identical doubles. One window rank + one aggregate, both keyed by
+    source: a single shuffle, and the rank never crosses sources so
+    per-source state is bounded by the source's row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_all = Window.partitionBy("source")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "rk", F.row_number().over(w_rank)
+    ).withColumn("n", F.count("*").over(w_all))
+    kept = ranked.where(
+        (F.col("rk") > (F.col("n") / 10).cast("long"))
+        & (F.col("rk") <= F.col("n") - (F.col("n") / 10).cast("long"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("trimmed_mean_chars"),
+        )
+        .orderBy("source")
+    )

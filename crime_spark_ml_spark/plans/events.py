@@ -1216,3 +1216,111 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("st", 2), 6).alias("trend"),
         F.round(F.element_at("st", 1) + F.element_at("st", 2), 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+@register(
+    "ev_busy_time_per_day",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+    gaps AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - LAG(ts_us) OVER w >= 600000000 THEN 1 ELSE 0 END AS ns
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sess AS (
+      SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid, ts_us
+      FROM gaps),
+    iv AS (
+      SELECT user_id, sid, MIN(ts_us) AS s_us, MAX(ts_us) + 1 AS e_us
+      FROM sess GROUP BY user_id, sid),
+    segs AS (
+      SELECT d, GREATEST(s_us, d*86400000000) AS seg_s,
+             LEAST(e_us, (d+1)*86400000000) AS seg_e
+      FROM iv, UNNEST(generate_series(s_us//86400000000,
+                                      (e_us - 1)//86400000000)) AS u(d)),
+    changes AS (
+      SELECT d, seg_s AS t, 1 AS delta FROM segs
+      UNION ALL
+      SELECT d, seg_e AS t, -1 AS delta FROM segs),
+    per_t AS (SELECT d, t, SUM(delta) AS delta FROM changes GROUP BY d, t),
+    run AS (
+      SELECT d, t, SUM(delta) OVER (PARTITION BY d ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS active,
+             LEAD(t) OVER (PARTITION BY d ORDER BY t) AS t_next
+      FROM per_t)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR) AS day,
+           CAST(SUM(CASE WHEN active > 0 THEN t_next - t ELSE 0 END) AS BIGINT)
+             AS busy_us
+    FROM run WHERE t_next IS NOT NULL
+    GROUP BY d ORDER BY day
+    """,
+    tags=("events", "interval", "sweepline"),
+)
+def ev_busy_time_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION measure per UTC day: total microseconds during
+    which AT LEAST ONE session is active — the busy-time complement of
+    ev_peak_concurrency's max measure, and the classic utilization/
+    SLA metric. Same partition-safe sweep line (sessions → half-open
+    [start, end+1) intervals → day-clipped segments → ±1 changes →
+    per-day running sum), then busy time = Σ (t_next − t) over
+    change-point gaps where the active count is positive. Half-open
+    ends make the measure additive: touching intervals merge with no
+    double-counted instant, and a one-event session contributes
+    exactly 1 µs instead of vanishing. All-integer arithmetic; the
+    per-day partition bounds every window."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    gap_us = 600_000_000
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(wo)
+    new_s = F.when(prev.isNull() | (F.col("ts_us") - prev >= gap_us), 1).otherwise(0)
+    sess = (
+        ev.withColumn("ns", new_s)
+        .withColumn("sid", F.sum("ns").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s_us"), (F.max("ts_us") + 1).alias("e_us"))
+    )
+    segs = sess.withColumn(
+        "d",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / day_us).cast("long"),
+                ((F.col("e_us") - 1) / day_us).cast("long"),
+            )
+        ),
+    ).select(
+        "d",
+        F.greatest("s_us", F.col("d") * day_us).alias("seg_s"),
+        F.least("e_us", (F.col("d") + 1) * day_us).alias("seg_e"),
+    )
+    changes = segs.select(
+        "d", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(segs.select("d", F.col("seg_e").alias("t"), F.lit(-1).alias("delta")))
+    per_t = changes.groupBy("d", "t").agg(F.sum("delta").alias("delta"))
+    w_ord = Window.partitionBy("d").orderBy("t")
+    run = per_t.withColumn(
+        "active",
+        F.sum("delta").over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn("t_next", F.lead("t").over(w_ord))
+    return (
+        run.where(F.col("t_next").isNotNull())
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("active") > 0, F.col("t_next") - F.col("t")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("busy_us")
+        )
+        .select(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("d").cast("int"))
+            .cast("string")
+            .alias("day"),
+            "busy_us",
+        )
+        .orderBy("day")
+    )
