@@ -4599,3 +4599,101 @@ def dp_trimmed_mean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dp_negative_sampling",
+    oracle="""
+    WITH purchased AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    users AS (SELECT DISTINCT user_id FROM purchased),
+    n_items AS (SELECT COUNT(*) AS n FROM part),
+    cands AS (
+      SELECT u.user_id, a.a AS attempt,
+             CAST(('0x' || substr(md5('neg-v1|' || u.user_id || '|' || a.a), 1, 8))
+                  AS BIGINT) % (SELECT n FROM n_items) AS item_id
+      FROM users u, UNNEST(generate_series(1, 8)) AS a(a)),
+    rejected AS (
+      SELECT c.user_id, c.item_id, MIN(c.attempt) AS attempt
+      FROM cands c
+      LEFT JOIN purchased p
+        ON p.user_id = c.user_id AND p.item_id = c.item_id
+      WHERE p.user_id IS NULL
+      GROUP BY c.user_id, c.item_id),
+    ranked AS (
+      SELECT user_id, item_id, attempt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY attempt, item_id) AS rk
+      FROM rejected)
+    SELECT user_id, CAST(item_id AS BIGINT) AS neg_item,
+           CAST(attempt AS BIGINT) AS attempt
+    FROM ranked WHERE rk <= 2
+    ORDER BY user_id, attempt, neg_item
+    """,
+    tags=("datapipe", "sampling", "recommender"),
+)
+def dp_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the pair generator feeding ml_als_implicit-style models): for
+    each purchasing user, 2 items they have NOT bought, drawn by
+    hash-based rejection sampling — candidate(user, attempt) =
+    md5('neg-v1'|user|attempt) mod |items|, 8 attempts, anti-joined
+    against the purchased set, first 2 surviving candidates kept by
+    (attempt, item) order.
+
+    The scale point: NO user×item cross product is ever materialized
+    (the naive \"all unpurchased pairs\" approach is |users|·|items| —
+    quadratic); the candidate relation is |users|×8 rows, and the
+    anti-join shuffles on (user, item) like any other join. The item
+    universe size (one bounded scalar, |part|) is the only driver-side
+    value. Rejection losses are bounded: a fixture user purchases ~2%
+    of the catalog, so P(all 8 candidates purchased) ≈ 2.5e-14."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_items = load_table(spark, sf_dir, "part").count()
+    purchased = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    users = purchased.select("user_id").distinct()
+    cands = users.withColumn("attempt", F.explode(F.sequence(F.lit(1), F.lit(8)))).select(
+        "user_id",
+        "attempt",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg-v1|"),
+                            F.col("user_id"),
+                            F.lit("|"),
+                            F.col("attempt"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_items
+        ).alias("item_id"),
+    )
+    survivors = (
+        cands.join(purchased, ["user_id", "item_id"], "left_anti")
+        .groupBy("user_id", "item_id")
+        .agg(F.min("attempt").alias("attempt"))
+    )
+    w = Window.partitionBy("user_id").orderBy("attempt", "item_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select(
+            "user_id",
+            F.col("item_id").cast("bigint").alias("neg_item"),
+            F.col("attempt").cast("bigint").alias("attempt"),
+        )
+        .orderBy("user_id", "attempt", "neg_item")
+    )

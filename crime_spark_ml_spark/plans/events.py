@@ -1324,3 +1324,54 @@ def ev_busy_time_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev_markov_transitions",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    seq AS (
+      SELECT event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS from_type
+      FROM base),
+    counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM counts ORDER BY from_type, to_type
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: count and row-normalized probability of each
+    (from_type → to_type) step, sequences ordered by (ts_us, event_id)
+    within user — the sequence-model feature (and sanity diagnostic:
+    a near-uniform row says the next action is unpredictable from the
+    last). One lag window sharded by user_id, one count aggregate,
+    and one tiny window over the ≤|types|² matrix for normalization —
+    the matrix is vocabulary-sized, never data-sized, so the final
+    normalization costs nothing at any corpus scale. The integer
+    count divides once into a double; ROUND(…, 6) compares identical
+    IEEE results."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
