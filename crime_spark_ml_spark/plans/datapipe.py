@@ -4697,3 +4697,57 @@ def dp_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "attempt", "neg_item")
     )
+
+
+@register(
+    "dp_feature_hashing_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT source, tok,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM toks)
+    SELECT source,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets_hit,
+           ROUND(1.0 - CAST(COUNT(DISTINCT bucket) AS DOUBLE)
+                       / COUNT(DISTINCT tok), 6) AS collision_rate
+    FROM hashed GROUP BY source ORDER BY source
+    """,
+    tags=("datapipe", "features", "hashing-trick"),
+)
+def dp_feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick diagnostics: per source, how the vocabulary maps
+    into a fixed D=1024 feature space — distinct tokens, buckets hit,
+    and the collision rate a hashed bag-of-words model would eat. The
+    hashing trick is what makes text featurization vocabulary-free at
+    100 TB (no fitted dictionary to broadcast or keep consistent
+    across snapshots); its cost is exactly this measured collision
+    rate, so the diagnostic belongs next to the featurizer. Buckets
+    come from the same md5-prefix integer both engines compute
+    (engine-native hash() functions differ, the dp_private_counts
+    derivation); explode → two distinct-aggregates, all shuffles keyed
+    by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    hashed = toks.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 1024,
+    )
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.countDistinct("tok").cast("bigint").alias("n_tokens"),
+            F.countDistinct("bucket").cast("bigint").alias("n_buckets_hit"),
+            F.round(
+                1.0
+                - F.countDistinct("bucket").cast("double") / F.countDistinct("tok"),
+                6,
+            ).alias("collision_rate"),
+        )
+        .orderBy("source")
+    )

@@ -18,7 +18,7 @@ Scale notes baked into every plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
@@ -850,4 +850,58 @@ def setop_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted(f_cust.intersectAll(o_cust), "intersect_all")
         .unionAll(counted(f_cust.exceptAll(o_cust), "except_all"))
         .orderBy("op", "o_custkey")
+    )
+
+
+@register(
+    "j_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_q,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_q,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_q
+      FROM rfm)
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+    tags=("analytics", "segmentation", "window"),
+)
+def j_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (last order date),
+    frequency (order count), monetary (decimal-exact spend) quintiled
+    by ntile(5), reported as the segment-occupancy cube. Tie-breaks by
+    custkey make every quintile boundary deterministic; monetary sums
+    accumulate in DECIMAL so the ranking never depends on float
+    summation order (the q1_pricing_summary discipline).
+
+    The three ntiles are GLOBAL windows — fine at any customer count
+    that fits a sort (ntile needs a total order by definition), and
+    the input is the per-customer rollup (|customers| rows), not the
+    orders table; at 100 TB you'd quintile via approx quantile cuts
+    instead, trading exactness for a scan — the exact form here IS
+    the oracle-checkable contract."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dec_sum("o_totalprice", 4).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
     )
