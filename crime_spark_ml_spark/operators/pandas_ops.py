@@ -311,3 +311,29 @@ def geo_mean_udaf():
         return math.exp(math.fsum(math.log(x) for x in vals) / len(vals))
 
     return _geo_mean
+
+
+def bloom_probe_udf(pos_broadcast, m_bits: int, k_hashes: int):
+    """Arrow-batched Bloom membership probe: recomputes the builder's
+    md5 double-hash positions (hashlib and Spark's md5 agree by
+    definition) and tests them against the broadcast position set.
+    Lives here (not in the plan module) so the pandas type annotations
+    resolve — plans use postponed annotations without a module-level
+    pandas import."""
+
+    @pandas_udf("boolean")
+    def _probe(digs: pd.Series) -> pd.Series:
+        import hashlib
+
+        s = pos_broadcast.value
+
+        def probe(d: str) -> bool:
+            return all(
+                int(hashlib.md5(f"{d}|{j}".encode()).hexdigest()[:12], 16) % m_bits
+                in s
+                for j in range(1, k_hashes + 1)
+            )
+
+        return digs.map(probe)
+
+    return _probe

@@ -4751,3 +4751,109 @@ def dp_feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dp_bloom_ingest_dedup",
+    oracle="""
+    WITH history AS (
+      SELECT md5(text) AS dig FROM documents WHERE doc_id % 4 != 0),
+    batch AS (
+      SELECT doc_id, md5(text) AS dig FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, md5(text) AS dig
+      FROM documents WHERE doc_id % 4 = 1 AND doc_id < 40),
+    truth AS (
+      SELECT b.doc_id,
+             EXISTS (SELECT 1 FROM history h WHERE h.dig = b.dig) AS is_dup
+      FROM batch b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_within_bound
+    FROM truth
+    """,
+    tags=("datapipe", "dedup", "bloom", "invariant"),
+)
+def dp_bloom_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free ingest dedup via a Bloom filter — the streaming-ingest
+    pattern for 100 TB corpora: instead of anti-joining every incoming
+    batch against the full history (a history-sized shuffle per
+    batch), build ONE Bloom filter over the history's content digests
+    and flag batch rows with a row-local membership probe. History =
+    doc_id % 4 != 0, batch = the rest plus ten PLANTED rows re-sending
+    history texts under new ids (the fixture's own cross-partition
+    text repeats are near-zero at sf0.01, which would leave the
+    no-false-negative check vacuous — measured 0/0/1 true dups at the
+    three scales before planting).
+
+    The filter is built AS DATAFRAME OPS (PySpark 4 dropped
+    df.stat.bloomFilter): k=10 bit positions per digest from md5
+    double-hashing into m=2^17 bits, exploded JVM-side and
+    DISTINCT-aggregated, then collected — the collect is bounded by
+    the filter's own bit count (≤ k·|history| positions, i.e. the
+    same kilobytes a Bloom bitset broadcast ships; it is a MODEL
+    collect, like PQ codebooks, never data-sized). The probe is an
+    Arrow pandas_udf recomputing the identical md5 positions
+    (hashlib and Spark md5 agree by definition) against the broadcast
+    frozenset.
+
+    Guarantee split, mirrored in the hashed booleans: NO false
+    negatives (every true duplicate flagged — checked against the
+    exact duplicate set) and a BOUNDED false-positive count
+    (≤ max(1% of batch, 10); expected fpr at this load factor is
+    ~1e-6). Exact counts anchor the oracle; the probe itself never
+    shuffles anything."""
+    from ..operators.pandas_ops import bloom_probe_udf
+
+    m_bits = 1 << 17
+    k_hashes = 10
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dig")
+    )
+    history = docs.where(F.col("doc_id") % 4 != 0)
+    planted = docs.where((F.col("doc_id") % 4 == 1) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "dig"
+    )
+    batch = docs.where(F.col("doc_id") % 4 == 0).unionByName(planted).cache()
+    pos_cols = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("dig"), F.lit(f"|{j}"))), 1, 12),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for j in range(1, k_hashes + 1)
+        ]
+    )
+    positions = frozenset(
+        r[0]
+        for r in history.select(F.explode(pos_cols).alias("p")).distinct().collect()
+    )
+    pos_b = spark.sparkContext.broadcast(positions)
+    might_contain = bloom_probe_udf(pos_b, m_bits, k_hashes)
+    flagged = batch.withColumn("bloom_hit", might_contain("dig"))
+    true_dups = batch.join(history.select("dig").distinct(), "dig", "left_semi").select(
+        "doc_id"
+    )
+    merged = flagged.join(true_dups.withColumn("__dup", F.lit(1)), "doc_id", "left")
+    out = merged.agg(
+        F.count("*").cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_dups"),
+        (
+            F.sum(
+                F.when(F.col("__dup").isNotNull() & ~F.col("bloom_hit"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+        (
+            F.sum(F.when(F.col("__dup").isNull() & F.col("bloom_hit"), 1).otherwise(0))
+            <= F.greatest(F.count("*") * 0.01, F.lit(10.0))
+        ).alias("fp_rate_within_bound"),
+    )
+    rows = out.collect()
+    batch.unpersist()
+    return spark.createDataFrame(rows, out.schema)
