@@ -1375,3 +1375,52 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "ev_sequence_pattern",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM seq
+    WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "sequence", "pattern"),
+)
+def ev_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity sequence-pattern matching (the
+    MATCH_RECOGNIZE 'A B C' shape Spark SQL lacks): per user, how
+    often click → view → purchase occur as THREE CONSECUTIVE events
+    in (ts, event_id) order — no events in between, unlike
+    ev_funnel_counts' eventually-ordered funnel. Two LEADs on one
+    user-sharded window (single shuffle; overlapping matches counted,
+    as a rolling pattern automaton would); generalizing to longer
+    patterns is one LEAD per extra step, all in the same window
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "click")
+            & (F.col("t1") == "view")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+        .orderBy("user_id")
+    )
