@@ -427,7 +427,18 @@ def cmd_events(spark, args) -> None:
     specs = load_all_plans()
     src_dir = "/root/testdata/sf0.1"
     factors = [int(x) for x in args.factors.split(",")]
-    queries = ["ev_sessionize", "ev_window_tumbling", "ev_asof_last_purchase"]
+    queries = [
+        "ev_sessionize",
+        "ev_window_tumbling",
+        "ev_asof_last_purchase",
+        # r5 continuation additions — the fold/sweep family: per-user
+        # state is bounded (EWMA last-32) or day-partitioned (sweep
+        # lines), so these must scale like the session/window shapes
+        "ev_ewma_value",
+        "ev_peak_concurrency",
+        "ev_busy_time_per_day",
+        "ev_markov_transitions",
+    ]
     per = []
     for fct in factors:
         d = f"{args.dir}/events_f{fct}"
