@@ -4857,3 +4857,58 @@ def dp_bloom_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     batch.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "dp_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM documents),
+    dup AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+      FROM documents),
+    tok AS (
+      SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents)
+    SELECT b.n_docs, b.n_sources, b.n_langs, b.total_chars,
+           b.min_chars, b.max_chars, d.n_exact_dups, t.total_tokens,
+           ROUND(CAST(t.total_tokens AS DOUBLE) / b.n_docs, 6) AS mean_tokens_per_doc
+    FROM base b, dup d, tok t
+    """,
+    tags=("datapipe", "profiling", "dataset-card"),
+)
+def dp_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card — the summary block a corpus release
+    ships with: row/source/language cardinalities, character volume
+    and bounds, exact-duplicate count (md5 digests), whitespace token
+    volume, and mean tokens per document. ONE scan computes all of it:
+    the three logical aggregates fuse into a single pass because every
+    input is the same documents projection (Spark evaluates
+    count-distincts via expand, not extra scans), and the result is
+    one row — the cheapest possible artifact to attach to a 100 TB
+    release manifest. DuckDB cross-joins its three one-row CTEs; the
+    single float division is rounded identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    ).select(
+        "*",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_tokens_per_doc"),
+    )
