@@ -398,3 +398,92 @@ def test_cdc_reassembly_on_random_texts(spark, texts):
         rebuilt.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
     for i, t in enumerate(texts):
         assert "".join(c for _, c in sorted(rebuilt[i])) == t
+
+
+@prop
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=64),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ewma_fold_matches_python(spark, values):
+    """The higher-order aggregate() EWMA fold equals the plain-Python
+    recursion on arbitrary series — same IEEE doubles, bit-for-bit
+    (no rounding in this pin)."""
+    df = spark.createDataFrame([(values,)], "ys array<double>")
+    got = df.select(
+        F.expr(
+            "aggregate(slice(ys, 2, size(ys)-1), ys[0], "
+            "(acc, x) -> CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc)"
+        ).alias("ewma")
+    ).first()["ewma"]
+    acc = values[0]
+    for x in values[1:]:
+        acc = 0.2 * x + 0.8 * acc
+    assert got == acc
+
+
+@prop
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=64),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_holt_fold_matches_python(spark, values):
+    """The array-accumulator Holt fold (ev_holt_forecast's expression)
+    equals the textbook two-variable recursion in plain Python —
+    bit-for-bit, guarding the array-instead-of-struct workaround for
+    DuckDB's accumulator-clobber quirk against regressions on the
+    Spark side too."""
+    df = spark.createDataFrame([(values,)], "ys array<double>")
+    got = df.select(
+        F.expr(
+            "aggregate(slice(ys, 3, size(ys)-2), "
+            "array(CAST(element_at(ys, 2) AS DOUBLE), "
+            "      CAST(element_at(ys, 2) AS DOUBLE)"
+            "      - CAST(element_at(ys, 1) AS DOUBLE)), "
+            "(acc, y) -> array("
+            "  CAST(0.2 AS DOUBLE)*y "
+            "    + CAST(0.8 AS DOUBLE)*(element_at(acc, 1) + element_at(acc, 2)), "
+            "  CAST(0.1 AS DOUBLE)*((CAST(0.2 AS DOUBLE)*y "
+            "      + CAST(0.8 AS DOUBLE)*(element_at(acc, 1) + element_at(acc, 2)))"
+            "      - element_at(acc, 1)) "
+            "    + CAST(0.9 AS DOUBLE)*element_at(acc, 2)))"
+        ).alias("st")
+    ).first()["st"]
+    level, trend = values[1], values[1] - values[0]
+    for y in values[2:]:
+        new_level = 0.2 * y + 0.8 * (level + trend)
+        trend = 0.1 * ((0.2 * y + 0.8 * (level + trend)) - level) + 0.9 * trend
+        level = new_level
+    assert got[0] == level and got[1] == trend
+
+
+@prop
+@given(st.lists(TEXT, min_size=2, max_size=10))
+def test_containment_matches_python_reference(spark, texts):
+    """containment_pairs equals the brute-force Python computation of
+    |A∩B| / min(|A|,|B|) over distinct-token sets (single scope)."""
+    from crime_spark_ml_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df).collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in enumerate(texts)}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            expect = round(inter / min(len(sets[a]), len(sets[b])), 6)
+            assert got[(a, b)] == pytest.approx(expect, abs=1e-9)
