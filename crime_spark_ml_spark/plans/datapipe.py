@@ -4912,3 +4912,74 @@ def dp_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens").cast("double") / F.col("n_docs"), 6
         ).alias("mean_tokens_per_doc"),
     )
+
+
+@register(
+    "dp_graph_bfs_layers",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS a, 'p' || l.l_partkey AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    bi AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    walk(node, dist) AS (
+      SELECT 'c0' AS node, 0 AS dist
+      UNION
+      SELECT bi.b, w.dist + 1
+      FROM walk w JOIN bi ON bi.a = w.node WHERE w.dist < 4),
+    md AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           substr(node, 1, 1) AS node_type,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM md GROUP BY dist, node_type ORDER BY dist, node_type
+    """,
+    tags=("datapipe", "graph", "bfs", "iterative"),
+)
+def dp_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first min-distance layers over the bipartite
+    customer↔part purchase graph from seed customer 0, capped at 4
+    hops — the third graph primitive beside connected components
+    (operators/dedup.duplicate_clusters) and PageRank
+    (dp_pagerank_authority). Implemented as the DISTRIBUTED iterative
+    form: frontier ⋈ edges per hop, anti-join against the visited set
+    (min-dist semantics: a node keeps its first layer), localCheckpoint
+    per iteration to truncate lineage — the driver loop runs 4 hops,
+    every join shuffles on the node key, nothing data-sized touches
+    the driver. The oracle is the ENGINE-recursion twin: DuckDB's
+    WITH RECURSIVE walks the same edges with UNION-dedup bounding the
+    state on this cyclic graph, then MIN(dist) — two very different
+    executions, one answer (layer sizes by node type)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    bi = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    visited = spark.createDataFrame([("c0", 0)], "node string, dist int").cache()
+    frontier = visited
+    for hop in range(1, 5):
+        nxt = (
+            frontier.join(bi, frontier.node == bi.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    bi.unpersist()
+    return (
+        visited.groupBy(
+            F.col("dist").cast("bigint").alias("dist"),
+            F.substring("node", 1, 1).alias("node_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("dist", "node_type")
+    )
