@@ -4983,3 +4983,90 @@ def dp_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("dist", "node_type")
     )
+
+
+@register(
+    "dp_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_orderkey AS oid, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    n_orders AS (SELECT COUNT(DISTINCT oid) AS n FROM baskets),
+    item_n AS (SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+      FROM baskets a JOIN baskets b ON a.oid = b.oid AND a.item < b.item
+      GROUP BY 1, 2),
+    rules AS (
+      SELECT p.item_a, p.item_b, p.n_pair,
+             ia.n_item AS n_a, ib.n_item AS n_b, (SELECT n FROM n_orders) AS n
+      FROM pair_n p
+      JOIN item_n ia ON ia.item = p.item_a
+      JOIN item_n ib ON ib.item = p.item_b
+      WHERE p.n_pair >= 3)
+    SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(CAST(n_pair AS DOUBLE) / n, 6) AS support,
+           ROUND(CAST(n_pair AS DOUBLE) / n_a, 6) AS confidence_a_to_b,
+           ROUND((CAST(n_pair AS DOUBLE) * n) / (CAST(n_a AS DOUBLE) * n_b), 6)
+             AS lift
+    FROM rules
+    ORDER BY n_pair DESC, item_a, item_b
+    LIMIT 50
+    """,
+    tags=("datapipe", "association-rules", "market-basket"),
+)
+def dp_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for item
+    pairs co-purchased in ≥3 orders, support, confidence(A→B) and
+    lift. The pair join is keyed by ORDER id, so its cost is
+    Σ basket_size² — bounded by the per-order line count (a handful),
+    never by catalog or order count, which is what keeps co-occurrence
+    mining linear-ish at 100 TB; the single-row order total rides a
+    broadcast. Top-50 by pair count with full (item_a, item_b)
+    tie-break; every ratio divides integers both engines computed
+    exactly, rounded identically."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .cache()
+    )
+    n = baskets.select("oid").distinct().count()
+    item_n = baskets.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = baskets.select("oid", F.col("item").alias("item_a"))
+    b = baskets.select(F.col("oid").alias("oid_b"), F.col("item").alias("item_b"))
+    pair_n = (
+        a.join(b, (F.col("oid") == F.col("oid_b")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    out = (
+        pair_n.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(F.col("n_pair").cast("double") / n, 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                (F.col("n_pair").cast("double") * n)
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "item_a", "item_b")
+        .limit(50)
+    )
+    rows = out.collect()
+    baskets.unpersist()
+    return spark.createDataFrame(rows, out.schema).orderBy(
+        F.desc("n_pair"), "item_a", "item_b"
+    )
