@@ -687,3 +687,69 @@ def ml_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("scores_finite"),
     )
+
+
+@register(
+    "ml_fpgrowth_itemsets",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_orderkey AS oid, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    singles AS (
+      SELECT CAST(item AS VARCHAR) AS itemset, COUNT(*) AS freq
+      FROM baskets GROUP BY item HAVING COUNT(*) >= 3),
+    pairs AS (
+      SELECT CAST(a.item AS VARCHAR) || ',' || CAST(b.item AS VARCHAR) AS itemset,
+             COUNT(*) AS freq
+      FROM baskets a JOIN baskets b ON a.oid = b.oid AND a.item < b.item
+      GROUP BY a.item, b.item HAVING COUNT(*) >= 3)
+    SELECT itemset, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    ORDER BY itemset
+    """,
+    tags=("ml", "fpgrowth", "market-basket"),
+)
+def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib FPGrowth frequent itemsets over order baskets — the
+    library counterpart of the hand-rolled dp_association_rules,
+    with a FULL VALUE ORACLE (unusual for ml_*): frequent-itemset
+    mining is exact combinatorics, not randomized fitting, so
+    DuckDB recomputes every size-≤2 itemset's frequency and the
+    hash gate compares them 1:1 (itemsets canonicalized by sorting
+    the items array; larger itemsets are filtered out of BOTH sides
+    — the oracle pins the size-1/size-2 slice FPGrowth must agree
+    on). minSupport is given to FPGrowth as the same absolute-3
+    threshold the SQL HAVING applies (non-vacuous at every fixture
+    scale: 433/63/2 frequent pairs at sf0.001/0.01/0.1; the pair
+    itemsets are canonicalized by NUMERIC sort before string join —
+    a lexicographic sort would flip mixed-digit-length pairs). FPGrowth distributes by
+    conditional-tree partitioning on suffix items — no basket
+    cross-product materializes."""
+    from pyspark.ml.fpm import FPGrowth
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .groupBy("oid")
+        .agg(F.collect_set("item").alias("items"))
+        .cache()
+    )
+    n_baskets = baskets.count()
+    fp = FPGrowth(itemsCol="items", minSupport=3.0 / n_baskets, minConfidence=0.5)
+    model = fp.fit(baskets)
+    out = (
+        model.freqItemsets.where(F.size("items") <= 2)
+        .select(
+            F.array_join(
+                F.transform(F.array_sort("items"), lambda x: x.cast("string")), ","
+            ).alias("itemset"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+        .orderBy("itemset")
+    )
+    rows = out.collect()
+    baskets.unpersist()
+    return spark.createDataFrame(rows, out.schema).orderBy("itemset")
