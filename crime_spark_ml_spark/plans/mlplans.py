@@ -14,7 +14,7 @@ distributional assertions live in tests/test_ml.py. Target encoding
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
@@ -753,3 +753,69 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     baskets.unpersist()
     return spark.createDataFrame(rows, out.schema).orderBy("itemset")
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS predictions_monotone,
+           TRUE AS predictions_within_label_range
+    FROM orders
+    """,
+    tags=("ml", "isotonic", "invariant"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) calibrating order
+    total price against customer account balance — the monotone-fit
+    primitive used for score calibration. MLlib distributes PAVA by
+    fitting per-partition then pooling on the driver over the
+    partition boundary points (model size = #distinct feature values
+    at worst, data-independent in practice after pooling).
+
+    Invariant oracle (fit values depend on partition pooling order in
+    degenerate tie cases, so exact outputs are pinned
+    distributionally in tests): the row-count anchor, a hashed
+    boolean that the model's fitted prediction sequence is
+    NON-DECREASING (the defining isotonic property — read off the
+    driver-side model arrays, never a global data sort), and a range
+    check that every prediction lies
+    within [min(label), max(label)] (PAVA predictions are averages of
+    label subsets)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    data = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_acctbal").cast("double").alias("feat"),
+            F.col("o_totalprice").cast("double").alias("label"),
+        )
+        .cache()
+    )
+    assembled = VectorAssembler(inputCols=["feat"], outputCol="features").transform(data)
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="label", isotonic=True
+    ).fit(assembled)
+    scored = model.transform(assembled).select("label", "prediction")
+    # monotonicity is read off the MODEL's own boundary/prediction
+    # arrays (driver-side, model-sized) — a global orderBy window over
+    # the scored data would be a single-partition sort at scale
+    preds = [float(p) for p in model.predictions]
+    monotone = all(a <= b for a, b in zip(preds, preds[1:]))
+    bounds = scored.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        (
+            (F.min("prediction") >= F.min("label"))
+            & (F.max("prediction") <= F.max("label"))
+        ).alias("in_range"),
+    )
+    n_points, in_range = bounds.first()
+    data.unpersist()
+    return spark.createDataFrame(
+        [(n_points, monotone, in_range)],
+        "n_points bigint, predictions_monotone boolean, "
+        "predictions_within_label_range boolean",
+    )
