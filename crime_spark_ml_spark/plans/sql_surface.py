@@ -574,3 +574,50 @@ def sql_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries never project columns out — existence only).  The
     oracle shares the identical SQL text."""
     return _sql(spark, sf_dir, _EXISTS, ("customer", "orders"))
+
+
+_SCRIPTING_ORACLE = """
+WITH t AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+    AS threshold
+  FROM orders)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders, t
+WHERE o_totalprice > t.threshold
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_scripting", oracle=_SCRIPTING_ORACLE, tags=("sql", "scripting"))
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (BEGIN…END with DECLARE/SET, new in Spark 4.0):
+    a session variable holds the decimal-exact mean order price, and
+    the final statement aggregates orders above it — procedural
+    control flow INSIDE the SQL surface, no Python glue between the
+    two statements. The threshold accumulates in DECIMAL before one
+    double division, so both engines compare against the identical
+    threshold (a float-summed average could flip a boundary row).
+    The oracle is the equivalent scalar-subquery form; the script's
+    variable is evaluated once, exactly like the oracle's CTE."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold DOUBLE DEFAULT 0.0;
+          SET threshold = (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders);
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_above,
+                 ROUND(MAX(o_totalprice), 2) AS max_price
+          FROM orders
+          WHERE o_totalprice > threshold
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority;
+        END
+        """
+    )
