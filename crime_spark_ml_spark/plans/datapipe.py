@@ -5070,3 +5070,72 @@ def dp_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema).orderBy(
         F.desc("n_pair"), "item_a", "item_b"
     )
+
+
+@register(
+    "dp_tdigest_quantiles",
+    oracle="""
+    WITH ex AS (
+      SELECT source,
+             CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS e50,
+             CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS e90,
+             CAST(MIN(n_chars) AS DOUBLE) AS lo,
+             CAST(MAX(n_chars) AS DOUBLE) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+    SELECT source, n_docs,
+           TRUE AS p50_within_band,
+           TRUE AS p90_within_band,
+           TRUE AS estimates_ordered
+    FROM ex ORDER BY source
+    """,
+    tags=("datapipe", "sketch", "tdigest", "invariant"),
+)
+def dp_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom MERGEABLE quantile sketch (simplified t-digest,
+    operators/tdigest.py) over document lengths per source — the
+    roll-your-own-sketch pattern for statistics the built-ins don't
+    pre-aggregate: per-partition partial digests (mapInPandas — raw
+    values never leave their partition), one group-keyed merge
+    (applyInPandas re-compression), then JVM-expression quantile
+    reads off the kilobyte digest. This is the same
+    partial/merge/present contract as hll_union_agg, authored in
+    user space.
+
+    Digest contents vary slightly with partition layout (which rows
+    form which partial), so the hash gate pins BAND booleans the
+    variation cannot cross: p50/p90 estimates within 10% of the range
+    around DuckDB's exact quantiles, plus p50 ≤ p90 ordering and the
+    row-count anchor. Band tightness and exactness-on-single-
+    partition input are pinned in tests/test_datapipe.py."""
+    from ..operators.tdigest import digest_quantiles, merge_digests, partial_digests
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    partials = partial_digests(docs, "v", "source", compression=64)
+    merged = merge_digests(partials, "source", compression=64)
+    est = digest_quantiles(merged, "source", (0.5, 0.9))
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(percentile(n_chars, 0.5) AS DOUBLE)").alias("e50"),
+            F.expr("CAST(percentile(n_chars, 0.9) AS DOUBLE)").alias("e90"),
+            F.min("n_chars").cast("double").alias("lo"),
+            F.max("n_chars").cast("double").alias("hi"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+    band = (F.col("hi") - F.col("lo")) * 0.10
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_docs",
+            (F.abs(F.col("p50") - F.col("e50")) <= band).alias("p50_within_band"),
+            (F.abs(F.col("p90") - F.col("e90")) <= band).alias("p90_within_band"),
+            (F.col("p50") <= F.col("p90")).alias("estimates_ordered"),
+        )
+        .orderBy("source")
+    )

@@ -345,3 +345,34 @@ def test_semdedup_twins_share_cell_and_prune(spark, sf_dir):
     assert [r.dropped_id for r in rows] == [1000000 + i for i in range(20)]
     assert all(r.kept_id == r.dropped_id - 1000000 for r in rows)
     assert all(r.max_cos == 1.0 for r in rows)
+
+
+def test_tdigest_exact_on_small_input(spark):
+    """A digest with more centroids than values reproduces quantiles
+    exactly (no compression happened), and merging two partials over
+    a split of the same data stays within the band of the exact
+    quantile — the mergeability contract."""
+    from crime_spark_ml_spark.operators.tdigest import (
+        _compress,
+        estimate_quantile,
+        merge_digests,
+        partial_digests,
+    )
+
+    vals = [float(v) for v in range(1, 101)]
+    m, w = _compress(sorted(vals), [1.0] * len(vals), compression=200)
+    assert m == sorted(vals)
+    assert estimate_quantile(m, w, 0.5) == 50.0
+
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "source string, v double"
+    ).repartition(4)
+    merged = merge_digests(
+        partial_digests(df, "v", "source", compression=32), "source", compression=32
+    ).first()
+    est50 = estimate_quantile(list(merged["means"]), list(merged["weights"]), 0.5)
+    est90 = estimate_quantile(list(merged["means"]), list(merged["weights"]), 0.9)
+    assert abs(est50 - 50.5) <= 5.0, est50   # 10% of range 99
+    assert abs(est90 - 90.1) <= 5.0, est90
+    assert est50 <= est90
+    assert sum(merged["weights"]) == 100.0   # no mass lost in merge
