@@ -5139,3 +5139,75 @@ def dp_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dp_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)),
+    uni AS (SELECT w1 AS w, COUNT(*) AS cw FROM grams GROUP BY 1),
+    vsize AS (SELECT COUNT(DISTINCT t.w) AS v
+              FROM (SELECT unnest(ws) AS w FROM toks) t),
+    big AS (SELECT w1, w2, COUNT(*) AS cb FROM grams GROUP BY 1, 2),
+    scored AS (
+      SELECT g.doc_id,
+             ln((b.cb + 0.5) / (u.cw + 0.5 * (SELECT v FROM vsize))) AS lp
+      FROM grams g
+      JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2
+      JOIN uni u ON u.w = g.w1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_logp DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("datapipe", "text", "language-model"),
+)
+def dp_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document
+    (the CCNet-style quality filter): train add-½-smoothed bigram
+    probabilities ON the corpus itself — p(w₂|w₁) = (c(w₁w₂)+0.5) /
+    (c(w₁)+0.5·V) — then score each document by its mean bigram
+    log-probability; the top-100 'most fluent' (most-formulaic)
+    documents are the hashed result. A document full of corpus-common
+    transitions scores high; rare transitions drag the mean down —
+    the signal LM-based corpus filters threshold on.
+
+    Shape: the model IS two aggregates over the exploded bigram
+    relation (no training loop); scoring re-joins each document's
+    bigrams to the broadcast-sized model tables keyed by (w₁,w₂) and
+    w₁. AVG rounds at 1e-6: the per-doc log sums differ across
+    engines by ≤ a few ulps per term (JVM vs libm ln), orders below
+    the band. Ordering ties broken by doc_id before LIMIT."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(ws, 1, size(ws)-1), (w, i) -> struct(w AS w1, ws[i+1] AS w2))")
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = grams.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("cw"))
+    v = toks.select(F.explode("ws").alias("w")).select("w").distinct().count()
+    big = grams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        grams.join(big, ["w1", "w2"])
+        .join(uni, grams.w1 == uni.w)
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 0.5) / (F.col("cw") + 0.5 * float(v))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+        )
+        .orderBy(F.desc("avg_logp"), "doc_id")
+        .limit(100)
+    )
