@@ -1500,3 +1500,56 @@ def ev_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "s_scaled")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ev_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+                      user_id
+      FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    win AS (
+      SELECT days.d AS d, du.user_id
+      FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d)
+    SELECT CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM win GROUP BY d ORDER BY day
+    """,
+    tags=("events", "window", "rolling-distinct"),
+)
+def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    DISTINCT that window frames cannot express (COUNT(DISTINCT) OVER
+    RANGE is unsupported in both engines, because distinct state
+    doesn't slide). The scale-correct factoring: dedup to (day, user)
+    pairs FIRST (one shuffle — this is the only data-sized step, and
+    it shrinks the input to at most |users|·|days| rows), then EXPLODE
+    each pair into the ≤7 window anchors it serves (a row-local
+    sequence, no join fan-out) and keep anchors that exist in the day
+    grid via a broadcast equi-semi-join — no banded nested-loop join
+    anywhere. Cost is 7×|day-user pairs|, never 7×|events|; the
+    exact-distinct final aggregate is keyed by day.
+    At larger horizons the HLL-union rollup (dp_hll_union_rollup) is
+    the approximate drop-in — same shape, mergeable sketches instead
+    of exact sets."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    du = ev.select(day.alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    fanned = du.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d")
+    )
+    win = fanned.join(F.broadcast(days), "d", "left_semi")
+    return (
+        win.groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+        .select(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("d").cast("int"))
+            .cast("string")
+            .alias("day"),
+            "users_7d",
+        )
+        .orderBy("day")
+    )
