@@ -1553,3 +1553,83 @@ def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev_churn_training_set",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      FROM events),
+    bounds AS (SELECT MAX(d) AS cutoff FROM base),
+    feats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_14d,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases_14d,
+             CAST(MAX(d) AS BIGINT) AS last_active_day
+      FROM base, bounds
+      WHERE d >= cutoff - 14 AND d < cutoff
+      GROUP BY user_id),
+    labels AS (
+      SELECT DISTINCT user_id FROM base, bounds
+      WHERE d >= cutoff AND event_type = 'purchase')
+    SELECT f.user_id, f.n_events_14d, f.n_purchases_14d, f.last_active_day,
+           CASE WHEN l.user_id IS NULL THEN 1 ELSE 0 END AS churned
+    FROM feats f LEFT JOIN labels l ON l.user_id = f.user_id
+    ORDER BY f.user_id
+    """,
+    tags=("events", "training-set", "point-in-time"),
+)
+def ev_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn training-set construction with POINT-IN-TIME correctness
+    — the supervised-label generator a feature store must get right:
+    features aggregate STRICTLY BEFORE the cutoff (a 14-day window
+    ending the day before), the label ('no PURCHASE on the cutoff
+    day' — ~60% positive on this fixture, a balanced target; pure
+    activity-churn is vacuous here because every synthetic user is
+    active daily) comes strictly AT-OR-AFTER it, and no column can leak
+    across the boundary because the two relations are built from
+    disjoint day filters before the join. The cutoff derives from the
+    data's own max day (one broadcast scalar).
+
+    Shape: one pass filtered into the feature aggregate (keyed by
+    user), one distinct over the label window, one left join on
+    user_id that reuses the feature aggregate's partitioning. Users
+    with zero feature-window activity are deliberately ABSENT (you
+    can't score a user you have no features for — the standard
+    convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    base = ev.select("user_id", "event_type", day.alias("d"))
+    cutoff = base.agg(F.max("d").alias("c")).first()["c"]
+    feats = (
+        base.where((F.col("d") >= cutoff - 14) & (F.col("d") < cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events_14d"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases_14d"),
+            F.max("d").cast("bigint").alias("last_active_day"),
+        )
+    )
+    labels = (
+        base.where((F.col("d") >= cutoff) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        feats.join(
+            labels.withColumn("__active", F.lit(1)), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            "n_events_14d",
+            "n_purchases_14d",
+            "last_active_day",
+            F.when(F.col("__active").isNull(), 1).otherwise(0).alias("churned"),
+        )
+        .orderBy("user_id")
+    )
