@@ -861,3 +861,65 @@ def test_incremental_rollup_split_independent(spark, sf_dir):
     b = stream_incremental_rollup(spark, sf_dir, n_batches=4).collect()
     assert len(a) == len(b) > 0
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ewma_state_survives_restart(spark, sf_dir, tmp_path):
+    """Checkpoint-restart for the bounded-window EWMA fold: run 1
+    processes the first half of the events, run 2 (same checkpoint)
+    processes only the second half with per-user last-32 state
+    RESTORED — the merged final emissions must equal the batch twin
+    over the full table, proving the incremental window reconstruction
+    is exactly-once across a crash boundary."""
+    import pyarrow.parquet as papq
+
+    from crime_spark_ml_spark.operators.pandas_ops import ewma_last_n_stateful
+    from crime_spark_ml_spark.plans.events import ev_ewma_value
+    from crime_spark_ml_spark.sources.catalog import raw_events_schema
+    from crime_spark_ml_spark.sources.catalog import normalize_events
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = papq.read_table(f"{sf_dir}/events.parquet")
+    half = t.num_rows // 2
+    schema = raw_events_schema(sf_dir)
+
+    def run():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        folded = ewma_last_n_stateful(normalize_events(raw), alpha=0.2, last_n=32)
+        emitted: list = []
+        q = (
+            folded.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    papq.write_table(t.slice(0, half), f"{stage}/part_a.parquet")
+    em1 = {r.user_id: (r.total_seen, r.n_events, r.ewma) for r in run()}
+
+    papq.write_table(t.slice(half), f"{stage}/part_b.parquet")
+    em2_rows = run()
+    # run 2 only emits users present in the second half; merge: run 2
+    # supersedes run 1 for users it re-emitted (total_seen grew)
+    final = dict(em1)
+    for r in em2_rows:
+        prev = final.get(r.user_id)
+        if prev is None or r.total_seen > prev[0]:
+            final[r.user_id] = (r.total_seen, r.n_events, r.ewma)
+
+    batch = {
+        r.user_id: (r.n_events, r.ewma) for r in ev_ewma_value(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (_, n, ewma) in final.items():
+        bn, bewma = batch[uid]
+        assert n == bn, uid
+        assert round(ewma, 6) == bewma, (uid, ewma, bewma)
