@@ -621,3 +621,72 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+_COLLATION_ORACLE = """
+WITH parts AS (
+  SELECT p_type, p_brand FROM part
+  UNION ALL
+  SELECT * FROM (VALUES ('economy', 'brand#2'), ('Economy', 'BRAND#2'),
+                        ('sMaLl', 'Brand#4')) v(p_type, p_brand)),
+ci AS (
+  SELECT COUNT(DISTINCT lower(p_type)) AS n_types_ci,
+         COUNT(DISTINCT p_type) AS n_types_cs,
+         COUNT(DISTINCT lower(p_brand)) AS n_brands_ci
+  FROM parts),
+grp AS (
+  SELECT lower(p_type) AS t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM parts GROUP BY 1 ORDER BY t LIMIT 5)
+SELECT ci.n_types_ci, ci.n_types_cs, ci.n_brands_ci,
+       g.t AS type_lc, g.n
+FROM ci CROSS JOIN grp g
+ORDER BY type_lc
+"""
+
+
+@register("sql_collation_suite", oracle=_COLLATION_ORACLE, tags=("sql", "collation"))
+def sql_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated string semantics (COLLATE UTF8_LCASE, new in Spark
+    4.0): distinct counts and grouping run on a case-insensitive
+    collation INSTEAD of wrapping every expression in lower() — the
+    collation travels with the type, so comparisons, GROUP BY, and
+    DISTINCT all honor it without rewriting predicates (and at scale
+    the optimizer can still hash-partition on the collation key).
+    The oracle expresses the same semantics via explicit lower():
+    equivalent here because the strings are ASCII, where UTF8_LCASE
+    and lowercase-folding agree (locale-specific case folding — the
+    divergence area — is deliberately untested against DuckDB's
+    different collation engine). The fixture's strings are uniformly
+    cased (collation would be vacuous), so three mixed-case rows are
+    planted in BOTH engines: the case-insensitive distinct counts
+    genuinely diverge from the case-sensitive ones. The
+    grouped output labels are rendered through lower() on both sides
+    so the HASHED bytes agree; the collated column itself only drives
+    the grouping."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH src AS (
+          SELECT p_type, p_brand FROM part
+          UNION ALL
+          SELECT * FROM VALUES ('economy', 'brand#2'), ('Economy', 'BRAND#2'),
+                               ('sMaLl', 'Brand#4') AS v(p_type, p_brand)),
+        parts AS (
+          SELECT CAST(p_type AS STRING COLLATE UTF8_LCASE) AS t_ci,
+                 p_type,
+                 CAST(p_brand AS STRING COLLATE UTF8_LCASE) AS c_ci
+          FROM src),
+        ci AS (
+          SELECT COUNT(DISTINCT t_ci) AS n_types_ci,
+                 COUNT(DISTINCT p_type) AS n_types_cs,
+                 COUNT(DISTINCT c_ci) AS n_brands_ci
+          FROM parts),
+        grp AS (
+          SELECT lower(t_ci) AS t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM parts GROUP BY t_ci ORDER BY t LIMIT 5)
+        SELECT ci.n_types_ci, ci.n_types_cs, ci.n_brands_ci,
+               g.t AS type_lc, g.n
+        FROM ci CROSS JOIN grp g
+        ORDER BY type_lc
+        """
+    )

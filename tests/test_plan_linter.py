@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "ev_gap_fill": "global min/max bucket bounds (one row)",
     "ml_target_encoding": "global target mean (one row)",
     "q22_global_sales_opportunity": "global avg acctbal (one row)",
+    "sql_collation_suite": "one-row collated distinct-count aggregate "
+    "fanned over the 5-row grouped slice",
 }
 
 # query name -> the library-internal blocked cross-product that makes
