@@ -5284,3 +5284,109 @@ def dp_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("status")
     )
+
+
+@register(
+    "dp_parquet_footer_stats",
+    oracle="""
+    SELECT 'doc_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_value,
+           CAST(MAX(doc_id) AS BIGINT) AS max_value,
+           TRUE AS stats_cover_data
+    FROM documents
+    """,
+    tags=("datapipe", "metadata", "statistics"),
+)
+def dp_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER statistics surfaced as a relation — the metadata
+    that predicate pushdown and row-group skipping actually consult:
+    per-column row counts and min/max aggregated across row groups by
+    a pyarrow footer read (kilobytes — no data pages touched; at
+    100 TB this is the planner's view of the table, free to query).
+    The hash gate proves the footer TELLS THE TRUTH: aggregated
+    footer min/max/rows for doc_id must equal DuckDB's full-scan
+    MIN/MAX/COUNT, and the boolean pins footer-min ≤ data-min ∧
+    footer-max ≥ data-max (the soundness a skipping decision relies
+    on — a lying footer silently drops rows from every pruned
+    query)."""
+    import pyarrow.parquet as papq
+
+    meta = papq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}["doc_id"]
+    total = 0
+    mins: list[int] = []
+    maxs: list[int] = []
+    for rg in range(meta.num_row_groups):
+        col = meta.row_group(rg).column(idx)
+        total += col.num_values
+        st = col.statistics
+        mins.append(int(st.min))
+        maxs.append(int(st.max))
+    footer_min, footer_max = min(mins), max(maxs)
+    truth = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "doc_id",
+                total,
+                footer_min,
+                footer_max,
+                bool(
+                    total == truth["n"]
+                    and footer_min <= truth["lo"]
+                    and footer_max >= truth["hi"]
+                ),
+            )
+        ],
+        "column_name string, total_rows bigint, min_value bigint, "
+        "max_value bigint, stats_cover_data boolean",
+    )
+
+
+@register(
+    "dp_schema_introspection",
+    oracle="""
+    SELECT table_name, column_name,
+           CAST(ordinal_position AS BIGINT) AS ordinal_position
+    FROM information_schema.columns
+    WHERE table_name IN ('documents', 'embeddings', 'events')
+    ORDER BY table_name, ordinal_position
+    """,
+    tags=("datapipe", "catalog", "introspection", "S2"),
+)
+def dp_schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog schema introspection as a QUERY (reference analog: the
+    pandas .info()/.dtypes EDA step, crime.py's schema inspection) —
+    column names and ordinal positions for three tables, read from
+    Spark's catalog (spark.catalog.listColumns over registered views;
+    a bounded metadata call, no scan) and hash-matched against
+    DuckDB's information_schema over ITS views of the same parquet —
+    two catalogs, one parquet truth. Raw fixture columns only (views
+    registered straight off the files): the engine's canonical events
+    view adds derived ts_ns/ts_us convenience columns the file schema
+    doesn't have, which the catalogs would honestly disagree about. Types
+    are deliberately excluded — the engines render type NAMES
+    differently (BIGINT vs bigint); expected_schema's typed contract
+    is pinned in tests/test_io.py instead."""
+    rows = []
+    for t in ("documents", "embeddings", "events"):
+        # raw-file views: the engine's canonical views add derived
+        # ts_ns/ts_us convenience columns the file (and DuckDB's view
+        # of it) doesn't have
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+            f"introspect_{t}"
+        )
+        for i, col in enumerate(spark.catalog.listColumns(f"introspect_{t}"), start=1):
+            rows.append((t, col.name, i))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal_position bigint"
+    ).orderBy("table_name", "ordinal_position")
