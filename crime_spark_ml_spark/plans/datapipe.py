@@ -5390,3 +5390,123 @@ def dp_schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, column_name string, ordinal_position bigint"
     ).orderBy("table_name", "ordinal_position")
+
+
+@register(
+    "dp_gdpr_forget",
+    oracle="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 3),
+    kept AS (
+      SELECT e.user_id, e.event_type FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events_kept,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_kept,
+           TRUE AS no_forgotten_user_remains,
+           TRUE AS only_forgotten_users_removed
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("datapipe", "privacy", "gdpr", "deletion"),
+)
+def dp_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation with VERIFIED erasure:
+    a deletion list (user_id % 17 == 3 — the erasure-request stand-in)
+    is anti-joined out of the events table, and the hash gate pins
+    BOTH directions of correctness: no forgotten user survives in the
+    kept relation (the compliance half) and no non-listed user was
+    collaterally dropped (kept + removed partition the original —
+    checked as removed-count == original − kept per type). The third
+    privacy-surface member beside noise (dp_private_counts) and
+    suppression (dp_k_anonymity_suppression).
+
+    Shape: one broadcast-sized distinct deletion list, one anti-join
+    (shuffles only if the list outgrows broadcast), aggregates reusing
+    the join's layout. At 100 TB the same anti-join drives the
+    compaction rewrite that physically drops the rows — this query is
+    its verification harness."""
+    ev = load_table(spark, sf_dir, "events")
+    forget = ev.where(F.col("user_id") % 17 == 3).select("user_id").distinct()
+    kept = ev.join(F.broadcast(forget), "user_id", "left_anti")
+    removed = ev.join(F.broadcast(forget), "user_id", "left_semi")
+    per_type = (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events_kept"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users_kept"),
+        )
+    )
+    leak = kept.join(F.broadcast(forget), "user_id", "left_semi").count()
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_all"))
+    removed_t = removed.groupBy("event_type").agg(F.count("*").alias("n_removed"))
+    recon = (
+        per_type.join(totals, "event_type")
+        .join(removed_t, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events_kept",
+            "n_users_kept",
+            F.lit(leak == 0).alias("no_forgotten_user_remains"),
+            (
+                F.col("n_events_kept") + F.coalesce(F.col("n_removed"), F.lit(0))
+                == F.col("n_all")
+            ).alias("only_forgotten_users_removed"),
+        )
+        .orderBy("event_type")
+    )
+    return recon
+
+
+@register(
+    "dp_three_way_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE
+               WHEN CAST(('0x' || substr(md5('split-v1|' || doc_id), 1, 8))
+                         AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5('split-v1|' || doc_id), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS partitions_complete
+    FROM assigned GROUP BY source, split ORDER BY source, split
+    """,
+    tags=("datapipe", "split", "dataset-versioning"),
+)
+def dp_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted
+    content-id hash — the split that stays STABLE as the corpus grows
+    (a new document never moves an old one between splits, unlike
+    randomSplit whose assignment depends on partitioning and totals):
+    split(doc) = bucket(md5('split-v1'|doc_id) mod 100). The versioned
+    salt is the re-split knob; the same derivation both engines
+    compute is the oracle. The hashed boolean pins the partition
+    property — every document lands in exactly one split — via a
+    Spark-side reconciliation (Σ split sizes == table count). Row-
+    local assignment: zero shuffles before the reporting aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split-v1|"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = docs.select(
+        "source",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    total = docs.count()
+    per = assigned.groupBy("source", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    complete = per.agg(F.sum("n_docs").alias("s")).first()["s"] == total
+    return per.withColumn("partitions_complete", F.lit(bool(complete))).orderBy(
+        "source", "split"
+    )
