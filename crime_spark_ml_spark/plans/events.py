@@ -1633,3 +1633,90 @@ def ev_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ev_abtest_lift",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab-v1|' || user_id), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS variant
+      FROM (SELECT DISTINCT user_id FROM events)),
+    outcomes AS (
+      SELECT a.user_id, a.variant,
+             MAX(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS converted
+      FROM assigned a JOIN events e ON e.user_id = a.user_id
+      WHERE epoch_us(CAST(e.ts AS TIMESTAMP)) // 86400000000
+            >= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) - 6
+                FROM events)
+      GROUP BY a.user_id, a.variant),
+    stats AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS rate
+      FROM outcomes GROUP BY variant)
+    SELECT variant, n_users, n_converted, ROUND(rate, 6) AS conv_rate
+    FROM stats ORDER BY variant
+    """,
+    tags=("events", "abtest", "experiment"),
+)
+def ev_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to control/treatment
+    by salted id hash (the assignment that survives re-runs and corpus
+    growth — the dp_three_way_split discipline applied to
+    experimentation), and per-variant conversion ('error' event in the
+    final week — a ~60%-rate outcome on this fixture, so both cells
+    are populated) is computed user-level first (MAX per user — a user
+    converts once no matter how many events), then aggregated. The
+    final-week filter makes the outcome window explicit, as a real
+    experiment readout would. The z-statistic layer is deliberately
+    NOT hashed — rates and counts are the exact, engine-agnostic
+    record; significance arithmetic on two cells is driver-trivial
+    and pinned in tests instead."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    last_day = ev.agg(F.max(day).alias("m")).first()["m"]
+    assigned = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ab-v1|"), F.col("user_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("variant"),
+        )
+    )
+    outcomes = (
+        ev.where(day >= last_day - 6)
+        .join(F.broadcast(assigned), "user_id")
+        .groupBy("user_id", "variant")
+        .agg(
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "converted"
+            )
+        )
+    )
+    return (
+        outcomes.groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(F.sum("converted").cast("double") / F.count("*"), 6).alias(
+                "conv_rate"
+            ),
+        )
+        .orderBy("variant")
+    )
