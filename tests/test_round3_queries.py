@@ -117,3 +117,22 @@ def test_ivf_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
     )
     assert got == want and len(got) > 0
     emb.unpersist(blocking=False)
+
+
+def test_abtest_significance_arithmetic(spark, sf_dir):
+    """The two-proportion z-statistic computed from ev_abtest_lift's
+    exact cells: hash assignment is independent of the outcome, so the
+    fixture expects NO significant lift (|z| < 3) — a 'significant'
+    readout here would mean the assignment hash leaked into the
+    outcome."""
+    import math
+
+    from crime_spark_ml_spark.plans.events import ev_abtest_lift
+
+    rows = {r.variant: r for r in ev_abtest_lift(spark, sf_dir).collect()}
+    c, t = rows["control"], rows["treatment"]
+    p_pool = (c.n_converted + t.n_converted) / (c.n_users + t.n_users)
+    se = math.sqrt(p_pool * (1 - p_pool) * (1 / c.n_users + 1 / t.n_users))
+    z = (t.conv_rate - c.conv_rate) / se
+    assert abs(z) < 3.0, (z, dict(rows))
+    assert c.n_users > 0 and t.n_users > 0
