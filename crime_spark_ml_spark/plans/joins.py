@@ -905,3 +905,58 @@ def j_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@register(
+    "j_hierarchy_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+    FROM rev ORDER BY region, nation
+    """,
+    tags=("analytics", "hierarchy", "window"),
+)
+def j_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent over the geographic hierarchy: nation revenue
+    as a share of its region and of the whole — the ratio-to-report
+    OLAP shape, two window levels over the ALREADY-AGGREGATED
+    (region, nation) rollup. The base joins broadcast the three
+    dimension tables (kilobytes at any scale factor); the windows run
+    on ≤|nations| rows, so the empty-frame global window is
+    model-sized, not a data sort. Revenue accumulates in DECIMAL
+    before the single double division per ratio — both engines
+    divide identical numbers."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dec_sum("o_totalprice", 2).alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    ).orderBy("region", "nation")
