@@ -5510,3 +5510,59 @@ def dp_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.withColumn("partitions_complete", F.lit(bool(complete))).orderBy(
         "source", "split"
     )
+
+
+@register(
+    "dp_codec_roundtrip",
+    oracle="""
+    SELECT codec,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT) AS sum_n_chars,
+           TRUE AS contents_lossless
+    FROM (VALUES ('gzip'), ('snappy'), ('zstd')) v(codec)
+    ORDER BY codec
+    """,
+    tags=("datapipe", "storage", "codec"),
+)
+def dp_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec roundtrip — the storage-engineering
+    decision a 100 TB lake revisits constantly (zstd vs snappy vs gzip
+    trades CPU for bytes): the documents table is written once per
+    codec, read back, and hash-proven LOSSLESS per codec (row count +
+    exact n_chars sum must match the parquet truth for every codec —
+    the same data through three different page encodings). Relative
+    file sizes are measured and logged by tests (size ordering is a
+    build-version property, deliberately outside the hash); what the
+    driver hash pins is the correctness half: codecs change bytes on
+    disk, never query results."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
+    ).first()
+    rows = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = tempfile.mkdtemp(prefix=f"codec_{codec}_")
+        try:
+            docs.write.mode("overwrite").option("compression", codec).parquet(path)
+            back = (
+                spark.read.parquet(path)
+                .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+                .first()
+            )
+            rows.append(
+                (
+                    codec,
+                    int(back["n"]),
+                    int(back["s"]),
+                    bool(back["n"] == truth["n"] and back["s"] == truth["s"]),
+                )
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "codec string, n_rows bigint, sum_n_chars bigint, contents_lossless boolean",
+    ).orderBy("codec")

@@ -376,3 +376,27 @@ def test_tdigest_exact_on_small_input(spark):
     assert abs(est90 - 90.1) <= 5.0, est90
     assert est50 <= est90
     assert sum(merged["weights"]) == 100.0   # no mass lost in merge
+
+
+def test_codec_sizes_measured(spark, sf_dir, tmp_path):
+    """The size half of dp_codec_roundtrip (kept out of the hash —
+    byte counts are a parquet-build property): every codec produces
+    nonzero bytes, and the codecs genuinely differ on this data —
+    if all three byte counts were equal the option would silently
+    not be applied."""
+    import os
+
+    from crime_spark_ml_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {}
+    for codec in ("gzip", "snappy", "zstd"):
+        path = str(tmp_path / codec)
+        docs.write.mode("overwrite").option("compression", codec).parquet(path)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    assert all(v > 0 for v in sizes.values()), sizes
+    assert len(set(sizes.values())) > 1, sizes
