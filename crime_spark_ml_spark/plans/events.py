@@ -1720,3 +1720,68 @@ def ev_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "ev_gap_survival",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events),
+    gaps AS (
+      SELECT ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS gap_us
+      FROM base),
+    g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    grid AS (SELECT t FROM (VALUES (60000000), (300000000), (600000000),
+                                   (1800000000), (3600000000)) v(t))
+    SELECT CAST(t / 1000000 AS BIGINT) AS t_seconds,
+           CAST((SELECT COUNT(*) FROM g WHERE gap_us > t) AS BIGINT) AS n_surviving,
+           CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_gaps,
+           ROUND(CAST((SELECT COUNT(*) FROM g WHERE gap_us > t) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM g), 6) AS survival
+    FROM grid ORDER BY t_seconds
+    """,
+    tags=("events", "survival", "timeseries"),
+)
+def ev_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival function of inter-event gaps, S(t) =
+    P(gap > t), on a fixed five-point grid (1 m … 1 h) — the
+    uncensored Kaplan-Meier curve behind session-timeout tuning: the
+    10-minute sessionize gap used across this repo sits exactly where
+    this curve flattens, and the query makes that choice auditable.
+    One lag window sharded by user produces the gap relation; the
+    grid evaluation is a conditional aggregate per threshold —
+    computed as ONE pass over gaps (sum of gap>t indicators for all
+    five t, no per-threshold rescan), then unpivoted against the
+    broadcast 5-row grid. Integer microseconds to a single rounded
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.select((F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    grid_us = [60, 300, 600, 1800, 3600]
+    agg = gaps.agg(
+        F.count("*").alias("n_gaps"),
+        *[
+            F.sum((F.col("gap_us") > t * 1_000_000).cast("int")).alias(f"s_{t}")
+            for t in grid_us
+        ],
+    ).first()
+    rows = [(t, int(agg[f"s_{t}"]), int(agg["n_gaps"])) for t in grid_us]
+    # division + rounding JVM-side: Python round() banker's-rounds,
+    # SQL ROUND rounds half away — the stream_ewma_stateful lesson
+    return (
+        spark.createDataFrame(
+            rows, "t_seconds bigint, n_surviving bigint, n_gaps bigint"
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("n_surviving").cast("double") / F.col("n_gaps"), 6
+            ).alias("survival"),
+        )
+        .orderBy("t_seconds")
+    )
