@@ -5566,3 +5566,106 @@ def dp_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "codec string, n_rows bigint, sum_n_chars bigint, contents_lossless boolean",
     ).orderBy("codec")
+
+
+@register(
+    "dp_bootstrap_ci",
+    oracle="""
+    WITH reps AS (
+      SELECT d.source, d.n_chars, b.b,
+             (CASE WHEN CAST(('0x' || substr(md5('boot-v1|' || d.doc_id || '|'
+                                             || b.b || '|1'), 1, 8)) AS BIGINT)
+                        % 4 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(('0x' || substr(md5('boot-v1|' || d.doc_id || '|'
+                                             || b.b || '|2'), 1, 8)) AS BIGINT)
+                        % 4 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(('0x' || substr(md5('boot-v1|' || d.doc_id || '|'
+                                             || b.b || '|3'), 1, 8)) AS BIGINT)
+                        % 4 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(('0x' || substr(md5('boot-v1|' || d.doc_id || '|'
+                                             || b.b || '|4'), 1, 8)) AS BIGINT)
+                        % 4 = 0 THEN 1 ELSE 0 END) AS w
+      FROM documents d, UNNEST(generate_series(0, 19)) AS b(b)),
+    rep_means AS (
+      SELECT source, b,
+             CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS m
+      FROM reps GROUP BY source, b HAVING SUM(w) > 0),
+    arrs AS (
+      SELECT source, list(m ORDER BY m) AS ms,
+             CAST(COUNT(*) AS BIGINT) AS n_replicas
+      FROM rep_means GROUP BY source)
+    SELECT source, n_replicas,
+           ROUND(ms[3], 6) AS ci_lo,
+           ROUND(ms[18], 6) AS ci_hi,
+           TRUE AS ci_ordered
+    FROM arrs ORDER BY source
+    """,
+    tags=("datapipe", "bootstrap", "uncertainty"),
+)
+def dp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence intervals for per-source mean document
+    length — uncertainty quantification as a DETERMINISTIC engine
+    capability: each of 20 replicas resamples every row with a
+    Binomial(4, ¼) weight (mean 1 — the Poissonized bootstrap) drawn
+    from salted md5 bits, so both engines materialize the IDENTICAL
+    resampled universe and the replicate means agree to the last
+    float bit (integer weighted sums, one division). The CI is the
+    [3rd, 18th] order statistic of the 20 sorted replicate means
+    (an ~80% interval); the hashed boolean pins lo ≤ hi.
+
+    Shape: the replica axis is a row-local explode (×20) feeding one
+    (source, b)-keyed aggregate — bootstrap at 100 TB is exactly this
+    fan-out-and-aggregate, never a driver loop over resamples; the
+    per-source sort handles 20 doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = sum(
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot-v1|"),
+                            F.col("doc_id"),
+                            F.lit("|"),
+                            F.col("b"),
+                            F.lit(f"|{j}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+            == 0,
+            1,
+        ).otherwise(0)
+        for j in (1, 2, 3, 4)
+    )
+    reps = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
+    ).withColumn("w", w)
+    rep_means = (
+        reps.groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("sw"),
+            F.sum("w").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .select("source", "b", (F.col("sw").cast("double") / F.col("n")).alias("m"))
+    )
+    arrs = rep_means.groupBy("source").agg(
+        F.array_sort(F.collect_list("m")).alias("ms"),
+        F.count("*").cast("bigint").alias("n_replicas"),
+    )
+    return arrs.select(
+        "source",
+        "n_replicas",
+        F.round(F.element_at("ms", 3), 6).alias("ci_lo"),
+        F.round(F.element_at("ms", 18), 6).alias("ci_hi"),
+        (F.element_at("ms", 3) <= F.element_at("ms", 18)).alias("ci_ordered"),
+    ).orderBy("source")
