@@ -1785,3 +1785,83 @@ def ev_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_seconds")
     )
+
+
+@register(
+    "ev_lagged_crosscorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    lags AS (SELECT l FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) v(l)),
+    pairs AS (
+      SELECT lg.l, a.x, b.y
+      FROM lags lg
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + lg.l),
+    mom AS (
+      SELECT l, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pairs GROUP BY l)
+    SELECT CAST(l AS BIGINT) AS lag_days, n,
+           ROUND((n*sxy - sx*sy) /
+                 (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+    FROM mom ORDER BY lag_days
+    """,
+    tags=("events", "timeseries", "crosscorrelation"),
+)
+def ev_lagged_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag analysis: Pearson cross-correlation between the daily
+    click series and the daily purchase series shifted by −3…+3 days —
+    the diagnostic that finds 'clicks today predict purchases in k
+    days'. All five moment sums (Σx, Σy, Σxy, Σx², Σy²) stay INTEGER
+    (counts), so the correlation is a closed-form expression over
+    exactly-agreed integers — cross-engine float drift is impossible
+    before the two sqrt/divide ops both engines execute identically.
+    The lag alignment is an equi-join on (day + lag); the daily
+    rollup is the only data-sized aggregate — the joined relation is
+    |days| × 7 rows, model-sized at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.createDataFrame([(l,) for l in range(-3, 4)], "l int")
+    a = daily.select(F.col("d").alias("da"), "x")
+    b = daily.select(F.col("d").alias("db"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("l"))
+        .select("l", "x", "y")
+    )
+    mom = pairs.groupBy("l").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return mom.select(
+        F.col("l").cast("bigint").alias("lag_days"),
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            ),
+            6,
+        ).alias("corr"),
+    ).orderBy("lag_days")

@@ -54,6 +54,8 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity": "global avg acctbal (one row)",
     "sql_collation_suite": "one-row collated distinct-count aggregate "
     "fanned over the 5-row grouped slice",
+    "ev_lagged_crosscorrelation": "seven-row lag grid fanned over the "
+    "per-day rollup (|days| rows)",
 }
 
 # query name -> the library-internal blocked cross-product that makes
