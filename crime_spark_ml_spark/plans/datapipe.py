@@ -5669,3 +5669,63 @@ def dp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", 18), 6).alias("ci_hi"),
         (F.element_at("ms", 3) <= F.element_at("ms", 18)).alias("ci_ordered"),
     ).orderBy("source")
+
+
+@register(
+    "dp_dedup_threshold_sweep",
+    oracle="""
+    WITH bounded AS (
+      SELECT * FROM documents
+      WHERE source IN (SELECT source FROM documents
+                       GROUP BY source HAVING COUNT(*) <= 10000)),
+    toks AS (
+      SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM bounded),
+    counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT ROUND(CAST(n_inter AS DOUBLE) / (ca.n_tok + cb.n_tok - n_inter), 6)
+               AS j
+      FROM inter JOIN counts ca ON ca.doc_id = id_a
+                 JOIN counts cb ON cb.doc_id = id_b),
+    grid AS (SELECT t FROM (VALUES (0.1),(0.2),(0.3),(0.5),(0.7),(0.9)) v(t))
+    SELECT CAST(ROUND(t, 1) AS DOUBLE) AS threshold,
+           CAST((SELECT COUNT(*) FROM jac WHERE j >= t) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM grid ORDER BY threshold
+    """,
+    tags=("dedup", "calibration", "threshold"),
+)
+def dp_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration curve: how many same-source
+    candidate pairs survive each Jaccard threshold in {0.1 … 0.9} —
+    the sweep an operator reads before committing a near-dup cutoff
+    (the knee between 'everything matches' and 'nothing matches' IS
+    the threshold decision, and dp_minhash_candidates' band
+    parameters are tuned to whatever cutoff this picks). Computed as
+    ONE pass over the exact capped-scope Jaccard pair relation
+    (operators/dedup.jaccard_pairs — same scope-cap semantics as
+    dp_ngram_jaccard, so the curve matches the verifier's universe):
+    six ≥-threshold indicator sums in a single aggregate, unpivoted
+    against the six-row grid. Both sides threshold the ROUND(j, 6)
+    value jaccard_pairs emits — comparing rounded against unrounded
+    would flip a pair sitting within 5e-7 of a grid point."""
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, scope_col="source")
+    grid = [0.1, 0.2, 0.3, 0.5, 0.7, 0.9]
+    agg = pairs.agg(
+        *[
+            F.sum((F.col("jaccard") >= t).cast("int")).alias(f"t_{i}")
+            for i, t in enumerate(grid)
+        ]
+    ).first()
+    rows = [(t, int(agg[f"t_{i}"])) for i, t in enumerate(grid)]
+    return spark.createDataFrame(
+        rows, "threshold double, n_pairs_at_or_above bigint"
+    ).orderBy("threshold")
