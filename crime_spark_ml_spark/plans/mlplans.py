@@ -819,3 +819,55 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points bigint, predictions_monotone boolean, "
         "predictions_within_label_range boolean",
     )
+
+
+@register(
+    "ml_gmm_clusters",
+    oracle="""
+    SELECT 6 AS k_requested,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS weights_sum_to_one,
+           TRUE AS weights_positive,
+           TRUE AS every_point_assigned
+    FROM embeddings
+    """,
+    tags=("ml", "gmm", "invariant"),
+)
+def ml_gmm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian mixture (EM, k=6, seed=0) over the embeddings — the
+    soft-assignment complement of ml_kmeans_clusters: each point gets
+    a responsibility vector instead of one label. Invariant oracle:
+    mixture weights sum to 1 (±1e-9) and are all positive, every
+    input point receives a prediction (count anchor DuckDB
+    reproduces), k as requested. Exact weights depend on EM's float
+    aggregation order across partitions, so they stay distributional
+    in tests."""
+    from pyspark.ml.clustering import GaussianMixture
+
+    # full-covariance EM on all 64 dims is ill-conditioned at this
+    # sample size (breeze raises MatrixNotSymmetric at sf0.01); the
+    # mixture runs on the first 8 dims — the invariants under test
+    # (weight simplex, full assignment) are dimension-independent
+    emb = _vectors(
+        load_table(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.slice("embedding", 1, 8)
+        )
+    ).cache()
+    model = GaussianMixture(k=6, seed=0, featuresCol="features", maxIter=20).fit(emb)
+    n_pred = model.transform(emb).where(F.col("prediction").isNotNull()).count()
+    n_points = emb.count()
+    emb.unpersist()
+    weights = [float(w) for w in model.weights]
+    return spark.createDataFrame(
+        [
+            (
+                6,
+                n_points,
+                abs(sum(weights) - 1.0) < 1e-9,
+                all(w > 0 for w in weights),
+                n_pred == n_points,
+            )
+        ],
+        "k_requested int, n_points bigint, weights_sum_to_one boolean, "
+        "weights_positive boolean, every_point_assigned boolean",
+    )
