@@ -5729,3 +5729,89 @@ def dp_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "threshold double, n_pairs_at_or_above bigint"
     ).orderBy("threshold")
+
+
+@register(
+    "dp_observe_metrics",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), NULL, 'en', 'planted', CAST(0 AS BIGINT)
+    ),
+    m AS (
+        SELECT COUNT(*) AS rows_seen,
+               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+               SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,
+               SUM(n_chars) AS sum_chars,
+               SUM(CASE WHEN text IS NOT NULL AND n_chars >= 100
+                   THEN 1 ELSE 0 END) AS survivors
+        FROM corpus
+    )
+    SELECT CAST(rows_seen AS BIGINT)   AS rows_seen,
+           CAST(n_null_text AS BIGINT) AS n_null_text,
+           CAST(n_short AS BIGINT)     AS n_short,
+           CAST(sum_chars AS BIGINT)   AS sum_chars,
+           CAST(survivors AS BIGINT)   AS survivors,
+           ROUND(CAST(sum_chars AS DOUBLE) / rows_seen, 6) AS mean_chars
+    FROM m
+    """,
+    tags=("observability", "single-pass", "quality"),
+)
+def dp_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline observability via Spark's Observation API
+    (CollectMetrics): the input-quality counters every production
+    cleaning job should emit — rows seen, NULL texts, short docs,
+    total chars — are collected ON THE SAME PASS as the cleaning
+    action itself, not by a second profiling scan. ``df.observe``
+    plants a CollectMetrics node above the scan; the one ``count()``
+    action that runs the cleaning filter also populates the metrics,
+    so at 100 TB the quality report is FREE — the alternative
+    (a separate aggregate over the raw corpus) doubles the read.
+
+    Vacuity: the fixture has zero NULL texts, so one NULL-text row is
+    planted in BOTH engines to make the n_null_text counter real;
+    n_short is naturally non-vacuous (37 docs under 100 chars at
+    sf0.01, 500-row fixture). Oracle-stable: all counters are exact
+    integer sums; the only float (mean_chars) is one ROUND(CAST
+    (int)/int, 6) with identical op order in both engines."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(
+        [(-1, None, "en", "planted", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    corpus = docs.unionByName(planted)
+    obs = Observation("clean_metrics")
+    observed = corpus.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_text"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    survivors = observed.filter(
+        F.col("text").isNotNull() & (F.col("n_chars") >= 100)
+    ).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_seen"]),
+                int(m["n_null_text"]),
+                int(m["n_short"]),
+                int(m["sum_chars"]),
+                int(survivors),
+            )
+        ],
+        "rows_seen bigint, n_null_text bigint, n_short bigint,"
+        " sum_chars bigint, survivors bigint",
+    ).withColumn(
+        "mean_chars",
+        F.round(F.col("sum_chars").cast("double") / F.col("rows_seen"), 6),
+    )
