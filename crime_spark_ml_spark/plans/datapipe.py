@@ -3762,7 +3762,7 @@ def dp_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dp_jsonl_roundtrip",
-    oracle="""
+    oracle=r"""
     WITH corpus AS (
       SELECT doc_id, text, lang, source, n_chars FROM documents
       UNION ALL
@@ -5814,4 +5814,121 @@ def dp_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "mean_chars",
         F.round(F.col("sum_chars").cast("double") / F.col("rows_seen"), 6),
+    )
+
+
+_WOE_EXPR = (
+    "LN((CAST(n_urgent AS DOUBLE) / CAST(g_tot AS DOUBLE))"
+    " / (CAST(n_other AS DOUBLE) / CAST(b_tot AS DOUBLE)))"
+)
+
+@register(
+    "dp_woe_binning",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS is_urgent
+        FROM orders
+    ),
+    ranked AS (
+        SELECT is_urgent,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS g
+        FROM base
+    ),
+    binned AS (
+        SELECT CAST((g * 10) // (SELECT COUNT(*) FROM base) AS INT) AS bin,
+               is_urgent
+        FROM ranked
+    ),
+    agg AS (
+        SELECT bin, COUNT(*) AS n_rows, SUM(is_urgent) AS n_urgent,
+               COUNT(*) - SUM(is_urgent) AS n_other
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_urgent) AS g_tot, SUM(n_other) AS b_tot FROM agg)
+    SELECT bin,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_urgent AS BIGINT) AS n_urgent,
+           ROUND({_WOE_EXPR}, 6) AS woe,
+           ROUND(((CAST(n_urgent AS DOUBLE) / CAST(g_tot AS DOUBLE))
+                  - (CAST(n_other AS DOUBLE) / CAST(b_tot AS DOUBLE)))
+                 * {_WOE_EXPR}, 6) AS iv_term
+    FROM agg, tot ORDER BY bin
+    """,
+    tags=("feature-engineering", "binning", "woe"),
+)
+def dp_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature binning — the
+    credit-scoring-style supervised discretization a feature pipeline
+    runs before logistic models: equal-frequency deciles of
+    o_totalprice, then per-bin WoE = ln((urgent_i/urgent_tot) /
+    (other_i/other_tot)) and its IV contribution against the
+    urgent-priority label (~40% positive, so no empty-cell LN blowup
+    at any fixture scale; ~150 rows/bin even at sf0.001 — measured).
+
+    Scale shape: deciles need a GLOBAL equal-frequency rank, and a
+    bare row_number() window would funnel 100 TB through one
+    partition. Instead the e1_label_encode technique: repartitionByRange
+    on the deterministic total order (o_totalprice, o_orderkey) →
+    per-partition row_number in parallel → driver-side prefix-sum of
+    the ≤#partitions partition sizes → broadcast offsets back. The
+    only collect is #partitions ints; bin = (global_rank*10) div n is
+    integer arithmetic, identical in both engines. WoE/IV floats are
+    written with the exact same op order and explicit DOUBLE casts on
+    both sides (bit-exact under IEEE), then rounded to 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("is_urgent"),
+    )
+    ranged = base.repartitionByRange(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    ).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = ranged.withColumn("__r", F.row_number().over(w))
+    sizes = sorted(
+        (r["__pid"], r["n"])
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    n_total = acc
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    binned = (
+        ranked.join(F.broadcast(offset_df), "__pid")
+        .withColumn("__g", F.col("__off") + F.col("__r") - F.lit(1))
+        .withColumn(
+            "bin", F.expr(f"CAST((__g * 10) div {n_total} AS INT)")
+        )
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("is_urgent").cast("bigint").alias("n_urgent"),
+        (F.count("*") - F.sum("is_urgent")).cast("bigint").alias("n_other"),
+    )
+    tot = agg.agg(
+        F.sum("n_urgent").alias("g_tot"), F.sum("n_other").alias("b_tot")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "n_urgent",
+            F.expr(f"ROUND({_WOE_EXPR}, 6)").alias("woe"),
+            F.expr(
+                f"ROUND(((CAST(n_urgent AS DOUBLE) / CAST(g_tot AS DOUBLE))"
+                f" - (CAST(n_other AS DOUBLE) / CAST(b_tot AS DOUBLE)))"
+                f" * {_WOE_EXPR}, 6)"
+            ).alias("iv_term"),
+        )
+        .orderBy("bin")
     )

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "dp_ann_ivf": "query x centroid probe table (nq*k_cells rows)",
     "dp_ann_pq": "per-query LUTs (nq rows, m*k doubles each)",
     "dp_bigram_pmi": "single-row corpus token total N",
+    "dp_woe_binning": "single-row (g_tot, b_tot) label totals broadcast over 10 bins",
     "dp_key_balance": "single-row total-count scalar",
     "dp_bm25_rank": "single-row (N, avgdl) corpus scalars",
     "dp_chisq_independence": "single-row (n, r-1, c-1) grand totals",
