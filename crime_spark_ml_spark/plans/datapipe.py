@@ -5932,3 +5932,141 @@ def dp_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "dp_record_linkage_score",
+    oracle="""
+    WITH planted AS (
+        SELECT c_custkey + 10000000 AS c_custkey,
+               lower(c_name) || ' ' AS c_name,
+               c_nationkey,
+               c_acctbal + CASE WHEN c_custkey < 4 OR c_custkey IN (6, 7)
+                           THEN 50.0 ELSE 5000.0 END
+                   AS c_acctbal,
+               CASE WHEN c_custkey IN (6, 7) THEN 'PLANTEDSEG'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey < 8
+    ),
+    uni AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        UNION ALL SELECT * FROM planted
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS key_lo, b.c_custkey AS key_hi,
+               CASE WHEN upper(trim(a.c_name)) = upper(trim(b.c_name))
+                    THEN 1 ELSE 0 END AS name_agree,
+               CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+                    THEN 1 ELSE 0 END AS acctbal_agree,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS segment_agree
+        FROM uni a JOIN uni b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    scored AS (
+        SELECT key_lo, key_hi,
+               name_agree + acctbal_agree + segment_agree AS n_agree,
+               ROUND(
+                 CASE WHEN name_agree = 1 THEN CAST(9.891784 AS DOUBLE)
+                      ELSE CAST(-4.320485 AS DOUBLE) END
+                 + CASE WHEN acctbal_agree = 1 THEN CAST(5.643856 AS DOUBLE)
+                        ELSE CAST(-3.295723 AS DOUBLE) END
+                 + CASE WHEN segment_agree = 1 THEN CAST(2.247928 AS DOUBLE)
+                        ELSE CAST(-4.0 AS DOUBLE) END,
+               6) AS score
+        FROM pairs
+    )
+    SELECT key_lo, key_hi, CAST(n_agree AS INT) AS n_agree, score
+    FROM scored WHERE score >= 6.0
+    ORDER BY key_lo, key_hi
+    """,
+    tags=("linkage", "entity-resolution", "fellegi-sunter"),
+)
+def dp_record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage: blocked candidate
+    pairs scored by per-field agreement weights log2(m/u) /
+    log2((1-m)/(1-u)) with assumed error rates (m, u per field — the
+    standard bootstrap when no labeled pairs exist), matches = score
+    above threshold. Complements the repo's distance-based linkage
+    (snm_edit_pairs, PPJoin): this is the weighted-evidence scorer a
+    real MDM/entity-resolution pipeline runs on top of blocking.
+
+    Vacuity: the fixture's customers are all distinct entities, so 8
+    dirty duplicates are planted in BOTH engines by deriving rows from
+    custkeys 0-7 (lowercased name + trailing space — the normalizer
+    must earn the match; acctbal +50 for six, +5000 for two so the
+    acctbal field both agrees and disagrees; two get a foreign
+    mktsegment). The 8 planted pairs come out at three distinct score
+    levels (17.78 / 11.53 / 8.84) and are the only pairs over the
+    threshold — every other same-block pair lacks the name agreement
+    that dominates the score. Weights are literal constants (defined
+    to 6 decimals), so the score is a sum of literals in both engines
+    — no transcendental parity risk.
+
+    Scale shape: one self-join shuffled on the blocking key
+    (c_nationkey), quadratic only WITHIN a block — the universal
+    blocking trade-off; at 100 TB the block key would widen (e.g.
+    nation x name-prefix) exactly like jaccard_pairs' scope cap, and
+    the agreement expressions are row-local JVM CASEs."""
+    cust = load_table(spark, sf_dir, "customer")
+    planted = cust.where(F.col("c_custkey") < 8).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lower(F.col("c_name")), F.lit(" ")).alias("c_name"),
+        "c_nationkey",
+        (
+            F.col("c_acctbal")
+            + F.when(
+                (F.col("c_custkey") < 4) | F.col("c_custkey").isin(6, 7),
+                F.lit(50.0),
+            ).otherwise(
+                F.lit(5000.0)
+            )
+        ).alias("c_acctbal"),
+        F.when(F.col("c_custkey").isin(6, 7), F.lit("PLANTEDSEG"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    uni = cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).unionByName(planted)
+    a, b = uni.alias("a"), uni.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("key_lo"),
+        F.col("b.c_custkey").alias("key_hi"),
+        F.when(
+            F.upper(F.trim(F.col("a.c_name")))
+            == F.upper(F.trim(F.col("b.c_name"))),
+            1,
+        ).otherwise(0).alias("name_agree"),
+        F.when(
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 100.0, 1
+        ).otherwise(0).alias("acctbal_agree"),
+        F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 1)
+        .otherwise(0)
+        .alias("segment_agree"),
+    )
+    scored = pairs.select(
+        "key_lo",
+        "key_hi",
+        (
+            F.col("name_agree") + F.col("acctbal_agree") + F.col("segment_agree")
+        ).cast("int").alias("n_agree"),
+        F.round(
+            F.when(F.col("name_agree") == 1, F.lit(9.891784)).otherwise(
+                F.lit(-4.320485)
+            )
+            + F.when(F.col("acctbal_agree") == 1, F.lit(5.643856)).otherwise(
+                F.lit(-3.295723)
+            )
+            + F.when(F.col("segment_agree") == 1, F.lit(2.247928)).otherwise(
+                F.lit(-4.0)
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.where(F.col("score") >= 6.0).orderBy("key_lo", "key_hi")
