@@ -1865,3 +1865,92 @@ def ev_lagged_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     ).orderBy("lag_days")
+
+
+@register(
+    "ev_seasonality_dow",
+    oracle="""
+    WITH daily0 AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS ed,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT ed, SUM(n) AS n FROM (
+            SELECT ed, n FROM daily0
+            UNION ALL SELECT CAST(19750 AS BIGINT), CAST(240 AS BIGINT)
+        ) GROUP BY ed
+    ),
+    agg AS (
+        SELECT CAST(((ed + 3) % 7) + 1 AS INT) AS isodow,
+               SUM(n) AS n_events, COUNT(*) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n_events) AS tot_events, SUM(n_days) AS tot_days FROM agg
+    )
+    SELECT isodow,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND((CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / (CAST(tot_events AS DOUBLE) / CAST(tot_days AS DOUBLE)),
+                 6) AS seasonal_index
+    FROM agg, tot ORDER BY isodow
+    """,
+    tags=("events", "seasonality", "dow"),
+)
+def ev_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week multiplicative seasonal index of event volume —
+    mean daily events per ISO weekday relative to the overall mean
+    daily volume, the decomposition behind capacity planning and
+    anomaly baselines ('is Tuesday traffic LOW, or is every Tuesday
+    like this?'). Weekday comes from pure integer epoch-day
+    arithmetic (((ed + 3) % 7) + 1, Monday=1), never from a session-
+    timezone-dependent date function.
+
+    Vacuity: the synthetic fixture is deliberately flat across
+    weekdays (indexes 0.95-1.03 at sf0.01 — Poisson noise only), so a
+    240-event burst day is planted at the DAILY-COUNT level in both
+    engines on epoch day 19750 (a Sunday, 2024-01-28): the Sunday
+    index measurably rises above the rest at every fixture scale, and
+    the re-aggregation after the union also covers the planted-day-
+    already-exists collision at sf0.1.
+
+    Scale shape: the heavy input collapses to one row per DAY in the
+    first partial-aggregated groupBy; everything after operates on
+    calendar-sized relations, and the one-row totals crossJoin is a
+    broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    daily0 = (
+        ev.select(F.expr("ts_us DIV 86400000000").cast("bigint").alias("ed"))
+        .groupBy("ed")
+        .agg(F.count("*").alias("n"))
+    )
+    planted = spark.createDataFrame([(19750, 240)], "ed bigint, n bigint")
+    daily = (
+        daily0.unionByName(planted).groupBy("ed").agg(F.sum("n").alias("n"))
+    )
+    agg = (
+        daily.select(
+            F.expr("CAST(((ed + 3) % 7) + 1 AS INT)").alias("isodow"), "n"
+        )
+        .groupBy("isodow")
+        .agg(F.sum("n").alias("n_events"), F.count("*").alias("n_days"))
+    )
+    tot = agg.agg(
+        F.sum("n_events").alias("tot_events"), F.sum("n_days").alias("tot_days")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "isodow",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.expr(
+                "ROUND((CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))"
+                " / (CAST(tot_events AS DOUBLE) / CAST(tot_days AS DOUBLE)),"
+                " 6)"
+            ).alias("seasonal_index"),
+        )
+        .orderBy("isodow")
+    )
