@@ -6070,3 +6070,115 @@ def dp_record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return scored.where(F.col("score") >= 6.0).orderBy("key_lo", "key_hi")
+
+
+_MI_TERM = (
+    "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * LN((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))"
+)
+
+@register(
+    "dp_mi_feature_ranking",
+    oracle=f"""
+    WITH stacked AS (
+        SELECT 'lang' AS feature, lang AS val,
+               CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS lab
+        FROM documents
+        UNION ALL
+        SELECT 'source', source,
+               CASE WHEN n_chars < 100 THEN 1 ELSE 0 END
+        FROM documents
+        UNION ALL
+        SELECT 'len_bucket', CAST(n_chars // 100 AS VARCHAR),
+               CASE WHEN n_chars < 100 THEN 1 ELSE 0 END
+        FROM documents
+    ),
+    cells AS (
+        SELECT feature, val, lab, COUNT(*) AS c
+        FROM stacked GROUP BY 1, 2, 3
+    ),
+    terms AS (
+        SELECT feature, val, lab,
+               {_MI_TERM} AS term
+        FROM (
+            SELECT feature, val, lab, c,
+                   SUM(c) OVER (PARTITION BY feature, val) AS cx,
+                   SUM(c) OVER (PARTITION BY feature, lab) AS cy,
+                   SUM(c) OVER (PARTITION BY feature) AS n
+            FROM cells
+        )
+    ),
+    lists AS (
+        SELECT feature, list(term ORDER BY val, lab) AS ts,
+               COUNT(DISTINCT val) AS n_levels
+        FROM terms GROUP BY feature
+    )
+    SELECT feature, CAST(n_levels AS INT) AS n_levels,
+           ROUND(list_reduce(ts, (a, x) -> a + x), 6) AS mi
+    FROM lists ORDER BY feature
+    """,
+    tags=("feature-selection", "mutual-information", "leakage"),
+)
+def dp_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) for each candidate feature
+    against the is_short label — the feature-selection/leakage-audit
+    readout a training pipeline runs before fitting: len_bucket
+    (n_chars div 100) is leaky BY CONSTRUCTION (it determines the
+    label) and must dominate, while lang and source carry only
+    fixture noise (~1e-3 nats) — so the ranking itself is the
+    non-vacuous assertion, measured at every scale.
+
+    Scale shape: one union-stacked scan collapses to category-sized
+    cells in a partial-aggregated groupBy; marginals are window sums
+    OVER the tiny cells relation (partitioned by feature, never a
+    global window); and the per-feature MI sum folds the cell terms
+    in array_sort order via the higher-order aggregate — the same
+    deterministic-fold trick as ev_ewma_value, so the float additions
+    happen in the identical sequence as DuckDB's ordered list_reduce
+    (bit-exact before the defensive ROUND)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = F.expr("CAST(n_chars < 100 AS INT)").alias("lab")
+    stacked = docs.select(
+        F.explode(
+            F.create_map(
+                F.lit("lang"), F.col("lang"),
+                F.lit("source"), F.col("source"),
+                F.lit("len_bucket"), F.expr("CAST(n_chars div 100 AS STRING)"),
+            )
+        ).alias("feature", "val"),
+        lab,
+    )
+    cells = stacked.groupBy("feature", "val", "lab").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("feature", "val")
+    wl = Window.partitionBy("feature", "lab")
+    wf = Window.partitionBy("feature")
+    terms = (
+        cells.withColumn("cx", F.sum("c").over(wv))
+        .withColumn("cy", F.sum("c").over(wl))
+        .withColumn("n", F.sum("c").over(wf))
+        .withColumn("term", F.expr(_MI_TERM))
+    )
+    return (
+        terms.groupBy("feature")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("val", "lab", "term"))
+            ).alias("ts"),
+            F.countDistinct("val").cast("int").alias("n_levels"),
+        )
+        .select(
+            "feature",
+            "n_levels",
+            F.round(
+                F.expr(
+                    "aggregate(slice(transform(ts, x -> x.term), 2, size(ts)-1), "
+                    "transform(ts, x -> x.term)[0], (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("mi"),
+        )
+        .orderBy("feature")
+    )
