@@ -6182,3 +6182,146 @@ def dp_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+@register(
+    "dp_ks_drift",
+    oracle="""
+    WITH contrib AS (
+        SELECT 'null_case' AS comparison, n_chars AS v,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a_inc,
+               CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b_inc
+        FROM documents
+        UNION ALL
+        SELECT 'planted_shift', n_chars, 1, 1 FROM documents
+        UNION ALL
+        SELECT 'planted_shift', n_chars + 1000, 0, 1
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    cnts AS (
+        SELECT comparison, v, SUM(a_inc) AS a, SUM(b_inc) AS b
+        FROM contrib GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT comparison, v,
+               SUM(a) OVER (PARTITION BY comparison ORDER BY v) AS ca,
+               SUM(b) OVER (PARTITION BY comparison ORDER BY v) AS cb,
+               SUM(a) OVER (PARTITION BY comparison) AS ta,
+               SUM(b) OVER (PARTITION BY comparison) AS tb
+        FROM cnts
+    ),
+    diffs AS (
+        SELECT comparison, v, ta, tb,
+               ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) AS d
+        FROM cum
+    ),
+    mx AS (
+        SELECT comparison, CAST(MAX(ta) AS BIGINT) AS n_a,
+               CAST(MAX(tb) AS BIGINT) AS n_b, MAX(d) AS md
+        FROM diffs GROUP BY comparison
+    )
+    SELECT m.comparison, m.n_a, m.n_b, ROUND(m.md, 6) AS d_stat,
+           CAST(MIN(f.v) AS BIGINT) AS at_value,
+           ROUND(1.36 * SQRT(CAST(m.n_a + m.n_b AS DOUBLE)
+                             / CAST(m.n_a * m.n_b AS DOUBLE)), 6) AS crit_5pct,
+           m.md > 1.36 * SQRT(CAST(m.n_a + m.n_b AS DOUBLE)
+                              / CAST(m.n_a * m.n_b AS DOUBLE)) AS drift_flag
+    FROM mx m JOIN diffs f
+      ON f.comparison = m.comparison AND f.d = m.md
+    GROUP BY m.comparison, m.n_a, m.n_b, m.md
+    ORDER BY m.comparison
+    """,
+    tags=("drift", "ks-test", "stats"),
+)
+def dp_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic over the n_chars
+    distribution — the snapshot-vs-snapshot distributional drift check
+    a data pipeline runs between ingestion batches. Two comparisons in
+    one plan: a NULL CASE (even vs odd doc_ids — same distribution, so
+    D stays under the 5% critical value 1.36*sqrt((n1+n2)/(n1*n2)))
+    and a PLANTED SHIFT (the fixture vs the fixture plus a +1000-char
+    copy of HALF the docs — proportional to the corpus, so D ~ 1/3 at
+    every scale while the critical value shrinks). The drift_flag
+    contrast (false for the null case, true for the planted shift at
+    all three fixture scales — measured) is the non-vacuous assertion;
+    a constant-count plant would fade below the noise floor as the
+    corpus grows, so the plant scales with the data.
+
+    Scale shape: the corpus collapses to one row per DISTINCT length
+    value in a partial-aggregated groupBy; the ECDF cumulative windows
+    run over that bounded VALUE GRID (cardinality <= max document
+    length, independent of corpus row count), partitioned by
+    comparison. All ECDF fractions are row-local exact-integer
+    divisions (bit-exact both engines); MAX and the argmin tie-break
+    are order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    null_case = docs.select(
+        F.lit("null_case").alias("comparison"),
+        F.col("n_chars").alias("v"),
+        F.expr("CAST(doc_id % 2 = 0 AS INT)").alias("a_inc"),
+        F.expr("CAST(doc_id % 2 = 1 AS INT)").alias("b_inc"),
+    )
+    shift_base = docs.select(
+        F.lit("planted_shift").alias("comparison"),
+        F.col("n_chars").alias("v"),
+        F.lit(1).alias("a_inc"),
+        F.lit(1).alias("b_inc"),
+    )
+    planted = docs.where(F.expr("doc_id % 2 = 0")).select(
+        F.lit("planted_shift").alias("comparison"),
+        (F.col("n_chars") + 1000).cast("bigint").alias("v"),
+        F.lit(0).alias("a_inc"),
+        F.lit(1).alias("b_inc"),
+    )
+    contrib = null_case.unionByName(shift_base).unionByName(planted)
+    cnts = contrib.groupBy("comparison", "v").agg(
+        F.sum("a_inc").alias("a"), F.sum("b_inc").alias("b")
+    )
+    wcum = Window.partitionBy("comparison").orderBy("v")
+    wall = Window.partitionBy("comparison")
+    diffs = (
+        cnts.withColumn("ca", F.sum("a").over(wcum))
+        .withColumn("cb", F.sum("b").over(wcum))
+        .withColumn("ta", F.sum("a").over(wall))
+        .withColumn("tb", F.sum("b").over(wall))
+        .withColumn(
+            "d",
+            F.expr(
+                "ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)"
+                " - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))"
+            ),
+        )
+    )
+    mx = diffs.groupBy("comparison").agg(
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.max("d").alias("md"),
+    ).select(
+        F.col("comparison").alias("m_comparison"), "n_a", "n_b", "md"
+    )
+    return (
+        diffs.join(
+            F.broadcast(mx),
+            (F.col("comparison") == F.col("m_comparison"))
+            & (F.col("d") == F.col("md")),
+        )
+        .groupBy("m_comparison", "n_a", "n_b", "md")
+        .agg(F.min("v").cast("bigint").alias("at_value"))
+        .select(
+            F.col("m_comparison").alias("comparison"),
+            "n_a",
+            "n_b",
+            F.round(F.col("md"), 6).alias("d_stat"),
+            "at_value",
+            F.expr(
+                "ROUND(1.36 * SQRT(CAST(n_a + n_b AS DOUBLE)"
+                " / CAST(n_a * n_b AS DOUBLE)), 6)"
+            ).alias("crit_5pct"),
+            F.expr(
+                "md > 1.36 * SQRT(CAST(n_a + n_b AS DOUBLE)"
+                " / CAST(n_a * n_b AS DOUBLE))"
+            ).alias("drift_flag"),
+        )
+        .orderBy("comparison")
+    )
