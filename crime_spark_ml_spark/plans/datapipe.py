@@ -6325,3 +6325,79 @@ def dp_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comparison")
     )
+
+
+@register(
+    "dp_benford_screen",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (
+        SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_obs) AS n FROM obs)
+    SELECT o.digit,
+           CAST(o.n_obs AS BIGINT) AS n_obs,
+           ROUND(CAST(o.n_obs AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS p_obs,
+           ROUND(log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE)), 6) AS p_benford,
+           CAST(ABS(CAST(o.n_obs AS DOUBLE) / CAST(t.n AS DOUBLE)
+                    - log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE)))
+                > 3.0 * SQRT(log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                             * (1.0 - log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE)))
+                             / CAST(t.n AS DOUBLE))
+                AS BOOLEAN) AS deviates_3sigma
+    FROM obs o, tot t
+    ORDER BY o.digit
+    """,
+    tags=("quality", "benford", "fraud-screen"),
+)
+def dp_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screening of o_totalprice — the classic
+    forensic data-quality check (natural multiplicative data follows
+    P(d) = log10(1 + 1/d); synthetic, capped, or fabricated amounts
+    don't). Per digit: observed share vs the Benford expectation and
+    a 3-sigma binomial deviation flag. The fixture's totalprice is
+    ~uniform on [1e3, 5e5], which genuinely VIOLATES Benford — digits
+    1-4 are over-represented — so several deviation flags are true by
+    construction (measured at all three scales): the screen firing on
+    non-Benford data is the non-vacuous assertion.
+
+    Scale shape: the corpus collapses to nine digit rows in one
+    partial-aggregated groupBy; the one-row total crossJoins back as
+    a broadcast scalar. The first digit comes from integer string
+    arithmetic (floor -> BIGINT -> first char), identical in both
+    engines; expectation and sigma are row-local transcendentals on
+    the digit literal, bit-exact under IEEE before the defensive
+    rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1.0).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.expr(
+                "ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+            ).alias("p_obs"),
+            F.expr(
+                "ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)"
+            ).alias("p_benford"),
+            F.expr(
+                "CAST(ABS(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)"
+                " - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))"
+                " > 3.0 * SQRT(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+                " * (1.0 - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))"
+                " / CAST(n AS DOUBLE)) AS BOOLEAN)"
+            ).alias("deviates_3sigma"),
+        )
+        .orderBy("digit")
+    )
