@@ -6401,3 +6401,110 @@ def dp_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "dp_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_cents,
+               ROW_NUMBER() OVER (ORDER BY rev_cents, o_custkey) AS i
+        FROM rev
+    ),
+    n AS (SELECT COUNT(*) AS n FROM rev),
+    agg AS (
+        SELECT SUM(CAST(i AS DECIMAL(38,0)) * rev_cents) AS s_ix,
+               SUM(rev_cents) AS s_x,
+               SUM(CASE WHEN i > (SELECT n FROM n)
+                             - ((SELECT n FROM n) + 99) // 100
+                        THEN rev_cents ELSE 0 END) AS s_top
+        FROM ranked
+    )
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_customers,
+           ROUND(CAST(s_x AS DOUBLE) / 100.0, 2) AS total_revenue,
+           ROUND(2.0 * CAST(s_ix AS DOUBLE)
+                 / (CAST((SELECT n FROM n) AS DOUBLE) * CAST(s_x AS DOUBLE))
+                 - (CAST((SELECT n FROM n) AS DOUBLE) + 1.0)
+                   / CAST((SELECT n FROM n) AS DOUBLE), 6) AS gini,
+           ROUND(CAST(s_top AS DOUBLE) / CAST(s_x AS DOUBLE), 6)
+               AS top1pct_share
+    FROM agg
+    """,
+    tags=("concentration", "gini", "reporting"),
+)
+def dp_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient and top-1% share of per-customer revenue — the
+    concentration/inequality report a data platform runs over tenant
+    usage, traffic sources, or (here) customer revenue to answer 'how
+    skewed is this distribution?' before picking partitioning or
+    rate-limiting strategies. Gini = 2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n
+    over revenues ranked ascending with a deterministic tie-break.
+
+    Exactness: revenues sum as integer CENTS (the double->cents
+    rounding is per-row deterministic), the rank-weighted sum
+    accumulates in DECIMAL(38,0), so both engines reach the division
+    with identical exact integers — the only floats are the final
+    ratio expressions, written with one shared op order.
+
+    Scale shape: per-customer revenue is one partial-aggregated
+    groupBy; the global ascending rank uses the e1_label_encode
+    technique (repartitionByRange on (rev, custkey) -> per-partition
+    row_number -> driver prefix-sum of <=#partitions sizes broadcast
+    back) — no single-partition window at any corpus size. The fixture
+    gives every customer orders, so n_customers equals the customer
+    count; gini lands mid-range (0.204 at sf0.01, measured), strictly inside
+    (0, 1), and top1pct_share > 1% — both measured non-degenerate."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "rev_cents"
+        )
+    )
+    ranged = rev.repartitionByRange(
+        F.col("rev_cents"), F.col("o_custkey")
+    ).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("rev_cents", "o_custkey")
+    ranked = ranged.withColumn("__r", F.row_number().over(w))
+    sizes = sorted(
+        (r["__pid"], r["n"])
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    n = acc
+    top_cut = n - (n + 99) // 100
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    agg = (
+        ranked.join(F.broadcast(offset_df), "__pid")
+        .withColumn("i", F.col("__off") + F.col("__r"))
+        .agg(
+            F.sum(
+                F.expr("CAST(i AS DECIMAL(38,0)) * rev_cents")
+            ).alias("s_ix"),
+            F.sum("rev_cents").alias("s_x"),
+            F.sum(
+                F.expr(f"CASE WHEN i > {top_cut} THEN rev_cents ELSE 0 END")
+            ).alias("s_top"),
+        )
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.expr("ROUND(CAST(s_x AS DOUBLE) / 100.0, 2)").alias("total_revenue"),
+        F.expr(
+            f"ROUND(2.0 * CAST(s_ix AS DOUBLE)"
+            f" / (CAST({n} AS DOUBLE) * CAST(s_x AS DOUBLE))"
+            f" - (CAST({n} AS DOUBLE) + 1.0) / CAST({n} AS DOUBLE), 6)"
+        ).alias("gini"),
+        F.expr(
+            "ROUND(CAST(s_top AS DOUBLE) / CAST(s_x AS DOUBLE), 6)"
+        ).alias("top1pct_share"),
+    )
