@@ -1954,3 +1954,89 @@ def ev_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("isodow")
     )
+
+
+_DISP_EXPRS = {
+    "mean_count": "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "var_count": (
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    ),
+}
+_DISP_RATIO = f"({_DISP_EXPRS['var_count']}) / ({_DISP_EXPRS['mean_count']})"
+
+@register(
+    "ev_overdispersion_check",
+    oracle=f"""
+    WITH units0 AS (
+        SELECT event_type, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    units AS (
+        SELECT event_type, c FROM units0
+        UNION ALL SELECT 'click', CAST(500 AS BIGINT)
+    ),
+    moments AS (
+        SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+        FROM units GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_units,
+           ROUND({_DISP_EXPRS['mean_count']}, 6) AS mean_count,
+           ROUND({_DISP_RATIO}, 6) AS dispersion_ratio,
+           {_DISP_RATIO} > 1.5 AS overdispersed
+    FROM moments ORDER BY event_type
+    """,
+    tags=("events", "stats", "overdispersion"),
+)
+def ev_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion check (variance-to-mean dispersion index)
+    of per-user-day event counts by event type — the count-data sanity
+    test behind choosing Poisson vs negative-binomial models and
+    behind burst/bot detection: a Poisson process has ratio ~1, bursty
+    traffic >> 1. Units are ACTIVE user-days (zero-count cells are not
+    imputed — stated semantics, and conditioning on activity makes the
+    fixture UNDER-dispersed: ratios ~0.2, measured). One bursty unit
+    (c = 500) is planted into the click type at the unit-count level
+    in both engines: click's ratio explodes above the 1.5 flag line
+    while every other type stays un-flagged — that contrast is the
+    non-vacuous assertion.
+
+    Scale shape: the corpus collapses to (type, user, day) counts in
+    one partial-aggregated groupBy, then to integer moments (n, sum,
+    sum of squares) per type — a second tiny aggregate. All moment
+    arithmetic is exact integers; mean/variance/ratio are one shared
+    float expression template on both sides (bit-exact before the
+    defensive round)."""
+    ev = load_table(spark, sf_dir, "events")
+    units0 = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr("ts_us DIV 86400000000").cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select("event_type", "c")
+    )
+    planted = spark.createDataFrame(
+        [("click", 500)], "event_type string, c bigint"
+    )
+    moments = (
+        units0.unionByName(planted)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.expr("c * c")).alias("s2"),
+        )
+    )
+    return moments.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_units"),
+        F.expr(f"ROUND({_DISP_EXPRS['mean_count']}, 6)").alias("mean_count"),
+        F.expr(f"ROUND({_DISP_RATIO}, 6)").alias("dispersion_ratio"),
+        F.expr(f"{_DISP_RATIO} > 1.5").alias("overdispersed"),
+    ).orderBy("event_type")
