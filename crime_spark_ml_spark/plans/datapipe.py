@@ -6508,3 +6508,81 @@ def dp_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(s_top AS DOUBLE) / CAST(s_x AS DOUBLE), 6)"
         ).alias("top1pct_share"),
     )
+
+
+@register(
+    "dp_inverted_postings",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY term, doc_id
+    ),
+    ranked AS (
+        SELECT term, doc_id, tf,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+               CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS total_tf
+        FROM tf
+    )
+    SELECT term, df, total_tf,
+           array_to_string(
+               list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+                    ORDER BY rk), ',') AS postings
+    FROM ranked WHERE rk <= 8
+    GROUP BY term, df, total_tf
+    ORDER BY term
+    """,
+    tags=("text", "inverted-index", "search"),
+)
+def dp_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-engine build job: per
+    term, document frequency, total term frequency, and an IMPACT-
+    ORDERED posting list (tf-descending, doc_id tie-break) truncated
+    to the top 8 documents, the static index-pruning trick real
+    engines use so a hot term's postings stay bounded. df/total_tf
+    are computed over the FULL posting set before truncation, so the
+    cap is visible (df ~500 vs 8 retained at sf0.01). The list is
+    canonicalized to a 'doc:tf,...' string — the driver's hash gate
+    cannot hash raw array cells (fn_complex_types precedent).
+
+    Scale shape: tokenize-explode collapses immediately into the
+    (term, doc) partial-aggregated groupBy; ranking/df/total_tf share
+    ONE window shuffle partitioned by term (never global), and the
+    final list aggregation rides the same term partitioning. Term
+    skew (a stop-word's postings) is exactly the LSH bucket-skew
+    problem; the rank cap bounds what the final aggregate collects
+    per term."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    w_rank = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    w_term = Window.partitionBy("term")
+    ranked = (
+        tf.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("df", F.count("*").over(w_term).cast("bigint"))
+        .withColumn("total_tf", F.sum("tf").over(w_term).cast("bigint"))
+    )
+    return (
+        ranked.where(F.col("rk") <= 8)
+        .groupBy("term", "df", "total_tf")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "doc_id", "tf"))
+                    ),
+                    lambda x: F.concat_ws(":", x.doc_id, x.tf),
+                ),
+            ).alias("postings")
+        )
+        .orderBy("term")
+    )
