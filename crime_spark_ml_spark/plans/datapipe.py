@@ -6586,3 +6586,216 @@ def dp_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+_FUNNEL_CLEAN_SQL = (
+    "text IS NOT NULL AND trim(text) <> '' AND n_chars >= 100"
+    " AND lang IN ('en', 'de', 'fr', 'es')"
+)
+
+@register(
+    "dp_training_data_funnel",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, text, lang, source, n_chars
+        FROM documents
+        WHERE doc_id < 20 AND {_FUNNEL_CLEAN_SQL}
+    ),
+    clean AS (
+        SELECT * FROM raw WHERE {_FUNNEL_CLEAN_SQL}
+    ),
+    winners AS (
+        SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+    ),
+    uniq AS (
+        SELECT c.* FROM clean c JOIN winners u USING (doc_id)
+    ),
+    bench AS (
+        SELECT DISTINCT UNNEST(list_distinct(list_transform(
+            range(1, greatest(len(w) - 2, 1) + 1),
+            i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        FROM (SELECT string_split(lower(text), ' ') AS w
+              FROM raw WHERE source = 'src0')
+    ),
+    cand_grams AS (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+            range(1, greatest(len(w) - 2, 1) + 1),
+            i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM uniq WHERE source <> 'src0')
+    ),
+    contamination AS (
+        SELECT c.doc_id,
+               COUNT(b.gram)::DOUBLE / COUNT(*) AS ratio
+        FROM cand_grams c LEFT JOIN bench b USING (gram)
+        GROUP BY c.doc_id
+    ),
+    kept AS (
+        SELECT u.* FROM uniq u JOIN contamination t USING (doc_id)
+        WHERE t.ratio < 0.2
+    ),
+    chunks AS (
+        SELECT source, doc_id, start / 20 AS chunk_id,
+               CAST(len(list_slice(ws, start + 1, start + 20)) AS BIGINT)
+                   AS n_tokens
+        FROM (SELECT source, doc_id, ws,
+                     unnest(range(0, greatest(len(ws) - 1, 0) + 1, 20))
+                         AS start
+              FROM (SELECT source, doc_id, string_split(text, ' ') AS ws
+                    FROM kept))
+    ),
+    packed AS (
+        SELECT source,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 100 AS INTEGER) AS pack_id,
+               n_tokens
+        FROM chunks
+    ),
+    pack_stats AS (
+        SELECT CAST(COUNT(DISTINCT (source, pack_id)) AS BIGINT) AS n_packs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed
+    ),
+    counters AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CASE WHEN {_FUNNEL_CLEAN_SQL}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+               CAST(SUM(CASE WHEN u.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN k.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM raw r
+        LEFT JOIN winners u ON r.doc_id = u.doc_id
+        LEFT JOIN (SELECT doc_id FROM kept) k ON r.doc_id = k.doc_id
+    )
+    SELECT n_raw, n_clean, n_unique, n_kept, n_packs, total_tokens
+    FROM counters, pack_stats
+    """,
+    tags=("llm", "pipeline", "funnel"),
+)
+def dp_training_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data prep pipeline as ONE declarative
+    plan: clean (non-empty, length floor, language allowlist) ->
+    exact-dedup (min-id winner per md5) -> benchmark decontamination
+    (3-gram overlap < 0.2 vs the src0 eval slice, src0 itself
+    excluded from training) -> 20-token chunking -> greedy 100-token
+    sequence packing; returns the stage counters plus packed totals
+    in a single row. Unlike dp_dedup_pipeline (whose xxhash MinHash
+    forces builder-side materialization), every stage here is
+    SQL-expressible, so the WHOLE funnel is a value oracle and the
+    driver re-attests the end-to-end composition, not just the parts.
+
+    Vacuity: every stage strictly shrinks at every scale (measured:
+    515 raw -> 407 clean -> 392 unique -> 368 kept at sf0.01; 5015 ->
+    3879 -> 3860 -> 38 at sf0.1 — the tiny 31-word fixture vocabulary
+    means the benchmark gram set approaches closure as src0 grows, so
+    decontamination correctly becomes brutal at the larger scale).
+    20 exact-duplicate docs are planted (copies of the first clean
+    doc_ids) so the dedup stage has guaranteed work, and the
+    fixture's 37 short docs feed the clean stage.
+
+    Scale shape: the clean filter is pushed to the scan; dedup is one
+    shuffle keyed by a 16-byte digest; the benchmark gram set is
+    eval-suite-sized and broadcast (the corpus never shuffles for
+    decontamination — operators/decontam.py); packing windows are
+    partitioned by source. The stage counters come from ONE aggregate
+    over a flag relation (two id joins), crossJoined with the one-row
+    pack stats."""
+    from ..functions.hashing import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    clean_cond = F.expr(_FUNNEL_CLEAN_SQL)
+    planted = docs.where((F.col("doc_id") < 20) & clean_cond).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    raw = docs.unionByName(planted)
+    clean = raw.where(clean_cond)
+    winners = clean.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    uniq = clean.join(winners, "doc_id")
+    grams = F.expr(shingles_expr("lower(text)", 3))
+    bench = (
+        raw.where(F.col("source") == "src0")
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    cand_grams = uniq.where(F.col("source") != "src0").select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    contamination = (
+        cand_grams.join(
+            F.broadcast(bench.withColumn("__hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg((F.count("__hit") / F.count(F.lit(1))).alias("ratio"))
+    )
+    kept = uniq.join(
+        contamination.where(F.col("ratio") < 0.2).select("doc_id"), "doc_id"
+    )
+    chunks = (
+        kept.select(
+            "source", "doc_id", F.split("text", " ").alias("ws")
+        )
+        .select(
+            "source",
+            "doc_id",
+            "ws",
+            F.explode(
+                F.expr("sequence(0, greatest(size(ws) - 1, 0), 20)")
+            ).alias("start"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            (F.col("start") / 20).cast("long").alias("chunk_id"),
+            F.expr(
+                "CAST(size(slice(ws, start + 1, 20)) AS BIGINT)"
+            ).alias("n_tokens"),
+        )
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = chunks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w_pack)
+    ).select(
+        "source",
+        F.expr("CAST(coalesce(cum_before, 0) div 100 AS INT)").alias(
+            "pack_id"
+        ),
+        "n_tokens",
+    )
+    pack_stats = packed.agg(
+        F.countDistinct("source", "pack_id").cast("bigint").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    kept_ids = kept.select("doc_id").withColumn("__kept", F.lit(1))
+    winner_ids = winners.withColumn("__uniq", F.lit(1))
+    counters = (
+        raw.join(winner_ids, "doc_id", "left")
+        .join(kept_ids, "doc_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum(clean_cond.cast("int")).cast("bigint").alias("n_clean"),
+            F.sum(
+                F.when(F.col("__uniq").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_unique"),
+            F.sum(
+                F.when(F.col("__kept").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+        )
+    )
+    return counters.crossJoin(F.broadcast(pack_stats))

@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "dp_woe_binning": "single-row (g_tot, b_tot) label totals broadcast over 10 bins",
     "ev_seasonality_dow": "single-row (tot_events, tot_days) scalars broadcast over 7 weekday rows",
     "dp_benford_screen": "single-row digit-total scalar broadcast over 9 digit rows",
+    "dp_training_data_funnel": "one-row pack-stats aggregate crossJoined onto the one-row counter aggregate",
     "dp_key_balance": "single-row total-count scalar",
     "dp_bm25_rank": "single-row (N, avgdl) corpus scalars",
     "dp_chisq_independence": "single-row (n, r-1, c-1) grand totals",
