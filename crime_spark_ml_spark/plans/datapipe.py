@@ -6799,3 +6799,123 @@ def dp_training_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counters.crossJoin(F.broadcast(pack_stats))
+
+
+@register(
+    "dp_rank_fusion_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, dl, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    consts AS (
+      SELECT COUNT(*) AS n,
+             SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+      FROM documents),
+    bm_scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(LN(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN consts
+      GROUP BY tf.doc_id),
+    bm_top AS (
+      SELECT doc_id, score FROM bm_scored ORDER BY score DESC, doc_id LIMIT 15),
+    bm AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+                 AS rk_bm25
+      FROM bm_top),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cos_scored AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    cos_top AS (
+      SELECT doc_id, cos FROM cos_scored ORDER BY cos DESC, doc_id LIMIT 15),
+    cs AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+                 AS rk_cos
+      FROM cos_top),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+             bm.rk_bm25, cs.rk_cos,
+             ROUND(COALESCE(1.0 / (60 + bm.rk_bm25), 0.0)
+                   + COALESCE(1.0 / (60 + cs.rk_cos), 0.0), 6) AS rrf_score
+      FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id)
+    SELECT doc_id, rk_bm25, rk_cos, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INTEGER) AS fused_rank
+    FROM fused
+    ORDER BY fused_rank LIMIT 10
+    """,
+    tags=("search", "rank-fusion", "rrf"),
+)
+def dp_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval channels — the standard
+    hybrid-search combiner (RRF, k=60): the lexical BM25 top-15 for
+    the fixed query {spark, join, vector} (dp_bm25_rank's exact
+    scoring) fused with the dense top-15 by embedding cosine to the
+    vec_id=0 query vector (dp_ann_bruteforce's scoring), score =
+    sum of 1/(60+rank) over the lists where the doc appears. The two
+    channels rank DIFFERENT universes (lexical matches vs nearest
+    embeddings), so the fused top-10 interleaves both — both channels
+    contributing members to the fused list is the vacuity assertion.
+
+    Scale shape: each channel's top-k is orderBy+limit
+    (TakeOrderedAndProject — distributed top-k, no global window over
+    candidates); row_number runs on the 15 survivors only; the fusion
+    join and final re-rank touch <= 30 rows. Equal-rank singletons
+    tie on rrf_score by construction (1/(60+r) computed identically
+    in both engines), broken deterministically by doc_id."""
+    from pyspark.sql import Window
+    from ..functions.vectors import cosine
+
+    bm = (
+        dp_bm25_rank(spark, sf_dir)
+        .select("doc_id", F.col("rk").alias("rk_bm25"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cos_scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("qe", "embedding"), 6).alias("cos"),
+        )
+    )
+    cos_top = cos_scored.orderBy(F.desc("cos"), "doc_id").limit(15)
+    w_cos = Window.orderBy(F.desc("cos"), "doc_id")
+    cs = cos_top.select(
+        "doc_id", F.row_number().over(w_cos).cast("int").alias("rk_cos")
+    )
+    fused = (
+        bm.join(cs, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rk_bm25",
+            "rk_cos",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rk_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rk_cos")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w_f = Window.orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_f).cast("int")
+        )
+        .orderBy("fused_rank")
+        .limit(10)
+    )

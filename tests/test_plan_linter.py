@@ -37,6 +37,7 @@ from conftest import SF_SMOKE
 # deliberate scalar/model fan-out instead of a quadratic join
 BNLJ_ALLOWED = {
     "dp_ann_bruteforce": "query vectors (nq rows) broadcast over the corpus",
+    "dp_rank_fusion_rrf": "one-row query vector broadcast over the corpus (dense channel)",
     "dp_ann_ivf": "query x centroid probe table (nq*k_cells rows)",
     "dp_ann_pq": "per-query LUTs (nq rows, m*k doubles each)",
     "dp_bigram_pmi": "single-row corpus token total N",
