@@ -2040,3 +2040,200 @@ def ev_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_DISP_RATIO}, 6)").alias("dispersion_ratio"),
         F.expr(f"{_DISP_RATIO} > 1.5").alias("overdispersed"),
     ).orderBy("event_type")
+
+
+# hysteresis step: next_state from (state=acc_s, hi, lo); pure integers.
+def _hyst_next(acc_s: str, hi: str, lo: str) -> str:
+    return (
+        f"CASE WHEN {acc_s} = 1"
+        f" THEN CASE WHEN {lo} = 1 THEN 0 ELSE 1 END"
+        f" ELSE CASE WHEN {hi} = 1 THEN 1 ELSE 0 END END"
+    )
+
+_HYST_DUCK = _hyst_next("acc[1]", "x[1]", "x[2]")
+_HYST_SPARK = _hyst_next("acc[0]", "x[0]", "x[1]")
+
+@register(
+    "ev_burst_hysteresis",
+    oracle=f"""
+    WITH hourly0 AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+        SELECT event_type, hr, SUM(c) AS c FROM (
+            SELECT event_type, hr, c FROM hourly0
+            UNION ALL
+            SELECT 'error', CAST(473500 + r AS BIGINT), CAST(200 AS BIGINT)
+            FROM range(6) t(r)
+        ) GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM hourly),
+    grid AS (
+        SELECT event_type,
+               UNNEST(generate_series((SELECT mn FROM bounds),
+                                      (SELECT mx FROM bounds))) AS hr
+        FROM types
+    ),
+    filled AS (
+        SELECT g.event_type, g.hr, COALESCE(h.c, 0) AS c
+        FROM grid g LEFT JOIN hourly h
+          ON g.event_type = h.event_type AND g.hr = h.hr
+    ),
+    tot AS (
+        SELECT event_type, SUM(c) AS total_t, COUNT(*) AS n_hours
+        FROM filled GROUP BY 1
+    ),
+    flags AS (
+        SELECT f.event_type, f.hr,
+               [CAST(f.c * t.n_hours > 6 * t.total_t AS INT),
+                CAST(2 * f.c * t.n_hours < t.total_t AS INT),
+                0] AS fl
+        FROM filled f JOIN tot t USING (event_type)
+    ),
+    folded AS (
+        SELECT event_type, list(fl ORDER BY hr) AS l
+        FROM flags GROUP BY event_type
+    ),
+    res AS (
+        SELECT event_type,
+               list_reduce(
+                   list_prepend([l[1][1], l[1][1], l[1][1], l[1][1], l[1][1]],
+                                l[2:]),
+                   (acc, x) -> [
+                       {_HYST_DUCK},
+                       acc[2] + ({_HYST_DUCK}),
+                       acc[3] + CASE WHEN ({_HYST_DUCK}) <> acc[1]
+                                THEN 1 ELSE 0 END,
+                       CASE WHEN ({_HYST_DUCK}) = 1
+                            THEN CASE WHEN acc[1] = 1 THEN acc[4] + 1
+                                 ELSE 1 END
+                            ELSE 0 END,
+                       GREATEST(acc[5],
+                           CASE WHEN ({_HYST_DUCK}) = 1
+                                THEN CASE WHEN acc[1] = 1 THEN acc[4] + 1
+                                     ELSE 1 END
+                                ELSE 0 END)
+                   ]) AS r
+        FROM folded
+    )
+    SELECT t.event_type,
+           CAST(t.n_hours AS BIGINT) AS n_hours,
+           CAST(t.total_t AS BIGINT) AS total_events,
+           CAST(r.r[2] AS BIGINT) AS burst_hours,
+           CAST(r.r[3] AS BIGINT) AS n_transitions,
+           CAST(r.r[5] AS BIGINT) AS max_burst_run,
+           CAST(r.r[1] AS INT) AS final_state
+    FROM tot t JOIN res r USING (event_type)
+    ORDER BY t.event_type
+    """,
+    tags=("events", "burst", "fold", "stateful"),
+)
+def ev_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold hysteresis burst detector over hourly event rates
+    — the alerting state machine (ON above 6x the mean rate, OFF
+    below half of it; the gap prevents flapping) run per event type as
+    an inherently-sequential recursion that window frames can't
+    express: an in-row higher-order aggregate fold, the ev_ewma_value
+    technique with an INTEGER accumulator ([state, burst_hours,
+    transitions] as a LIST — DuckDB's struct accumulator clobber trap
+    makes structs unusable here). Threshold decisions are integer
+    cross-multiplications (c * n_hours > 6 * total), so the whole fold
+    is exact integer arithmetic in both engines — no float parity
+    surface at all.
+
+    The hourly grid is ZERO-FILLED per type over the global [min, max]
+    hour span (quiet hours must be able to turn the state OFF), which
+    bounds the per-type fold list by the CALENDAR (720 hours), not the
+    corpus. A 6-hour 200-events/hour burst is planted into the error
+    type at the hourly-count level in both engines. Sparse small-scale
+    grids produce discrete-noise micro-bursts (a 2-event hour is >6x
+    a 0.28 mean), so the ALERTING claim rides max_burst_run — noise
+    runs die at the next quiet hour while the planted run sustains 6
+    consecutive hours, strictly the longest at every scale (measured).
+
+    Scale shape: the corpus collapses to per-(type, hour) counts in
+    one partial-aggregated groupBy; everything downstream is
+    calendar-sized. The min/max bounds are a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly0 = (
+        ev.select(
+            "event_type",
+            F.expr("ts_us DIV 3600000000").cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    planted = spark.range(6).select(
+        F.lit("error").alias("event_type"),
+        (F.lit(473500) + F.col("id")).cast("bigint").alias("hr"),
+        F.lit(200).cast("bigint").alias("c"),
+    )
+    hourly = (
+        hourly0.unionByName(planted)
+        .groupBy("event_type", "hr")
+        .agg(F.sum("c").alias("c"))
+    )
+    bounds = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    types = hourly.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx)")).alias("hr"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("c").alias("total_t"), F.count("*").alias("n_hours")
+    )
+    flags = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hr",
+        F.expr(
+            "array(CAST(c * n_hours > 6 * total_t AS INT),"
+            " CAST(2 * c * n_hours < total_t AS INT), 0)"
+        ).alias("fl"),
+    )
+    folded = flags.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(hr, fl))), s -> s.fl)"
+        ).alias("l")
+    )
+    res = folded.select(
+        "event_type",
+        F.expr(
+            f"aggregate(slice(l, 2, size(l) - 1),"
+            f" array(l[0][0], l[0][0], l[0][0], l[0][0], l[0][0]),"
+            f" (acc, x) -> array("
+            f" {_HYST_SPARK},"
+            f" acc[1] + ({_HYST_SPARK}),"
+            f" acc[2] + CASE WHEN ({_HYST_SPARK}) <> acc[0]"
+            f" THEN 1 ELSE 0 END,"
+            f" CASE WHEN ({_HYST_SPARK}) = 1"
+            f" THEN CASE WHEN acc[0] = 1 THEN acc[3] + 1 ELSE 1 END"
+            f" ELSE 0 END,"
+            f" GREATEST(acc[4],"
+            f" CASE WHEN ({_HYST_SPARK}) = 1"
+            f" THEN CASE WHEN acc[0] = 1 THEN acc[3] + 1 ELSE 1 END"
+            f" ELSE 0 END)))"
+        ).alias("r"),
+    )
+    return (
+        tot.join(res, "event_type")
+        .select(
+            "event_type",
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            F.col("total_t").cast("bigint").alias("total_events"),
+            F.expr("CAST(r[1] AS BIGINT)").alias("burst_hours"),
+            F.expr("CAST(r[2] AS BIGINT)").alias("n_transitions"),
+            F.expr("CAST(r[4] AS BIGINT)").alias("max_burst_run"),
+            F.expr("CAST(r[0] AS INT)").alias("final_state"),
+        )
+        .orderBy("event_type")
+    )
