@@ -6919,3 +6919,111 @@ def dp_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fused_rank")
         .limit(10)
     )
+
+
+@register(
+    "dp_privacy_audit_ldiv",
+    oracle="""
+    WITH base AS (
+        SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+               source
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang, len_bucket, source, CAST(COUNT(*) AS BIGINT) AS c_gs
+        FROM base GROUP BY 1, 2, 3
+    ),
+    groups AS (
+        SELECT lang, len_bucket, SUM(c_gs) AS n_g FROM cells GROUP BY 1, 2
+    ),
+    sources AS (SELECT source, SUM(c_gs) AS c_s FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(c_gs) AS n FROM cells),
+    grid AS (
+        SELECT g.lang, g.len_bucket, g.n_g, s.source, s.c_s,
+               COALESCE(c.c_gs, 0) AS c_gs
+        FROM groups g
+        CROSS JOIN sources s
+        LEFT JOIN cells c
+          ON c.lang = g.lang AND c.len_bucket = g.len_bucket
+         AND c.source = s.source
+    )
+    SELECT lang, len_bucket,
+           CAST(MAX(n_g) AS BIGINT) AS n_g,
+           CAST(SUM(CASE WHEN c_gs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS l_diversity,
+           ROUND(CAST(SUM(ABS(c_gs * (SELECT n FROM tot) - c_s * n_g))
+                      AS DOUBLE)
+                 / CAST(2 * MAX(n_g) * (SELECT n FROM tot) AS DOUBLE), 6)
+               AS t_closeness,
+           SUM(CASE WHEN c_gs > 0 THEN 1 ELSE 0 END) >= 3 AS meets_l3
+    FROM grid
+    GROUP BY lang, len_bucket
+    ORDER BY lang, len_bucket
+    """,
+    tags=("privacy", "l-diversity", "t-closeness"),
+)
+def dp_privacy_audit_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity and t-closeness audit over the same quasi-identifier
+    groups dp_k_anonymity_suppression releases (lang x 100-char length
+    bucket), with source as the sensitive attribute: l = distinct
+    sensitive values per group (distinct l-diversity), t = total-
+    variation distance between the group's sensitive distribution and
+    the global one — the two follow-up guarantees a privacy review
+    asks for after k-anonymity passes.
+
+    Exactness trick: TV distance is SUM |c_gs/n_g - c_s/n| / 2, which
+    cross-multiplies to SUM |c_gs*n - c_s*n_g| / (2*n_g*n) — an
+    ORDER-INDEPENDENT exact-integer sum with one final division, so
+    no float-accumulation parity surface. Absent (group, source)
+    cells still contribute |0 - c_s*n_g| via the category-sized
+    group x source-domain grid (a deliberate cross of two tiny dims).
+
+    Vacuity: the audit is non-degenerate at every scale — sparse tail
+    buckets (len_bucket 5) hold few docs so l drops below the l>=3
+    line there while dense groups carry l near the 20-source domain,
+    and t spans an order of magnitude across groups (measured)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "lang",
+            F.expr("CAST(n_chars div 100 AS BIGINT)").alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket", "source")
+        .agg(F.count("*").cast("bigint").alias("c_gs"))
+    )
+    groups = cells.groupBy("lang", "len_bucket").agg(
+        F.sum("c_gs").alias("n_g")
+    )
+    sources = cells.groupBy("source").agg(F.sum("c_gs").alias("c_s"))
+    n = cells.agg(F.sum("c_gs").alias("n"))
+    grid = (
+        groups.crossJoin(F.broadcast(sources))
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["lang", "len_bucket", "source"], "left")
+        .select(
+            "lang",
+            "len_bucket",
+            "n_g",
+            "c_s",
+            "n",
+            F.coalesce(F.col("c_gs"), F.lit(0)).alias("c_gs"),
+        )
+    )
+    return (
+        grid.groupBy("lang", "len_bucket")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_g"),
+            F.sum(F.expr("CASE WHEN c_gs > 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("l_diversity"),
+            F.expr(
+                "ROUND(CAST(SUM(ABS(c_gs * n - c_s * n_g)) AS DOUBLE)"
+                " / CAST(2 * MAX(n_g) * MAX(n) AS DOUBLE), 6)"
+            ).alias("t_closeness"),
+            (
+                F.sum(F.expr("CASE WHEN c_gs > 0 THEN 1 ELSE 0 END")) >= 3
+            ).alias("meets_l3"),
+        )
+        .orderBy("lang", "len_bucket")
+    )

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "dp_benford_screen": "single-row digit-total scalar broadcast over 9 digit rows",
     "dp_training_data_funnel": "one-row pack-stats aggregate crossJoined onto the one-row counter aggregate",
     "dp_key_balance": "single-row total-count scalar",
+    "dp_privacy_audit_ldiv": "category-sized QI-group x source-domain grid (30 x 20) plus the one-row total",
     "dp_bm25_rank": "single-row (N, avgdl) corpus scalars",
     "dp_chisq_independence": "single-row (n, r-1, c-1) grand totals",
     "dp_cluster_invariants": "single-row aggregate anchors",
