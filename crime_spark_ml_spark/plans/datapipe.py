@@ -7027,3 +7027,67 @@ def dp_privacy_audit_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_bucket")
     )
+
+
+@register(
+    "dp_url_normalize",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || upper(source) || '.Example.COM:443/docs/'
+                   || CAST(doc_id AS VARCHAR)
+                   || '?utm_source=feed&lang=' || lang || '&utm_medium=rss'
+                   AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           lower(regexp_extract(url, 'https://([^/]+):443/', 1)) AS host_norm,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param,
+           'https://' || lower(regexp_extract(url, 'https://([^/]+):443/', 1))
+               || regexp_extract(url, 'https://[^/]+(/[^?]*)', 1)
+               || '?lang=' || regexp_extract(url, 'lang=([^&]+)', 1)
+               AS url_norm
+    FROM urls ORDER BY doc_id
+    """,
+    tags=("text", "url", "normalization"),
+)
+def dp_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the web-corpus dedup prerequisite: parse
+    host/path/query with Spark's native parse_url, lowercase the
+    host, strip the default :443 port and the utm_* tracking
+    parameters, and rebuild a canonical URL (two raw URLs that differ
+    only in case, port, or tracking params normalize identically —
+    exactly why URL-keyed dedup needs this pass first). URLs are
+    synthesized deterministically from fixture columns with planted
+    noise: uppercase host fragments, an explicit default port, and
+    two utm parameters sandwiching the real one, so every
+    normalization rule fires on every row.
+
+    The Spark side exercises the real parse_url(HOST/PATH/QUERY key)
+    expression; DuckDB has no parse_url, so the oracle replays the
+    grammar with anchored regexes over the same synthesized shape —
+    both row-local JVM/native expressions, no UDF, no shuffle beyond
+    the final presentation sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.expr(
+            "'https://' || upper(source) || '.Example.COM:443/docs/'"
+            " || CAST(doc_id AS STRING)"
+            " || '?utm_source=feed&lang=' || lang || '&utm_medium=rss'"
+        ).alias("url"),
+    )
+    host_norm = (
+        "lower(regexp_replace(parse_url(url, 'HOST'), ':443$', ''))"
+    )
+    return urls.select(
+        "doc_id",
+        F.expr(host_norm).alias("host_norm"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+        F.expr(
+            f"'https://' || {host_norm} || parse_url(url, 'PATH')"
+            " || '?lang=' || parse_url(url, 'QUERY', 'lang')"
+        ).alias("url_norm"),
+    ).orderBy("doc_id")
