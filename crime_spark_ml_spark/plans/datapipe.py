@@ -5777,8 +5777,18 @@ def dp_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (int)/int, 6) with identical op order in both engines."""
     from pyspark.sql import Observation
 
-    docs = load_table(spark, sf_dir, "documents")
-    planted = spark.createDataFrame(
+    # Observation instantiates the session's (JVM-side, non-serializable)
+    # ObservationManager; once non-null it rides along whenever a later
+    # task closure captures the session (e.g. an MLlib model whose
+    # trainingSummary holds it) and breaks that job with
+    # "Task not serializable: ObservationManager". Run the observed
+    # pipeline on a throwaway session CLONE (shared SparkContext, own
+    # session state) so the caller's session stays clean — pinned by
+    # tests/test_streaming.py::test_in_stream_model_scoring running
+    # after this query in one suite session.
+    obs_spark = spark.newSession()
+    docs = load_table(obs_spark, sf_dir, "documents")
+    planted = obs_spark.createDataFrame(
         [(-1, None, "en", "planted", 0)],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )

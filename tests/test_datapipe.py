@@ -400,3 +400,39 @@ def test_codec_sizes_measured(spark, sf_dir, tmp_path):
         )
     assert all(v > 0 for v in sizes.values()), sizes
     assert len(set(sizes.values())) > 1, sizes
+
+
+def test_observe_metrics_leaves_session_serializable(spark):
+    """dp_observe_metrics must not poison the caller's session: the
+    Observation API instantiates the JVM-side non-serializable
+    ObservationManager, and once non-null it breaks any LATER job
+    whose task closure captures the session — e.g. an MLlib model
+    carrying its trainingSummary (seen as 'Task not serializable:
+    ObservationManager' in streaming scoring). The query therefore
+    runs its observed pipeline on a session clone; this pins that a
+    logreg fit+transform on the SAME session still works afterwards,
+    independent of test-suite ordering."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from crime_spark_ml_spark.plans.registry import all_queries
+    from conftest import SF_SMOKE
+
+    all_queries()["dp_observe_metrics"](spark, SF_SMOKE).collect()
+
+    train = spark.createDataFrame(
+        [(i / 10.0, j / 10.0, float(i > j)) for i in range(6) for j in range(6)],
+        "feature0 double, feature1 double, label double",
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["feature0", "feature1"], outputCol="features"
+            ),
+            LogisticRegression(maxIter=5, labelCol="label"),
+        ]
+    )
+    model = pipe.fit(train)
+    # serializes the model closure (trainingSummary -> session) into tasks
+    assert model.transform(train).count() == 36
