@@ -2237,3 +2237,76 @@ def ev_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_watermark_tuning",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 600000000 AS delay_us
+        FROM events
+    ),
+    lateness AS (
+        SELECT event_id, delay_us // 60000000 AS late_min FROM arr
+    ),
+    grid AS (
+        SELECT UNNEST([0, 1, 2, 5, 8, 10]) AS wm_min
+    )
+    SELECT g.wm_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN l.late_min > g.wm_min THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(CASE WHEN l.late_min > g.wm_min THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS drop_rate
+    FROM lateness l CROSS JOIN grid g
+    GROUP BY g.wm_min ORDER BY g.wm_min
+    """,
+    tags=("events", "streaming", "watermark", "tuning"),
+)
+def ev_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning report — the batch-side what-if analysis a
+    streaming team runs BEFORE picking withWatermark(): for each
+    candidate watermark delay, what fraction of events would arrive
+    too late and be dropped from stateful aggregation? Arrival times
+    are synthesized deterministically (the shared md5 hex-int
+    primitive mapped to a 0-10-minute transit delay, identical in
+    both engines — the fixture has no arrival-time column), lateness
+    buckets to whole minutes, and the six-point watermark grid fans
+    over the per-event lateness via a deliberate tiny-grid crossJoin.
+
+    The curve is non-degenerate by construction: the uniform 0-10 min
+    delay makes drop_rate fall from ~0.9 at wm=0 through ~0.5 at 5
+    to ~0 at 10 (measured at every scale) — exactly the
+    state-size-vs-completeness trade-off curve the operator reads off
+    before committing a delay. At 100 TB the heavy side collapses to
+    per-event row-local arithmetic and one partial-aggregated
+    6-group aggregate; only the literal grid replicates."""
+    ev = load_table(spark, sf_dir, "events")
+    lateness = ev.select(
+        "event_id",
+        F.expr(
+            "(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 600000000) div 60000000"
+        ).alias("late_min"),
+    )
+    grid = spark.createDataFrame(
+        [(w,) for w in (0, 1, 2, 5, 8, 10)], "wm_min bigint"
+    )
+    return (
+        lateness.crossJoin(F.broadcast(grid))
+        .groupBy("wm_min")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr("CASE WHEN late_min > wm_min THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_dropped"),
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN late_min > wm_min THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / COUNT(*), 6)"
+            ).alias("drop_rate"),
+        )
+        .orderBy("wm_min")
+    )
