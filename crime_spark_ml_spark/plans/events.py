@@ -2310,3 +2310,132 @@ def ev_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wm_min")
     )
+
+def _mm_cte(a: str, out: str) -> str:
+    """One fixed-point integer matrix SQUARING as SQL CTE text:
+    integer multiply-sum (order-independent exact), then floor-divide
+    each row back to 1e6 fixed point."""
+    return f"""
+    {out}_raw AS (
+        SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS v
+        FROM {a} a JOIN {a} b ON a.j = b.i GROUP BY a.i, b.j
+    ),
+    {out} AS (
+        SELECT i, j, (v * 1000000) // SUM(v) OVER (PARTITION BY i) AS v
+        FROM {out}_raw
+    )"""
+
+@register(
+    "ev_markov_stationary",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events),
+    seq AS (
+        SELECT event_type AS to_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS from_type
+        FROM base),
+    counts AS (
+        SELECT from_type AS i, to_type AS j, SUM(n) AS n FROM (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+            UNION ALL SELECT 'view', 'view', CAST(500 AS BIGINT)
+        ) GROUP BY 1, 2),
+    m0 AS (
+        SELECT i, j, (n * 1000000) // SUM(n) OVER (PARTITION BY i) AS v
+        FROM counts),
+    {_mm_cte('m0', 'm1')},
+    {_mm_cte('m1', 'm2')},
+    {_mm_cte('m2', 'm3')},
+    {_mm_cte('m3', 'm4')},
+    {_mm_cte('m4', 'm5')}
+    SELECT j AS state,
+           ROUND(CAST(MAX(CASE WHEN i = 'click' THEN v END) AS DOUBLE)
+                 / 1000000.0, 6) AS stationary_prob,
+           CAST(MAX(v) - MIN(v) AS BIGINT) AS convergence_spread
+    FROM m5 GROUP BY j ORDER BY j
+    """,
+    tags=("events", "markov", "stationary", "linear-algebra"),
+)
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain —
+    where ev_markov_transitions' one-step matrix settles long-run —
+    computed DECLARATIVELY by five matrix squarings (P^32) with the
+    transition matrix held in 1e6 FIXED-POINT INTEGERS: the
+    multiply-sum is an exact order-independent integer aggregate and
+    each squaring floor-renormalizes rows, so the whole iteration has
+    zero float-accumulation parity surface (the only float is the
+    final /1e6 render). convergence_spread reports max-min of each
+    column across start states in fixed-point units — at P^32 it
+    collapses to a few millionths even at sf0.001, where the planted
+    self-loop makes the chain slowest-mixing (P^16 still read 122
+    ppm there — measured; the fifth squaring is what buys the
+    certificate), so convergence is verified rather than read off one
+    row hopefully.
+
+    The fixture's types are near-uniform (stationary ~0.2 each), so a
+    +500 self-loop bias is planted on ('view','view') at the count
+    level in both engines: view's stationary probability visibly
+    exceeds the others at every scale.
+
+    Scale shape: the corpus collapses to the 5x5 transition counts in
+    one per-user LAG pass + aggregate; every squaring is a join over
+    a 25-row relation. The per-user windows bound state; nothing
+    downstream depends on corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    counts = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy(
+            F.col("from_type").alias("i"), F.col("to_type").alias("j")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .unionByName(
+            spark.createDataFrame(
+                [("view", "view", 500)], "i string, j string, n bigint"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+    )
+    wrow = Window.partitionBy("i")
+
+    def rownorm(df):
+        return (
+            df.withColumn("__rs", F.sum("v").over(wrow))
+            .select("i", "j", F.expr("(v * 1000000) div __rs").alias("v"))
+        )
+
+    def square(df):
+        a = df.select("i", F.col("j").alias("k"), F.col("v").alias("va"))
+        b = df.select(
+            F.col("i").alias("k"), "j", F.col("v").alias("vb")
+        )
+        return (
+            a.join(b, "k")
+            .groupBy("i", "j")
+            .agg(F.sum(F.expr("va * vb")).alias("v"))
+        )
+
+    m = rownorm(counts.select("i", "j", F.col("n").alias("v")))
+    for _ in range(5):
+        m = rownorm(square(m))
+    return (
+        m.groupBy(F.col("j").alias("state"))
+        .agg(
+            F.expr(
+                "ROUND(CAST(MAX(CASE WHEN i = 'click' THEN v END) AS DOUBLE)"
+                " / 1000000.0, 6)"
+            ).alias("stationary_prob"),
+            F.expr("CAST(MAX(v) - MIN(v) AS BIGINT)").alias(
+                "convergence_spread"
+            ),
+        )
+        .orderBy("state")
+    )
