@@ -370,3 +370,106 @@ def w_gaps_islands_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "valid_from", "status")
     )
+
+
+@register(
+    "j_scd2_temporal_join",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+               - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                    ORDER BY o_orderdate, o_orderkey)
+                   AS island_id
+        FROM orders
+    ),
+    islands AS (
+        SELECT o_custkey, o_orderstatus AS status, island_id,
+               MIN(o_orderdate) AS vf, MIN(o_orderkey) AS min_key
+        FROM seq GROUP BY o_custkey, o_orderstatus, island_id
+    ),
+    dim AS (
+        SELECT o_custkey, status, vf,
+               LEAD(vf) OVER (PARTITION BY o_custkey
+                              ORDER BY vf, min_key) AS vt
+        FROM islands
+    ),
+    facts AS (
+        SELECT o_custkey, o_orderstatus AS cur_status,
+               o_orderdate - INTERVAL 1 DAY AS asof
+        FROM orders
+    )
+    SELECT d.status AS prior_status, f.cur_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM facts f LEFT JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.asof >= d.vf AND (d.vt IS NULL OR f.asof < d.vt)
+    GROUP BY d.status, f.cur_status
+    ORDER BY prior_status NULLS FIRST, cur_status
+    """,
+    tags=("join", "scd2", "temporal", "as-of"),
+)
+def j_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the warehouse lookup 'which dim
+    version was valid WHEN the fact happened': every order joins to
+    the customer's SCD2 status interval (w_gaps_islands_scd2's
+    half-open runs) valid ONE DAY BEFORE the order date, yielding the
+    (prior_status, current_status) matrix. Orders opening a new run
+    pick up the PREVIOUS run's status; orders inside a run see their
+    own; a customer's very first day has no prior interval and
+    surfaces in the NULL bucket — all three branches populated at
+    every scale (measured), which is the vacuity assertion.
+
+    Scale shape: the interval dim is run-compressed (one row per
+    status run) BEFORE the join; the join itself is a shuffle
+    EQUI-join on o_custkey with the interval-containment predicate
+    evaluated locally per key — never a BNLJ/range fan-out, because a
+    customer's intervals are few and its partition is self-contained.
+    All date arithmetic is NTZ wall-clock (tz-free)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        (F.row_number().over(w_all) - F.row_number().over(w_st)).alias(
+            "island_id"
+        ),
+    )
+    islands = seq.groupBy(
+        "o_custkey", F.col("o_orderstatus").alias("status"), "island_id"
+    ).agg(
+        F.min("o_orderdate").alias("vf"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+    w_lead = Window.partitionBy("o_custkey").orderBy("vf", "min_key")
+    dim = islands.select(
+        F.col("o_custkey").alias("d_custkey"),
+        "status",
+        "vf",
+        F.lead("vf").over(w_lead).alias("vt"),
+    )
+    facts = orders.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("cur_status"),
+        F.expr("o_orderdate - INTERVAL 1 DAY").alias("asof"),
+    )
+    return (
+        facts.join(
+            dim,
+            (F.col("o_custkey") == F.col("d_custkey"))
+            & (F.col("asof") >= F.col("vf"))
+            & (F.col("vt").isNull() | (F.col("asof") < F.col("vt"))),
+            "left",
+        )
+        .groupBy(
+            F.col("status").alias("prior_status"), "cur_status"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("prior_status").asc_nulls_first(), "cur_status")
+    )
