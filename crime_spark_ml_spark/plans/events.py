@@ -2439,3 +2439,73 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+_POWER_VAR = (
+    "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) / 10000.0"
+)
+
+@register(
+    "ev_power_analysis",
+    oracle=f"""
+    WITH moments AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS s1,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS s2
+        FROM events WHERE event_type = 'purchase'
+    ),
+    grid AS (SELECT UNNEST([0.5, 1.0, 2.0, 5.0, 10.0]) AS delta)
+    SELECT g.delta,
+           CAST(m.n AS BIGINT) AS n_observed,
+           ROUND({_POWER_VAR}, 6) AS metric_var,
+           CAST(CEIL(2.0 * POWER(1.96 + 0.8416, 2) * ({_POWER_VAR})
+                     / (g.delta * g.delta)) AS BIGINT) AS n_per_arm
+    FROM moments m CROSS JOIN grid g
+    ORDER BY g.delta
+    """,
+    tags=("events", "experiment", "power-analysis"),
+)
+def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test sample-size planning (alpha=0.05 two-sided, power=0.8)
+    for the purchase-value metric: n per arm = ceil(2 (z_a+z_b)^2
+    sigma^2 / delta^2) across a grid of minimum detectable effects —
+    the pre-experiment calculation ev_abtest_lift's READOUT assumes
+    was done. Variance comes from exact integer-cents moments (n,
+    sum, sum of squares — one partial-aggregated pass), so both
+    engines reach the float formula with identical exact integers;
+    the z constants are literals and the grid fan-out is a one-row
+    broadcast crossJoin.
+
+    Vacuity: n_per_arm spans ~4 orders of magnitude across the delta
+    grid (inverse-square law, measured: ~100k at delta=0.5 down to
+    ~260 at 10), all strictly positive and strictly decreasing —
+    the planner genuinely discriminates effect sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    moments = ev.where(F.col("event_type") == "purchase").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT)"
+                " * CAST(round(value * 100) AS BIGINT)"
+            )
+        ).alias("s2"),
+    )
+    grid = spark.createDataFrame(
+        [(d,) for d in (0.5, 1.0, 2.0, 5.0, 10.0)], "delta double"
+    )
+    return (
+        moments.crossJoin(F.broadcast(grid))
+        .select(
+            "delta",
+            F.col("n").cast("bigint").alias("n_observed"),
+            F.expr(f"ROUND({_POWER_VAR}, 6)").alias("metric_var"),
+            F.expr(
+                f"CAST(CEIL(2.0 * POWER(1.96 + 0.8416, 2) * ({_POWER_VAR})"
+                f" / (delta * delta)) AS BIGINT)"
+            ).alias("n_per_arm"),
+        )
+        .orderBy("delta")
+    )
