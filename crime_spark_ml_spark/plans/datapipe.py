@@ -7101,3 +7101,144 @@ def dp_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " || '?lang=' || parse_url(url, 'QUERY', 'lang')"
         ).alias("url_norm"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dp_embedding_drift",
+    oracle="""
+    WITH expl AS (
+        SELECT vec_id, u.dim - 1 AS dim,
+               CAST(round(embedding[u.dim] * 1000000) AS BIGINT) AS v
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS u(dim)
+    ),
+    scal AS (
+        SELECT SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) / 64 AS na,
+               SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) / 64 AS nb,
+               COUNT(*) / 64 AS n,
+               SUM(CAST(v AS DECIMAL(38,0)) * v) AS ssq
+        FROM expl
+    ),
+    sums AS (
+        SELECT dim,
+               SUM(CASE WHEN vec_id % 2 = 0 THEN v ELSE 0 END) AS sa,
+               SUM(CASE WHEN vec_id % 2 = 1 THEN v ELSE 0 END) AS sb
+        FROM expl GROUP BY dim
+    ),
+    cases AS (
+        SELECT 'null_case' AS comparison, dim, sa, sb FROM sums
+        UNION ALL
+        SELECT 'planted_shift', dim, sa,
+               sb + CASE WHEN dim < 8
+                    THEN (SELECT nb FROM scal) * 250000 ELSE 0 END
+        FROM sums
+    ),
+    dsq AS (
+        SELECT comparison,
+               SUM(CAST(sa * (SELECT nb FROM scal)
+                        - sb * (SELECT na FROM scal) AS DECIMAL(38,0))
+                   * CAST(sa * (SELECT nb FROM scal)
+                          - sb * (SELECT na FROM scal) AS DECIMAL(38,0)))
+                   AS d2
+        FROM cases GROUP BY comparison
+    )
+    SELECT d.comparison,
+           ROUND(CAST(d.d2 AS DOUBLE) * CAST(s.n AS DOUBLE)
+                 / (CAST(s.na AS DOUBLE) * CAST(s.na AS DOUBLE)
+                    * CAST(s.nb AS DOUBLE) * CAST(s.nb AS DOUBLE)
+                    * CAST(s.ssq AS DOUBLE)), 6) AS centroid_drift,
+           ROUND(3.0 * (1.0 / CAST(s.na AS DOUBLE)
+                        + 1.0 / CAST(s.nb AS DOUBLE)), 6) AS flag_threshold,
+           CAST(d.d2 AS DOUBLE) * CAST(s.n AS DOUBLE)
+               / (CAST(s.na AS DOUBLE) * CAST(s.na AS DOUBLE)
+                  * CAST(s.nb AS DOUBLE) * CAST(s.nb AS DOUBLE)
+                  * CAST(s.ssq AS DOUBLE))
+               > 3.0 * (1.0 / CAST(s.na AS DOUBLE)
+                        + 1.0 / CAST(s.nb AS DOUBLE)) AS drift_flag
+    FROM dsq d, scal s ORDER BY d.comparison
+    """,
+    tags=("embeddings", "drift", "monitoring"),
+)
+def dp_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — the representation-health check
+    a retrieval/RAG pipeline runs between encoder versions or data
+    snapshots: squared distance between cohort centroids, normalized
+    by the mean squared vector norm. NOT centroid cosine — the
+    fixture (like any zero-centered embedding space) has no mean
+    direction, so the cosine of two noise centroids is itself noise
+    (~1.07 observed) and can never separate null from drift; the
+    normalized distance has the analytic null expectation
+    (1/na + 1/nb)·E||x||², which doubles as the flag threshold
+    (x3 margin).
+
+    Exactness: 1e-6-quantized components give exact integer per-dim
+    sums; the difference (sa·nb − sb·na) clears denominators so the
+    squared-distance accumulates in DECIMAL(38,0) with zero float
+    additions; one final float expression divides by (na·nb)² and
+    the exact ssq. Null vs planted (+0.25 on the first 8 dims of the
+    odd cohort, applied proportionally AT THE SUM LEVEL): drift ~
+    0.5 vs threshold ~0.01, flags true at every scale, while the
+    null sits at ~its expectation and never flags (measured).
+
+    Scale shape: the corpus collapses to 64 per-dimension integer
+    sums plus one scalar-moment row in partial-aggregated passes;
+    everything after is dimension-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id",
+        F.expr(
+            "posexplode(transform(embedding,"
+            " x -> CAST(round(x * 1000000) AS BIGINT)))"
+        ).alias("dim", "v"),
+    )
+    scal = expl.agg(
+        (F.sum(F.expr("CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END")) / 64)
+        .cast("long").alias("na"),
+        (F.sum(F.expr("CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END")) / 64)
+        .cast("long").alias("nb"),
+        (F.count("*") / 64).cast("long").alias("n"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ssq"),
+    )
+    sums = expl.groupBy("dim").agg(
+        F.sum(F.expr("CASE WHEN vec_id % 2 = 0 THEN v ELSE 0 END")).alias("sa"),
+        F.sum(F.expr("CASE WHEN vec_id % 2 = 1 THEN v ELSE 0 END")).alias("sb"),
+    )
+    with_scal = sums.crossJoin(F.broadcast(scal))
+    null_case = with_scal.select(
+        F.lit("null_case").alias("comparison"), "dim", "sa", "sb",
+        "na", "nb", "n", "ssq",
+    )
+    shifted = with_scal.select(
+        F.lit("planted_shift").alias("comparison"),
+        "dim",
+        "sa",
+        F.expr(
+            "sb + CASE WHEN dim < 8 THEN nb * 250000 ELSE 0 END"
+        ).alias("sb"),
+        "na", "nb", "n", "ssq",
+    )
+    dsq = (
+        null_case.unionByName(shifted)
+        .groupBy("comparison", "na", "nb", "n", "ssq")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(sa * nb - sb * na AS DECIMAL(38,0))"
+                    " * CAST(sa * nb - sb * na AS DECIMAL(38,0))"
+                )
+            ).alias("d2")
+        )
+    )
+    drift = (
+        "CAST(d2 AS DOUBLE) * CAST(n AS DOUBLE)"
+        " / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)"
+        " * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " * CAST(ssq AS DOUBLE))"
+    )
+    thresh = "3.0 * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))"
+    return dsq.select(
+        "comparison",
+        F.expr(f"ROUND({drift}, 6)").alias("centroid_drift"),
+        F.expr(f"ROUND({thresh}, 6)").alias("flag_threshold"),
+        F.expr(f"{drift} > {thresh}").alias("drift_flag"),
+    ).orderBy("comparison")
