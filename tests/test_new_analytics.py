@@ -1,0 +1,197 @@
+"""Vacuity regression guards for the round-5 analytics additions.
+
+Each registered query in this batch was admitted with a vacuity audit
+(the result must EXERCISE the claimed behavior — planted signals
+detected, decision branches populated, caps visibly truncating, not
+just "returns rows"). These tests make those audits permanent: if a
+fixture regeneration or a plan edit silently blunts a planted signal,
+the suite fails here rather than the query passing vacuously forever.
+
+All assertions are written for SF_SMOKE (sf0.001) and use structural
+properties (flags, orderings, branch coverage) rather than exact
+values wherever the value is fixture-noise."""
+
+from __future__ import annotations
+
+from crime_spark_ml_spark.plans.registry import all_queries
+
+from conftest import SF_SMOKE
+
+_Q = all_queries()
+
+
+def _rows(spark, name):
+    return _Q[name](spark, SF_SMOKE).collect()
+
+
+def test_observe_metrics_counters(spark):
+    r = _rows(spark, "dp_observe_metrics")[0]
+    assert r.n_null_text == 1  # the planted NULL row
+    assert 0 < r.survivors < r.rows_seen
+    assert r.sum_chars > 0 and r.mean_chars > 0
+
+
+def test_woe_binning_equal_frequency_and_varying(spark):
+    rows = _rows(spark, "dp_woe_binning")
+    assert len(rows) == 10
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equal-frequency
+    assert len({r.woe for r in rows}) > 1  # label actually varies by bin
+
+
+def test_record_linkage_planted_pairs_only(spark):
+    rows = _rows(spark, "dp_record_linkage_score")
+    assert len(rows) == 8
+    assert all(r.key_hi == r.key_lo + 10000000 for r in rows)
+    assert len({r.score for r in rows}) == 3  # three perturbation levels
+
+
+def test_seasonality_planted_sunday_burst(spark):
+    rows = _rows(spark, "ev_seasonality_dow")
+    d = {r.isodow: r.seasonal_index for r in rows}
+    assert len(rows) == 7
+    assert d[7] > max(v for k, v in d.items() if k != 7)
+
+
+def test_mi_ranking_leaky_feature_dominates(spark):
+    d = {r.feature: r.mi for r in _rows(spark, "dp_mi_feature_ranking")}
+    assert d["len_bucket"] > 5 * max(d["lang"], d["source"])
+
+
+def test_ks_drift_decision(spark):
+    d = {r.comparison: r for r in _rows(spark, "dp_ks_drift")}
+    assert not d["null_case"].drift_flag
+    assert d["planted_shift"].drift_flag
+
+
+def test_benford_screen_fires_on_uniform_prices(spark):
+    rows = _rows(spark, "dp_benford_screen")
+    assert len(rows) == 9
+    assert any(r.deviates_3sigma for r in rows)
+    assert len({r.p_obs for r in rows}) > 1
+
+
+def test_gini_interior(spark):
+    r = _rows(spark, "dp_gini_concentration")[0]
+    assert 0 < r.gini < 1
+    assert r.top1pct_share > 0
+
+
+def test_overdispersion_planted_burst_only(spark):
+    rows = _rows(spark, "ev_overdispersion_check")
+    flags = {r.event_type: r.overdispersed for r in rows}
+    assert flags["click"]  # the planted c=500 unit
+    assert not any(v for k, v in flags.items() if k != "click")
+
+
+def test_spatial_join_planted_twins(spark):
+    rows = _rows(spark, "j_spatial_grid_join")
+    planted = [r for r in rows if r.key_b >= 20000000]
+    assert len(planted) == 3
+    assert all(0.1 < r.dist_km < 0.25 for r in planted)
+
+
+def test_scd2_islands_one_open_run_per_customer(spark):
+    rows = _rows(spark, "w_gaps_islands_scd2")
+    open_runs = [r for r in rows if r.valid_to is None]
+    assert len(open_runs) == len({r.o_custkey for r in rows})
+    assert any(r.n_orders > 1 for r in rows)  # runs genuinely compress
+
+
+def test_inverted_postings_cap_and_order(spark):
+    rows = _rows(spark, "dp_inverted_postings")
+    assert all(r.df > 8 and len(r.postings.split(",")) == 8 for r in rows)
+    tfs = [int(p.split(":")[1]) for p in rows[0].postings.split(",")]
+    assert tfs == sorted(tfs, reverse=True)  # impact-ordered
+
+
+def test_training_funnel_strictly_shrinks(spark):
+    r = _rows(spark, "dp_training_data_funnel")[0]
+    assert r.n_raw > r.n_clean > r.n_unique > r.n_kept
+    assert r.n_packs > 0 and r.total_tokens > 0
+
+
+def test_rrf_fuses_both_channels(spark):
+    rows = _rows(spark, "dp_rank_fusion_rrf")
+    assert len(rows) == 10
+    assert any(r.rk_bm25 is not None for r in rows)
+    assert any(r.rk_cos is not None for r in rows)
+
+
+def test_burst_hysteresis_planted_run_longest(spark):
+    rows = _rows(spark, "ev_burst_hysteresis")
+    d = {r.event_type: r for r in rows}
+    assert d["error"].max_burst_run >= 6
+    assert all(
+        d["error"].max_burst_run > r.max_burst_run
+        for r in rows
+        if r.event_type != "error"
+    )
+
+
+def test_privacy_audit_varies(spark):
+    rows = _rows(spark, "dp_privacy_audit_ldiv")
+    assert len({r.l_diversity for r in rows}) > 1
+    assert len({r.t_closeness for r in rows}) > 1
+
+
+def test_url_normalize_rules_fire(spark):
+    r = _rows(spark, "dp_url_normalize")[0]
+    assert r.host_norm == r.host_norm.lower()
+    assert ":443" not in r.url_norm and "utm" not in r.url_norm
+    assert r.path.startswith("/docs/")
+
+
+def test_watermark_curve_monotone(spark):
+    rows = _rows(spark, "ev_watermark_tuning")
+    rates = [r.drop_rate for r in rows]
+    assert rates == sorted(rates, reverse=True)
+    assert rates[0] > 0.5 and rates[-1] == 0.0
+
+
+def test_markov_stationary_converged_and_biased(spark):
+    rows = _rows(spark, "ev_markov_stationary")
+    d = {r.state: r for r in rows}
+    assert d["view"].stationary_prob == max(r.stationary_prob for r in rows)
+    assert all(r.convergence_spread <= 5 for r in rows)
+    assert abs(sum(r.stationary_prob for r in rows) - 1.0) < 0.001
+
+
+def test_scd2_temporal_join_branches_and_totals(spark):
+    rows = _rows(spark, "j_scd2_temporal_join")
+    assert any(r.prior_status is None for r in rows)
+    assert any(r.prior_status == r.cur_status for r in rows)
+    assert any(
+        r.prior_status is not None and r.prior_status != r.cur_status
+        for r in rows
+    )
+    assert sum(r.n_orders for r in rows) == 1500  # every order, exactly once
+
+
+def test_power_analysis_inverse_square(spark):
+    rows = _rows(spark, "ev_power_analysis")
+    ns = [r.n_per_arm for r in rows]
+    assert ns == sorted(ns, reverse=True) and all(n > 0 for n in ns)
+
+
+def test_session_paths_all_lengths(spark):
+    rows = _rows(spark, "ev_session_paths")
+    assert {r.path_len for r in rows} == {1, 2, 3}
+    assert all(len(r.path.split(">")) == r.path_len for r in rows)
+
+
+def test_join_audit_trap_detected(spark):
+    rows = _rows(spark, "j_join_cardinality_audit")
+    d = {r.join_name: r for r in rows}
+    trap = d["events_orders_userkey_TRAP"]
+    assert trap.relationship == "M:N"
+    assert all(r.relationship != "M:N" for r in rows if r is not trap)
+    assert trap.right_only_keys > 0
+    assert d["orders_lineitem_orderkey"].relationship == "1:N"
+    assert d["lineitem_part_partkey"].relationship == "N:1"
+
+
+def test_embedding_drift_decision(spark):
+    d = {r.comparison: r for r in _rows(spark, "dp_embedding_drift")}
+    assert not d["null_case"].drift_flag
+    assert d["planted_shift"].drift_flag
