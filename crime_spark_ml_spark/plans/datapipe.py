@@ -7242,3 +7242,82 @@ def dp_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({thresh}, 6)").alias("flag_threshold"),
         F.expr(f"{drift} > {thresh}").alias("drift_flag"),
     ).orderBy("comparison")
+
+
+@register(
+    "dp_vocab_coverage_curve",
+    oracle="""
+    WITH tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT term, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk,
+               SUM(c) OVER (ORDER BY c DESC, term
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS tot
+        FROM tf
+    ),
+    grid AS (SELECT UNNEST([1, 2, 4, 8, 16, 31]) AS k)
+    SELECT g.k,
+           CAST(MAX(r.cum) AS BIGINT) AS tokens_covered,
+           CAST(MAX(r.tot) AS BIGINT) AS tokens_total,
+           ROUND(CAST(MAX(r.cum) AS DOUBLE) / CAST(MAX(r.tot) AS DOUBLE),
+                 6) AS coverage
+    FROM grid g JOIN ranked r ON r.rk <= g.k
+    GROUP BY g.k ORDER BY g.k
+    """,
+    tags=("text", "vocabulary", "coverage"),
+)
+def dp_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget planning
+    report: what fraction of all corpus tokens do the top-k most
+    frequent terms cover, over a k grid? The elbow of this curve is
+    how vocabulary sizes (and OOV budgets) get chosen. Coverage rises
+    from the top-1 share to exactly 1.0 at the full 31-term fixture
+    vocabulary (measured at every scale) — the closed curve doubles
+    as a mass-conservation check on the ranking itself.
+
+    Exactness: term counts and cumulative sums are integers; the
+    cumulative window runs over the VOCABULARY (bounded, tiny — the
+    same grid-not-rows argument as dp_ks_drift), with a (count desc,
+    term) total order so both engines rank ties identically; coverage
+    is one final division. The grid join replicates only the
+    vocabulary-sized ranked relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w_rank = Window.orderBy(F.desc("c"), "term")
+    ranked = tf.select(
+        "c",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("c")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    grid = spark.createDataFrame([(k,) for k in (1, 2, 4, 8, 16, 31)], "k int")
+    return (
+        F.broadcast(grid)
+        .join(ranked, ranked["rk"] <= grid["k"])
+        .groupBy("k")
+        .agg(
+            F.max("cum").cast("bigint").alias("tokens_covered"),
+            F.max("tot").cast("bigint").alias("tokens_total"),
+            F.expr(
+                "ROUND(CAST(MAX(cum) AS DOUBLE)"
+                " / CAST(MAX(tot) AS DOUBLE), 6)"
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
