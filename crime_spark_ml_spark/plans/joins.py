@@ -1234,3 +1234,103 @@ def j_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("join_name")
+
+
+@register(
+    "j_spatial_hotspots",
+    oracle="""
+    WITH pts0 AS (
+        SELECT c_custkey AS key,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 1200000 / 10000.0 - 60.0 AS lat,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)
+                    AS BIGINT) % 3600000 / 10000.0 - 180.0 AS lon
+        FROM customer
+    ),
+    pts AS (
+        SELECT key, lat, lon FROM pts0
+        UNION ALL
+        SELECT 30000000 + r, 10.1234 + r * 0.0001, 20.5678 + r * 0.0001
+        FROM range(80) t(r)
+    ),
+    cells AS (
+        SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cx,
+               CAST(floor(lon / 10.0) AS BIGINT) AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM pts GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_points) AS n FROM cells)
+    SELECT c.cx, c.cy, c.n_points,
+           ROUND(CAST(t.n AS DOUBLE) / 432.0, 6) AS expected,
+           ROUND((CAST(c.n_points AS DOUBLE) - CAST(t.n AS DOUBLE) / 432.0)
+                 / SQRT(CAST(t.n AS DOUBLE) / 432.0), 6) AS z
+    FROM cells c, tot t
+    WHERE CAST(c.n_points AS DOUBLE)
+          > CAST(t.n AS DOUBLE) / 432.0
+            + 5.0 * SQRT(CAST(t.n AS DOUBLE) / 432.0) + 1.0
+    ORDER BY c.cx, c.cy
+    """,
+    tags=("spatial", "hotspot", "anomaly"),
+)
+def j_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection — flag grid cells whose point count
+    exceeds the uniform-Poisson expectation by 5 sigma (+1 discrete
+    floor): the density-anomaly scan behind fraud rings, outage
+    clusters, and geo bot farms, and the aggregate-level counterpart
+    to j_spatial_grid_join's pairwise search. Points reuse that
+    query's deterministic md5 synthesis over 10-degree cells (the
+    12x36 = 432-cell domain keeps the per-cell expectation
+    detectable at every fixture scale); an 80-point cluster is planted
+    inside one cell in both engines.
+
+    Vacuity: the planted cell is the ONLY flag at all three scales
+    (measured) — at sf0.1 it must clear the threshold on top of its own
+    ~35-point uniform base rate (a 40-point plant did NOT — measured), and the 5-sigma+1 threshold leaves the 431 background cells
+    silent, so the detector separates signal from Poisson noise
+    rather than flagging everything or nothing.
+
+    Scale shape: one partial-aggregated groupBy collapses the corpus
+    to <=432 cells; the expectation is a one-row broadcast scalar."""
+    cust = load_table(spark, sf_dir, "customer")
+    h1 = (
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    h2 = (
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    pts = cust.select(
+        F.expr(f"{h1} % 1200000 / 10000.0 - 60.0").alias("lat"),
+        F.expr(f"{h2} % 3600000 / 10000.0 - 180.0").alias("lon"),
+    ).unionByName(
+        spark.range(80).select(
+            (F.lit(10.1234) + F.col("id") * 0.0001).alias("lat"),
+            (F.lit(20.5678) + F.col("id") * 0.0001).alias("lon"),
+        )
+    )
+    cells = pts.select(
+        F.expr("CAST(floor(lat / 10.0) AS BIGINT)").alias("cx"),
+        F.expr("CAST(floor(lon / 10.0) AS BIGINT)").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count("*").cast("bigint").alias("n_points"))
+    tot = cells.agg(F.sum("n_points").alias("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr(
+                "CAST(n_points AS DOUBLE) > CAST(n AS DOUBLE) / 432.0"
+                " + 5.0 * SQRT(CAST(n AS DOUBLE) / 432.0) + 1.0"
+            )
+        )
+        .select(
+            "cx",
+            "cy",
+            "n_points",
+            F.expr("ROUND(CAST(n AS DOUBLE) / 432.0, 6)").alias("expected"),
+            F.expr(
+                "ROUND((CAST(n_points AS DOUBLE) - CAST(n AS DOUBLE) / 432.0)"
+                " / SQRT(CAST(n AS DOUBLE) / 432.0), 6)"
+            ).alias("z"),
+        )
+        .orderBy("cx", "cy")
+    )
