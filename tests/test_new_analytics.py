@@ -195,3 +195,22 @@ def test_embedding_drift_decision(spark):
     d = {r.comparison: r for r in _rows(spark, "dp_embedding_drift")}
     assert not d["null_case"].drift_flag
     assert d["planted_shift"].drift_flag
+
+
+def test_forecast_backtest_methods_differ(spark):
+    rows = _rows(spark, "ev_forecast_backtest")
+    d = {r.method: r for r in rows}
+    assert d["naive_lag1"].mae != d["seasonal_lag7"].mae
+    assert all(r.mae > 0 and r.n_days > 0 for r in rows)
+
+
+def test_vocab_coverage_monotone_closing(spark):
+    rows = _rows(spark, "dp_vocab_coverage_curve")
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs) and covs[-1] == 1.0
+
+
+def test_spatial_hotspot_planted_cell_only(spark):
+    rows = _rows(spark, "j_spatial_hotspots")
+    assert len(rows) == 1
+    assert (rows[0].cx, rows[0].cy) == (1, 2) and rows[0].z > 5
