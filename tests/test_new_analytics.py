@@ -214,3 +214,8 @@ def test_spatial_hotspot_planted_cell_only(spark):
     rows = _rows(spark, "j_spatial_hotspots")
     assert len(rows) == 1
     assert (rows[0].cx, rows[0].cy) == (1, 2) and rows[0].z > 5
+
+
+def test_psi_drift_moderate_band(spark):
+    r = _rows(spark, "dp_psi_drift")[0]
+    assert 0.01 < r.psi < 0.25 and not r.major_shift and r.n_bins == 10

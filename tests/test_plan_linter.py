@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "dp_embedding_drift": "one-row odd-cohort count fanned over the 64 per-dimension sums",
     "dp_vocab_coverage_curve": "six-row k grid range-joined onto the vocabulary-sized ranked relation",
     "j_spatial_hotspots": "one-row total-count scalar fanned over the <=432 grid cells",
+    "dp_psi_drift": "one-row (ref, cur) totals fanned over the <=10 PSI bins",
     "dp_benford_screen": "single-row digit-total scalar broadcast over 9 digit rows",
     "dp_training_data_funnel": "one-row pack-stats aggregate crossJoined onto the one-row counter aggregate",
     "dp_key_balance": "single-row total-count scalar",
