@@ -219,3 +219,18 @@ def test_spatial_hotspot_planted_cell_only(spark):
 def test_psi_drift_moderate_band(spark):
     r = _rows(spark, "dp_psi_drift")[0]
     assert 0.01 < r.psi < 0.25 and not r.major_shift and r.n_bins == 10
+
+
+def test_graph_triangles_structure(spark):
+    rows = _rows(spark, "dp_graph_triangles")
+    assert len(rows) == 10
+    g = rows[0]
+    # sf0.001 co-purchase graph: measured at admission time
+    assert g.n_triangles == 125968 and g.n_nodes == 200
+    # clustering coefficient is a real fraction, not 0 or 1
+    assert 0.0 < g.global_clustering < 1.0
+    # every triangle participation <= wedges at that node; top-10 sorted
+    counts = [r.n_tri_node for r in rows]
+    assert counts == sorted(counts, reverse=True) and counts[-1] > 0
+    # every triangle closes a wedge, so triangles never exceed wedges
+    assert g.n_triangles <= g.n_wedges
