@@ -234,3 +234,14 @@ def test_graph_triangles_structure(spark):
     assert counts == sorted(counts, reverse=True) and counts[-1] > 0
     # every triangle closes a wedge, so triangles never exceed wedges
     assert g.n_triangles <= g.n_wedges
+
+
+def test_conformal_coverage_near_target(spark):
+    r = _rows(spark, "dp_conformal_coverage")[0]
+    # splits all populated and disjoint-complete by construction
+    assert r.n_train > 0 and r.n_cal > 0 and r.n_test > 0
+    # the interval is real (nonzero width) and coverage sits near the
+    # 0.9 target (finite-sample wobble band measured at admission)
+    assert r.q_hat_r > 0
+    assert 0.80 <= r.coverage <= 0.97
+    assert r.target_coverage == 0.9
