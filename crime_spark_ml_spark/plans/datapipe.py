@@ -7729,3 +7729,117 @@ def dp_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coverage",
         F.lit(0.9).cast("double").alias("target_coverage"),
     )
+
+
+@register(
+    "dp_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y,
+             (CAST(o_totalprice AS DOUBLE) - 250000.0) / 150000.0
+             + ((CAST(CAST(('0x' || substr(md5('cal-v1|'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                 AS DOUBLE) / 10000.0) - 0.5) * 2.0 AS t
+      FROM orders),
+    prob AS (
+      SELECT y,
+             CAST(floor((0.5 * (1.0 + t / (1.0 + ABS(t)))) * 1000000.0 + 0.5)
+                  AS BIGINT) AS pu
+      FROM scored),
+    binned AS (
+      SELECT LEAST(pu // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(pu) AS BIGINT) AS p_sum,
+             CAST(SUM(y) AS BIGINT) AS y_sum
+      FROM prob GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_b) AS BIGINT) AS n_total,
+             ROUND(CAST(SUM(ABS(1000000 * y_sum - p_sum)) AS DOUBLE)
+                   / (1000000.0 * SUM(n_b)), 6) AS ece
+      FROM binned)
+    SELECT CAST(bin AS BIGINT) AS bin, n_b,
+           ROUND(CAST(p_sum AS DOUBLE) / (1000000.0 * n_b), 6) AS conf_r,
+           ROUND(CAST(y_sum AS DOUBLE) / n_b, 6) AS acc_r,
+           n_total, ece
+    FROM binned CROSS JOIN tot
+    ORDER BY bin
+    """,
+    tags=("datapipe", "ml-eval", "calibration"),
+)
+def dp_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error over a
+    deterministic probabilistic scorer — the standard audit of whether
+    a model's confidence MEANS what it says (conf 0.7 bin should be
+    right 70% of the time).  The scorer is a closed-form soft-sign
+    squash p = (1 + t/(1+|t|))/2 of signal-plus-salted-hash-noise
+    (label: order total > 250k) — chosen over a sigmoid specifically
+    because it uses only +,*,/,abs, whose IEEE semantics are
+    bit-identical across engines, where exp/ln last-ulp differences
+    could flip a bin boundary.  Everything downstream is INTEGER
+    arithmetic: probabilities become micro-prob ints via an explicit
+    floor(p*1e6+0.5) (the round-vs-truncate CAST trap), bins are
+    integer division, and ECE folds to sum|1e6*y_b - p_b| / (1e6*N) —
+    one exact integer numerator, no float-accumulation-order hazard.
+    Scale shape: one row-local projection, one 10-bin hash aggregate,
+    one-row total broadcast onto the bins.  Measured at admission:
+    8-10 populated bins, per-bin accuracy rising with confidence,
+    ECE > 0 (the noisy scorer is measurably miscalibrated)."""
+    o = load_table(spark, sf_dir, "orders")
+    noise = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("cal-v1|"), F.col("o_orderkey").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ).cast("double")
+        / F.lit(10000.0)
+        - F.lit(0.5)
+    ) * F.lit(2.0)
+    t = (F.col("o_totalprice").cast("double") - F.lit(250000.0)) / F.lit(
+        150000.0
+    ) + noise
+    p = F.lit(0.5) * (F.lit(1.0) + t / (F.lit(1.0) + F.abs(t)))
+    pu = F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    prob = o.select(
+        F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("y"),
+        pu.alias("pu"),
+    )
+    binned = prob.groupBy(
+        F.least(F.floor(F.col("pu") / 100000).cast("bigint"), F.lit(9).cast("bigint")).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("pu").cast("bigint").alias("p_sum"),
+        F.sum("y").cast("bigint").alias("y_sum"),
+    )
+    tot = binned.agg(
+        F.sum("n_b").cast("bigint").alias("n_total"),
+        F.round(
+            F.sum(F.abs(F.lit(1000000) * F.col("y_sum") - F.col("p_sum"))).cast(
+                "double"
+            )
+            / (F.lit(1000000.0) * F.sum("n_b")),
+            6,
+        ).alias("ece"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_b",
+            F.round(
+                F.col("p_sum").cast("double") / (F.lit(1000000.0) * F.col("n_b")), 6
+            ).alias("conf_r"),
+            F.round(F.col("y_sum").cast("double") / F.col("n_b"), 6).alias("acc_r"),
+            "n_total",
+            "ece",
+        )
+        .orderBy("bin")
+    )

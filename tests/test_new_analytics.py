@@ -245,3 +245,16 @@ def test_conformal_coverage_near_target(spark):
     assert r.q_hat_r > 0
     assert 0.80 <= r.coverage <= 0.97
     assert r.target_coverage == 0.9
+
+
+def test_calibration_ece_reliability_shape(spark):
+    rows = _rows(spark, "dp_calibration_ece")
+    # sf0.001: 8 populated bins, accuracy monotone-rising with
+    # confidence (the scorer is informative), ECE measurably > 0
+    # (the noise makes it miscalibrated) - measured at admission
+    assert len(rows) >= 6
+    accs = [r.acc_r for r in rows]
+    assert accs == sorted(accs)
+    assert any(a2 > a1 for a1, a2 in zip(accs, accs[1:]))
+    assert rows[0].ece > 0.05
+    assert sum(r.n_b for r in rows) == rows[0].n_total
