@@ -258,3 +258,15 @@ def test_calibration_ece_reliability_shape(spark):
     assert any(a2 > a1 for a1, a2 in zip(accs, accs[1:]))
     assert rows[0].ece > 0.05
     assert sum(r.n_b for r in rows) == rows[0].n_total
+
+
+def test_simpson_audit_reversals_fire(spark):
+    rows = _rows(spark, "dp_simpson_audit")
+    # sf0.001: 12 strata carry both cohorts; 2 reverse the pooled sign
+    assert rows[0].n_strata == len(rows) == 12
+    assert rows[0].n_disagree == 2
+    assert sum(1 for r in rows if r.disagrees) == 2
+    # pooled and MH stratified estimates both exist and differ
+    # (confounding is measurable, not degenerate)
+    assert rows[0].pooled_diff_r != rows[0].mh_diff_r
+    assert rows[0].pooled_sign in (-1, 1)
