@@ -8003,3 +8003,110 @@ def dp_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "dp_leakage_safe_split",
+    oracle="""
+    WITH rows_assigned AS (
+      SELECT o_custkey AS grp,
+             CASE WHEN CAST(('0x' || substr(md5('rowsplit-v1|'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS row_split,
+             CASE WHEN CAST(('0x' || substr(md5('grpsplit-v1|'
+                        || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS grp_split
+      FROM orders),
+    schemes AS (
+      SELECT 'by_row' AS scheme, grp, row_split AS split FROM rows_assigned
+      UNION ALL
+      SELECT 'by_group' AS scheme, grp, grp_split AS split FROM rows_assigned),
+    per_grp AS (
+      SELECT scheme, grp, COUNT(DISTINCT split) AS n_splits,
+             SUM(CASE WHEN split='train' THEN 1 ELSE 0 END) AS n_train,
+             SUM(CASE WHEN split='test' THEN 1 ELSE 0 END) AS n_test
+      FROM schemes GROUP BY scheme, grp)
+    SELECT scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddling,
+           CAST(SUM(n_train) AS BIGINT) AS n_train_rows,
+           CAST(SUM(n_test) AS BIGINT) AS n_test_rows,
+           ROUND(CAST(SUM(n_train) AS DOUBLE)
+                 / (SUM(n_train) + SUM(n_test)), 6) AS train_frac,
+           SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) = 0 AS leak_free
+    FROM per_grp GROUP BY scheme ORDER BY scheme
+    """,
+    tags=("datapipe", "split", "leakage"),
+)
+def dp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage-safe train/test splitting audit: assigns orders
+    80/20 two ways — by ROW hash (each order independently) and by
+    GROUP hash (every order of a customer moves together) — then
+    counts, per scheme, how many customers STRADDLE the split.  Row
+    hashing leaks (a customer's behavior appears on both sides, so any
+    model memorizing customer identity scores inflated test metrics);
+    group hashing is leak-free BY CONSTRUCTION, and the audit proves
+    it: n_straddling is large for by_row and exactly 0 for by_group at
+    every scale, while both schemes keep train_frac near 0.8.  Both
+    assignments are the salted-hash bucket primitive (stable under
+    corpus growth); the audit is one group-keyed aggregate per scheme
+    — row-local assignment, a single shuffle on the group key, no
+    driver-side state.  The same derivation is the DuckDB oracle."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def bucket(salt: str, col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    assigned = o.select(
+        F.col("o_custkey").alias("grp"),
+        F.when(bucket("rowsplit-v1|", "o_orderkey") < 80, "train")
+        .otherwise("test")
+        .alias("row_split"),
+        F.when(bucket("grpsplit-v1|", "o_custkey") < 80, "train")
+        .otherwise("test")
+        .alias("grp_split"),
+    )
+    schemes = assigned.select(
+        F.lit("by_row").alias("scheme"), "grp", F.col("row_split").alias("split")
+    ).unionByName(
+        assigned.select(
+            F.lit("by_group").alias("scheme"), "grp", F.col("grp_split").alias("split")
+        )
+    )
+    per_grp = schemes.groupBy("scheme", "grp").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    return (
+        per_grp.groupBy("scheme")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_straddling"),
+            F.sum("n_train").cast("bigint").alias("n_train_rows"),
+            F.sum("n_test").cast("bigint").alias("n_test_rows"),
+            F.round(
+                F.sum("n_train").cast("double")
+                / (F.sum("n_train") + F.sum("n_test")),
+                6,
+            ).alias("train_frac"),
+            (
+                F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)) == 0
+            ).alias("leak_free"),
+        )
+        .orderBy("scheme")
+    )

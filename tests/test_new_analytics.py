@@ -270,3 +270,14 @@ def test_simpson_audit_reversals_fire(spark):
     # (confounding is measurable, not degenerate)
     assert rows[0].pooled_diff_r != rows[0].mh_diff_r
     assert rows[0].pooled_sign in (-1, 1)
+
+
+def test_leakage_split_contrast(spark):
+    rows = {r.scheme: r for r in _rows(spark, "dp_leakage_safe_split")}
+    g, r = rows["by_group"], rows["by_row"]
+    # group hashing is leak-free by construction; row hashing leaks
+    assert g.leak_free and g.n_straddling == 0
+    assert not r.leak_free and r.n_straddling > 0
+    # both schemes keep the intended 80/20 shape
+    assert 0.7 < g.train_frac < 0.9 and 0.7 < r.train_frac < 0.9
+    assert g.n_train_rows + g.n_test_rows == r.n_train_rows + r.n_test_rows
