@@ -8279,3 +8279,144 @@ def dp_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "mmr_rank")
     )
+
+
+def _jl_sign_matrix(d_out: int = 16, d_in: int = 64) -> list[list[float]]:
+    """Seed-derived +-1 projection matrix, shared verbatim by the Spark
+    plan and the DuckDB oracle: sign(i,j) = parity of the first 8 hex
+    digits of md5('jl-v1|j|i'). Data-independent, generated once at
+    import (1024 md5 calls), embedded as literals on both sides — the
+    production shape too (a JL matrix is kilobytes; broadcast a
+    literal, never a join)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"jl-v1|{j}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+_JL_M = _jl_sign_matrix()
+_JL_SQL_LIT = (
+    "[" + ", ".join("[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _JL_M) + "]"
+)
+_JL_SPARK_LIT = (
+    "array(" + ", ".join(
+        "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")" for row in _JL_M
+    ) + ")"
+)
+
+
+def _ddot(a: str, b: str) -> str:
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@register(
+    "dp_jl_projection",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+             list_transform({_JL_SQL_LIT}::DOUBLE[][], r ->
+               list_dot_product(CAST(embedding AS DOUBLE[]), r) / 4.0) AS y
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS ia,
+             sqrt({_ddot('a.x', 'a.x')} - 2.0*{_ddot('a.x', 'b.x')}
+                  + {_ddot('b.x', 'b.x')}) AS d64,
+             sqrt({_ddot('a.y', 'a.y')} - 2.0*{_ddot('a.y', 'b.y')}
+                  + {_ddot('b.y', 'b.y')}) AS d16
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 10 = 0),
+    r AS (SELECT ia, d16 / d64 AS ratio FROM pairs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(floor(ratio*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)), 6) AS mean_ratio,
+           ROUND(MIN(ratio), 6) AS min_ratio,
+           ROUND(MAX(ratio), 6) AS max_ratio,
+           CAST(SUM(CASE WHEN ratio >= 0.7 AND ratio <= 1.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30pct,
+           CAST(SUM(CASE WHEN ratio >= 0.85 AND ratio <= 1.15
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_15pct
+    FROM r
+    """,
+    tags=("datapipe", "embeddings", "dimensionality-reduction"),
+)
+def dp_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d -> 16d with a
+    planted pairwise distance-distortion audit — the cheap embedding
+    compressor a 100 TB vector pipeline runs before ANN indexing (4x
+    fewer bytes per vector; JL guarantees pairwise distances survive
+    within 1+-eps w.h.p.).  The +-1 sign matrix is seed-derived and
+    DATA-INDEPENDENT, so both engines embed the identical literal
+    (production shape: a kilobyte literal/broadcast, never a shuffle);
+    projection is a row-local 16-fold sequential dot product / sqrt(16)
+    — bit-exact across engines because Spark's zip_with/aggregate fold
+    and DuckDB's list_dot_product were verified accumulation-order
+    identical (functions/vectors.py).  Distances use the dot-identity
+    form a.a - 2a.b + b.b written in one fixed order on both sides.
+    The audit measures ratio = d16/d64 over every (id, id+1) pair with
+    id % 10 == 0: mean_ratio ~ 0.97-1.0 (unbiased), most pairs within
+    +-30% (49/50, 46/50, 183/200 across the three scales) — the mean
+    rides an exact micro-int sum, immune to float accumulation order.
+    Scale shape: one row-local projection scan; the audit pair join is
+    an equi-join on consecutive ids over a 10% sample."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("x"),
+        F.expr(
+            f"transform({_JL_SPARK_LIT}, r -> "
+            "aggregate(zip_with(embedding, r, (xv, rv) -> CAST(xv AS DOUBLE) * rv), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 4.0)"
+        ).alias("y"),
+    )
+
+    def sdot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (p, q) -> p * q), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    a = proj.select(
+        F.col("vec_id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    ).where(F.col("ia") % 10 == 0)
+    b = proj.select(
+        F.col("vec_id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("ib") == F.col("ia") + 1).select(
+        "ia",
+        F.expr(
+            f"sqrt({sdot('xa', 'xa')} - 2.0D*{sdot('xa', 'xb')} + {sdot('xb', 'xb')})"
+        ).alias("d64"),
+        F.expr(
+            f"sqrt({sdot('ya', 'ya')} - 2.0D*{sdot('ya', 'yb')} + {sdot('yb', 'yb')})"
+        ).alias("d16"),
+    )
+    r = pairs.select((F.col("d16") / F.col("d64")).alias("ratio"))
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.floor(F.col("ratio") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / (F.lit(1000000.0) * F.count("*")),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.sum(
+            F.when((F.col("ratio") >= 0.7) & (F.col("ratio") <= 1.3), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_30pct"),
+        F.sum(
+            F.when((F.col("ratio") >= 0.85) & (F.col("ratio") <= 1.15), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_within_15pct"),
+    )

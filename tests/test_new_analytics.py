@@ -298,3 +298,14 @@ def test_mmr_diversify_reorders(spark):
     for qid in {r.query_id for r in rows}:
         ids = [r.cand_id for r in rows if r.query_id == qid]
         assert len(set(ids)) == 5
+
+
+def test_jl_projection_distortion_bounded(spark):
+    r = _rows(spark, "dp_jl_projection")[0]
+    # sf0.001: 50 audit pairs; JL with d_out=16 keeps nearly all
+    # within +-30% and the ratio is unbiased (mean ~ 1)
+    assert r.n_pairs == 50
+    assert r.n_within_30pct >= 45
+    assert 0.9 < r.mean_ratio < 1.1
+    # distortion is real, not degenerate: min < 1 < max
+    assert r.min_ratio < 1.0 < r.max_ratio
