@@ -2690,3 +2690,134 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("method")
+
+
+@register(
+    "ev_did_estimator",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             value
+      FROM events WHERE event_type = 'purchase'),
+    bounds AS (SELECT MIN(day) AS d0 FROM base),
+    cells AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('did-v1|' || user_id), 1, 8))
+                        AS BIGINT) % 2 = 1
+                  THEN 'treatment' ELSE 'control' END AS grp,
+             CASE WHEN day >= (SELECT d0 FROM bounds) + 15
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(floor(value
+               * (CASE WHEN CAST(('0x' || substr(md5('did-v1|' || user_id),
+                                 1, 8)) AS BIGINT) % 2 = 1
+                        AND day >= (SELECT d0 FROM bounds) + 15
+                       THEN CAST(1.25 AS DOUBLE)
+                       ELSE CAST(1.0 AS DOUBLE) END)
+               * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM base),
+    agg AS (
+      SELECT grp, period, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM cells GROUP BY grp, period),
+    anchors AS (
+      SELECT ROUND(
+               (MAX(CASE WHEN grp='treatment' AND period='post'
+                    THEN CAST(sum_cents AS DOUBLE)/(100.0*n) END)
+                - MAX(CASE WHEN grp='treatment' AND period='pre'
+                      THEN CAST(sum_cents AS DOUBLE)/(100.0*n) END))
+               - (MAX(CASE WHEN grp='control' AND period='post'
+                      THEN CAST(sum_cents AS DOUBLE)/(100.0*n) END)
+                  - MAX(CASE WHEN grp='control' AND period='pre'
+                        THEN CAST(sum_cents AS DOUBLE)/(100.0*n) END)), 6)
+               AS did_r,
+             ROUND(MAX(CASE WHEN grp='treatment' AND period='pre'
+                       THEN CAST(sum_cents AS DOUBLE)/(100.0*n) END)
+                   - MAX(CASE WHEN grp='control' AND period='pre'
+                         THEN CAST(sum_cents AS DOUBLE)/(100.0*n) END), 6)
+               AS placebo_pre_gap_r
+      FROM agg)
+    SELECT a.grp, a.period, a.n,
+           ROUND(CAST(a.sum_cents AS DOUBLE)/(100.0*a.n), 6) AS mean_outcome_r,
+           x.did_r, x.placebo_pre_gap_r
+    FROM agg a CROSS JOIN anchors x
+    ORDER BY a.grp, a.period
+    """,
+    tags=("events", "causal", "did", "experiment"),
+)
+def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over purchase values with a
+    PLANTED proportional treatment effect: users hash 50/50 into
+    treatment/control ('did-v1' salt, the stable-assignment
+    discipline), the event window splits pre/post at first-day + 15,
+    and treated-post outcomes are lifted by an exact x1.25 inside the
+    query on BOTH engines — planted proportionally, so the signal
+    survives every fixture scale (the KS-drift lesson; recovered DiD
+    ~ 13-20 on a ~50 base vs the ~12.5 expectation, while the
+    placebo pre-period gap stays near 0).  Outcomes quantize to exact
+    integer cents (floor(x*100+0.5)) before summing, so cell means and
+    the 2x2 DiD contrast derive from integer sums — immune to float
+    accumulation order; the four cell means and both anchors round to
+    6 identically in each engine.  Scale shape: one row-local
+    projection (hash, period, plant), one 4-cell aggregate, one-row
+    anchors fanned back over the cells."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    base = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("day"), "value"
+    )
+    d0 = base.agg(F.min("day").alias("d0")).first()["d0"]
+    treated = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("did-v1|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 1
+    )
+    is_post = F.col("day") >= F.lit(d0) + 15
+    mult = F.when(treated & is_post, F.lit(1.25)).otherwise(F.lit(1.0))
+    cells = base.select(
+        F.when(treated, "treatment").otherwise("control").alias("grp"),
+        F.when(is_post, "post").otherwise("pre").alias("period"),
+        F.floor(F.col("value") * mult * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    agg = cells.groupBy("grp", "period").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+    def cell_mean(g: str, p: str):
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("sum_cents").cast("double") / (F.lit(100.0) * F.col("n")),
+            )
+        )
+
+    anchors = agg.agg(
+        F.round(
+            (cell_mean("treatment", "post") - cell_mean("treatment", "pre"))
+            - (cell_mean("control", "post") - cell_mean("control", "pre")),
+            6,
+        ).alias("did_r"),
+        F.round(
+            cell_mean("treatment", "pre") - cell_mean("control", "pre"), 6
+        ).alias("placebo_pre_gap_r"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(anchors))
+        .select(
+            "grp",
+            "period",
+            "n",
+            F.round(
+                F.col("sum_cents").cast("double") / (F.lit(100.0) * F.col("n")), 6
+            ).alias("mean_outcome_r"),
+            "did_r",
+            "placebo_pre_gap_r",
+        )
+        .orderBy("grp", "period")
+    )

@@ -309,3 +309,16 @@ def test_jl_projection_distortion_bounded(spark):
     assert 0.9 < r.mean_ratio < 1.1
     # distortion is real, not degenerate: min < 1 < max
     assert r.min_ratio < 1.0 < r.max_ratio
+
+
+def test_did_recovers_planted_lift(spark):
+    rows = _rows(spark, "ev_did_estimator")
+    assert len(rows) == 4  # full 2x2
+    r = rows[0]
+    # planted x1.25 on a ~50 base => expected DiD ~ 12.5; measured
+    # 15.05 at sf0.001 with the placebo pre-gap much smaller
+    assert 5.0 < r.did_r < 30.0
+    assert abs(r.placebo_pre_gap_r) < r.did_r
+    # treated-post cell mean exceeds every other cell (the plant)
+    m = {(x.grp, x.period): x.mean_outcome_r for x in rows}
+    assert m[("treatment", "post")] == max(m.values())
