@@ -8420,3 +8420,71 @@ def dp_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_within_15pct"),
     )
+
+
+@register(
+    "dp_skyline_pareto",
+    oracle="""
+    WITH sky AS (
+      SELECT CAST(p_partkey AS BIGINT) AS partkey,
+             p_retailprice AS price,
+             CAST(p_size AS BIGINT) AS size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+           OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)))
+    SELECT partkey, price, size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sky) AS n_skyline,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_total
+    FROM sky ORDER BY price, size, partkey
+    """,
+    tags=("datapipe", "skyline", "pareto"),
+)
+def dp_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query over parts — minimize retail
+    price, maximize size: every part not dominated by a
+    cheaper-and-at-least-as-big (or as-cheap-and-strictly-bigger)
+    alternative.  The oracle is the SPEC (quadratic NOT EXISTS); the
+    Spark plan is the 2-D SORT-FILTER skyline in O(n log n): per-price
+    max size, a running max over the price-ordered DISTINCT-price
+    relation, and lag(1) to get the best size among STRICTLY cheaper
+    parts — a point survives iff no strictly-cheaper point matches its
+    size (run-max lag < size) and no same-price point strictly beats
+    it (group max <= size).  Equal (price, size) duplicates are
+    mutually non-dominating and all survive — exercised at sf0.1 where
+    three parts share the (900.0, 49) corner.  Scale shape: one
+    groupBy on price + one window over the DISTINCT-PRICE relation —
+    bounded by the price domain (~100k cent values), not corpus size —
+    then an equi-join of the per-price verdict back onto the parts;
+    no self-join, no n^2 anywhere.  Skyline is tiny by nature (4-5
+    points here), so the anchors (n_skyline, n_total) ride every
+    row."""
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("grp_max")
+    )
+    w_run = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_ord = Window.orderBy("p_retailprice")
+    stats = per_price.withColumn("run_max", F.max("grp_max").over(w_run)).withColumn(
+        "cheaper_max", F.lag("run_max").over(w_ord)
+    )
+    joined = part.join(stats, "p_retailprice")
+    sky = joined.where(
+        (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
+        & (F.col("grp_max") <= F.col("p_size"))
+    ).select(
+        F.col("p_partkey").cast("bigint").alias("partkey"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    anchors = sky.agg(F.count("*").cast("bigint").alias("n_skyline")).crossJoin(
+        part.agg(F.count("*").cast("bigint").alias("n_total"))
+    )
+    return (
+        sky.crossJoin(F.broadcast(anchors))
+        .select("partkey", "price", "size", "n_skyline", "n_total")
+        .orderBy("price", "size", "partkey")
+    )

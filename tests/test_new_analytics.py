@@ -322,3 +322,16 @@ def test_did_recovers_planted_lift(spark):
     # treated-post cell mean exceeds every other cell (the plant)
     m = {(x.grp, x.period): x.mean_outcome_r for x in rows}
     assert m[("treatment", "post")] == max(m.values())
+
+
+def test_skyline_non_dominated(spark):
+    rows = _rows(spark, "dp_skyline_pareto")
+    assert rows[0].n_skyline == len(rows) >= 2
+    assert rows[0].n_total > rows[0].n_skyline
+    # the frontier is strictly improving: as price rises along the
+    # skyline, size must strictly rise too (else dominated)
+    for a, b in zip(rows, rows[1:]):
+        if a.price < b.price:
+            assert b.size > a.size
+        else:  # equal-corner duplicates
+            assert a.size == b.size
