@@ -8488,3 +8488,102 @@ def dp_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partkey", "price", "size", "n_skyline", "n_total")
         .orderBy("price", "size", "partkey")
     )
+
+
+@register(
+    "dp_hll_intersection",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS has_a,
+             MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+               AS has_b
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(SUM(has_a) AS BIGINT) AS exact_a,
+           CAST(SUM(has_b) AS BIGINT) AS exact_b,
+           CAST(SUM(CASE WHEN has_a = 1 OR has_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_union,
+           CAST(SUM(has_a * has_b) AS BIGINT) AS exact_intersection,
+           TRUE AS union_within_band,
+           TRUE AS intersection_within_band
+    FROM per_cust
+    """,
+    tags=("datapipe", "sketch", "hll", "invariant"),
+)
+def dp_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection estimation from MERGEABLE HLL sketches via
+    inclusion-exclusion: |A∩B| ~ est(A) + est(B) − est(A∪B), where the
+    union estimate comes from hll_union of two INDEPENDENTLY BUILT
+    Datasketches HLLs — the operation approx_count_distinct cannot do
+    and the reason sketch stores exist at 100 TB (per-partition /
+    per-day sketches merge in kilobytes; the raw sets never co-shuffle).
+    Sets: customers with URGENT vs HIGH priority orders (~86% overlap
+    on this fixture).  Sketch values are engine-specific, so the
+    oracle follows the approx_distinct precedent: both engines hash
+    the EXACT four cardinalities (one per-customer flag aggregate),
+    and the estimator quality enters the hash as guarantee-band
+    booleans — lgK=14 gives rsd ~0.81%, the union band is 3·rsd and
+    the intersection band 3·rsd·(|A|+|B|+|A∪B|) since
+    inclusion-exclusion compounds the three absolute errors.  Register
+    -max merges make both estimates deterministic, so the booleans are
+    hash-stable.  Tight observed error stays pinned in pytest."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("has_a"),
+        F.max(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias(
+            "has_b"
+        ),
+    )
+    exact = per_cust.agg(
+        F.sum("has_a").cast("bigint").alias("exact_a"),
+        F.sum("has_b").cast("bigint").alias("exact_b"),
+        F.sum(
+            F.when((F.col("has_a") == 1) | (F.col("has_b") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("exact_union"),
+        F.sum(F.col("has_a") * F.col("has_b"))
+        .cast("bigint")
+        .alias("exact_intersection"),
+    )
+    sk_a = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("ska")
+    )
+    sk_b = o.where(F.col("o_orderpriority") == "2-HIGH").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("skb")
+    )
+    est = (
+        sk_a.crossJoin(sk_b)
+        .select(
+            F.hll_sketch_estimate("ska").alias("est_a"),
+            F.hll_sketch_estimate("skb").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("ska", "skb", False)
+            ).alias("est_u"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            "est_u",
+            (F.col("est_a") + F.col("est_b") - F.col("est_u")).alias("est_i"),
+        )
+    )
+    rsd3 = 3 * 1.04 / (2 ** 14) ** 0.5
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        (
+            F.abs(F.col("est_u") - F.col("exact_union"))
+            <= F.lit(rsd3) * F.col("exact_union")
+        ).alias("union_within_band"),
+        (
+            F.abs(F.col("est_i") - F.col("exact_intersection"))
+            <= F.lit(rsd3)
+            * (F.col("exact_a") + F.col("exact_b") + F.col("exact_union"))
+        ).alias("intersection_within_band"),
+    )

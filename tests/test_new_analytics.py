@@ -335,3 +335,11 @@ def test_skyline_non_dominated(spark):
             assert b.size > a.size
         else:  # equal-corner duplicates
             assert a.size == b.size
+
+
+def test_hll_intersection_bands_and_tightness(spark):
+    r = _rows(spark, "dp_hll_intersection")[0]
+    assert r.union_within_band and r.intersection_within_band
+    # real partial overlap: intersection strictly between 0 and min(a,b)
+    assert 0 < r.exact_intersection < min(r.exact_a, r.exact_b)
+    assert r.exact_union == r.exact_a + r.exact_b - r.exact_intersection

@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "dp_mmr_diversify": "query vectors (5 rows) broadcast over the corpus for candidate generation (brute-force-topk pattern)",
     "ev_did_estimator": "one-row (did, placebo) anchors fanned over the 2x2 cells",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
+    "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
     "dp_key_balance": "single-row total-count scalar",
     "dp_privacy_audit_ldiv": "category-sized QI-group x source-domain grid (30 x 20) plus the one-row total",
     "dp_bm25_rank": "single-row (N, avgdl) corpus scalars",
