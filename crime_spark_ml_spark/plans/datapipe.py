@@ -8587,3 +8587,134 @@ def dp_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("exact_a") + F.col("exact_b") + F.col("exact_union"))
         ).alias("intersection_within_band"),
     )
+
+
+@register(
+    "dp_offpolicy_ips",
+    oracle="""
+    WITH logs AS (
+      SELECT o_orderkey AS okey,
+             CAST(('0x' || substr(md5('act-v1|' || CAST(o_orderkey AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 3 AS a_log,
+             LEAST(CAST(floor(CAST(o_totalprice AS DOUBLE) / 150000.0)
+                        AS BIGINT), 2) AS best_a
+      FROM orders),
+    pol0 AS (
+      SELECT *,
+             CASE WHEN CAST(('0x' || substr(md5('flip-v1|'
+                            || CAST(okey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+                  THEN (best_a + 1) % 3 ELSE best_a END AS pi_target,
+             CASE WHEN a_log = best_a THEN 1
+                  WHEN CAST(('0x' || substr(md5('rwd-v1|'
+                            || CAST(okey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+                  THEN 1 ELSE 0 END AS r
+      FROM logs),
+    pol AS (
+      SELECT 'target' AS policy, pi_target AS pi_a, a_log, best_a, r FROM pol0
+      UNION ALL
+      SELECT 'always_zero' AS policy, 0 AS pi_a, a_log, best_a, r FROM pol0)
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_logs,
+           CAST(SUM(CASE WHEN pi_a = a_log THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           ROUND(3.0 * SUM(CASE WHEN pi_a = a_log THEN r ELSE 0 END)
+                 / COUNT(*), 6) AS v_ips_r,
+           ROUND(CAST(SUM(CASE WHEN pi_a = a_log THEN r ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN pi_a = a_log THEN 1 ELSE 0 END), 6)
+             AS v_snips_r,
+           ROUND(CAST(SUM(CASE WHEN pi_a = best_a THEN 10 ELSE 1 END) AS DOUBLE)
+                 / (10.0 * COUNT(*)), 6) AS v_true_r
+    FROM pol GROUP BY policy ORDER BY policy
+    """,
+    tags=("datapipe", "ml-eval", "off-policy", "bandit"),
+)
+def dp_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (counterfactual) policy evaluation with inverse
+    propensity scoring — how a recommendation/bandit system is
+    evaluated OFFLINE from logged traffic before any deploy.  Logged
+    actions come from a uniform random logging policy (salted hash,
+    propensity exactly 1/3); the deterministic reward is 1 when the
+    action hits the order's value bucket, else a 10% hash background.
+    Two candidate policies are scored: 'target' (the true best action
+    with a deterministic 20% corruption — value ~0.82) and
+    'always_zero' (~0.42) — V_IPS = (1/N) Σ 1[π(x)=a]·r / (1/3)
+    separates them cleanly, and the self-normalized SNIPS variant
+    (Σ w·r / Σ w) rides along.  Everything is INTEGER sums (0/1
+    rewards, exact weight 3, v_true uses a 10/1-in-tenths encoding),
+    so no float accumulation hazard; the unbiasedness check
+    |V_IPS − V_true| stays in pytest where its sampling-noise band
+    belongs.  Scale shape: one row-local projection, one two-policy
+    aggregate — IPS at 100 TB is exactly this shape (a scan and a
+    sum), which is why it is the industry's offline gate."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def hb(salt: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("okey").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    logs = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("tp"),
+    ).select(
+        "okey",
+        hb("act-v1|", 3).alias("a_log"),
+        F.least(
+            F.floor(F.col("tp").cast("double") / F.lit(150000.0)).cast("bigint"),
+            F.lit(2).cast("bigint"),
+        ).alias("best_a"),
+    )
+    pol0 = logs.select(
+        "*",
+        F.when(hb("flip-v1|", 5) == 0, (F.col("best_a") + 1) % 3)
+        .otherwise(F.col("best_a"))
+        .alias("pi_target"),
+        F.when(F.col("a_log") == F.col("best_a"), 1)
+        .when(hb("rwd-v1|", 10) == 0, 1)
+        .otherwise(0)
+        .alias("r"),
+    )
+    pol = pol0.select(
+        F.lit("target").alias("policy"),
+        F.col("pi_target").alias("pi_a"),
+        "a_log",
+        "best_a",
+        "r",
+    ).unionByName(
+        pol0.select(
+            F.lit("always_zero").alias("policy"),
+            F.lit(0).cast("bigint").alias("pi_a"),
+            "a_log",
+            "best_a",
+            "r",
+        )
+    )
+    m = F.when(F.col("pi_a") == F.col("a_log"), 1).otherwise(0)
+    return (
+        pol.groupBy("policy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_logs"),
+            F.sum(m).cast("bigint").alias("n_matched"),
+            F.round(
+                F.lit(3.0) * F.sum(m * F.col("r")) / F.count("*"), 6
+            ).alias("v_ips_r"),
+            F.round(
+                F.sum(m * F.col("r")).cast("double") / F.sum(m), 6
+            ).alias("v_snips_r"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pi_a") == F.col("best_a"), 10).otherwise(1)
+                ).cast("double")
+                / (F.lit(10.0) * F.count("*")),
+                6,
+            ).alias("v_true_r"),
+        )
+        .orderBy("policy")
+    )

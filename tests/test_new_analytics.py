@@ -343,3 +343,17 @@ def test_hll_intersection_bands_and_tightness(spark):
     # real partial overlap: intersection strictly between 0 and min(a,b)
     assert 0 < r.exact_intersection < min(r.exact_a, r.exact_b)
     assert r.exact_union == r.exact_a + r.exact_b - r.exact_intersection
+
+
+def test_offpolicy_ips_separates_and_unbiased(spark):
+    rows = {r.policy: r for r in _rows(spark, "dp_offpolicy_ips")}
+    t, z = rows["target"], rows["always_zero"]
+    # the corrupted-oracle target policy is genuinely better
+    assert t.v_true_r > z.v_true_r + 0.2
+    assert t.v_ips_r > z.v_ips_r
+    # IPS is unbiased: estimate within sampling noise of truth
+    # (~500 matched logs at sf0.001 => sigma ~ 0.04; band 4 sigma)
+    assert abs(t.v_ips_r - t.v_true_r) < 0.16
+    assert abs(z.v_ips_r - z.v_true_r) < 0.16
+    # uniform logging matches ~1/3 of logs per deterministic policy
+    assert 0.25 < t.n_matched / t.n_logs < 0.42
