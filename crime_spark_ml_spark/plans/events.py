@@ -2821,3 +2821,139 @@ def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "period")
     )
+
+
+@register(
+    "ev_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    tr AS (
+      SELECT day, cents, (day + 4) % 7 AS dow,
+             CASE WHEN COUNT(*) OVER w7 = 7
+                  THEN CAST(SUM(cents) OVER w7 AS DOUBLE) / 7.0 END AS trend
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dtr AS (
+      SELECT *, CAST(floor((CAST(cents AS DOUBLE) - trend) * 1000.0 + 0.5)
+                     AS BIGINT) AS detr_q
+      FROM tr WHERE trend IS NOT NULL),
+    seas AS (
+      SELECT dow, CAST(SUM(detr_q) AS DOUBLE) / (1000.0 * COUNT(*)) AS seasonal
+      FROM dtr GROUP BY dow),
+    full_rows AS (
+      SELECT d.day, d.dow, d.cents, d.trend, s.seasonal,
+             (CAST(d.cents AS DOUBLE) - d.trend) - s.seasonal AS resid,
+             d.detr_q,
+             CAST(floor(((CAST(d.cents AS DOUBLE) - d.trend) - s.seasonal)
+                        * 1000.0 + 0.5) AS BIGINT) AS resid_q
+      FROM dtr d JOIN seas s ON s.dow = d.dow),
+    anchors AS (
+      SELECT ROUND(1.0 - CAST(SUM(ABS(resid_q)) AS DOUBLE)
+                   / CAST(SUM(ABS(detr_q)) AS DOUBLE), 6) AS abs_reduction_r,
+             ROUND(MAX(seasonal) - MIN(seasonal), 6) AS seasonal_amplitude_r
+      FROM full_rows)
+    SELECT CAST(f.day AS BIGINT) AS day, CAST(f.dow AS BIGINT) AS dow,
+           f.cents,
+           ROUND(f.trend, 6) AS trend_r,
+           ROUND(f.seasonal, 6) AS seasonal_r,
+           ROUND(f.resid, 6) AS resid_r,
+           a.abs_reduction_r, a.seasonal_amplitude_r
+    FROM full_rows f CROSS JOIN anchors a
+    ORDER BY f.day
+    """,
+    tags=("events", "timeseries", "decomposition"),
+)
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily purchase
+    series: trend = centered 7-day moving average (NULL until the
+    frame is full — the standard endpoint rule), seasonal = day-of-week
+    mean of the detrended series, residual = the rest.  Day-of-week is
+    timezone-proof integer arithmetic ((epoch_day + 4) % 7), daily
+    totals quantize to exact integer cents before summing, and the
+    detrended/residual values are re-quantized to milli-cents before
+    the cross-day sums, so the seasonal means and the
+    |residual|-reduction anchor ride INTEGER arithmetic — no float
+    accumulation order anywhere a sum crosses rows.  The anchors pin
+    the decomposition DOING something: abs_reduction_r is the share of
+    detrended mass the DOW component explains (positive on this
+    fixture — the generator has real weekday structure, the same
+    signal ev_seasonality_dow pins), and seasonal_amplitude_r is the
+    peak-to-trough weekly swing.  Scale shape: one daily aggregate
+    (the only data-sized shuffle), one ordered window over the
+    DAY-count-sized series, a 7-row broadcast join, one-row anchors
+    fanned back."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            day.alias("day"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("day")
+        .agg(F.sum("vc").cast("bigint").alias("cents"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        ((F.col("day") + 4) % 7).alias("dow"),
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.sum("cents").over(w7).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+    )
+    dtr = tr.where(F.col("trend").isNotNull()).withColumn(
+        "detr_q",
+        F.floor(
+            (F.col("cents").cast("double") - F.col("trend")) * F.lit(1000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    seas = dtr.groupBy("dow").agg(
+        (F.sum("detr_q").cast("double") / (F.lit(1000.0) * F.count("*"))).alias(
+            "seasonal"
+        )
+    )
+    resid = (F.col("cents").cast("double") - F.col("trend")) - F.col("seasonal")
+    full_rows = dtr.join(F.broadcast(seas), "dow").select(
+        "day",
+        "dow",
+        "cents",
+        "trend",
+        "seasonal",
+        "detr_q",
+        resid.alias("resid"),
+        F.floor(resid * F.lit(1000.0) + F.lit(0.5)).cast("bigint").alias("resid_q"),
+    )
+    anchors = full_rows.agg(
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.abs(F.col("resid_q"))).cast("double")
+            / F.sum(F.abs(F.col("detr_q"))).cast("double"),
+            6,
+        ).alias("abs_reduction_r"),
+        F.round(F.max("seasonal") - F.min("seasonal"), 6).alias(
+            "seasonal_amplitude_r"
+        ),
+    )
+    return (
+        full_rows.crossJoin(F.broadcast(anchors))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("dow").cast("bigint").alias("dow"),
+            "cents",
+            F.round("trend", 6).alias("trend_r"),
+            F.round("seasonal", 6).alias("seasonal_r"),
+            F.round("resid", 6).alias("resid_r"),
+            "abs_reduction_r",
+            "seasonal_amplitude_r",
+        )
+        .orderBy("day")
+    )

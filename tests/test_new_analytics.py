@@ -357,3 +357,22 @@ def test_offpolicy_ips_separates_and_unbiased(spark):
     assert abs(z.v_ips_r - z.v_true_r) < 0.16
     # uniform logging matches ~1/3 of logs per deterministic policy
     assert 0.25 < t.n_matched / t.n_logs < 0.42
+
+
+def test_seasonal_decompose_components(spark):
+    rows = _rows(spark, "ev_seasonal_decompose")
+    # 30-day fixture minus 6 endpoint days without a full 7-day frame
+    assert len(rows) == 24
+    r = rows[0]
+    # the DOW component explains a positive share of detrended mass
+    # (0.047 at sf0.001, rising to 0.24 at sf0.1 as noise averages out)
+    assert r.abs_reduction_r > 0
+    assert r.seasonal_amplitude_r > 0
+    # decomposition identity holds per row: cents = trend + seasonal + resid
+    for x in rows:
+        assert abs(x.cents - (x.trend_r + x.seasonal_r + x.resid_r)) < 0.01
+    # same dow always gets the same seasonal value
+    by_dow = {}
+    for x in rows:
+        by_dow.setdefault(x.dow, set()).add(x.seasonal_r)
+    assert all(len(v) == 1 for v in by_dow.values())
