@@ -8718,3 +8718,152 @@ def dp_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+@register(
+    "dp_rank_correlation",
+    oracle="""
+    WITH feats AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)
+               * CAST(embedding[1] AS DOUBLE) AS y,
+             CAST(embedding[2] AS DOUBLE) AS z,
+             CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS w
+      FROM embeddings),
+    long AS (
+      SELECT vec_id, f.name, f.v
+      FROM feats, UNNEST([struct_pack(name := 'f1_x', v := x),
+                          struct_pack(name := 'f2_xcubed', v := y),
+                          struct_pack(name := 'f3_z', v := z),
+                          struct_pack(name := 'f4_x_plus_z', v := w)]) AS t(f)),
+    q AS (
+      SELECT vec_id, name,
+             CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS vq,
+             2 * RANK() OVER (PARTITION BY name ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY name, v) - 1 AS r2
+      FROM long),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             COUNT(*) AS n,
+             SUM(a.vq) AS sxa, SUM(b.vq) AS sxb, SUM(a.vq*b.vq) AS sab,
+             SUM(a.vq*a.vq) AS saa, SUM(b.vq*b.vq) AS sbb,
+             SUM(a.r2) AS ra, SUM(b.r2) AS rb, SUM(a.r2*b.r2) AS rab,
+             SUM(a.r2*a.r2) AS raa, SUM(b.r2*b.r2) AS rbb
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.name < b.name
+      GROUP BY 1, 2)
+    SELECT name_a, name_b, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE)*sab - CAST(sxa AS DOUBLE)*sxb)
+                 / (sqrt(CAST(n AS DOUBLE)*saa - CAST(sxa AS DOUBLE)*sxa)
+                    * sqrt(CAST(n AS DOUBLE)*sbb - CAST(sxb AS DOUBLE)*sxb)), 6)
+             AS pearson_r,
+           ROUND((CAST(n AS DOUBLE)*rab - CAST(ra AS DOUBLE)*rb)
+                 / (sqrt(CAST(n AS DOUBLE)*raa - CAST(ra AS DOUBLE)*ra)
+                    * sqrt(CAST(n AS DOUBLE)*rbb - CAST(rb AS DOUBLE)*rb)), 6)
+             AS spearman_r
+    FROM pairs ORDER BY name_a, name_b
+    """,
+    tags=("datapipe", "stats", "correlation", "spearman"),
+)
+def dp_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation beside Pearson over a 4-feature panel
+    built to EXERCISE the difference — f2 = f1 cubed is a monotone
+    nonlinear transform, so Spearman(f1, f2) = 1.000000 exactly while
+    Pearson drops to ~0.78-0.80; the independent pair sits at ~0, and
+    Spearman's monotone-invariance shows again in (f2, f3) equaling
+    (f1, f3) to the digit.  Tie-safe average ranks ride EXACT integers
+    (2*rank + ties − 1, the doubled-rank trick), values quantize to
+    micro-ints, and both correlations expand from the integer-moment
+    formula (n*Sxy − Sx*Sy) / (...)  in one fixed operation order —
+    no float accumulation hazard anywhere.  Complements
+    a6_corr_matrix / ml_corr_matrix_full (Pearson only).  Scale shape:
+    one explode (4n rows), per-feature rank windows (4 independent
+    sorts — at 100 TB Spearman is approximated by quantile-bucketed
+    ranks, the documented knob), one vec_id-keyed pair join, one
+    6-group aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = F.expr("CAST(element_at(embedding, 1) AS DOUBLE)")
+    pz = F.expr("CAST(element_at(embedding, 2) AS DOUBLE)")
+    feats = emb.select(
+        "vec_id",
+        px.alias("x"),
+        (px * px * px).alias("y"),
+        pz.alias("z"),
+        (px + pz).alias("w"),
+    )
+    long = feats.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "array(named_struct('name', 'f1_x', 'v', x),"
+                " named_struct('name', 'f2_xcubed', 'v', y),"
+                " named_struct('name', 'f3_z', 'v', z),"
+                " named_struct('name', 'f4_x_plus_z', 'v', w))"
+            )
+        ).alias("f"),
+    ).select("vec_id", F.col("f.name").alias("name"), F.col("f.v").alias("v"))
+    w_rank = Window.partitionBy("name").orderBy("v")
+    w_tie = Window.partitionBy("name", "v")
+    q = long.select(
+        "vec_id",
+        "name",
+        F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count("*").over(w_tie)
+            - F.lit(1)
+        ).cast("bigint").alias("r2"),
+    )
+    a = q.select(
+        F.col("vec_id").alias("vid"),
+        F.col("name").alias("name_a"),
+        F.col("vq").alias("vqa"),
+        F.col("r2").alias("r2a"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("name").alias("name_b"),
+        F.col("vq").alias("vqb"),
+        F.col("r2").alias("r2b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("vid") == F.col("vid_b")) & (F.col("name_a") < F.col("name_b")),
+        )
+        .groupBy("name_a", "name_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vqa").alias("sxa"),
+            F.sum("vqb").alias("sxb"),
+            F.sum(F.col("vqa") * F.col("vqb")).alias("sab"),
+            F.sum(F.col("vqa") * F.col("vqa")).alias("saa"),
+            F.sum(F.col("vqb") * F.col("vqb")).alias("sbb"),
+            F.sum("r2a").alias("ra"),
+            F.sum("r2b").alias("rb"),
+            F.sum(F.col("r2a") * F.col("r2b")).alias("rab"),
+            F.sum(F.col("r2a") * F.col("r2a")).alias("raa"),
+            F.sum(F.col("r2b") * F.col("r2b")).alias("rbb"),
+        )
+    )
+
+    def corr(sx, sy, sxy, sxx, syy):
+        n = F.col("n").cast("double")
+        return F.round(
+            (n * F.col(sxy) - F.col(sx).cast("double") * F.col(sy))
+            / (
+                F.sqrt(n * F.col(sxx) - F.col(sx).cast("double") * F.col(sx))
+                * F.sqrt(n * F.col(syy) - F.col(sy).cast("double") * F.col(sy))
+            ),
+            6,
+        )
+
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.col("n").cast("bigint").alias("n"),
+        corr("sxa", "sxb", "sab", "saa", "sbb").alias("pearson_r"),
+        corr("ra", "rb", "rab", "raa", "rbb").alias("spearman_r"),
+    ).orderBy("name_a", "name_b")

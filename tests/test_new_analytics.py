@@ -376,3 +376,17 @@ def test_seasonal_decompose_components(spark):
     for x in rows:
         by_dow.setdefault(x.dow, set()).add(x.seasonal_r)
     assert all(len(v) == 1 for v in by_dow.values())
+
+
+def test_rank_correlation_spearman_properties(spark):
+    rows = {(r.name_a, r.name_b): r for r in _rows(spark, "dp_rank_correlation")}
+    assert len(rows) == 6
+    mono = rows[("f1_x", "f2_xcubed")]
+    # monotone transform: Spearman exactly 1, Pearson strictly below
+    assert mono.spearman_r == 1.0
+    assert mono.pearson_r < 0.95
+    # independent features: both correlations near zero
+    indep = rows[("f1_x", "f3_z")]
+    assert abs(indep.spearman_r) < 0.1 and abs(indep.pearson_r) < 0.1
+    # monotone invariance: corr with z unchanged by cubing x
+    assert rows[("f2_xcubed", "f3_z")].spearman_r == indep.spearman_r
