@@ -8867,3 +8867,82 @@ def dp_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sxa", "sxb", "sab", "saa", "sbb").alias("pearson_r"),
         corr("ra", "rb", "rab", "raa", "rbb").alias("spearman_r"),
     ).orderBy("name_a", "name_b")
+
+
+@register(
+    "dp_format_roundtrip",
+    oracle="""
+    SELECT fmt,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT) AS sum_n_chars,
+           TRUE AS contents_lossless
+    FROM (VALUES ('orc'), ('parquet')) v(fmt)
+    ORDER BY fmt
+    """,
+    tags=("datapipe", "storage", "format"),
+)
+def dp_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-FORMAT roundtrip beside dp_codec_roundtrip's
+    compression matrix: the documents table is written to ORC and to
+    Parquet, read back through each format's reader, and hash-proven
+    lossless (row count + exact n_chars sum + exact md5-of-text
+    surrogate must match the source) — ORC is Spark's second
+    first-class columnar format and the common interchange with Hive
+    lakes, and the check pins that the engine's plans are
+    FORMAT-AGNOSTIC: the same DataFrame program reads either store.
+    The lossless booleans enter the driver hash; DuckDB (which reads
+    no ORC) anchors the truth counts.  Format/size trade-offs stay in
+    tests, as with the codec matrix."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = docs.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.coalesce("text", F.lit(""))), 1, 8), 16, 10)
+            .cast("long")
+        ).alias("h"),
+    ).first()
+    rows = []
+    for fmt in ("orc", "parquet"):
+        path = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+        try:
+            docs.write.mode("overwrite").format(fmt).save(path)
+            back = (
+                spark.read.format(fmt)
+                .load(path)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_chars").alias("s"),
+                    F.sum(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.coalesce("text", F.lit(""))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                    ).alias("h"),
+                )
+                .first()
+            )
+            rows.append(
+                (
+                    fmt,
+                    int(back["n"]),
+                    int(back["s"]),
+                    bool(
+                        back["n"] == truth["n"]
+                        and back["s"] == truth["s"]
+                        and back["h"] == truth["h"]
+                    ),
+                )
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "fmt string, n_rows bigint, sum_n_chars bigint, contents_lossless boolean",
+    ).orderBy("fmt")

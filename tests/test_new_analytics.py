@@ -390,3 +390,10 @@ def test_rank_correlation_spearman_properties(spark):
     assert abs(indep.spearman_r) < 0.1 and abs(indep.pearson_r) < 0.1
     # monotone invariance: corr with z unchanged by cubing x
     assert rows[("f2_xcubed", "f3_z")].spearman_r == indep.spearman_r
+
+
+def test_format_roundtrip_lossless_both(spark):
+    rows = _rows(spark, "dp_format_roundtrip")
+    assert [r.fmt for r in rows] == ["orc", "parquet"]
+    assert all(r.contents_lossless for r in rows)
+    assert rows[0].n_rows == rows[1].n_rows > 0
