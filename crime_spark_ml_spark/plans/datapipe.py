@@ -8946,3 +8946,188 @@ def dp_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "fmt string, n_rows bigint, sum_n_chars bigint, contents_lossless boolean",
     ).orderBy("fmt")
+
+
+def _ndcg_discounts(k: int = 10) -> list[float]:
+    """1/log2(rank+1) discount table, generated once in Python and
+    embedded as identical literals in BOTH engines — libm log() can
+    differ in the last ulp across engines, a shared literal cannot."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+_NDCG_D = _ndcg_discounts()
+_NDCG_SQL_LIT = "[" + ", ".join(repr(v) for v in _NDCG_D) + "]"
+_NDCG_SPARK_LIT = "array(" + ", ".join(f"{v!r}D" for v in _NDCG_D) + ")"
+
+
+@register(
+    "dp_ndcg_eval",
+    oracle=f"""
+    WITH grid AS (
+      SELECT q.qid, c.cid
+      FROM (SELECT UNNEST(range(0, 8)) AS qid) q
+      CROSS JOIN (SELECT UNNEST(range(1, 21)) AS cid) c),
+    judged AS (
+      SELECT qid, cid,
+             CAST(('0x' || substr(md5('rel-v1|' || CAST(qid AS VARCHAR) || '|'
+                   || CAST(cid AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS rel,
+             CAST(('0x' || substr(md5('nA-v1|' || CAST(qid AS VARCHAR) || '|'
+                   || CAST(cid AS VARCHAR)), 1, 8)) AS BIGINT) % 30 AS noise_a,
+             CAST(('0x' || substr(md5('nB-v1|' || CAST(qid AS VARCHAR) || '|'
+                   || CAST(cid AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS score_b
+      FROM grid),
+    rankers AS (
+      SELECT 'good' AS ranker, qid, cid, rel, rel * 10 + noise_a AS score
+      FROM judged
+      UNION ALL
+      SELECT 'random' AS ranker, qid, cid, rel, score_b AS score FROM judged),
+    ranked AS (
+      SELECT ranker, qid, rel,
+             ROW_NUMBER() OVER (PARTITION BY ranker, qid
+                                ORDER BY score DESC, cid) AS rk,
+             ROW_NUMBER() OVER (PARTITION BY ranker, qid
+                                ORDER BY rel DESC, cid) AS ideal_rk
+      FROM rankers),
+    terms AS (
+      SELECT ranker, qid,
+             SUM(CASE WHEN rk <= 10 THEN CAST(floor(
+                   (POWER(2.0, rel) - 1.0) * ({_NDCG_SQL_LIT}::DOUBLE[])[rk]
+                   * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS dcg_q,
+             SUM(CASE WHEN ideal_rk <= 10 THEN CAST(floor(
+                   (POWER(2.0, rel) - 1.0) * ({_NDCG_SQL_LIT}::DOUBLE[])[ideal_rk]
+                   * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS idcg_q
+      FROM ranked GROUP BY ranker, qid),
+    per_q AS (
+      SELECT ranker, qid,
+             ROUND(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE), 6) AS ndcg_r
+      FROM terms),
+    mean_q AS (
+      SELECT ranker,
+             ROUND(CAST(SUM(CAST(floor(CAST(dcg_q AS DOUBLE)
+                   / CAST(idcg_q AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS mean_ndcg_r
+      FROM terms GROUP BY ranker)
+    SELECT p.ranker, CAST(p.qid AS BIGINT) AS qid, p.ndcg_r, m.mean_ndcg_r
+    FROM per_q p JOIN mean_q m ON m.ranker = p.ranker
+    ORDER BY p.ranker, p.qid
+    """,
+    tags=("datapipe", "retrieval", "ndcg", "ml-eval"),
+)
+def dp_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality evaluation — the graded-relevance
+    metric the retrieval stack (BM25, RRF, MMR, ANN family) was
+    missing.  Judged on PLANTED hash-graded relevance (grades 0-3 per
+    (query, candidate)) so the metric's discrimination is checkable
+    against ground truth: the 'good' ranker scores rel*10 + noise<30
+    (mostly order-preserving) and lands near-perfect NDCG, the
+    'random' ranker is pure hash and lands at the graded-relevance
+    random baseline — the gap IS the vacuity check.  Engine-parity
+    hazards are closed the usual ways: the 1/log2(rank+1) discount
+    table is generated once in Python and embedded as IDENTICAL
+    literals in both engines (libm last-ulp immunity), POWER(2, rel)
+    on integer grades is exact, each DCG term quantizes to micro-ints
+    before the cross-rank sum, and IDCG comes from the same terms
+    under the ideal (rel DESC) permutation.  This fixture is label-
+    random in embedding space (measured ~1.0 same-label in cosine
+    top-10 = base rate), which is WHY relevance is planted rather than
+    derived from labels.  Scale shape: row-local grading, two rank
+    windows per (ranker, query), one aggregate — NDCG at 100 TB is a
+    grouped window over (query, rank<=k), exactly this plan."""
+    grid = spark.range(0, 8).select(F.col("id").alias("qid")).crossJoin(
+        spark.range(1, 21).select(F.col("id").alias("cid"))
+    )
+
+    def hq(salt: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("qid").cast("string"),
+                            F.lit("|"),
+                            F.col("cid").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    judged = grid.select(
+        "qid",
+        "cid",
+        hq("rel-v1|", 4).alias("rel"),
+        hq("nA-v1|", 30).alias("noise_a"),
+        hq("nB-v1|", 100).alias("score_b"),
+    )
+    rankers = judged.select(
+        F.lit("good").alias("ranker"),
+        "qid",
+        "cid",
+        "rel",
+        (F.col("rel") * 10 + F.col("noise_a")).alias("score"),
+    ).unionByName(
+        judged.select(
+            F.lit("random").alias("ranker"),
+            "qid",
+            "cid",
+            "rel",
+            F.col("score_b").alias("score"),
+        )
+    )
+    w_s = Window.partitionBy("ranker", "qid").orderBy(F.desc("score"), "cid")
+    w_i = Window.partitionBy("ranker", "qid").orderBy(F.desc("rel"), "cid")
+    ranked = rankers.select(
+        "ranker",
+        "qid",
+        "rel",
+        F.row_number().over(w_s).alias("rk"),
+        F.row_number().over(w_i).alias("ideal_rk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+
+    def term(rank_col: str):
+        return F.when(
+            F.col(rank_col) <= 10,
+            F.floor(
+                gain
+                * F.element_at(F.expr(_NDCG_SPARK_LIT), F.col(rank_col))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    terms = ranked.groupBy("ranker", "qid").agg(
+        F.sum(term("rk")).alias("dcg_q"),
+        F.sum(term("ideal_rk")).alias("idcg_q"),
+    )
+    ndcg = F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double")
+    per_q = terms.select(
+        "ranker", "qid", F.round(ndcg, 6).alias("ndcg_r")
+    )
+    mean_q = terms.groupBy("ranker").agg(
+        F.round(
+            F.sum(
+                F.floor(ndcg * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / (F.lit(1000000.0) * F.count("*")),
+            6,
+        ).alias("mean_ndcg_r")
+    )
+    return (
+        per_q.join(F.broadcast(mean_q), "ranker")
+        .select(
+            "ranker",
+            F.col("qid").cast("bigint").alias("qid"),
+            "ndcg_r",
+            "mean_ndcg_r",
+        )
+        .orderBy("ranker", "qid")
+    )

@@ -397,3 +397,13 @@ def test_format_roundtrip_lossless_both(spark):
     assert [r.fmt for r in rows] == ["orc", "parquet"]
     assert all(r.contents_lossless for r in rows)
     assert rows[0].n_rows == rows[1].n_rows > 0
+
+
+def test_ndcg_discriminates_rankers(spark):
+    rows = _rows(spark, "dp_ndcg_eval")
+    assert len(rows) == 16  # 2 rankers x 8 queries
+    means = {r.ranker: r.mean_ndcg_r for r in rows}
+    # measured at admission: good 0.922, random 0.433
+    assert means["good"] > 0.85
+    assert means["random"] < 0.6
+    assert all(0.0 < r.ndcg_r <= 1.0 for r in rows)

@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
+    "dp_ndcg_eval": "literal 8-query x 20-candidate judgment grid (two spark.range frames, 160 rows total)",
     "dp_key_balance": "single-row total-count scalar",
     "dp_privacy_audit_ldiv": "category-sized QI-group x source-domain grid (30 x 20) plus the one-row total",
     "dp_bm25_rank": "single-row (N, avgdl) corpus scalars",
