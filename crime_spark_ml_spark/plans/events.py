@@ -2957,3 +2957,170 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# CUPED shared formula fragments — used verbatim in both the Spark
+# F.expr side and the DuckDB oracle so the float arithmetic runs the
+# identical expression tree on identical exact-integer moments.
+_CUPED_VAR_Y = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)"
+_CUPED_COV = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)"
+_CUPED_VAR_X = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)"
+_CUPED_VAR_ADJ = (
+    f"({_CUPED_VAR_Y}) - 2 * th * ({_CUPED_COV}) + th * th * ({_CUPED_VAR_X})"
+)
+_CUPED_REDUCTION = f"1.0 - ({_CUPED_VAR_ADJ}) / ({_CUPED_VAR_Y})"
+_CUPED_THETA = (
+    "CAST(pn * psxy - psx * psy AS DOUBLE)"
+    " / CAST(pn * psxx - psx * psx AS DOUBLE)"
+)
+
+
+@register(
+    "ev_cuped_adjustment",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             1 + user_id % 10 AS w
+      FROM events),
+    bounds AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM base),
+    per_user AS (
+      SELECT user_id,
+             MAX(w) * SUM(CASE WHEN day <= (SELECT mid FROM bounds)
+                               THEN 1 ELSE 0 END) AS x,
+             MAX(w) * SUM(CASE WHEN day > (SELECT mid FROM bounds)
+                               THEN 1 ELSE 0 END) AS y,
+             CASE WHEN CAST(('0x' || substr(md5('cuped-v1|' || user_id), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS variant
+      FROM base GROUP BY user_id),
+    pooled AS (
+      SELECT COUNT(*) AS pn, SUM(x) AS psx, SUM(y) AS psy,
+             SUM(x * x) AS psxx, SUM(x * y) AS psxy
+      FROM per_user),
+    theta AS (
+      SELECT {_CUPED_THETA} AS th,
+             CAST(psx AS DOUBLE) / pn AS mxp
+      FROM pooled),
+    vm AS (
+      SELECT variant, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM per_user GROUP BY variant)
+    SELECT variant,
+           CAST(n AS BIGINT) AS n_users,
+           ROUND(th, 6) AS theta_r,
+           ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_y_r,
+           ROUND(CAST(sy AS DOUBLE) / n
+                 - th * (CAST(sx AS DOUBLE) / n - mxp), 6) AS mean_y_cuped_r,
+           ROUND({_CUPED_VAR_Y}, 6) AS var_y_r,
+           ROUND({_CUPED_VAR_ADJ}, 6) AS var_y_cuped_r,
+           ROUND({_CUPED_REDUCTION}, 6) AS var_reduction_r,
+           ({_CUPED_REDUCTION}) > 0.25 AS strong_reduction
+    FROM vm CROSS JOIN theta
+    ORDER BY variant
+    """,
+    tags=("events", "experiment", "cuped", "variance-reduction"),
+)
+def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    industry-standard variance-reduction readout that ev_abtest_lift's
+    raw rates and ev_power_analysis's sample-size plan both feed into:
+    theta = cov(X, Y) / var(X) is fit POOLED across variants (the
+    unbiasedness requirement — fitting per-arm would leak treatment
+    into the adjustment), then each arm reports its adjusted mean
+    Y - theta (X_arm - X_pooled) and adjusted variance
+    var(Y) - 2 theta cov + theta^2 var(X), all expanded analytically
+    from six exact integer moments per arm so no per-user float ever
+    sums in engine-dependent order.
+
+    X is each user's PRE-period metric (events in the first half of
+    the fixture's day range), Y the POST-period metric; both are
+    weighted by a deterministic planted per-user activity scale
+    w = 1 + user_id % 10 — the fixture's users are homogeneous
+    Poisson (measured raw pre/post correlation ~0, CUPED reduction
+    at noise level ±4%), so the plant supplies the persistent user
+    heterogeneity real traffic has and CUPED exists to cancel (the
+    dp_ks_drift / ev_did_estimator planted-signal discipline).
+    Measured reduction: 66-90% across all three scales and both
+    arms; strong_reduction pins the > 25% band with wide margin.
+
+    Scale shape: one scan -> per-user groupBy (the only data-sized
+    shuffle) -> two bounded aggregates (2-row arm moments, 1-row
+    pooled) crossJoin-broadcast together; the adjustment math runs
+    on a 2-row relation. Assignment is the salted-md5 hash split,
+    so re-runs and corpus growth never reshuffle arms."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+        F.expr("1 + user_id % 10").alias("w"),
+    )
+    bounds = base.agg(
+        F.expr("(MIN(day) + MAX(day)) DIV 2").alias("mid")
+    ).first()
+    mid = int(bounds["mid"])
+    per_user = (
+        base.groupBy("user_id")
+        .agg(
+            F.max("w").alias("w"),
+            F.sum(F.when(F.col("day") <= mid, 1).otherwise(0)).alias("pre"),
+            F.sum(F.when(F.col("day") > mid, 1).otherwise(0)).alias("post"),
+        )
+        .select(
+            "user_id",
+            (F.col("w") * F.col("pre")).alias("x"),
+            (F.col("w") * F.col("post")).alias("y"),
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cuped-v1|"), F.col("user_id"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("variant"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("pn"),
+        F.sum("x").alias("psx"),
+        F.sum("y").alias("psy"),
+        F.sum(F.expr("x * x")).alias("psxx"),
+        F.sum(F.expr("x * y")).alias("psxy"),
+    ).select(
+        F.expr(_CUPED_THETA).alias("th"),
+        F.expr("CAST(psx AS DOUBLE) / pn").alias("mxp"),
+    )
+    vm = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return (
+        vm.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            F.col("n").cast("bigint").alias("n_users"),
+            F.expr("ROUND(th, 6)").alias("theta_r"),
+            F.expr("ROUND(CAST(sy AS DOUBLE) / n, 6)").alias("mean_y_r"),
+            F.expr(
+                "ROUND(CAST(sy AS DOUBLE) / n"
+                " - th * (CAST(sx AS DOUBLE) / n - mxp), 6)"
+            ).alias("mean_y_cuped_r"),
+            F.expr(f"ROUND({_CUPED_VAR_Y}, 6)").alias("var_y_r"),
+            F.expr(f"ROUND({_CUPED_VAR_ADJ}, 6)").alias("var_y_cuped_r"),
+            F.expr(f"ROUND({_CUPED_REDUCTION}, 6)").alias("var_reduction_r"),
+            F.expr(f"({_CUPED_REDUCTION}) > 0.25").alias("strong_reduction"),
+        )
+        .orderBy("variant")
+    )

@@ -407,3 +407,21 @@ def test_ndcg_discriminates_rankers(spark):
     assert means["good"] > 0.85
     assert means["random"] < 0.6
     assert all(0.0 < r.ndcg_r <= 1.0 for r in rows)
+
+
+def test_cuped_strong_reduction_both_arms(spark):
+    rows = _rows(spark, "ev_cuped_adjustment")
+    assert [r.variant for r in rows] == ["control", "treatment"]
+    # measured at admission (sf0.001): reductions 0.838 / 0.900 with
+    # the planted w = 1 + user_id % 10 heterogeneity; raw (unplanted)
+    # pre/post correlation on this fixture is ~0, so a reduction this
+    # far over the 0.25 band is the plant working, not noise
+    assert all(r.strong_reduction for r in rows)
+    assert all(0.4 < r.var_reduction_r < 1.0 for r in rows)
+    # pooled theta is shared across arms and sits in a sane band
+    assert rows[0].theta_r == rows[1].theta_r
+    assert 0.0 < rows[0].theta_r < 1.5
+    # the adjustment must not move the mean much (theta * deviation
+    # is a centering correction, not a re-estimate)
+    for r in rows:
+        assert abs(r.mean_y_cuped_r - r.mean_y_r) < 0.5 * r.mean_y_r
