@@ -425,3 +425,15 @@ def test_cuped_strong_reduction_both_arms(spark):
     # is a centering correction, not a re-estimate)
     for r in rows:
         assert abs(r.mean_y_cuped_r - r.mean_y_r) < 0.5 * r.mean_y_r
+
+
+def test_changepoint_localizes_planted_shift(spark):
+    r = _rows(spark, "ev_changepoint_cusum")[0]
+    # measured at admission: exact recovery at all three scales
+    assert r.localized and r.cp_day == r.plant_day
+    assert r.dominates_null and r.dev_ratio_r > 1.2
+    # ~+50% planted level step (even-id events re-enter once; the
+    # even-id fraction wobbles on the tiny sf0.001 post-window,
+    # measured 1.286 there, ~1.5 at sf0.01/0.1)
+    assert 1.2 < r.shift_ratio_r < 1.8
+    assert r.m_days == 30
