@@ -1334,3 +1334,152 @@ def j_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cx", "cy")
     )
+
+
+def _geohash_v(div: str) -> str:
+    """25-bit geohash integer: lon/lat quantized to 13/12 bits and
+    bit-interleaved (lon first — the geohash spec) with pure div/mod
+    arithmetic, no engine-specific bit operators. ``div`` is the only
+    dialect difference ('//' DuckDB, 'DIV' Spark)."""
+    terms = []
+    for i in range(25):
+        if i % 2 == 0:
+            k, src = 12 - i // 2, "li"
+        else:
+            k, src = 11 - (i - 1) // 2, "la"
+        terms.append(f"(({src} {div} {2 ** k}) % 2) * {2 ** (24 - i)}")
+    return " + ".join(terms)
+
+
+def _geohash_chars(div: str) -> str:
+    """Base32 (geohash alphabet) rendering of the 25-bit integer v as
+    5 characters; substr/||/CAST parse identically in both engines."""
+    return " || ".join(
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz',"
+        f" CAST((v {div} {2 ** (5 * (4 - j))}) % 32 AS INT) + 1, 1)"
+        for j in range(5)
+    )
+
+
+@register(
+    "j_geohash_rollup",
+    oracle=f"""
+    WITH pts0 AS (
+        SELECT c_custkey AS key,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 1200000 / 10000.0 - 60.0 AS lat,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)
+                    AS BIGINT) % 3600000 / 10000.0 - 180.0 AS lon
+        FROM customer
+        UNION ALL
+        SELECT -1, 57.64911, 10.40744
+    ),
+    quant AS (
+        SELECT key,
+               CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) AS li,
+               CAST(floor((lat + 90.0) / 180.0 * 4096) AS BIGINT) AS la
+        FROM pts0
+    ),
+    coded AS (
+        SELECT key, {_geohash_v("//")} AS v FROM quant
+    ),
+    hashed AS (
+        SELECT key, {_geohash_chars("//")} AS gh5 FROM coded
+    ),
+    fanned AS (
+        SELECT p.p AS precision, substr(h.gh5, 1, p.p) AS prefix
+        FROM hashed h, (VALUES (1), (2), (3)) p(p)
+        WHERE h.key <> -1
+    ),
+    counted AS (
+        SELECT precision, prefix, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM fanned GROUP BY precision, prefix
+    ),
+    ranked AS (
+        SELECT precision, prefix, n_points,
+               CAST(ROW_NUMBER() OVER (PARTITION BY precision
+                                       ORDER BY n_points DESC, prefix)
+                    AS INT) AS rk
+        FROM counted
+    )
+    SELECT precision, prefix, n_points, rk FROM ranked WHERE rk <= 10
+    UNION ALL
+    SELECT 0, gh5, CAST(1 AS BIGINT), 1 FROM hashed WHERE key = -1
+    ORDER BY precision, rk
+    """,
+    tags=("join", "spatial", "geohash", "layout"),
+)
+def j_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding + prefix density rollup — the cell key a 100 TB
+    geospatial table PARTITIONS and range-prunes by (geohash prefix
+    ranges are lat/lon boxes, so `WHERE prefix LIKE 'u4%'` becomes
+    file-level pruning): lon/lat quantize to 13/12 bits, bit-interleave
+    lon-first, base32-render 5 chars — all in pure div/mod arithmetic
+    (no engine bit operators), so both engines compute the identical
+    code. The planted (57.64911, 10.40744) literal must encode to
+    'u4pru' (the geohash reference test vector) and surfaces as the
+    precision-0 row — the encode correctness is pinned inside the
+    hashed result, not just in pytest.
+
+    Points reuse j_spatial_grid_join's md5-slice synthesis (same
+    primitive, same coordinates); the rollup reports top-10 densest
+    prefixes at precisions 1-3 (deterministic ties by prefix).
+
+    Scale shape: one scan -> explode to 3 precision rows per point ->
+    one partial-aggregated groupBy(precision, prefix) (cardinality
+    <= 32^3 + 32^2 + 32 by construction) -> per-precision window over
+    the bounded count relation. Nothing data-sized crosses a second
+    shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    h1 = (
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    h2 = (
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    pts = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.expr(f"{h1} % 1200000 / 10000.0 - 60.0").alias("lat"),
+        F.expr(f"{h2} % 3600000 / 10000.0 - 180.0").alias("lon"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("key"),
+            F.lit(57.64911).alias("lat"),
+            F.lit(10.40744).alias("lon"),
+        )
+    )
+    hashed = (
+        pts.select(
+            "key",
+            F.expr(
+                "CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT)"
+            ).alias("li"),
+            F.expr(
+                "CAST(floor((lat + 90.0) / 180.0 * 4096) AS BIGINT)"
+            ).alias("la"),
+        )
+        .select("key", F.expr(_geohash_v("DIV")).alias("v"))
+        .select("key", F.expr(_geohash_chars("DIV")).alias("gh5"))
+    )
+    fanned = hashed.where(F.col("key") != -1).select(
+        F.explode(F.expr("array(1, 2, 3)")).alias("precision"), "gh5"
+    ).select("precision", F.expr("substr(gh5, 1, precision)").alias("prefix"))
+    counted = fanned.groupBy("precision", "prefix").agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+    w = Window.partitionBy("precision").orderBy(
+        F.col("n_points").desc(), "prefix"
+    )
+    ranked = counted.select(
+        "precision", "prefix", "n_points",
+        F.row_number().over(w).cast("int").alias("rk"),
+    ).where(F.col("rk") <= 10)
+    vector_row = hashed.where(F.col("key") == -1).select(
+        F.lit(0).alias("precision"),
+        F.col("gh5").alias("prefix"),
+        F.lit(1).cast("bigint").alias("n_points"),
+        F.lit(1).cast("int").alias("rk"),
+    )
+    return ranked.unionByName(vector_row).orderBy("precision", "rk")

@@ -437,3 +437,20 @@ def test_changepoint_localizes_planted_shift(spark):
     # measured 1.286 there, ~1.5 at sf0.01/0.1)
     assert 1.2 < r.shift_ratio_r < 1.8
     assert r.m_days == 30
+
+
+def test_geohash_reference_vector_and_rollup(spark):
+    rows = _rows(spark, "j_geohash_rollup")
+    # the geohash spec's canonical test vector rides in as precision 0
+    vec = [r for r in rows if r.precision == 0]
+    assert len(vec) == 1 and vec[0].prefix == "u4pru"
+    # each rollup precision carries a genuinely ranked top-10
+    for p in (1, 2, 3):
+        band = [r for r in rows if r.precision == p]
+        assert 1 <= len(band) <= 10
+        assert [r.rk for r in band] == list(range(1, len(band) + 1))
+        ns = [r.n_points for r in band]
+        assert ns == sorted(ns, reverse=True) and ns[-1] >= 1
+        assert all(len(r.prefix) == p for r in band)
+    # synthesized points spread over many cells, not one degenerate box
+    assert len({r.prefix for r in rows if r.precision == 1}) >= 5
