@@ -454,3 +454,20 @@ def test_geohash_reference_vector_and_rollup(spark):
         assert all(len(r.prefix) == p for r in band)
     # synthesized points spread over many cells, not one degenerate box
     assert len({r.prefix for r in rows if r.precision == 1}) >= 5
+
+
+def test_allen_intervals_exhaustive_and_populated(spark):
+    rows = _rows(spark, "ev_allen_intervals")
+    assert len(rows) == 14  # stable 13-relation grid + unclassified
+    d = {r.relation: r for r in rows}
+    # the CASE ladder tiles the configuration space — nothing escapes
+    assert d["unclassified"].n_orders == 0
+    # measured at admission (sf0.001): during dominates, both
+    # directions of the order-vs-shipspan relation occur
+    assert d["during"].n_orders > d["before"].n_orders > 0
+    assert d["after"].n_orders > 0
+    assert sum(r.n_orders for r in rows) > 0
+    assert abs(sum(r.share_r for r in rows) - 1.0) < 0.001
+    # exemplars exist exactly for populated relations
+    for r in rows:
+        assert (r.first_orderkey is not None) == (r.n_orders > 0)
