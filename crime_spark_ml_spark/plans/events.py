@@ -3411,3 +3411,136 @@ def ev_allen_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relation")
     )
+
+
+def _holt_winters_exprs(dialect: str) -> tuple[str, str]:
+    """(init_array, step_lambda_body) for the additive Holt-Winters
+    fold, alpha=0.3 beta=0.1 gamma=0.2, weekly period. State is a
+    9-double array [level, trend, s_cur, s_+1 .. s_+6] with the
+    seasonal block ROTATED each step (current season always at slot 3,
+    the updated value re-enters at the back) so every index in the
+    lambda is a literal — neither engine can update a list element at
+    a computed index inside a fold. The only dialect differences are
+    element access (element_at vs [k]), array literals, and the y
+    carrier (scalar vs x[1] — DuckDB's list_reduce needs uniform
+    element shapes, the ev_holt_forecast trick)."""
+    if dialect == "duck":
+        idx = lambda a, k: f"{a}[{k}]"  # noqa: E731
+        arr = lambda els: "[" + ", ".join(els) + "]"  # noqa: E731
+        yv = "x[1]"
+    else:
+        idx = lambda a, k: f"element_at({a}, {k})"  # noqa: E731
+        arr = lambda els: "array(" + ", ".join(els) + ")"  # noqa: E731
+        yv = "y"
+    dbl = lambda v: f"CAST({v} AS DOUBLE)"  # noqa: E731
+    ysi = lambda k: dbl(idx("ys", k))  # noqa: E731
+    mean7 = "(" + " + ".join(ysi(k) for k in range(1, 8)) + ") / " + dbl(7)
+    init = arr(
+        [mean7, f"({ysi(8)} - {ysi(1)}) / {dbl(7)}"]
+        + [f"{ysi(k)} - ({mean7})" for k in range(1, 8)]
+    )
+    a = lambda k: idx("acc", k)  # noqa: E731
+    lp = f"{dbl(0.3)} * ({yv} - {a(3)}) + {dbl(0.7)} * ({a(1)} + {a(2)})"
+    bp = f"{dbl(0.1)} * (({lp}) - {a(1)}) + {dbl(0.9)} * {a(2)}"
+    sp = f"{dbl(0.2)} * ({yv} - ({lp})) + {dbl(0.8)} * {a(3)}"
+    step = arr([lp, bp] + [a(k) for k in range(4, 10)] + [sp])
+    return init, step
+
+
+_HW_DUCK_INIT, _HW_DUCK_STEP = _holt_winters_exprs("duck")
+_HW_SPARK_INIT, _HW_SPARK_STEP = _holt_winters_exprs("spark")
+_HW_PAD = ", ".join(["CAST(0 AS DOUBLE)"] * 8)
+_HW_AMPL = (
+    "GREATEST(st[{i3}], st[{i4}], st[{i5}], st[{i6}], st[{i7}], st[{i8}],"
+    " st[{i9}]) - LEAST(st[{i3}], st[{i4}], st[{i5}], st[{i6}], st[{i7}],"
+    " st[{i8}], st[{i9}])"
+)
+
+
+@register(
+    "ev_holt_winters",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, list(y ORDER BY d) AS ys,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type),
+    fitted AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_prepend({_HW_DUCK_INIT},
+                 list_transform(ys[8:], y -> [CAST(y AS DOUBLE), {_HW_PAD}])),
+               (acc, x) -> {_HW_DUCK_STEP}) AS st
+      FROM series WHERE n_days >= 15)
+    SELECT event_type, n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2] + st[3], 6) AS forecast_next,
+           ROUND({_HW_AMPL.format(i3=3, i4=4, i5=5, i6=6, i7=7, i8=8, i9=9)},
+                 6) AS seasonal_amplitude
+    FROM fitted ORDER BY event_type
+    """,
+    tags=("events", "timeseries", "forecast", "seasonal", "fold"),
+)
+def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality,
+    alpha=0.3 beta=0.1 gamma=0.2) per event type — the seasonal
+    upgrade of ev_holt_forecast that a workload forecaster actually
+    deploys when traffic has a day-of-week cycle (this fixture's
+    planted Sunday burst, see ev_seasonality_dow). The three-part
+    recursion needs a 9-double state (level, trend, 7 seasonal
+    offsets), folded with the seasonal block ROTATING so the current
+    season sits at a LITERAL index each step — neither engine's fold
+    can write a computed index, so the rotation trick is what makes
+    Holt-Winters expressible as a JVM-codegen higher-order aggregate
+    at all (no Python, no driver loop).
+
+    Init is stated explicitly (textbooks vary): l = mean(y1..y7),
+    b = (y8 - y1)/7, s_i = y_i - l, fold starts at y8. The one-step
+    forecast is l + b + s_next where s_next is the rotated head.
+    Both engines build the IDENTICAL float-op sequence from one
+    shared expression generator (_holt_winters_exprs) — only element
+    access, array literals, and the y carrier differ.
+
+    Scale shape: the per-day rollup is the only data-sized shuffle;
+    each fold runs over a <=#days array per event type (30 here),
+    bounded state, linear time, embarrassingly parallel across
+    series."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s.y
+        ).alias("ys"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    fitted = series.where(F.col("n_days") >= 15).withColumn(
+        "st",
+        F.expr(
+            f"aggregate(slice(ys, 8, size(ys) - 7), {_HW_SPARK_INIT},"
+            f" (acc, y) -> {_HW_SPARK_STEP})"
+        ),
+    )
+    ampl = _HW_AMPL.format(
+        i3="3", i4="4", i5="5", i6="6", i7="7", i8="8", i9="9"
+    ).replace("st[", "element_at(st, ").replace("]", ")")
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("trend"),
+        F.round(
+            F.element_at("st", 1)
+            + F.element_at("st", 2)
+            + F.element_at("st", 3),
+            6,
+        ).alias("forecast_next"),
+        F.expr(f"ROUND({ampl}, 6)").alias("seasonal_amplitude"),
+    ).orderBy("event_type")

@@ -471,3 +471,17 @@ def test_allen_intervals_exhaustive_and_populated(spark):
     # exemplars exist exactly for populated relations
     for r in rows:
         assert (r.first_orderkey is not None) == (r.n_orders > 0)
+
+
+def test_holt_winters_seasonal_state_alive(spark):
+    rows = _rows(spark, "ev_holt_winters")
+    assert len(rows) == 5  # one fitted series per event type
+    for r in rows:
+        # the seasonal block genuinely varies (planted Sunday burst
+        # feeds it); a dead fold would leave amplitude at 0
+        assert r.seasonal_amplitude > 0.5
+        assert r.level > 0 and r.n_days == 30
+        # forecast = level + trend + next season stays near the level
+        assert abs(r.forecast_next - r.level) < 0.8 * r.level
+    # series are genuinely distinct fits, not one copied state
+    assert len({r.level for r in rows}) == 5
