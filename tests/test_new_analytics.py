@@ -485,3 +485,12 @@ def test_holt_winters_seasonal_state_alive(spark):
         assert abs(r.forecast_next - r.level) < 0.8 * r.level
     # series are genuinely distinct fits, not one copied state
     assert len({r.level for r in rows}) == 5
+
+
+def test_theil_sen_beats_ols_on_contaminated_trend(spark):
+    r = _rows(spark, "ev_theil_sen_trend")[0]
+    assert r.robust_wins
+    # measured: TS rel-err 0.20/0.019/0.008 vs OLS 0.93/0.81/0.79
+    assert r.ts_rel_err_r < 0.4 < r.ols_rel_err_r
+    assert r.n_days == 30 and r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert r.planted_slope >= 1
