@@ -9131,3 +9131,166 @@ def dp_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ranker", "qid")
     )
+
+
+def _bpe_merge_fold(dialect: str) -> str:
+    """Greedy left-to-right non-overlapping pair merge as a fold:
+    walk the symbol array, and whenever the output's last symbol is
+    `a` and the incoming one is `b`, replace the last with `a || b`
+    (the freshly merged token is never re-matched as `a` within the
+    same pass — merged strings differ from their left half). The
+    pair (a, b) comes from the crossJoined one-row argmax relation,
+    NOT a subquery — neither engine allows subqueries inside lambda
+    bodies. DuckDB gotcha: `acc[:-1]` silently fails to drop the
+    last element inside a lambda (measured), so the slice bound is
+    the explicit len(acc) - 1."""
+    if dialect == "duck":
+        return (
+            "list_reduce(list_prepend([], list_transform(syms, s -> [s])),"
+            " (acc, x) -> CASE WHEN len(acc) > 0"
+            " AND acc[len(acc)] = a AND x[1] = b"
+            " THEN list_append(acc[:len(acc) - 1], a || b)"
+            " ELSE list_append(acc, x[1]) END)"
+        )
+    return (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
+        " (acc, s) -> CASE WHEN size(acc) > 0"
+        " AND element_at(acc, size(acc)) = a AND s = b"
+        " THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))"
+        " ELSE concat(acc, array(s)) END)"
+    )
+
+
+def _bpe_oracle() -> str:
+    """Three unrolled BPE merge rounds as chained CTEs."""
+    rounds = []
+    for i in range(3):
+        rounds.append(f"""
+    pairs{i} AS (
+      SELECT u.p[1] AS a, u.p[2] AS b, SUM(f) AS cnt
+      FROM corpus{i}, UNNEST(list_zip(syms, syms[2:])) AS u(p)
+      WHERE u.p[2] IS NOT NULL
+      GROUP BY 1, 2),
+    best{i} AS (SELECT a, b, cnt FROM pairs{i}
+                ORDER BY cnt DESC, a, b LIMIT 1),
+    corpus{i + 1} AS (
+      SELECT word, f, {_bpe_merge_fold("duck")} AS syms
+      FROM corpus{i} CROSS JOIN best{i}),
+    stats{i + 1} AS (
+      SELECT SUM(len(syms) * f) AS n_syms FROM corpus{i + 1})""")
+    selects = " UNION ALL ".join(
+        f"""SELECT {i + 1} AS round, a AS pair_a, b AS pair_b,
+           a || b AS merged, CAST(cnt AS BIGINT) AS pair_count,
+           CAST((SELECT n_syms FROM stats{i}) AS BIGINT)
+             AS symbols_before,
+           CAST((SELECT n_syms FROM stats{i + 1}) AS BIGINT)
+             AS symbols_after
+        FROM best{i}"""
+        for i in range(3)
+    )
+    return f"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS f FROM (
+        SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents)
+      WHERE length(word) BETWEEN 2 AND 12
+      GROUP BY word ORDER BY f DESC, word LIMIT 200),
+    corpus0 AS (
+      SELECT word, f, string_split(word, '') AS syms FROM words),
+    stats0 AS (SELECT SUM(len(syms) * f) AS n_syms FROM corpus0),
+    {",".join(rounds)}
+    SELECT * FROM ({selects}) ORDER BY round
+    """
+
+
+@register(
+    "dp_bpe_merge_learn",
+    oracle=_bpe_oracle(),
+    tags=("datapipe", "tokenizer", "bpe", "llm"),
+)
+def dp_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three merge rounds unrolled — the
+    half of the tokenizer story dp_bpe_token_count (which APPLIES a
+    regex tokenizer) doesn't cover: count adjacent symbol pairs
+    weighted by word frequency, pick the argmax pair
+    (ties: lexicographic), merge it greedily left-to-right in every
+    word, repeat. Each round is fully lazy: the argmax is a one-row
+    relation crossJoin-broadcast into the merge fold's lambda (no
+    driver round-trips), and the merge itself is the JVM-codegen
+    fold in _bpe_merge_fold — the same no-Python discipline as the
+    MMR greedy fold.
+
+    The vocabulary is capped at the top-200 word types (freq desc,
+    word — deterministic), the standard BPE-on-word-counts recipe:
+    merge learning runs on the TYPE table, so cost is bounded by
+    vocabulary, not corpus, and the corpus-sized work is exactly one
+    word-count groupBy. Result pins the learned merge table (pair,
+    merged token, weighted count) plus the before/after total symbol
+    counts per round — symbols_after < symbols_before is the "the
+    merge actually fired corpus-wide" invariant.
+
+    Scale shape: one scan -> explode words -> count groupBy (the
+    only data-sized shuffle) -> everything after runs on <= 200
+    rows x <= 12 symbols."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "word"
+            )
+        )
+        .where(F.length("word").between(2, 12))
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), "word")
+        .limit(200)
+    )
+    corpus = words.select(
+        "word", "f", F.expr("split(word, '')").alias("syms")
+    ).select(
+        "word", "f",
+        F.expr("filter(syms, s -> s <> '')").alias("syms"),
+    )
+    out_rows = []
+    for i in range(3):
+        pairs = (
+            corpus.select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (s, i) -> struct(s AS a,"
+                        " element_at(syms, i + 2) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        stats_before = corpus.agg(
+            F.sum(F.expr("size(syms) * f")).alias("n_before")
+        )
+        corpus = corpus.crossJoin(F.broadcast(best)).select(
+            "word", "f", F.expr(_bpe_merge_fold("spark")).alias("syms")
+        )
+        stats_after = corpus.agg(
+            F.sum(F.expr("size(syms) * f")).alias("n_after")
+        )
+        out_rows.append(
+            best.crossJoin(F.broadcast(stats_before))
+            .crossJoin(F.broadcast(stats_after))
+            .select(
+                F.lit(i + 1).cast("int").alias("round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+                F.col("n_before").cast("bigint").alias("symbols_before"),
+                F.col("n_after").cast("bigint").alias("symbols_after"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

@@ -494,3 +494,21 @@ def test_theil_sen_beats_ols_on_contaminated_trend(spark):
     assert r.ts_rel_err_r < 0.4 < r.ols_rel_err_r
     assert r.n_days == 30 and r.n_pairs == r.n_days * (r.n_days - 1) // 2
     assert r.planted_slope >= 1
+
+
+def test_bpe_merges_fire_corpus_wide(spark):
+    rows = _rows(spark, "dp_bpe_merge_learn")
+    assert [r.round for r in rows] == [1, 2, 3]
+    for r in rows:
+        # every learned merge actually contracts the symbol stream;
+        # greedy non-overlap merges at most pair_count times (exactly
+        # pair_count when no occurrences self-overlap, as here)
+        merged_times = r.symbols_before - r.symbols_after
+        assert 0 < merged_times <= r.pair_count
+        assert r.pair_count > 0
+        assert r.merged == r.pair_a + r.pair_b
+    # rounds chain: each round starts where the last ended
+    assert rows[1].symbols_before == rows[0].symbols_after
+    assert rows[2].symbols_before == rows[1].symbols_after
+    # three distinct merges
+    assert len({r.merged for r in rows}) == 3
