@@ -3670,3 +3670,126 @@ def ev_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robust_wins"
         ),
     )
+
+
+@register(
+    "ev_funnel_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+      FROM events GROUP BY user_id),
+    lats AS (
+      SELECT 'view_to_click' AS stage, user_id, c - v AS lat_us
+      FROM firsts WHERE c > v
+      UNION ALL
+      SELECT 'click_to_purchase', user_id, p - c
+      FROM firsts WHERE c > v AND p > c),
+    ranked AS (
+      SELECT stage, lat_us,
+             ROW_NUMBER() OVER (PARTITION BY stage
+                                ORDER BY lat_us, user_id) AS rk,
+             COUNT(*) OVER (PARTITION BY stage) AS n,
+             SUM(lat_us) OVER (PARTITION BY stage) AS s
+      FROM lats)
+    SELECT stage,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(MAX(CASE WHEN rk = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rk = CAST(CEIL(0.9 * n) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p90_us,
+           ROUND(CAST(MAX(s) AS DOUBLE) / n / 3600000000.0, 6)
+             AS mean_hours_r
+    FROM ranked GROUP BY stage, n ORDER BY stage
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for each ordered funnel stage — the question
+    product teams ask right after ev_funnel_counts' HOW MANY: how
+    LONG from first view to first click, and from first click to
+    first purchase (same ordered-funnel semantics: stages must occur
+    in sequence, firsts only). Quantiles are EXACT order statistics
+    at the deterministic ceil(q*n) rank (ties broken by user_id),
+    not an interpolating percentile — integer microseconds in, the
+    identical integer out of both engines; the mean converts to
+    hours as the single rounded float, derived from an exact integer
+    sum.
+
+    Scale shape: the conditional-min groupBy(user_id) is the only
+    data-sized shuffle (the ev_funnel_counts plan); latencies then
+    rank inside 2 stage partitions. At a 1000-executor scale the
+    per-stage window is the bottleneck-by-construction (one
+    partition per stage) — acceptable because the ranked relation is
+    converting-users-sized, already reduced by the funnel filter;
+    beyond that, swap the exact rank for approx_percentile (the
+    a8_percentiles_approx path) — stated trade-off."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("v"),
+        first_ts("click").alias("c"),
+        first_ts("purchase").alias("p"),
+    )
+    v2c = firsts.where(F.col("c") > F.col("v")).select(
+        F.lit("view_to_click").alias("stage"),
+        "user_id",
+        (F.col("c") - F.col("v")).alias("lat_us"),
+    )
+    c2p = firsts.where(
+        (F.col("c") > F.col("v")) & (F.col("p") > F.col("c"))
+    ).select(
+        F.lit("click_to_purchase").alias("stage"),
+        "user_id",
+        (F.col("p") - F.col("c")).alias("lat_us"),
+    )
+    lats = v2c.unionByName(c2p)
+    w_rank = Window.partitionBy("stage").orderBy("lat_us", "user_id")
+    w_stage = Window.partitionBy("stage")
+    ranked = lats.select(
+        "stage",
+        "lat_us",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_stage).alias("n"),
+        F.sum("lat_us").over(w_stage).alias("s"),
+    )
+    return (
+        ranked.groupBy("stage", "n")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("rk = CAST(CEIL(0.5 * n) AS BIGINT)"),
+                    F.col("lat_us"),
+                )
+            )
+            .cast("bigint")
+            .alias("p50_us"),
+            F.max(
+                F.when(
+                    F.expr("rk = CAST(CEIL(0.9 * n) AS BIGINT)"),
+                    F.col("lat_us"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90_us"),
+            F.expr(
+                "ROUND(CAST(MAX(s) AS DOUBLE) / n / 3600000000.0, 6)"
+            ).alias("mean_hours_r"),
+        )
+        .select(
+            "stage",
+            F.col("n").cast("bigint").alias("n_users"),
+            "p50_us",
+            "p90_us",
+            "mean_hours_r",
+        )
+        .orderBy("stage")
+    )

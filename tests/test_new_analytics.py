@@ -512,3 +512,16 @@ def test_bpe_merges_fire_corpus_wide(spark):
     assert rows[2].symbols_before == rows[1].symbols_after
     # three distinct merges
     assert len({r.merged for r in rows}) == 3
+
+
+def test_funnel_latency_stages_ordered(spark):
+    rows = _rows(spark, "ev_funnel_latency")
+    assert [r.stage for r in rows] == ["click_to_purchase", "view_to_click"]
+    d = {r.stage: r for r in rows}
+    fc = _rows(spark, "ev_funnel_counts")[0]
+    # latency population == the funnel's own stage survivors
+    assert d["view_to_click"].n_users == fc.then_clicked
+    assert d["click_to_purchase"].n_users == fc.then_purchased
+    for r in rows:
+        assert 0 < r.p50_us <= r.p90_us
+        assert r.mean_hours_r > 0
