@@ -3793,3 +3793,144 @@ def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "ev_kaplan_meier",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events),
+    gaps AS (
+      SELECT user_id,
+             (LEAD(ts_us) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id)
+              - ts_us) // 3600000000 AS h,
+             CASE WHEN LEAD(ts_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id) IS NULL
+                  THEN 0 ELSE 1 END AS observed,
+             ts_us
+      FROM base),
+    spells AS (
+      SELECT CASE WHEN observed = 1 THEN h
+                  ELSE ((SELECT MAX(ts_us) FROM base) - ts_us)
+                       // 3600000000 END AS h,
+             observed
+      FROM gaps),
+    per_h AS (
+      SELECT h, SUM(observed) AS d, SUM(1 - observed) AS c
+      FROM spells GROUP BY h),
+    cum AS (
+      SELECT h, d, c,
+             (SELECT COUNT(*) FROM spells)
+             - COALESCE(SUM(d + c) OVER (ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_h),
+    fa AS (
+      SELECT h, d, c,
+             CASE WHEN d > 0 THEN 1.0 - CAST(d AS DOUBLE) / n_risk
+                  ELSE CAST(1 AS DOUBLE) END AS f
+      FROM cum),
+    grid AS (SELECT UNNEST([1, 4, 12, 24, 48]) AS g),
+    agg AS (
+      SELECT g, list(f ORDER BY h) AS fs,
+             SUM(d) AS de, SUM(c) AS ce
+      FROM grid JOIN fa ON fa.h <= grid.g GROUP BY g)
+    SELECT CAST(g AS INT) AS h_grid,
+           ROUND(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs),
+                             (a, x) -> a * x), 6) AS surv_r,
+           CAST(de AS BIGINT) AS n_events_le,
+           CAST(ce AS BIGINT) AS n_censored_le
+    FROM agg ORDER BY g
+    """,
+    tags=("events", "survival", "kaplan-meier", "censoring"),
+)
+def ev_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of the inter-event gap WITH right
+    censoring — the estimator ev_gap_survival (naive empirical curve
+    over completed gaps only) deliberately is not: each user's final
+    open-ended wait (last event -> end of observation window) enters
+    as a CENSORED spell that keeps the subject in the risk set until
+    its censor hour, removing the survivorship bias that makes the
+    naive curve too pessimistic at the tail. S(t) = prod over event
+    hours h <= t of (1 - d_h / n_h), with n_h the classic
+    left-continuous risk set (total spells minus everything resolved
+    strictly before h).
+
+    The product folds over the hour-ordered factor array (non-event
+    hours contribute an exact 1.0), so both engines multiply the
+    identical float sequence — the ev_holt_forecast fold discipline
+    applied to a survival curve. Counts d/c/n are exact integers.
+
+    Scale shape: per-user LEAD window (bounded state) -> per-hour
+    groupBy (the only data-sized shuffle, cardinality = distinct
+    gap hours, ~100) -> everything after runs on the hour-sized
+    relation; the 5-point grid join fans over it broadcast-style."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    we = int(ev.agg(F.max("ts_us").alias("m")).first()["m"])
+    gaps = ev.select(
+        "user_id",
+        "ts_us",
+        ((F.lead("ts_us").over(w_user) - F.col("ts_us")) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+        F.when(F.lead("ts_us").over(w_user).isNull(), 0)
+        .otherwise(1)
+        .alias("observed"),
+    )
+    spells = gaps.select(
+        F.when(F.col("observed") == 1, F.col("h"))
+        .otherwise(((F.lit(we) - F.col("ts_us")) / 3_600_000_000).cast("long"))
+        .alias("h"),
+        "observed",
+    )
+    per_h = spells.groupBy("h").agg(
+        F.sum("observed").alias("d"),
+        F.sum(1 - F.col("observed")).alias("c"),
+    )
+    w_cum = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_h.select(
+        "h", "d", "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    fa = cum.select(
+        "h", "d", "c",
+        F.expr(
+            "CASE WHEN d > 0 THEN 1.0 - CAST(d AS DOUBLE) / n_risk"
+            " ELSE CAST(1 AS DOUBLE) END"
+        ).alias("f"),
+    )
+    grid = spark.createDataFrame([(g,) for g in (1, 4, 12, 24, 48)], "g int")
+    agg = (
+        F.broadcast(grid)
+        .join(fa, fa["h"] <= grid["g"])
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(h, f))),"
+                " s -> s.f)"
+            ).alias("fs"),
+            F.sum("d").alias("de"),
+            F.sum("c").alias("ce"),
+        )
+    )
+    return agg.select(
+        F.col("g").cast("int").alias("h_grid"),
+        F.expr(
+            "ROUND(aggregate(fs, CAST(1 AS DOUBLE), (a, x) -> a * x), 6)"
+        ).alias("surv_r"),
+        F.col("de").cast("bigint").alias("n_events_le"),
+        F.col("ce").cast("bigint").alias("n_censored_le"),
+    ).orderBy("h_grid")

@@ -525,3 +525,18 @@ def test_funnel_latency_stages_ordered(spark):
     for r in rows:
         assert 0 < r.p50_us <= r.p90_us
         assert r.mean_hours_r > 0
+
+
+def test_kaplan_meier_censoring_aware_curve(spark):
+    rows = _rows(spark, "ev_kaplan_meier")
+    assert [r.h_grid for r in rows] == [1, 4, 12, 24, 48]
+    survs = [r.surv_r for r in rows]
+    # a survival curve: monotone non-increasing, strictly interior
+    assert all(0.0 < s < 1.0 for s in survs)
+    assert survs == sorted(survs, reverse=True)
+    assert survs[0] > survs[-1]  # genuinely decays over the grid
+    # censored spells (one per user) are actually in the risk math
+    assert rows[-1].n_censored_le >= 1
+    # event mass accumulates along the grid
+    des = [r.n_events_le for r in rows]
+    assert des == sorted(des) and des[0] > 0
