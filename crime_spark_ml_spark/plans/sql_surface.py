@@ -690,3 +690,33 @@ def sql_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY type_lc
         """
     )
+
+
+_GROUP_BY_ALL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_totalprice > 1000
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GROUP_BY_ALL, tags=("sql", "modern"))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL — the modern analyst-SQL sugar
+    (DuckDB pioneered it; Spark supports both since 3.4/4.0): every
+    non-aggregate select item becomes a grouping key, and the result
+    orders by the full select list left-to-right. One identical SQL
+    text runs through both parsers, pinning that the two engines
+    RESOLVE the sugar identically (keys o_orderstatus +
+    o_orderpriority; ordering status, priority, n, revenue) — a
+    resolution-rule check, not just an execution check.
+
+    ORDER BY ALL includes the aggregates in the sort key, which is
+    what makes the row order well-defined here (the two key columns
+    alone are already unique per group, so the extra keys are inert
+    but must PARSE the same way)."""
+    return _sql(spark, sf_dir, _GROUP_BY_ALL, ("orders",))

@@ -540,3 +540,15 @@ def test_kaplan_meier_censoring_aware_curve(spark):
     # event mass accumulates along the grid
     des = [r.n_events_le for r in rows]
     assert des == sorted(des) and des[0] > 0
+
+
+def test_group_by_all_resolves_both_keys(spark):
+    rows = _rows(spark, "sql_group_by_all")
+    # GROUP BY ALL must pick up BOTH non-aggregate columns
+    assert len({(r.o_orderstatus, r.o_orderpriority) for r in rows}) == len(rows)
+    assert len({r.o_orderstatus for r in rows}) > 1
+    assert len({r.o_orderpriority for r in rows}) > 1
+    # ORDER BY ALL: left-to-right by the select list
+    keys = [(r.o_orderstatus, r.o_orderpriority) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.n_orders > 0 and r.revenue > 0 for r in rows)
