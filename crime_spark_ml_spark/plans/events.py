@@ -3934,3 +3934,122 @@ def ev_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("de").cast("bigint").alias("n_events_le"),
         F.col("ce").cast("bigint").alias("n_censored_le"),
     ).orderBy("h_grid")
+
+
+# U-shape credit in basis points — identical CASE text both engines.
+# n = touches in the window, rk = 1-based position by time.
+_USHAPE_CREDIT = """CASE
+  WHEN n = 1 THEN 10000
+  WHEN n = 2 AND rk = 1 THEN 5000
+  WHEN n = 2 AND rk = 2 THEN 5000
+  WHEN rk = 1 THEN 4000
+  WHEN rk = n THEN 4000 + 2000 % (n - 2)
+  ELSE 2000 {div} (n - 2) END"""
+
+
+@register(
+    "ev_attribution_ushape",
+    oracle=f"""
+    WITH c AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS c_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_us, c.event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us),
+    credited AS (
+      SELECT purchase_id, rk, n,
+             {_USHAPE_CREDIT.format(div="//")} AS credit_bp,
+             CASE WHEN n = 1 THEN 'only'
+                  WHEN rk = 1 THEN 'first'
+                  WHEN rk = n THEN 'last'
+                  ELSE 'middle' END AS position_class
+      FROM j),
+    totals AS (
+      SELECT CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purch
+      FROM credited)
+    SELECT position_class,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_bp) AS BIGINT) AS credit_bp_total,
+           ROUND(CAST(SUM(credit_bp) AS DOUBLE)
+                 / (10000.0 * (SELECT n_purch FROM totals)), 6)
+             AS credit_share_r
+    FROM credited GROUP BY position_class ORDER BY position_class
+    """,
+    tags=("events", "attribution", "ushape"),
+)
+def ev_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shape / 40-20-40) multi-touch attribution —
+    the model marketers deploy between the two extremes the engine
+    already has (ev_first_touch_attribution, ev_asof_last_purchase's
+    last-touch): every click in the 30 minutes before a purchase
+    shares that purchase's credit, 40% to the first touch, 40% to
+    the last, 20% split across the middle. Credit is integer BASIS
+    POINTS with the split remainder (2000 % (n-2)) assigned to the
+    last touch — stated tie policy, so each purchase's credit sums
+    to exactly 10000 and the grand total to 10000 x purchases, which
+    the credit_share_r column re-derives and the vacuity guard pins
+    to 1.0.
+
+    Scale shape: the purchase-click window join is the
+    ev_first_touch_attribution range-join shape (user-keyed equi
+    component + time band), then per-purchase windows (bounded by
+    clicks-in-30-min) and a 4-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"),
+        F.col("ts_us").alias("c_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - 1_800_000_000)
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    w_rank = Window.partitionBy("purchase_id").orderBy("c_ts", "c_id")
+    w_n = Window.partitionBy("purchase_id")
+    credited = j.select(
+        "purchase_id",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_n).alias("n"),
+    ).select(
+        "purchase_id", "rk", "n",
+        F.expr(_USHAPE_CREDIT.format(div="DIV")).alias("credit_bp"),
+        F.expr(
+            "CASE WHEN n = 1 THEN 'only' WHEN rk = 1 THEN 'first'"
+            " WHEN rk = n THEN 'last' ELSE 'middle' END"
+        ).alias("position_class"),
+    )
+    totals = credited.agg(
+        F.countDistinct("purchase_id").cast("bigint").alias("n_purch")
+    )
+    return (
+        credited.groupBy("position_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("credit_bp").cast("bigint").alias("credit_bp_total"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "position_class",
+            "n_touches",
+            "credit_bp_total",
+            F.expr(
+                "ROUND(CAST(credit_bp_total AS DOUBLE)"
+                " / (10000.0 * n_purch), 6)"
+            ).alias("credit_share_r"),
+        )
+        .orderBy("position_class")
+    )

@@ -552,3 +552,17 @@ def test_group_by_all_resolves_both_keys(spark):
     keys = [(r.o_orderstatus, r.o_orderpriority) for r in rows]
     assert keys == sorted(keys)
     assert all(r.n_orders > 0 and r.revenue > 0 for r in rows)
+
+
+def test_ushape_credit_conserved(spark):
+    rows = _rows(spark, "ev_attribution_ushape")
+    classes = {r.position_class for r in rows}
+    assert "only" in classes  # single-touch purchases exist
+    # credit is exactly conserved: shares sum to 1.0 (integer bp math)
+    assert abs(sum(r.credit_share_r for r in rows) - 1.0) < 1e-9
+    total_bp = sum(r.credit_bp_total for r in rows)
+    assert total_bp % 10000 == 0 and total_bp > 0
+    # multi-touch windows exist too (first/last classes populated)
+    if "first" in classes:
+        d = {r.position_class: r for r in rows}
+        assert d["first"].n_touches == d["last"].n_touches

@@ -63,6 +63,7 @@ BNLJ_ALLOWED = {
     "ev_theil_sen_trend": "day-sized (~30 row) all-pairs slope self-join plus the one-row OLS aggregate",
     "dp_bpe_merge_learn": "one-row argmax-pair and one-row symbol-count relations fanned over the <=200-type vocabulary each round",
     "ev_kaplan_meier": "5-row survival grid range-joined onto the ~100-row per-hour factor relation",
+    "ev_attribution_ushape": "one-row distinct-purchase total fanned over the 4 position-class rows",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
