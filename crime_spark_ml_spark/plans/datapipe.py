@@ -9294,3 +9294,113 @@ def dp_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("round")
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Greedy k-center (maxmin / Gonzalez) unrolled to k-1 selection
+    rounds as chained CTEs; cosine distance via the shared
+    bit-matched list_dot_product twin."""
+    cos = cosine_sql("e.embedding", "s.embedding")
+    ctes = [
+        "sel1 AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))"
+    ]
+    picks = [
+        "SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS maxmin_dist_r"
+        " FROM sel1"
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""mind{r} AS (
+      SELECT e.vec_id, MIN(1.0 - {cos}) AS md
+      FROM embeddings e CROSS JOIN sel{r} s GROUP BY e.vec_id),
+    best{r} AS (
+      SELECT vec_id, md FROM mind{r} ORDER BY md DESC, vec_id LIMIT 1),
+    sel{r + 1} AS (
+      SELECT vec_id, embedding FROM sel{r}
+      UNION ALL
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      WHERE e.vec_id = (SELECT vec_id FROM best{r}))"""
+        )
+        picks.append(
+            f"SELECT {r + 1} AS round, vec_id, ROUND(md, 6) AS"
+            f" maxmin_dist_r FROM best{r}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(picks)
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "dp_coreset_kcenter",
+    oracle=_kcenter_oracle(5),
+    tags=("datapipe", "coreset", "data-selection", "kcenter"),
+)
+def dp_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez maxmin) coreset selection over the
+    embedding corpus — the pure-COVERAGE data-selection primitive
+    that complements dp_mmr_diversify (relevance-diversity reranking)
+    and dp_stratified_sample (metadata balance): each round picks the
+    point FARTHEST from everything already selected (cosine
+    distance), the classic 2-approximation whose selection radii are
+    the coverage certificate. Seeded at MIN(vec_id) — stated, so the
+    whole trajectory is deterministic (ties by vec_id).
+
+    Fully lazy like dp_bpe_merge_learn: each round's argmax is a
+    one-row relation, the growing selected set stays a <=5-row
+    broadcast, and each round costs exactly one corpus pass (k
+    passes total — the honest distributed k-center; nothing
+    quadratic materializes). Cosine arithmetic is the bit-matched
+    zip_with/aggregate double path (functions/vectors.py).
+
+    The hashed result pins the selected ids AND the non-increasing
+    maxmin radius sequence — the greedy invariant (each new pick
+    can only shrink the farthest distance) that the vacuity guard
+    also asserts structurally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    seed_id = corpus.agg(F.min("vec_id")).first()[0]
+    sel = corpus.where(F.col("vec_id") == seed_id).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+    )
+    out = [
+        corpus.where(F.col("vec_id") == seed_id).select(
+            F.lit(1).cast("int").alias("round"),
+            "vec_id",
+            F.lit(None).cast("double").alias("maxmin_dist_r"),
+        )
+    ]
+    k = 5
+    for r in range(1, k):
+        dists = corpus.crossJoin(F.broadcast(sel)).select(
+            "vec_id",
+            (F.lit(1.0) - cosine_col("embedding", "s_emb")).alias("d"),
+        )
+        best = (
+            dists.groupBy("vec_id")
+            .agg(F.min("d").alias("md"))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+        )
+        out.append(
+            best.select(
+                F.lit(r + 1).cast("int").alias("round"),
+                "vec_id",
+                F.round("md", 6).alias("maxmin_dist_r"),
+            )
+        )
+        sel = sel.unionByName(
+            corpus.join(
+                F.broadcast(best.select(F.col("vec_id").alias("b_id"))),
+                F.col("vec_id") == F.col("b_id"),
+            ).select(
+                F.col("vec_id").alias("s_id"),
+                F.col("embedding").alias("s_emb"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")

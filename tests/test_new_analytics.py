@@ -566,3 +566,15 @@ def test_ushape_credit_conserved(spark):
     if "first" in classes:
         d = {r.position_class: r for r in rows}
         assert d["first"].n_touches == d["last"].n_touches
+
+
+def test_kcenter_radii_non_increasing_and_distinct(spark):
+    rows = _rows(spark, "dp_coreset_kcenter")
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0].maxmin_dist_r is None  # the stated min-vec_id seed
+    radii = [r.maxmin_dist_r for r in rows[1:]]
+    # greedy invariant: each pick can only shrink the farthest distance
+    assert radii == sorted(radii, reverse=True)
+    assert all(d > 0 for d in radii)
+    # five genuinely distinct centers
+    assert len({r.vec_id for r in rows}) == 5
