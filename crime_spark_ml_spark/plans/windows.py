@@ -473,3 +473,82 @@ def j_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_orders"))
         .orderBy(F.col("prior_status").asc_nulls_first(), "cur_status")
     )
+
+
+@register(
+    "w_session_window_native",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    gaps AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    >= 600000000 THEN 1
+                  WHEN LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    IS NULL THEN 1
+                  ELSE 0 END AS ns
+      FROM base),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps),
+    per_sess AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             MAX(ts_us) - MIN(ts_us) + 600000000 AS dur_us
+      FROM sess GROUP BY user_id, sid)
+    SELECT CAST(n_events AS BIGINT) AS session_size,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(dur_us / 1000000.0), 6) AS avg_dur_secs_r
+    FROM per_sess GROUP BY n_events ORDER BY session_size
+    """,
+    tags=("window", "session", "native-operator"),
+)
+def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator in a batch plan, pinned
+    against a first-principles gaps-and-islands oracle — the parity
+    that proves the built-in's semantics are exactly the documented
+    ones: a session extends while the next event arrives strictly
+    within the gap of the previous event (an event at exactly
+    prev + gap starts a NEW session — window ends are exclusive),
+    and window.end - window.start = last - first + gap. The result
+    is the session-SIZE histogram with average session duration per
+    size, so every session contributes to the hash.
+
+    This complements ev_sessionize (hand-rolled islands, per-session
+    rows) and stream_session_window (the streaming stateful form):
+    same semantics, three execution strategies, one oracle family.
+
+    avg over the double dur seconds is a plain AVG — engine-order-
+    dependent in principle, but every dur_us / 1e6 here is exact to
+    well under 1e-6 (microsecond integers), and the ROUND(6) band
+    absorbs summation-order ULPs on groups this small; measured
+    stable across both engines at all three scales.
+
+    Scale shape: session_window is a single user-keyed shuffle with
+    bounded per-key state (Spark's own operator); the histogram is a
+    second bounded groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    per_sess = ev.groupBy(
+        "user_id", F.session_window("ts", "10 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        per_sess.select(
+            "n_events",
+            F.expr(
+                "timestampdiff(MICROSECOND, w.start, w.end)"
+            ).alias("dur_us"),
+        )
+        .groupBy(F.col("n_events").cast("bigint").alias("session_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.round(F.avg(F.col("dur_us") / 1_000_000.0), 6).alias(
+                "avg_dur_secs_r"
+            ),
+        )
+        .orderBy("session_size")
+    )

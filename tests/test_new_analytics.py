@@ -578,3 +578,16 @@ def test_kcenter_radii_non_increasing_and_distinct(spark):
     assert all(d > 0 for d in radii)
     # five genuinely distinct centers
     assert len({r.vec_id for r in rows}) == 5
+
+
+def test_native_session_window_histogram(spark):
+    rows = _rows(spark, "w_session_window_native")
+    assert len(rows) >= 2  # singleton and multi-event sessions both occur
+    sizes = [r.session_size for r in rows]
+    assert sizes == sorted(sizes) and sizes[0] == 1
+    # gap semantics: every session lasts at least the 600s gap, and
+    # singletons last EXACTLY the gap (end = last event + gap)
+    d = {r.session_size: r for r in rows}
+    assert d[1].avg_dur_secs_r == 600.0
+    assert all(r.avg_dur_secs_r >= 600.0 for r in rows)
+    assert all(r.n_sessions > 0 for r in rows)
