@@ -4053,3 +4053,148 @@ def ev_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position_class")
     )
+
+
+# planted placement + thinning — identical text both engines
+_COEC_POS = "CASE WHEN k % 15 < 5 THEN k % 3 + 1 ELSE k % 10 + 1 END"
+_COEC_CLICK = f"CASE WHEN (event_id % 10) + 1 > {_COEC_POS} THEN 1 ELSE 0 END"
+
+
+@register(
+    "ev_position_bias_coec",
+    oracle=f"""
+    WITH imp AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, event_id
+      FROM events WHERE event_type = 'view'),
+    placed AS (
+      SELECT k % 15 AS item, {_COEC_POS} AS pos, {_COEC_CLICK} AS clicked
+      FROM imp),
+    cell AS (
+      SELECT item, pos, COUNT(*) AS n, SUM(clicked) AS c
+      FROM placed GROUP BY item, pos),
+    prior AS (
+      SELECT pos, SUM(n) AS v, SUM(c) AS pc,
+             CAST(SUM(c) AS DOUBLE) / SUM(n) AS ctr_p
+      FROM cell GROUP BY pos),
+    pooled AS (
+      SELECT CAST(SUM(pc) AS DOUBLE) / SUM(v) AS ctr_all FROM prior),
+    per_item AS (
+      SELECT item, SUM(n) AS views, SUM(c) AS clicks,
+             list(n * ctr_p ORDER BY pos) AS terms
+      FROM cell JOIN prior USING (pos) GROUP BY item),
+    scored AS (
+      SELECT item, views, clicks,
+             CAST(clicks AS DOUBLE) / views / ctr_all AS norm_ctr,
+             CAST(clicks AS DOUBLE)
+               / list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+                             (a, x) -> a + x) AS coec
+      FROM per_item, pooled),
+    gmeans AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(ABS(coec - 1.0) ORDER BY item)), (a, x) -> a + x)
+               / COUNT(*) AS mad_coec,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(ABS(norm_ctr - 1.0) ORDER BY item)), (a, x) -> a + x)
+               / COUNT(*) AS mad_norm
+      FROM scored)
+    SELECT CAST(item AS BIGINT) AS item,
+           CAST(views AS BIGINT) AS views,
+           CAST(clicks AS BIGINT) AS clicks,
+           ROUND(norm_ctr, 6) AS norm_ctr_r,
+           ROUND(coec, 6) AS coec_r,
+           ROUND(mad_coec, 6) AS mad_coec_r,
+           ROUND(mad_norm, 6) AS mad_norm_r,
+           mad_coec < mad_norm AS debias_wins
+    FROM scored, gmeans ORDER BY item
+    """,
+    tags=("events", "ranking", "position-bias", "coec"),
+)
+def ev_position_bias_coec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COEC (clicks over expected clicks) position-bias correction —
+    the standard search/ads debiasing estimator: a click is worth
+    more at a bad position than a good one, so each item's clicks
+    are normalized by the sum of the POSITION PRIOR (global CTR per
+    position) over its impressions rather than by raw impression
+    count. The fixture plants both halves of the phenomenon
+    deterministically: click propensity decays linearly with
+    position ((event_id % 10) + 1 > pos thinning), and items 0-4 get
+    PREMIUM placement (positions 1-3 only) — so their raw normalized
+    CTR inflates to ~1.44 while COEC pulls every item back toward
+    1.0 (measured mean |coec - 1|: 0.17 / 0.05 / 0.01 across scales
+    vs ~0.34 for normalized CTR). debias_wins pins that aggregate
+    comparison inside the hashed result.
+
+    Every float sum folds in a pinned order (terms by pos, item
+    deviations by item — the dp_psi_drift discipline); counts and
+    the thinning are exact integers off one impression scan.
+
+    Scale shape: one scan -> (item, pos) groupBy (the only
+    data-sized shuffle, <= 150 cells) -> 10-row prior join ->
+    item-sized folds."""
+    ev = load_table(spark, sf_dir, "events")
+    imp = ev.where(F.col("event_type") == "view").select(
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+        "event_id",
+    )
+    placed = imp.select(
+        F.expr("k % 15").alias("item"),
+        F.expr(_COEC_POS).alias("pos"),
+        F.expr(_COEC_CLICK).alias("clicked"),
+    )
+    cell = placed.groupBy("item", "pos").agg(
+        F.count("*").alias("n"), F.sum("clicked").alias("c")
+    )
+    prior = cell.groupBy("pos").agg(
+        F.sum("n").alias("v"),
+        F.sum("c").alias("pc"),
+        F.expr("CAST(SUM(c) AS DOUBLE) / SUM(n)").alias("ctr_p"),
+    )
+    pooled = prior.agg(
+        F.expr("CAST(SUM(pc) AS DOUBLE) / SUM(v)").alias("ctr_all")
+    )
+    per_item = (
+        cell.join(F.broadcast(prior.select("pos", "ctr_p")), "pos")
+        .groupBy("item")
+        .agg(
+            F.sum("n").alias("views"),
+            F.sum("c").alias("clicks"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos,"
+                " n * ctr_p AS t))), s -> s.t)"
+            ).alias("terms"),
+        )
+    )
+    scored = per_item.crossJoin(F.broadcast(pooled)).select(
+        "item", "views", "clicks",
+        F.expr("CAST(clicks AS DOUBLE) / views / ctr_all").alias("norm_ctr"),
+        F.expr(
+            "CAST(clicks AS DOUBLE)"
+            " / aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("coec"),
+    )
+    gmeans = scored.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(item,"
+            " ABS(coec - 1.0) AS t))), s -> s.t), CAST(0 AS DOUBLE),"
+            " (a, x) -> a + x) / COUNT(*)"
+        ).alias("mad_coec"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(item,"
+            " ABS(norm_ctr - 1.0) AS t))), s -> s.t), CAST(0 AS DOUBLE),"
+            " (a, x) -> a + x) / COUNT(*)"
+        ).alias("mad_norm"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(gmeans))
+        .select(
+            F.col("item").cast("bigint").alias("item"),
+            F.col("views").cast("bigint").alias("views"),
+            F.col("clicks").cast("bigint").alias("clicks"),
+            F.round("norm_ctr", 6).alias("norm_ctr_r"),
+            F.round("coec", 6).alias("coec_r"),
+            F.round("mad_coec", 6).alias("mad_coec_r"),
+            F.round("mad_norm", 6).alias("mad_norm_r"),
+            (F.col("mad_coec") < F.col("mad_norm")).alias("debias_wins"),
+        )
+        .orderBy("item")
+    )

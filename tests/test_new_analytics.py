@@ -591,3 +591,16 @@ def test_native_session_window_histogram(spark):
     assert d[1].avg_dur_secs_r == 600.0
     assert all(r.avg_dur_secs_r >= 600.0 for r in rows)
     assert all(r.n_sessions > 0 for r in rows)
+
+
+def test_coec_debiases_premium_placement(spark):
+    rows = _rows(spark, "ev_position_bias_coec")
+    assert len(rows) == 15
+    assert all(r.debias_wins for r in rows)
+    assert rows[0].mad_coec_r < rows[0].mad_norm_r
+    # premium items (0-4, positions 1-3 only) carry inflated raw CTR
+    prem = [r.norm_ctr_r for r in rows[:5]]
+    rest = [r.norm_ctr_r for r in rows[5:]]
+    assert min(prem) > max(0.0, sum(rest) / len(rest) * 0.9)
+    assert sum(prem) / 5 > sum(rest) / 10
+    assert all(r.views > 0 and 0 <= r.clicks <= r.views for r in rows)

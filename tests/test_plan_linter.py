@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "ev_kaplan_meier": "5-row survival grid range-joined onto the ~100-row per-hour factor relation",
     "ev_attribution_ushape": "one-row distinct-purchase total fanned over the 4 position-class rows",
     "dp_coreset_kcenter": "<=5-row selected set broadcast over the corpus each greedy round (Gonzalez k-center)",
+    "ev_position_bias_coec": "one-row pooled CTR and one-row deviation means fanned over the 15 item rows",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
