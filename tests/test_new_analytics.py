@@ -604,3 +604,13 @@ def test_coec_debiases_premium_placement(spark):
     assert min(prem) > max(0.0, sum(rest) / len(rest) * 0.9)
     assert sum(prem) / 5 > sum(rest) / 10
     assert all(r.views > 0 and 0 <= r.clicks <= r.views for r in rows)
+
+
+def test_secret_scan_exact_planted_recall(spark):
+    rows = _rows(spark, "dp_secret_scan")
+    assert [r.secret_type for r in rows] == [
+        "aws_access_key", "bearer_token", "private_key_pem",
+    ]
+    for r in rows:
+        assert r.exact_recall and r.n_flagged == r.planted_expected
+        assert 0 < r.n_flagged < r.n_docs  # detectors discriminate
