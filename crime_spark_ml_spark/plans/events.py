@@ -4198,3 +4198,74 @@ def ev_position_bias_coec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+@register(
+    "ev_dau_wau_stickiness",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM base),
+    dau AS (SELECT day, COUNT(*) AS dau FROM base GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT b.user_id) AS wau
+      FROM days d JOIN base b ON b.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT CAST(dau.day AS BIGINT) AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness_r
+    FROM dau JOIN wau ON dau.day = wau.day
+    WHERE dau.day >= (SELECT MIN(day) + 6 FROM days)
+    ORDER BY day
+    """,
+    tags=("events", "engagement", "stickiness"),
+)
+def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the product-engagement ratio (what share
+    of the week's actives came back today) that sits on top of
+    ev_rolling_distinct_users' raw curve: daily actives over
+    trailing-7-day actives, reported only for days with a full
+    trailing week (the warm-up is truncated, stated semantics).
+
+    The WAU side is the honest distributed form: the day grid
+    (bounded, ~30 rows) range-joins the distinct (user, day)
+    relation and counts distinct users per window — no per-day
+    re-scan, no quadratic blow-up (each (user, day) lands in <= 7
+    windows). At a 1000-executor scale the distinct-user rollup is
+    the only data-sized shuffle; everything else is day-sized.
+
+    Stickiness on this fixture sits near 1.0 x (users are daily-
+    active Poisson), so the pin is structural: DAU <= WAU always,
+    ratio in (0, 1]."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
+    ).distinct()
+    days = base.select("day").distinct()
+    dau = base.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        F.broadcast(days.select(F.col("day").alias("d")))
+        .join(
+            base,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    min_day = int(days.agg(F.min("day")).first()[0])
+    return (
+        dau.join(wau, dau["day"] == wau["d"])
+        .where(F.col("day") >= min_day + 6)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.expr("ROUND(CAST(dau AS DOUBLE) / wau, 6)").alias(
+                "stickiness_r"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -614,3 +614,13 @@ def test_secret_scan_exact_planted_recall(spark):
     for r in rows:
         assert r.exact_recall and r.n_flagged == r.planted_expected
         assert 0 < r.n_flagged < r.n_docs  # detectors discriminate
+
+
+def test_stickiness_bounded_and_warm(spark):
+    rows = _rows(spark, "ev_dau_wau_stickiness")
+    assert len(rows) == 24  # 30 fixture days minus the 6-day warm-up
+    for r in rows:
+        assert 0 < r.dau <= r.wau
+        assert 0.0 < r.stickiness_r <= 1.0
+    days = [r.day for r in rows]
+    assert days == sorted(days) and days[-1] - days[0] == 23

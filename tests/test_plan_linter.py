@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "ev_attribution_ushape": "one-row distinct-purchase total fanned over the 4 position-class rows",
     "dp_coreset_kcenter": "<=5-row selected set broadcast over the corpus each greedy round (Gonzalez k-center)",
     "ev_position_bias_coec": "one-row pooled CTR and one-row deviation means fanned over the 15 item rows",
+    "ev_dau_wau_stickiness": "day-grid (~30 rows) trailing-window range-join onto the distinct (user, day) relation",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
