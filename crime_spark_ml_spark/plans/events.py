@@ -4269,3 +4269,100 @@ def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev_slo_burn_rate",
+    oracle="""
+    WITH base0 AS (
+      SELECT event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             event_type
+      FROM events),
+    lo AS (SELECT MIN(day) AS lo FROM base0),
+    base AS (
+      SELECT day - (SELECT lo FROM lo) AS d,
+             CASE WHEN event_type = 'error'
+                       OR (day - (SELECT lo FROM lo) = 17
+                           AND event_id % 4 != 3)
+                  THEN 1 ELSE 0 END AS err
+      FROM base0),
+    daily AS (SELECT d, SUM(err) AS e, COUNT(*) AS n FROM base GROUP BY d),
+    weekly AS (
+      SELECT d // 7 AS w, SUM(e) AS e, SUM(n) AS n FROM daily GROUP BY 1)
+    SELECT CAST(daily.d AS BIGINT) AS d,
+           CAST(daily.e AS BIGINT) AS day_errors,
+           CAST(daily.n AS BIGINT) AS day_events,
+           ROUND(CAST(daily.e AS DOUBLE) / daily.n / 0.25, 6)
+             AS day_burn_r,
+           ROUND(CAST(weekly.e AS DOUBLE) / weekly.n / 0.25, 6)
+             AS week_burn_r,
+           CAST(daily.e AS DOUBLE) / daily.n / 0.25 > 2.0
+             AND CAST(weekly.e AS DOUBLE) / weekly.n / 0.25 > 1.0
+             AS alert
+    FROM daily JOIN weekly ON daily.d // 7 = weekly.w
+    ORDER BY d
+    """,
+    tags=("events", "slo", "burn-rate", "monitoring"),
+)
+def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting — the SRE-handbook pager
+    rule: page only when BOTH a fast window (here: day) and a slow
+    window (its week) burn error budget too fast, so a brief blip
+    (fast high, slow fine) and a slowly simmering drift (slow high,
+    fast fine) page differently from a genuine incident. Budget is
+    25% errors; burn = observed rate / budget; the alert predicate
+    is day-burn > 2 AND week-burn > 1.
+
+    The incident is planted scale-proportionally (day 17: even
+    3-of-4 ids become errors, lifting that day to ~80% -> day burn
+    ~3.2, its week to ~28% -> week burn ~1.13 at every scale), and
+    the no-alert days exercise both rejection branches: normal days
+    have day burn ~0.8, and day 17's NEIGHBORS in week 2 show the
+    drift shape (week burn > 1, day burn < 2 -> no page). Measured:
+    exactly one alerting day (the incident) at all three scales,
+    pinned by the hashed booleans.
+
+    Scale shape: one scan -> per-day groupBy (the only data-sized
+    shuffle) -> week rollup and join on the ~30-row day relation."""
+    ev = load_table(spark, sf_dir, "events")
+    base0 = ev.select(
+        "event_id", F.expr("ts_us DIV 86400000000").alias("day"),
+        "event_type",
+    )
+    lo = int(base0.agg(F.min("day")).first()[0])
+    base = base0.select(
+        (F.col("day") - lo).alias("d"),
+        F.when(
+            (F.col("event_type") == "error")
+            | ((F.col("day") - lo == 17) & (F.col("event_id") % 4 != 3)),
+            1,
+        )
+        .otherwise(0)
+        .alias("err"),
+    )
+    daily = base.groupBy("d").agg(
+        F.sum("err").alias("e"), F.count("*").alias("n")
+    )
+    weekly = daily.groupBy(F.expr("d DIV 7").alias("w")).agg(
+        F.sum("e").alias("we"), F.sum("n").alias("wn")
+    )
+    return (
+        daily.join(weekly, F.expr("d DIV 7") == F.col("w"))
+        .select(
+            F.col("d").cast("bigint").alias("d"),
+            F.col("e").cast("bigint").alias("day_errors"),
+            F.col("n").cast("bigint").alias("day_events"),
+            F.expr("ROUND(CAST(e AS DOUBLE) / n / 0.25, 6)").alias(
+                "day_burn_r"
+            ),
+            F.expr("ROUND(CAST(we AS DOUBLE) / wn / 0.25, 6)").alias(
+                "week_burn_r"
+            ),
+            F.expr(
+                "CAST(e AS DOUBLE) / n / 0.25 > 2.0"
+                " AND CAST(we AS DOUBLE) / wn / 0.25 > 1.0"
+            ).alias("alert"),
+        )
+        .orderBy("d")
+    )

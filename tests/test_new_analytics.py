@@ -624,3 +624,17 @@ def test_stickiness_bounded_and_warm(spark):
         assert 0.0 < r.stickiness_r <= 1.0
     days = [r.day for r in rows]
     assert days == sorted(days) and days[-1] - days[0] == 23
+
+
+def test_burn_rate_pages_exactly_the_incident(spark):
+    rows = _rows(spark, "ev_slo_burn_rate")
+    assert len(rows) == 30
+    alerts = [r for r in rows if r.alert]
+    assert len(alerts) == 1 and alerts[0].d == 17  # the planted day
+    assert alerts[0].day_burn_r > 2.0 and alerts[0].week_burn_r > 1.0
+    # the drift branch genuinely occurs: same week, day burn below 2
+    week2 = [r for r in rows if r.d // 7 == 2 and r.d != 17]
+    assert any(r.week_burn_r > 1.0 and r.day_burn_r <= 2.0 for r in week2)
+    # normal days burn under budget pace
+    normal = [r for r in rows if r.d // 7 != 2]
+    assert all(r.day_burn_r < 1.5 for r in normal)
