@@ -4366,3 +4366,109 @@ def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "ev_bot_regularity",
+    oracle="""
+    WITH real_ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events),
+    start AS (SELECT MIN(ts_us) AS t0 FROM real_ev),
+    bot AS (
+      SELECT CAST(-1 AS BIGINT) AS user_id,
+             (SELECT t0 FROM start) + i * 60000000 AS ts_us,
+             CAST(-i AS BIGINT) AS event_id
+      FROM (SELECT UNNEST(generate_series(1, 60)) AS i)),
+    allev AS (
+      SELECT * FROM real_ev UNION ALL SELECT * FROM bot),
+    gaps AS (
+      SELECT user_id,
+             (ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id))
+             // 1000000 AS g
+      FROM allev),
+    stats AS (
+      SELECT user_id, COUNT(g) AS n, SUM(g) AS s, SUM(g * g) AS ss
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id),
+    scored AS (
+      SELECT user_id, n,
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+               / (CAST(s AS DOUBLE) / n) AS cv
+      FROM stats WHERE n >= 9 AND s > 0),
+    ranked AS (
+      SELECT user_id, n, cv,
+             CAST(ROW_NUMBER() OVER (ORDER BY cv, user_id) AS INT) AS rk
+      FROM scored)
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           ROUND(cv, 6) AS cv_r, rk,
+           user_id = -1 AS is_planted_bot
+    FROM ranked WHERE rk <= 10 ORDER BY rk
+    """,
+    tags=("events", "bot-detection", "regularity"),
+)
+def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-event REGULARITY — the classic traffic-
+    hygiene heuristic (humans are bursty, schedulers are metronomes):
+    coefficient of variation of each user's inter-event gaps, from
+    exact integer second-floored gap moments (sum and sum of squares
+    telescope off one LAG window; seconds, not micros, so g*g can
+    never approach int64 even at 1000x volume). A synthetic bot
+    (user -1, 60 events exactly 60 s apart, generated with sequence()
+    off the corpus start time) is planted INSIDE the query, and its
+    CV is exactly 0 — it must rank first, pinned in the hashed
+    is_planted_bot column and the vacuity guard, while real fixture
+    users land near the exponential-gap CV of ~1.
+
+    Scale shape: one per-user LAG window (bounded state) -> per-user
+    moment groupBy (the only data-sized shuffle) -> top-10 rank over
+    the user-sized relation."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = int(ev.agg(F.min("ts_us")).first()[0])
+    real_ev = ev.select("user_id", "ts_us", "event_id")
+    bot = spark.range(1, 61).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.lit(t0) + F.col("id") * 60_000_000).alias("ts_us"),
+        (-F.col("id")).cast("long").alias("event_id"),
+    )
+    allev = real_ev.unionByName(bot)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = allev.select(
+        "user_id",
+        F.expr(
+            "(ts_us - LAG(ts_us) OVER (PARTITION BY user_id"
+            " ORDER BY ts_us, event_id)) DIV 1000000"
+        ).alias("g"),
+    )
+    stats = (
+        gaps.where(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.expr("g * g")).alias("ss"),
+        )
+    )
+    scored = stats.where((F.col("n") >= 9) & (F.col("s") > 0)).select(
+        "user_id", "n",
+        F.expr(
+            "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)"
+            " / (CAST(s AS DOUBLE) / n)"
+        ).alias("cv"),
+    )
+    w_rk = Window.orderBy("cv", "user_id")
+    return (
+        scored.select(
+            "user_id", "n", "cv",
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.round("cv", 6).alias("cv_r"),
+            "rk",
+            (F.col("user_id") == -1).alias("is_planted_bot"),
+        )
+        .orderBy("rk")
+    )

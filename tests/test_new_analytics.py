@@ -638,3 +638,12 @@ def test_burn_rate_pages_exactly_the_incident(spark):
     # normal days burn under budget pace
     normal = [r for r in rows if r.d // 7 != 2]
     assert all(r.day_burn_r < 1.5 for r in normal)
+
+
+def test_bot_regularity_metronome_ranks_first(spark):
+    rows = _rows(spark, "ev_bot_regularity")
+    assert rows[0].is_planted_bot and rows[0].user_id == -1
+    assert rows[0].cv_r == 0.0 and rows[0].n_gaps == 59
+    # real users are bursty: exponential-ish gaps, CV near 1
+    humans = [r for r in rows if not r.is_planted_bot]
+    assert humans and all(r.cv_r > 0.3 for r in humans)
