@@ -9507,3 +9507,105 @@ def dp_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("secret_type")
+
+
+# Monroe-Colbaugh-Quinn log-odds keyness with Haldane +0.5 smoothing;
+# identical float expression text in both engines, per-term scalars
+# from exact integer counts (no float folding anywhere).
+_KEYNESS_LOR = (
+    "LN((a + 0.5) / (ta - a + 0.5)) - LN((b + 0.5) / (tb - b + 0.5))"
+)
+_KEYNESS_Z = (
+    f"({_KEYNESS_LOR}) / SQRT(1.0 / (a + 0.5) + 1.0 / (ta - a + 0.5)"
+    " + 1.0 / (b + 0.5) + 1.0 / (tb - b + 0.5))"
+)
+
+
+@register(
+    "dp_keyness_log_odds",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, word FROM (
+        SELECT lang,
+               UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents WHERE lang IN ('en', 'fr'))
+      WHERE length(word) BETWEEN 2 AND 12),
+    counts AS (
+      SELECT word,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS b
+      FROM toks GROUP BY word),
+    tots AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM counts),
+    scored AS (
+      SELECT word, a, b, {_KEYNESS_Z} AS z
+      FROM counts, tots WHERE a + b >= 5),
+    ranked AS (
+      SELECT word, a, b, z,
+             CASE WHEN z > 0 THEN 'en' ELSE 'fr' END AS direction,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY CASE WHEN z > 0 THEN 'en' ELSE 'fr' END
+               ORDER BY ABS(z) DESC, word) AS INT) AS rk
+      FROM scored)
+    SELECT direction, rk, word,
+           CAST(a AS BIGINT) AS n_en, CAST(b AS BIGINT) AS n_fr,
+           ROUND(z, 6) AS z_r
+    FROM ranked WHERE rk <= 10 ORDER BY direction, rk
+    """,
+    tags=("datapipe", "keyness", "corpus-linguistics", "text"),
+)
+def dp_keyness_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness — WHICH terms distinguish two corpora, the
+    corpus-linguistics question dp_source_divergence (one number for
+    HOW different) and dp_top_terms_per_lang (raw frequency, no
+    contrast) leave open: the Monroe-Colbaugh-Quinn smoothed
+    log-odds-ratio with its asymptotic z-score per term, en vs fr
+    slices of the document corpus (genuinely different vocabularies,
+    so the top-z terms are the languages' function words — a real
+    signal, not fixture noise; measured |z| well above 5 at the top
+    at sf0.01). Haldane +0.5 smoothing keeps one-sided terms finite;
+    the min-frequency floor (a + b >= 5) drops the long unstable
+    tail, stated semantics.
+
+    All math is per-term scalars off exact integer counts — no
+    float accumulation order anywhere. Top-10 per direction, ties
+    by term.
+
+    Scale shape: one scan -> explode -> per-term counts (the only
+    data-sized shuffle) -> one-row totals broadcast -> vocabulary-
+    sized rank windows."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "fr")
+    )
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+    ).where(F.length("word").between(2, 12))
+    counts = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0)).alias("b"),
+    )
+    tots = counts.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    scored = (
+        counts.where(F.expr("a + b >= 5"))
+        .crossJoin(F.broadcast(tots))
+        .select("word", "a", "b", F.expr(_KEYNESS_Z).alias("z"))
+    )
+    w_rk = Window.partitionBy(
+        F.expr("CASE WHEN z > 0 THEN 'en' ELSE 'fr' END")
+    ).orderBy(F.abs(F.col("z")).desc(), "word")
+    return (
+        scored.select(
+            F.expr("CASE WHEN z > 0 THEN 'en' ELSE 'fr' END").alias(
+                "direction"
+            ),
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+            "word",
+            F.col("a").cast("bigint").alias("n_en"),
+            F.col("b").cast("bigint").alias("n_fr"),
+            F.round("z", 6).alias("z_r"),
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy("direction", "rk")
+    )

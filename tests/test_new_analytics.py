@@ -647,3 +647,17 @@ def test_bot_regularity_metronome_ranks_first(spark):
     # real users are bursty: exponential-ish gaps, CV near 1
     humans = [r for r in rows if not r.is_planted_bot]
     assert humans and all(r.cv_r > 0.3 for r in humans)
+
+
+def test_keyness_languages_separate(spark):
+    rows = _rows(spark, "dp_keyness_log_odds")
+    dirs = {r.direction for r in rows}
+    assert dirs == {"en", "fr"}
+    for r in rows:
+        # each direction's top terms lean the right way in raw counts
+        if r.direction == "en":
+            assert r.z_r > 0 and r.n_en > r.n_fr
+        else:
+            assert r.z_r < 0 and r.n_fr > r.n_en
+    # the split is statistically real, not smoothing noise
+    assert max(abs(r.z_r) for r in rows) > 3.0
