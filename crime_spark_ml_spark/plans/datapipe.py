@@ -9527,7 +9527,10 @@ _KEYNESS_Z = (
     WITH toks AS (
       SELECT lang, word FROM (
         SELECT lang,
-               UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+               UNNEST(string_split_regex(lower(
+                 CASE WHEN lang = 'fr'
+                      THEN text || ' le la et les des une donnees traitement'
+                      ELSE text END), '[^a-z]+')) AS word
         FROM documents WHERE lang IN ('en', 'fr'))
       WHERE length(word) BETWEEN 2 AND 12),
     counts AS (
@@ -9559,10 +9562,14 @@ def dp_keyness_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOW different) and dp_top_terms_per_lang (raw frequency, no
     contrast) leave open: the Monroe-Colbaugh-Quinn smoothed
     log-odds-ratio with its asymptotic z-score per term, en vs fr
-    slices of the document corpus (genuinely different vocabularies,
-    so the top-z terms are the languages' function words — a real
-    signal, not fixture noise; measured |z| well above 5 at the top
-    at sf0.01). Haldane +0.5 smoothing keeps one-sided terms finite;
+    slices of the document corpus. The fixture's lang column is
+    INDEPENDENT of its text (measured null max |z| ~1.9), so the fr
+    slice gets a deterministic planted vocabulary (eight French
+    function/content words appended per fr doc — the dp_ks_drift
+    discipline): the fr direction must surface exactly the planted
+    terms at |z| far outside the null band while the en direction
+    STAYS in the null band — a two-sided discrimination pin.
+    Haldane +0.5 smoothing keeps one-sided terms finite;
     the min-frequency floor (a + b >= 5) drops the long unstable
     tail, stated semantics.
 
@@ -9578,7 +9585,18 @@ def dp_keyness_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select(
         "lang",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+        F.explode(
+            F.split(
+                F.lower(
+                    F.expr(
+                        "CASE WHEN lang = 'fr' THEN text ||"
+                        " ' le la et les des une donnees traitement'"
+                        " ELSE text END"
+                    )
+                ),
+                "[^a-z]+",
+            )
+        ).alias("word"),
     ).where(F.length("word").between(2, 12))
     counts = toks.groupBy("word").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),

@@ -653,11 +653,23 @@ def test_keyness_languages_separate(spark):
     rows = _rows(spark, "dp_keyness_log_odds")
     dirs = {r.direction for r in rows}
     assert dirs == {"en", "fr"}
+    planted = {"le", "la", "et", "les", "des", "une", "donnees",
+               "traitement"}
     for r in rows:
-        # each direction's top terms lean the right way in raw counts
-        if r.direction == "en":
-            assert r.z_r > 0 and r.n_en > r.n_fr
-        else:
-            assert r.z_r < 0 and r.n_fr > r.n_en
-    # the split is statistically real, not smoothing noise
-    assert max(abs(r.z_r) for r in rows) > 3.0
+        # sign defines the direction (rates, not raw counts — the en
+        # corpus is ~2.4x larger, so fr-leaning terms can still have
+        # higher raw en counts)
+        assert (r.z_r > 0) == (r.direction == "en")
+        assert r.n_en + r.n_fr >= 5  # the frequency floor held
+    # ranked by |z| within each direction
+    for d in ("en", "fr"):
+        zs = [abs(r.z_r) for r in rows if r.direction == d]
+        assert zs == sorted(zs, reverse=True) and len(zs) == 10
+    # two-sided discrimination: the fr tops are EXACTLY the planted
+    # vocabulary, far outside the null band; the en side (no plant)
+    # stays inside it (null max |z| measured ~1.9)
+    fr_top = [r for r in rows if r.direction == "fr"][: len(planted)]
+    assert {r.word for r in fr_top} == planted
+    # Haldane smoothing caps a 0-vs-82 term at |z| ~4.04 at sf0.001
+    assert all(abs(r.z_r) > 3.5 for r in fr_top)
+    assert max(r.z_r for r in rows if r.direction == "en") < 3.0
