@@ -9627,3 +9627,98 @@ def dp_keyness_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .orderBy("direction", "rk")
     )
+
+
+@register(
+    "dp_quantile_normalization",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk
+      FROM documents),
+    rank_means AS (
+      SELECT rk, SUM(n_chars) AS rs, COUNT(*) AS ns
+      FROM ranked GROUP BY rk),
+    normalized AS (
+      SELECT r.source, r.n_chars, m.rs, m.ns
+      FROM ranked r JOIN rank_means m ON r.rk = m.rk),
+    per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(n_chars) AS pre_sum,
+             SUM(rs) AS post_sum_scaled,
+             MAX(ns) AS n_sources
+      FROM normalized GROUP BY source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(pre_sum AS DOUBLE) / n_docs, 6) AS pre_mean_r,
+           ROUND(CAST(post_sum_scaled AS DOUBLE) / n_sources / n_docs, 6)
+             AS post_mean_r,
+           CAST((SELECT COUNT(DISTINCT post_sum_scaled) FROM per_source)
+                AS INT) AS n_distinct_post,
+           CAST((SELECT COUNT(DISTINCT pre_sum) FROM per_source)
+                AS INT) AS n_distinct_pre
+    FROM per_source ORDER BY source
+    """,
+    tags=("datapipe", "normalization", "batch-effect"),
+)
+def dp_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — the rank-mean batch-effect remover
+    (microarray-era classic, still the standard when per-source score
+    scales must be made comparable before mixing a corpus): sort
+    within each source, then the i-th smallest value in EVERY source
+    is replaced by the mean of all sources' i-th smallest. The
+    fixture's 20 sources are equal-sized at every scale, which makes
+    the textbook algorithm exact (no interpolation branch).
+
+    The defining post-condition — every source carries the IDENTICAL
+    value multiset afterwards — is pinned inside the hashed result:
+    post sums are carried as EXACT INTEGERS (each doc's normalized
+    value is rank_sum / n_sources, so a source's post-sum scaled by
+    n_sources is just the integer sum of its ranks' rank_sums), and
+    n_distinct_post must read 1 while n_distinct_pre reads 20 (the
+    sources genuinely differed before). The only division happens
+    once, per output row, on a single exact integer.
+
+    Scale shape: one per-source rank window (sources partition the
+    data, so the sort parallelizes 20 ways), one groupBy(rank) (the
+    only other data-sized shuffle, #ranks = docs/20 keys), one
+    co-keyed join back."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    rank_means = ranked.groupBy("rk").agg(
+        F.sum("n_chars").alias("rs"), F.count("*").alias("ns")
+    )
+    normalized = ranked.join(rank_means, "rk")
+    per_source = normalized.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("pre_sum"),
+        F.sum("rs").alias("post_sum_scaled"),
+        F.max("ns").alias("n_sources"),
+    )
+    diag = per_source.agg(
+        F.countDistinct("post_sum_scaled").cast("int").alias(
+            "n_distinct_post"
+        ),
+        F.countDistinct("pre_sum").cast("int").alias("n_distinct_pre"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(diag))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("ROUND(CAST(pre_sum AS DOUBLE) / n_docs, 6)").alias(
+                "pre_mean_r"
+            ),
+            F.expr(
+                "ROUND(CAST(post_sum_scaled AS DOUBLE) / n_sources"
+                " / n_docs, 6)"
+            ).alias("post_mean_r"),
+            "n_distinct_post",
+            "n_distinct_pre",
+        )
+        .orderBy("source")
+    )

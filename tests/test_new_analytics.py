@@ -677,3 +677,16 @@ def test_keyness_languages_separate(spark):
     # en-ward to ~3.07 at sf0.001 — still below the planted 4.04)
     en_max = max(r.z_r for r in rows if r.direction == "en")
     assert en_max < min(abs(r.z_r) for r in fr_top)
+
+
+def test_quantile_normalization_equalizes_sources(spark):
+    rows = _rows(spark, "dp_quantile_normalization")
+    assert len(rows) == 20
+    # the defining post-condition: identical distribution everywhere
+    assert all(r.n_distinct_post == 1 for r in rows)
+    assert all(r.n_distinct_pre == 20 for r in rows)
+    assert len({r.post_mean_r for r in rows}) == 1
+    assert len({r.pre_mean_r for r in rows}) == 20
+    # normalization preserves the grand mean (rank means average out)
+    grand_pre = sum(r.pre_mean_r for r in rows) / 20
+    assert abs(rows[0].post_mean_r - grand_pre) < 0.01
