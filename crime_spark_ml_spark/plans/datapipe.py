@@ -9722,3 +9722,100 @@ def dp_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dp_pack_budget_sweep",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d),
+    fanned AS (
+      SELECT b.budget, source, cum_before // b.budget AS pack_id,
+             n_tokens
+      FROM c, (SELECT UNNEST([256, 512, 1024, 2048]) AS budget) b),
+    packs AS (
+      SELECT budget, source, pack_id, SUM(n_tokens) AS fill
+      FROM fanned GROUP BY budget, source, pack_id)
+    SELECT CAST(budget AS INT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           ROUND(CAST(SUM(fill) AS DOUBLE) / COUNT(*) / budget, 6)
+             AS avg_fill_frac_r,
+           ROUND(CAST(SUM(CASE WHEN fill > budget THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS overflow_frac_r,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens
+    FROM packs GROUP BY budget ORDER BY budget
+    """,
+    tags=("datapipe", "packing", "llm", "tuning"),
+)
+def dp_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-budget tuning sweep for whole-document quota packing —
+    the table an LLM-training engineer reads before fixing max_len:
+    for each candidate budget, how many packs the corpus yields, the
+    average fill fraction, and how often a pack OVERFLOWS its budget
+    (whole docs never split under quota assignment, so a document
+    straddling a boundary pushes its pack over — the cost of
+    boundary-free packing that dp_pack_sequences' chunk-level
+    variant avoids by splitting). One per-source cumulative window
+    feeds every budget: the grid fan-out reuses the same cum_before,
+    so the sweep costs one window + one groupBy however many budgets
+    are probed.
+
+    Invariants pinned by the hash and the vacuity guard: total
+    tokens are identical across budgets (packing never drops data),
+    n_packs strictly decreases as the budget grows, and average fill
+    sits near 1.0 (quota packing is tight by construction).
+
+    Scale shape: per-source window (parallel across sources), 4x
+    explode, one (budget, source, pack) groupBy, 4-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "source", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    fanned = c.select(
+        F.explode(F.expr("array(256, 512, 1024, 2048)")).alias("budget"),
+        "source", "cum_before", "n_tokens",
+    ).select(
+        "budget", "source", "n_tokens",
+        F.expr("cum_before DIV budget").alias("pack_id"),
+    )
+    packs = fanned.groupBy("budget", "source", "pack_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    return (
+        packs.groupBy("budget")
+        .agg(
+            F.count("*").cast("bigint").alias("n_packs"),
+            F.expr(
+                "ROUND(CAST(SUM(fill) AS DOUBLE) / COUNT(*) / budget, 6)"
+            ).alias("avg_fill_frac_r"),
+            F.expr(
+                "ROUND(CAST(SUM(CASE WHEN fill > budget THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / COUNT(*), 6)"
+            ).alias("overflow_frac_r"),
+            F.sum("fill").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.col("budget").cast("int").alias("budget"),
+            "n_packs", "avg_fill_frac_r", "overflow_frac_r", "total_tokens",
+        )
+        .orderBy("budget")
+    )

@@ -690,3 +690,18 @@ def test_quantile_normalization_equalizes_sources(spark):
     # normalization preserves the grand mean (rank means average out)
     grand_pre = sum(r.pre_mean_r for r in rows) / 20
     assert abs(rows[0].post_mean_r - grand_pre) < 0.01
+
+
+def test_pack_sweep_monotone_and_lossless(spark):
+    rows = _rows(spark, "dp_pack_budget_sweep")
+    assert [r.budget for r in rows] == [256, 512, 1024, 2048]
+    packs = [r.n_packs for r in rows]
+    assert packs == sorted(packs, reverse=True)
+    assert packs[0] > packs[-1]  # strictly fewer packs at larger budget
+    # packing never drops tokens
+    assert len({r.total_tokens for r in rows}) == 1
+    for r in rows:
+        # the final per-source pack is underfilled; at sf0.001 each
+        # source has ~1400 tokens so big budgets sit near 0.68
+        assert 0.5 < r.avg_fill_frac_r < 1.3
+        assert 0.0 <= r.overflow_frac_r <= 1.0
