@@ -4472,3 +4472,259 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+_MK_STATES = ("view", "click", "signup", "error")
+_MK_ABBR = ("v", "c", "s", "e")
+
+
+def _mk_matrix_cols(dialect: str) -> str:
+    """Conditional-aggregation pivot of the transition relation into
+    one wide row: q_<f><t> transient-to-transient probabilities and
+    r_<f> transient-to-purchase, all exact-count ratios."""
+    cols = []
+    for f, fa in zip(_MK_STATES, _MK_ABBR):
+        for t, ta in zip(_MK_STATES, _MK_ABBR):
+            cols.append(
+                f"CAST(SUM(CASE WHEN frm = '{f}' AND tto = '{t}'"
+                f" THEN n ELSE 0 END) AS DOUBLE)"
+                f" / SUM(CASE WHEN frm = '{f}' THEN n ELSE 0 END)"
+                f" AS q{fa}{ta}"
+            )
+        cols.append(
+            f"CAST(SUM(CASE WHEN frm = '{f}' AND tto = 'purchase'"
+            f" THEN n ELSE 0 END) AS DOUBLE)"
+            f" / SUM(CASE WHEN frm = '{f}' THEN n ELSE 0 END)"
+            f" AS r{fa}"
+        )
+    return ", ".join(cols)
+
+
+def _mk_scenario_cols() -> str:
+    """Removal-effect matrix surgery: zero every probability into,
+    out of, or converting from the removed channel (identical text
+    both engines; `removed` is the scenario grid column)."""
+    cols = []
+    for fa, f in zip(_MK_ABBR, _MK_STATES):
+        for ta, t in zip(_MK_ABBR, _MK_STATES):
+            cols.append(
+                f"CASE WHEN removed IN ('{f}', '{t}') THEN CAST(0 AS"
+                f" DOUBLE) ELSE q{fa}{ta} END AS q{fa}{ta}"
+            )
+        cols.append(
+            f"CASE WHEN removed = '{f}' THEN CAST(0 AS DOUBLE)"
+            f" ELSE r{fa} END AS r{fa}"
+        )
+    return ", ".join(cols)
+
+
+def _mk_fold(dialect: str) -> str:
+    """40 fixed iterations of p <- R + Q p as a 4-double array fold
+    (leak per step >= ~50% on this chain, so the fixed horizon is
+    converged to ~1e-12 — stated, not tuned)."""
+    if dialect == "duck":
+        idx = lambda k: f"acc[{k}]"  # noqa: E731
+        steps = ", ".join(
+            f"r{fa} + " + " + ".join(
+                f"q{fa}{ta} * {idx(j + 1)}" for j, ta in enumerate(_MK_ABBR)
+            )
+            for fa in _MK_ABBR
+        )
+        zero4 = "[" + ", ".join(["CAST(0 AS DOUBLE)"] * 4) + "]"
+        return (
+            f"list_reduce(list_prepend({zero4},"
+            f" list_transform(range(1, 41), x -> {zero4})),"
+            f" (acc, x) -> [{steps}])"
+        )
+    idx = lambda k: f"element_at(acc, {k})"  # noqa: E731
+    steps = ", ".join(
+        f"r{fa} + " + " + ".join(
+            f"q{fa}{ta} * {idx(j + 1)}" for j, ta in enumerate(_MK_ABBR)
+        )
+        for fa in _MK_ABBR
+    )
+    zero4 = "array(" + ", ".join(["CAST(0 AS DOUBLE)"] * 4) + ")"
+    return (
+        f"aggregate(sequence(1, 40), {zero4},"
+        f" (acc, it) -> array({steps}))"
+    )
+
+
+_MK_CONV = (
+    "(CAST(c0p AS DOUBLE) + c0v * p[{i1}] + c0c * p[{i2}]"
+    " + c0s * p[{i3}] + c0e * p[{i4}]) / n0"
+)
+
+
+@register(
+    "ev_markov_attribution",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events),
+    stepped AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id, day
+                                    ORDER BY ts_us, event_id) AS nxt,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts_us, event_id) AS step
+      FROM base),
+    trans AS (
+      SELECT event_type AS frm, COALESCE(nxt, 'end') AS tto, COUNT(*) AS n
+      FROM stepped WHERE event_type != 'purchase'
+      GROUP BY 1, 2),
+    mat AS (SELECT {_mk_matrix_cols("duck")} FROM trans),
+    starts AS (
+      SELECT SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c0v,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0c,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c0s,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c0e,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS c0p,
+             COUNT(*) AS n0
+      FROM stepped WHERE step = 1),
+    grid AS (SELECT UNNEST(['none', 'view', 'click', 'signup', 'error'])
+               AS removed),
+    scen AS (
+      SELECT removed, {_mk_scenario_cols()}
+      FROM grid CROSS JOIN mat),
+    solved AS (
+      SELECT removed, {_mk_fold("duck")} AS p FROM scen),
+    conv AS (
+      SELECT removed,
+             {_MK_CONV.format(i1=1, i2=2, i3=3, i4=4)} AS cv
+      FROM solved CROSS JOIN starts),
+    full_cv AS (SELECT cv AS cv_full FROM conv WHERE removed = 'none')
+    SELECT removed,
+           ROUND(cv, 6) AS conv_r,
+           ROUND((cv_full - cv) / cv_full, 6) AS removal_effect_r,
+           (cv_full - cv) / cv_full > 0 AS channel_contributes
+    FROM conv CROSS JOIN full_cv
+    ORDER BY removed
+    """,
+    tags=("events", "attribution", "markov", "removal-effect"),
+)
+def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven model that
+    completes the attribution family (first-touch, last-touch as-of,
+    U-shape are all POSITION heuristics; this one asks the chain
+    itself): conversion probability is the absorption probability of
+    'purchase' in the user-day transition chain, solved as 40 fixed
+    iterations of p <- R + Qp in a 4-double array fold (per-step
+    leak to the absorbing states is ~50% on this chain, so the fixed
+    horizon is converged to ~1e-12 — stated, not tuned); a channel's
+    value is how much total conversion DROPS when every path through
+    it is severed (its matrix row, column, and start mass zeroed).
+
+    Transition and start-state probabilities are exact-count ratios
+    off one LEAD window; the fold multiplies the identical float
+    sequence in both engines (generated from one expression builder,
+    the ev_holt_winters discipline). The hashed result carries each
+    scenario's conversion, its removal effect, and the
+    channel_contributes pin (severing any channel strictly reduces
+    conversion on this chain).
+
+    Scale shape: one user-day LEAD window (bounded state) -> one
+    <=30-cell transition groupBy + one 6-cell start aggregate ->
+    everything after runs on a 5-row scenario grid crossJoined with
+    the one-row matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    base = ev.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+    )
+    stepped = base.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("step"),
+    )
+    trans = (
+        stepped.where(F.col("event_type") != "purchase")
+        .groupBy(
+            F.col("event_type").alias("frm"),
+            F.coalesce(F.col("nxt"), F.lit("end")).alias("tto"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    mat = trans.agg(
+        *[
+            F.expr(piece)
+            for piece in _split_select_list(_mk_matrix_cols("spark"))
+        ]
+    )
+    starts = stepped.where(F.col("step") == 1).agg(
+        F.expr(
+            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+        ).alias("c0v"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        ).alias("c0c"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+        ).alias("c0s"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+        ).alias("c0e"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("c0p"),
+        F.count("*").alias("n0"),
+    )
+    grid = spark.createDataFrame(
+        [(r,) for r in ("none", "view", "click", "signup", "error")],
+        "removed string",
+    )
+    scen = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(mat))
+        .selectExpr("removed", *_split_select_list(_mk_scenario_cols()))
+    )
+    solved = scen.select("removed", F.expr(_mk_fold("spark")).alias("p"))
+    conv = solved.crossJoin(F.broadcast(starts)).select(
+        "removed",
+        F.expr(
+            "(CAST(c0p AS DOUBLE) + c0v * element_at(p, 1)"
+            " + c0c * element_at(p, 2) + c0s * element_at(p, 3)"
+            " + c0e * element_at(p, 4)) / n0"
+        ).alias("cv"),
+    )
+    full_cv = conv.where(F.col("removed") == "none").select(
+        F.col("cv").alias("cv_full")
+    )
+    return (
+        conv.crossJoin(F.broadcast(full_cv))
+        .select(
+            "removed",
+            F.round("cv", 6).alias("conv_r"),
+            F.expr("ROUND((cv_full - cv) / cv_full, 6)").alias(
+                "removal_effect_r"
+            ),
+            F.expr("(cv_full - cv) / cv_full > 0").alias(
+                "channel_contributes"
+            ),
+        )
+        .orderBy("removed")
+    )
+
+
+def _split_select_list(cols: str) -> list[str]:
+    """Split a generated 'expr AS name, expr AS name, ...' select
+    list on top-level commas (the generated expressions contain no
+    nested commas outside CASE/CAST parens, which this respects)."""
+    parts, depth, cur = [], 0, []
+    for ch in cols:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts

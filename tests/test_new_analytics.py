@@ -705,3 +705,16 @@ def test_pack_sweep_monotone_and_lossless(spark):
         # source has ~1400 tokens so big budgets sit near 0.68
         assert 0.5 < r.avg_fill_frac_r < 1.3
         assert 0.0 <= r.overflow_frac_r <= 1.0
+
+
+def test_markov_removal_effects_positive(spark):
+    rows = _rows(spark, "ev_markov_attribution")
+    d = {r.removed: r for r in rows}
+    assert set(d) == {"none", "view", "click", "signup", "error"}
+    assert d["none"].removal_effect_r == 0.0
+    assert 0.0 < d["none"].conv_r < 1.0
+    for ch in ("view", "click", "signup", "error"):
+        r = d[ch]
+        assert r.channel_contributes
+        assert 0.0 < r.removal_effect_r < 1.0
+        assert r.conv_r < d["none"].conv_r  # severing strictly hurts

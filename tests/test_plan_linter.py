@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "ev_dau_wau_stickiness": "day-grid (~30 rows) trailing-window range-join onto the distinct (user, day) relation",
     "dp_keyness_log_odds": "one-row corpus token totals broadcast over the vocabulary counts",
     "dp_quantile_normalization": "one-row distinct-count diagnostic fanned over the 20 source rows",
+    "ev_markov_attribution": "one-row transition matrix and start/full-conversion scalars fanned over the 5 scenario rows",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
