@@ -1483,3 +1483,108 @@ def j_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("rk"),
     )
     return ranked.unionByName(vector_row).orderBy("precision", "rk")
+
+
+def write_month_partitioned_lineitem(spark: SparkSession, sf_dir: str, store: str) -> None:
+    """Persist lineitem partitioned by ship month — the layout a
+    100 TB fact table actually uses (directory-per-month), which is
+    what makes dynamic partition pruning possible at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(store)
+    )
+
+
+def build_dpp_join(spark: SparkSession, sf_dir: str, store: str) -> DataFrame:
+    """The DPP-shaped join: partitioned fact x selective tiny dim on
+    the PARTITION column. Catalyst inserts a dynamicpruning#
+    subquery into the fact scan's PartitionFilters (pinned in
+    tests/test_new_analytics.py), so only the dim's ~6 months of
+    files are read at runtime — the difference between scanning 6
+    and 82 months of a 100 TB table."""
+    fact = spark.read.parquet(store)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") < "1995-07-01")
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["ship_month"] == dim["month"])
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice * (1 - l_discount)"
+                        " AS DECIMAL(28,6))"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "j_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
+    fact AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice, l_discount
+      FROM lineitem)
+    SELECT ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+    FROM fact JOIN dim ON fact.ship_month = dim.month
+    GROUP BY ship_month ORDER BY ship_month
+    """,
+    tags=("join", "dpp", "partition-pruning", "layout"),
+)
+def j_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end to end — the runtime half of the
+    pruning story the engine already pins statically (IVFPQ's
+    driver-side IN-list gives STATIC PartitionFilters; DPP is the
+    case where the pruning values are only known after running the
+    dim-side filter, so Catalyst wires the broadcast result INTO the
+    fact scan as a dynamicpruning# subquery filter). The query
+    writes lineitem month-partitioned (the honest 100 TB layout),
+    then joins it to the selective urgent-H1-1995 month dim on the
+    partition column: only ~6 of ~82 month directories are read.
+
+    Result semantics are layout-independent (revenue per qualifying
+    ship month, exact decimal sums), which is exactly what the
+    DuckDB oracle checks; the dynamicpruning# plan pin lives in the
+    vacuity guard, which rebuilds the join against the same
+    partitioned store and inspects the executed plan.
+
+    The dp_ann_ivfpq store-lifecycle discipline applies: write,
+    probe, collect, delete."""
+    import shutil
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="dpp_lineitem_")
+    try:
+        write_month_partitioned_lineitem(spark, sf_dir, store)
+        rows = build_dpp_join(spark, sf_dir, store).collect()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ship_month string, n_items bigint, revenue double"
+    ).orderBy("ship_month")

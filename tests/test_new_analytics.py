@@ -718,3 +718,28 @@ def test_markov_removal_effects_positive(spark):
         assert r.channel_contributes
         assert 0.0 < r.removal_effect_r < 1.0
         assert r.conv_r < d["none"].conv_r  # severing strictly hurts
+
+
+def test_dpp_subquery_actually_prunes(spark):
+    import shutil
+    import tempfile
+
+    from crime_spark_ml_spark.plans.joins import (
+        build_dpp_join,
+        write_month_partitioned_lineitem,
+    )
+
+    store = tempfile.mkdtemp(prefix="dpp_test_")
+    try:
+        write_month_partitioned_lineitem(spark, SF_SMOKE, store)
+        df = build_dpp_join(spark, SF_SMOKE, store)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the runtime pruning subquery must be wired into the scan
+        assert "dynamicpruning" in plan.lower()
+        rows = df.collect()
+        # selective dim: only H1-1995 urgent months survive (6 of ~82)
+        assert 0 < len(rows) <= 6
+        assert all(r.ship_month.startswith("1995-0") for r in rows)
+        assert all(r.n_items > 0 and r.revenue > 0 for r in rows)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
