@@ -205,3 +205,56 @@ def embedding_near_dups(
         .where(F.col("cos") >= threshold)
     )
     return pairs.select("id_a", "id_b", "cos")
+
+
+def kcenter_select(corpus: DataFrame, k: int) -> DataFrame:
+    """Greedy k-center (Gonzalez maxmin) over (vec_id, embedding):
+    seed at MIN(vec_id), then k-1 lazy rounds each picking the point
+    with the largest min cosine distance to the selected set (ties by
+    vec_id). The selected set stays a <=k-row broadcast; each round
+    costs one corpus pass — nothing quadratic ever materializes.
+    Returns (round, vec_id, maxmin_dist_r), the radius sequence being
+    the standard 2-approximation coverage certificate. Used by
+    plans/datapipe.dp_coreset_kcenter and the scale harness."""
+    seed_id = corpus.agg(F.min("vec_id")).first()[0]
+    sel = corpus.where(F.col("vec_id") == seed_id).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+    )
+    out = [
+        corpus.where(F.col("vec_id") == seed_id).select(
+            F.lit(1).cast("int").alias("round"),
+            "vec_id",
+            F.lit(None).cast("double").alias("maxmin_dist_r"),
+        )
+    ]
+    for r in range(1, k):
+        dists = corpus.crossJoin(F.broadcast(sel)).select(
+            "vec_id",
+            (F.lit(1.0) - cosine("embedding", "s_emb")).alias("d"),
+        )
+        best = (
+            dists.groupBy("vec_id")
+            .agg(F.min("d").alias("md"))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+        )
+        out.append(
+            best.select(
+                F.lit(r + 1).cast("int").alias("round"),
+                "vec_id",
+                F.round("md", 6).alias("maxmin_dist_r"),
+            )
+        )
+        sel = sel.unionByName(
+            corpus.join(
+                F.broadcast(best.select(F.col("vec_id").alias("b_id"))),
+                F.col("vec_id") == F.col("b_id"),
+            ).select(
+                F.col("vec_id").alias("s_id"),
+                F.col("embedding").alias("s_emb"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")

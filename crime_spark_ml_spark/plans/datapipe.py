@@ -9359,51 +9359,10 @@ def dp_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxmin radius sequence — the greedy invariant (each new pick
     can only shrink the farthest distance) that the vacuity guard
     also asserts structurally."""
+    from ..operators.similarity import kcenter_select
+
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding")
-    seed_id = corpus.agg(F.min("vec_id")).first()[0]
-    sel = corpus.where(F.col("vec_id") == seed_id).select(
-        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
-    )
-    out = [
-        corpus.where(F.col("vec_id") == seed_id).select(
-            F.lit(1).cast("int").alias("round"),
-            "vec_id",
-            F.lit(None).cast("double").alias("maxmin_dist_r"),
-        )
-    ]
-    k = 5
-    for r in range(1, k):
-        dists = corpus.crossJoin(F.broadcast(sel)).select(
-            "vec_id",
-            (F.lit(1.0) - cosine_col("embedding", "s_emb")).alias("d"),
-        )
-        best = (
-            dists.groupBy("vec_id")
-            .agg(F.min("d").alias("md"))
-            .orderBy(F.col("md").desc(), "vec_id")
-            .limit(1)
-        )
-        out.append(
-            best.select(
-                F.lit(r + 1).cast("int").alias("round"),
-                "vec_id",
-                F.round("md", 6).alias("maxmin_dist_r"),
-            )
-        )
-        sel = sel.unionByName(
-            corpus.join(
-                F.broadcast(best.select(F.col("vec_id").alias("b_id"))),
-                F.col("vec_id") == F.col("b_id"),
-            ).select(
-                F.col("vec_id").alias("s_id"),
-                F.col("embedding").alias("s_emb"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.orderBy("round")
+    return kcenter_select(emb.select("vec_id", "embedding"), k=5)
 
 
 # secret-detector patterns — Java-regex ∩ RE2 common subset
