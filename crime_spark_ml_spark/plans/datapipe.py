@@ -9778,3 +9778,166 @@ def dp_pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("budget")
     )
+
+
+# one md5-derived ring position per (node, vnode) — identical in both
+# engines via each dialect's hex-int primitive
+def _ring_positions_sql(nodes: int, vnodes: int, dialect: str) -> str:
+    rows = []
+    for n in range(nodes):
+        for v in range(vnodes):
+            if dialect == "duck":
+                h = (
+                    f"CAST('0x' || substr(md5('node{n}|vn{v}'), 1, 15)"
+                    " AS BIGINT)"
+                )
+            else:
+                h = (
+                    f"CAST(conv(substring(md5('node{n}|vn{v}'), 1, 15),"
+                    " 16, 10) AS BIGINT)"
+                )
+            rows.append(f"SELECT {n} AS node, {h} AS pos")
+    return " UNION ALL ".join(rows)
+
+
+def _consistent_hash_oracle() -> str:
+    ring8 = _ring_positions_sql(8, 16, "duck")
+    ring9 = _ring_positions_sql(9, 16, "duck")
+    return f"""
+    WITH keys AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('key|' || doc_id), 1, 15) AS BIGINT)
+               AS kpos
+      FROM documents),
+    ring8 AS ({ring8}),
+    ring9 AS ({ring9}),
+    owner8 AS (
+      SELECT doc_id,
+             (SELECT node FROM ring8
+              WHERE pos >= k.kpos OR TRUE
+              ORDER BY (pos < k.kpos), pos LIMIT 1) AS node
+      FROM keys k),
+    owner9 AS (
+      SELECT doc_id,
+             (SELECT node FROM ring9
+              WHERE pos >= k.kpos OR TRUE
+              ORDER BY (pos < k.kpos), pos LIMIT 1) AS node
+      FROM keys k),
+    ring_stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN a.node != b.node THEN 1 ELSE 0 END) AS moved
+      FROM owner8 a JOIN owner9 b USING (doc_id)),
+    mod_stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN doc_id % 8 != doc_id % 9 THEN 1 ELSE 0 END)
+               AS moved
+      FROM keys)
+    SELECT 'ring' AS strategy,
+           CAST(n AS BIGINT) AS n_keys,
+           CAST(moved AS BIGINT) AS n_moved,
+           ROUND(CAST(moved AS DOUBLE) / n, 6) AS moved_frac_r,
+           CAST(moved AS DOUBLE) / n < 0.35 AS rebalance_cheap
+    FROM ring_stats
+    UNION ALL
+    SELECT 'modulo', CAST(n AS BIGINT), CAST(moved AS BIGINT),
+           ROUND(CAST(moved AS DOUBLE) / n, 6),
+           CAST(moved AS DOUBLE) / n < 0.35
+    FROM mod_stats
+    ORDER BY strategy
+    """
+
+
+@register(
+    "dp_consistent_hash_rebalance",
+    oracle=_consistent_hash_oracle(),
+    tags=("datapipe", "sharding", "consistent-hashing", "layout"),
+)
+def dp_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent hashing vs modulo sharding under a node ADD (8 -> 9
+    nodes) — the reshuffle-cost question every distributed store and
+    every bucketed 100 TB table layout answers before choosing its
+    partitioner: modulo re-homes ~(n-1)/n of all keys (measured
+    ~0.889 — nearly everything moves), while a 16-vnode md5 ring
+    re-homes only the arc the new node claims (~1/9 in expectation;
+    the rebalance_cheap band < 0.35 allows vnode variance at the
+    sf0.001 key count). Ring ownership is the classic successor
+    clockwise walk with wraparound, expressed as a correlated
+    order-by-(wrapped, pos) top-1 against the 144-row literal ring —
+    in Spark, an equi-free broadcast min_by over the ring relation
+    (144 rows/key via broadcast fan-out, never a shuffle).
+
+    Both engines derive ring and key positions from the shared
+    md5-slice primitive, so ownership is bit-identical; counts are
+    exact integers.
+
+    Scale shape: one scan -> broadcast 144-row ring -> per-key
+    min_by aggregate (groupBy doc_id over the fanned rows) -> two
+    one-row summaries. The modulo arm is a pure row-local sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5('key|' || CAST(doc_id AS STRING)),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ).alias("kpos"),
+    )
+
+    def ring_df(nodes: int):
+        rows = []
+        for n in range(nodes):
+            for v in range(16):
+                rows.append((n, f"node{n}|vn{v}"))
+        ring = spark.createDataFrame(rows, "node int, salt string")
+        return ring.select(
+            "node",
+            F.expr(
+                "CAST(conv(substring(md5(salt), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("pos"),
+        )
+
+    def owners(nodes: int, alias: str):
+        ring = ring_df(nodes)
+        fanned = keys.crossJoin(F.broadcast(ring))
+        # clockwise successor with wraparound: prefer pos >= kpos
+        # (smallest such pos), else the globally smallest pos
+        return fanned.groupBy("doc_id").agg(
+            F.expr(
+                "min_by(node, struct(CAST(pos < kpos AS INT), pos))"
+            ).alias(alias)
+        )
+
+    o8 = owners(8, "node8")
+    o9 = owners(9, "node9")
+    ring_stats = (
+        o8.join(o9, "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("node8") != F.col("node9"), 1).otherwise(0)
+            ).alias("moved"),
+        )
+        .select(
+            F.lit("ring").alias("strategy"),
+            F.col("n").cast("bigint").alias("n_keys"),
+            F.col("moved").cast("bigint").alias("n_moved"),
+            F.expr("ROUND(CAST(moved AS DOUBLE) / n, 6)").alias(
+                "moved_frac_r"
+            ),
+            F.expr("CAST(moved AS DOUBLE) / n < 0.35").alias(
+                "rebalance_cheap"
+            ),
+        )
+    )
+    mod_stats = keys.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.expr("doc_id % 8 != doc_id % 9"), 1).otherwise(0)
+        ).alias("moved"),
+    ).select(
+        F.lit("modulo").alias("strategy"),
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.col("moved").cast("bigint").alias("n_moved"),
+        F.expr("ROUND(CAST(moved AS DOUBLE) / n, 6)").alias("moved_frac_r"),
+        F.expr("CAST(moved AS DOUBLE) / n < 0.35").alias("rebalance_cheap"),
+    )
+    return mod_stats.unionByName(ring_stats).orderBy("strategy")

@@ -743,3 +743,15 @@ def test_dpp_subquery_actually_prunes(spark):
         assert all(r.n_items > 0 and r.revenue > 0 for r in rows)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_consistent_hashing_beats_modulo(spark):
+    rows = _rows(spark, "dp_consistent_hash_rebalance")
+    d = {r.strategy: r for r in rows}
+    assert set(d) == {"ring", "modulo"}
+    # the classic result: modulo re-homes ~(n-1)/n, the ring ~1/n
+    assert d["modulo"].moved_frac_r > 0.8
+    assert not d["modulo"].rebalance_cheap
+    assert d["ring"].moved_frac_r < 0.35
+    assert d["ring"].rebalance_cheap
+    assert d["ring"].n_keys == d["modulo"].n_keys > 0
