@@ -4728,3 +4728,129 @@ def _split_select_list(cols: str) -> list[str]:
     if cur:
         parts.append("".join(cur).strip())
     return parts
+
+
+@register(
+    "ev_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+              - (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))
+                            // 86400000000) FROM events)) // 7 AS w
+      FROM events),
+    flagged AS (
+      SELECT user_id, w,
+             MIN(w) OVER (PARTITION BY user_id) AS first_w,
+             LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+             LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+      FROM uw),
+    contrib AS (
+      SELECT w, 
+             CASE WHEN w = first_w THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN w > first_w AND (prev_w IS NULL OR prev_w < w - 1)
+                  THEN 1 ELSE 0 END AS is_resurrected
+      FROM flagged
+      UNION ALL
+      SELECT w + 1, 0, 0, 0
+      FROM flagged
+      WHERE next_w IS NULL OR next_w > w + 1),
+    churn AS (
+      SELECT w + 1 AS w, COUNT(*) AS n_churned
+      FROM flagged
+      WHERE next_w IS NULL OR next_w > w + 1
+      GROUP BY w + 1),
+    weekly AS (
+      SELECT w, SUM(is_new) AS n_new, SUM(is_retained) AS n_retained,
+             SUM(is_resurrected) AS n_resurrected
+      FROM contrib GROUP BY w)
+    SELECT CAST(weekly.w AS BIGINT) AS week,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned,
+           ROUND(CAST(n_new + n_resurrected AS DOUBLE)
+                 / GREATEST(COALESCE(churn.n_churned, 0), 1), 6)
+             AS quick_ratio_r
+    FROM weekly LEFT JOIN churn ON churn.w = weekly.w
+    WHERE weekly.w <= (SELECT MAX(w) FROM uw)
+    ORDER BY week
+    """,
+    tags=("events", "growth-accounting", "engagement"),
+)
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the weekly NEW / RETAINED / RESURRECTED /
+    CHURNED decomposition (and its quick ratio, (new + resurrected) /
+    churned) that product teams read instead of a bare active-user
+    curve, and the set-algebra complement of ev_cohort_retention_
+    matrix (which tracks one cohort forward; this decomposes every
+    week's actives by WHERE they came from). A user is new in their
+    first active week, retained if active the week before,
+    resurrected if returning after a gap, and counted churned in the
+    week AFTER an active week with no immediate successor.
+
+    Identity (pinned in the vacuity guard): actives(w) = new +
+    retained + resurrected, and actives(w) - actives(w-1) =
+    new + resurrected - churned — the books must balance exactly,
+    which exact integer set arithmetic guarantees. The final week's
+    churn-out (w_max + 1) is clipped, stated semantics.
+
+    Scale shape: distinct (user, week) rollup (the only data-sized
+    shuffle) -> per-user LAG/LEAD windows (bounded state) -> week-
+    sized aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    min_day = int(
+        ev.agg(F.min(F.expr("ts_us DIV 86400000000"))).first()[0]
+    )
+    uw = ev.select(
+        "user_id",
+        F.expr(f"(ts_us DIV 86400000000 - {min_day}) DIV 7").alias("w"),
+    ).distinct()
+    w_user = Window.partitionBy("user_id").orderBy("w")
+    flagged = uw.select(
+        "user_id", "w",
+        F.min("w").over(Window.partitionBy("user_id")).alias("first_w"),
+        F.lag("w").over(w_user).alias("prev_w"),
+        F.lead("w").over(w_user).alias("next_w"),
+    )
+    weekly = flagged.groupBy("w").agg(
+        F.sum(F.expr("CASE WHEN w = first_w THEN 1 ELSE 0 END")).alias(
+            "n_new"
+        ),
+        F.sum(F.expr("CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END")).alias(
+            "n_retained"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN w > first_w AND (prev_w IS NULL OR prev_w < w - 1)"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        flagged.where(
+            F.col("next_w").isNull() | (F.col("next_w") > F.col("w") + 1)
+        )
+        .groupBy((F.col("w") + 1).alias("cw"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    max_w = int(uw.agg(F.max("w")).first()[0])
+    return (
+        weekly.join(churn, weekly["w"] == churn["cw"], "left")
+        .where(F.col("w") <= max_w)
+        .select(
+            F.col("w").cast("bigint").alias("week"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.col("n_retained").cast("bigint").alias("n_retained"),
+            F.col("n_resurrected").cast("bigint").alias("n_resurrected"),
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.expr(
+                "ROUND(CAST(n_new + n_resurrected AS DOUBLE)"
+                " / GREATEST(COALESCE(n_churned, 0), 1), 6)"
+            ).alias("quick_ratio_r"),
+        )
+        .orderBy("week")
+    )

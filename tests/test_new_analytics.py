@@ -755,3 +755,17 @@ def test_consistent_hashing_beats_modulo(spark):
     assert d["ring"].moved_frac_r < 0.35
     assert d["ring"].rebalance_cheap
     assert d["ring"].n_keys == d["modulo"].n_keys > 0
+
+
+def test_growth_accounting_books_balance(spark):
+    rows = _rows(spark, "ev_growth_accounting")
+    assert len(rows) == 5  # 30 fixture days -> weeks 0..4
+    assert rows[0].n_new > 0 and rows[0].n_retained == 0
+    actives = {}
+    for r in rows:
+        actives[r.week] = r.n_new + r.n_retained + r.n_resurrected
+        assert r.quick_ratio_r >= 0
+    # the accounting identity: delta actives = new + resurrected - churned
+    for r in rows[1:]:
+        delta = actives[r.week] - actives[r.week - 1]
+        assert delta == r.n_new + r.n_resurrected - r.n_churned
