@@ -769,3 +769,16 @@ def test_growth_accounting_books_balance(spark):
     for r in rows[1:]:
         delta = actives[r.week] - actives[r.week - 1]
         assert delta == r.n_new + r.n_resurrected - r.n_churned
+
+
+def test_interleaving_agrees_with_ndcg(spark):
+    rows = _rows(spark, "dp_interleaving_eval")
+    assert len(rows) == 8
+    # the interleaving experiment must agree with the offline NDCG
+    # gap on the same planted rankers: good wins every query here
+    assert all(r.winner == "good" for r in rows)
+    assert all(r.clicks_good > r.clicks_random for r in rows)
+    assert rows[0].pref_good_r == 1.0
+    # the draft genuinely interleaves: both teams always show 5 docs,
+    # so clicks are bounded by the team size
+    assert all(0 <= r.clicks_random <= 5 and r.clicks_good <= 5 for r in rows)
