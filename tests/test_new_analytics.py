@@ -782,3 +782,16 @@ def test_interleaving_agrees_with_ndcg(spark):
     # the draft genuinely interleaves: both teams always show 5 docs,
     # so clicks are bounded by the team size
     assert all(0 <= r.clicks_random <= 5 and r.clicks_good <= 5 for r in rows)
+
+
+def test_link_prediction_nonadjacent_and_ranked(spark):
+    rows = _rows(spark, "dp_link_prediction")
+    assert 1 <= len(rows) <= 20
+    jacs = [r.jaccard_r for r in rows]
+    assert jacs == sorted(jacs, reverse=True)
+    for r in rows:
+        assert r.item_a < r.item_b
+        assert r.n_common >= 2
+        # Jaccard bounds under the capped-adjacency semantics
+        assert 0.0 < r.jaccard_r <= 1.0
+        assert r.n_common <= min(r.deg_a, r.deg_b) <= 20
