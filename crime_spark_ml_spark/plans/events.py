@@ -4854,3 +4854,158 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "ev_did_event_study",
+    oracle="""
+    WITH base0 AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events),
+    lo AS (SELECT MIN(day) + 15 AS t0 FROM base0),
+    seed AS (
+      SELECT user_id, day,
+             (day - (SELECT t0 FROM lo) - 1) // 5 + 1 AS reps
+      FROM base0
+      WHERE user_id % 2 = 0 AND event_id % 3 = 0
+        AND day > (SELECT t0 FROM lo)),
+    plant AS (
+      SELECT user_id, day FROM seed, UNNEST(range(1, reps + 1)) u(i)),
+    allev AS (
+      SELECT user_id, day FROM base0 UNION ALL SELECT * FROM plant),
+    users AS (
+      SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+             CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS DOUBLE) AS nc
+      FROM (SELECT DISTINCT user_id, user_id % 2 = 0 AS g FROM base0)),
+    daily AS (
+      SELECT day - (SELECT t0 FROM lo) AS k,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS tc,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cc
+      FROM allev GROUP BY 1),
+    diffs AS (
+      SELECT k, tc, cc,
+             tc / (SELECT nt FROM users) AS tm,
+             cc / (SELECT nc FROM users) AS cm,
+             tc / (SELECT nt FROM users) - cc / (SELECT nc FROM users)
+               AS diff
+      FROM daily WHERE k BETWEEN -10 AND 10),
+    folds AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(diff ORDER BY k) FILTER (k < 0)), (a, x) -> a + x)
+          / 10.0 AS pre_avg,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(diff ORDER BY k) FILTER (k > 0)), (a, x) -> a + x)
+          / 10.0 AS post_avg
+      FROM diffs)
+    SELECT CAST(k AS BIGINT) AS rel_day,
+           ROUND(tm, 6) AS treat_mean_r,
+           ROUND(cm, 6) AS ctrl_mean_r,
+           ROUND(diff - pre_avg, 6) AS coef_r,
+           k < 0 AS is_pre,
+           ROUND(pre_avg, 6) AS pre_avg_r,
+           ROUND(post_avg, 6) AS post_avg_r,
+           post_avg - pre_avg > 0.5 AS lift_detected
+    FROM diffs CROSS JOIN folds ORDER BY rel_day
+    """,
+    tags=("events", "did", "event-study", "causal"),
+)
+def ev_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic difference-in-differences (event study) — the
+    leads-and-lags curve reviewers demand AROUND ev_did_estimator's
+    single post-pre number: per relative day k in [-10, 10], the
+    treated-minus-control per-user outcome gap, centered on the
+    pre-period baseline, so the pre side doubles as the
+    parallel-trends diagnostic (flat by construction here — both
+    arms are the same Poisson fixture before treatment) and the post
+    side traces the PLANTED RAMP (treated users' every third event
+    re-enters with multiplicity growing every 5 days after T0 =
+    min day + 15 — scale-proportional, the ev_slo_burn_rate plant
+    discipline applied to a dose-response shape).
+
+    Counts and cohort sizes are exact integers; the two baseline
+    averages fold k-ordered (the dp_psi_drift trick), so every
+    engine-side float runs the identical sequence. lift_detected
+    pins post_avg - pre_avg > 0.5 (measured ~1.1 at every scale;
+    individual sf0.001 days are noisy — cohorts of ~8 users — which
+    is exactly why event studies average the window).
+
+    Scale shape: one scan -> plant explode -> per-day groupBy (the
+    only data-sized shuffle) -> 21-row window relation and one-row
+    folds."""
+    ev = load_table(spark, sf_dir, "events")
+    base0 = ev.select(
+        "user_id", "event_id",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+    )
+    t0 = int(base0.agg(F.expr("MIN(day) + 15").alias("t")).first()["t"])
+    seed = base0.where(
+        (F.col("user_id") % 2 == 0)
+        & (F.col("event_id") % 3 == 0)
+        & (F.col("day") > t0)
+    ).select(
+        "user_id", "day",
+        F.expr(f"(day - {t0} - 1) DIV 5 + 1").alias("reps"),
+    )
+    plant = seed.select(
+        "user_id", "day",
+        F.explode(F.expr("sequence(1, reps)")).alias("i"),
+    ).select("user_id", "day")
+    allev = base0.select("user_id", "day").unionByName(plant)
+    users = base0.select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("g")
+    ).distinct().agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias("nt"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias("nc"),
+    )
+    daily = allev.groupBy(
+        (F.col("day") - t0).alias("k")
+    ).agg(
+        F.sum(F.expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END")).alias(
+            "tc"
+        ),
+        F.sum(F.expr("CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END")).alias(
+            "cc"
+        ),
+    )
+    diffs = (
+        daily.where(F.col("k").between(-10, 10))
+        .crossJoin(F.broadcast(users))
+        .select(
+            "k", "tc", "cc",
+            F.expr("tc / nt").alias("tm"),
+            F.expr("cc / nc").alias("cm"),
+            F.expr("tc / nt - cc / nc").alias("diff"),
+        )
+    )
+    folds = diffs.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(CASE WHEN k < 0"
+            " THEN struct(k, diff) END)), s -> s.diff),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x) / 10.0"
+        ).alias("pre_avg"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(CASE WHEN k > 0"
+            " THEN struct(k, diff) END)), s -> s.diff),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x) / 10.0"
+        ).alias("post_avg"),
+    )
+    return (
+        diffs.crossJoin(F.broadcast(folds))
+        .select(
+            F.col("k").cast("bigint").alias("rel_day"),
+            F.round("tm", 6).alias("treat_mean_r"),
+            F.round("cm", 6).alias("ctrl_mean_r"),
+            F.expr("ROUND(diff - pre_avg, 6)").alias("coef_r"),
+            (F.col("k") < 0).alias("is_pre"),
+            F.round("pre_avg", 6).alias("pre_avg_r"),
+            F.round("post_avg", 6).alias("post_avg_r"),
+            F.expr("post_avg - pre_avg > 0.5").alias("lift_detected"),
+        )
+        .orderBy("rel_day")
+    )

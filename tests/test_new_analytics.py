@@ -795,3 +795,16 @@ def test_link_prediction_nonadjacent_and_ranked(spark):
         # Jaccard bounds under the capped-adjacency semantics
         assert 0.0 < r.jaccard_r <= 1.0
         assert r.n_common <= min(r.deg_a, r.deg_b) <= 20
+
+
+def test_event_study_ramp_and_parallel_pretrends(spark):
+    rows = _rows(spark, "ev_did_event_study")
+    assert len(rows) == 21 and [r.rel_day for r in rows] == list(range(-10, 11))
+    r0 = rows[0]
+    assert r0.lift_detected and r0.post_avg_r - r0.pre_avg_r > 0.5
+    # pre-period coefficients center on zero by construction
+    pre = [r.coef_r for r in rows if r.is_pre]
+    assert len(pre) == 10 and abs(sum(pre)) < 1e-3
+    # the planted dose-response: late post window beats early post
+    post = [r.coef_r for r in rows if r.rel_day > 0]
+    assert sum(post[5:]) > sum(post[:5])
