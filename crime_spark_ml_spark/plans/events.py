@@ -5009,3 +5009,99 @@ def ev_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_day")
     )
+
+
+@register(
+    "ev_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('ab-v1|' || user_id), 1, 8))
+                  AS BIGINT) % 2 = 0 AS is_control
+      FROM (SELECT DISTINCT user_id FROM events)),
+    clean AS (
+      SELECT 'clean' AS experiment,
+             SUM(CASE WHEN is_control THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN is_control THEN 0 ELSE 1 END) AS nt
+      FROM assigned),
+    biased AS (
+      SELECT 'biased_drop' AS experiment,
+             SUM(CASE WHEN is_control THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN is_control OR user_id % 3 = 0
+                      THEN 0 ELSE 1 END) AS nt
+      FROM assigned),
+    both_e AS (SELECT * FROM clean UNION ALL SELECT * FROM biased)
+    SELECT experiment,
+           CAST(nc AS BIGINT) AS n_control,
+           CAST(nt AS BIGINT) AS n_treatment,
+           ROUND(POWER(nc - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0)
+                 + POWER(nt - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0), 6)
+             AS chisq_r,
+           POWER(nc - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0)
+             + POWER(nt - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0)
+             > 3.841 AS srm_flag
+    FROM both_e ORDER BY experiment
+    """,
+    tags=("events", "experiment", "srm", "guardrail"),
+)
+def ev_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch — the guardrail every experimentation
+    platform runs BEFORE reading ev_abtest_lift or
+    ev_cuped_adjustment (a biased assignment invalidates both): the
+    1-df chi-square of observed arm counts against the designed
+    50/50 split, flagged at the 0.05 critical value 3.841. Two
+    experiments share one scan: the CLEAN salted-md5 split (the same
+    ab-v1 assignment ev_abtest_lift uses) must NOT flag, and a
+    PLANTED broken pipeline (every third user id silently dropped
+    from treatment — the classic logging-loss SRM) must flag; the
+    pair is the two-sided discrimination pin, hashed.
+
+    Counts are exact integers; the chi-square is one scalar
+    expression per row.
+
+    Scale shape: one distinct-user rollup (the only data-sized
+    shuffle) -> two one-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab-v1|"), F.col("user_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        ).alias("is_control"),
+    )
+    chisq = (
+        "POWER(nc - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0)"
+        " + POWER(nt - (nc + nt) / 2.0, 2) / ((nc + nt) / 2.0)"
+    )
+    clean = assigned.agg(
+        F.lit("clean").alias("experiment"),
+        F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("is_control"), 0).otherwise(1)).alias("nt"),
+    )
+    biased = assigned.agg(
+        F.lit("biased_drop").alias("experiment"),
+        F.sum(F.when(F.col("is_control"), 1).otherwise(0)).alias("nc"),
+        F.sum(
+            F.when(
+                F.col("is_control") | (F.col("user_id") % 3 == 0), 0
+            ).otherwise(1)
+        ).alias("nt"),
+    )
+    return (
+        clean.unionByName(biased)
+        .select(
+            "experiment",
+            F.col("nc").cast("bigint").alias("n_control"),
+            F.col("nt").cast("bigint").alias("n_treatment"),
+            F.expr(f"ROUND({chisq}, 6)").alias("chisq_r"),
+            F.expr(f"{chisq} > 3.841").alias("srm_flag"),
+        )
+        .orderBy("experiment")
+    )

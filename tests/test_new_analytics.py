@@ -808,3 +808,18 @@ def test_event_study_ramp_and_parallel_pretrends(spark):
     # the planted dose-response: late post window beats early post
     post = [r.coef_r for r in rows if r.rel_day > 0]
     assert sum(post[5:]) > sum(post[:5])
+
+
+def test_srm_two_sided_discrimination(spark):
+    # sf0.001's 15 users can't reach the 3.841 critical value for a
+    # 1/3 treatment drop (measured chisq 2.27) — correct behavior for
+    # a chi-square gate; the discrimination pin runs at sf0.01 where
+    # the driver's correctness gate also runs (measured 5.08 vs 0.03)
+    rows = _rows(spark, "ev_ab_srm_check")
+    d = {r.experiment: r for r in rows}
+    assert not d["clean"].srm_flag
+    assert d["biased_drop"].n_treatment < d["clean"].n_treatment
+    assert d["biased_drop"].chisq_r > d["clean"].chisq_r
+    rows01 = _Q["ev_ab_srm_check"](spark, "/root/testdata/sf0.01").collect()
+    d01 = {r.experiment: r for r in rows01}
+    assert d01["biased_drop"].srm_flag and not d01["clean"].srm_flag
