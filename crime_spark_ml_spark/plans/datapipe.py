@@ -10316,3 +10316,143 @@ def dp_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .orderBy("rk")
     )
+
+
+@register(
+    "dp_constraint_repair",
+    oracle="""
+    WITH corrupted AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg, 0 AS is_planted
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 
+             CASE c_mktsegment
+               WHEN 'AUTOMOBILE' THEN 'BUILDING'
+               WHEN 'BUILDING' THEN 'FURNITURE'
+               WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+               WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+               ELSE 'AUTOMOBILE' END,
+             1
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, 1
+      FROM customer WHERE c_custkey % 10 = 0),
+    votes AS (
+      SELECT k, seg, COUNT(*) AS n
+      FROM corrupted GROUP BY k, seg),
+    entity AS (
+      SELECT k, COUNT(*) AS n_values,
+             MAX(n) AS top_votes,
+             MIN(seg) FILTER (n = (SELECT MAX(n2.n) FROM votes n2
+                                   WHERE n2.k = votes.k)) AS repaired_seg
+      FROM votes GROUP BY k),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+             CAST(SUM(CASE WHEN n_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(SUM(CASE WHEN n_values > 1 AND top_votes >= 2
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_majority_repaired
+      FROM entity),
+    residual AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS residual_violations
+      FROM (SELECT k FROM (SELECT DISTINCT k, repaired_seg FROM entity)
+            GROUP BY k HAVING COUNT(*) > 1)),
+    by_seg AS (
+      SELECT repaired_seg, CAST(COUNT(*) AS BIGINT) AS n_entities_seg
+      FROM entity GROUP BY repaired_seg)
+    SELECT repaired_seg, n_entities_seg,
+           n_entities, n_violating, n_majority_repaired,
+           residual_violations,
+           n_violating * 10 = n_entities AS violations_match_plant
+    FROM by_seg CROSS JOIN summary CROSS JOIN residual
+    ORDER BY repaired_seg
+    """,
+    tags=("datapipe", "data-cleaning", "constraint-repair", "fd"),
+)
+def dp_constraint_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency repair — the HoloClean-style cleaning
+    primitive (detect FD violations, repair by weighted majority)
+    the pipeline family (dedup, normalize, redact, quality) was
+    missing: the FD c_custkey -> c_mktsegment is violated by a
+    PLANTED corruption (every tenth customer re-enters twice: once
+    with a rotated segment, once with the true one — so the true
+    value holds a 2-to-1 majority and majority repair provably
+    recovers it). Repair picks the top-voted value per key
+    (ties by segment string — deterministic), and the hashed result
+    pins: the violating-entity count equals exactly the planted
+    n/10, every violating entity is majority-repairable, and the
+    post-repair relation has ZERO residual FD violations (the
+    idempotence certificate a repair pass must produce).
+
+    Scale shape: one (key, value) vote groupBy (the only data-sized
+    shuffle; the conditional-aggregate repair is key-local) -> an
+    entity rollup -> 5-row segment summary crossJoined with two
+    one-row certificates."""
+    cust = load_table(spark, sf_dir, "customer")
+    rot = (
+        "CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'BUILDING'"
+        " WHEN 'BUILDING' THEN 'FURNITURE'"
+        " WHEN 'FURNITURE' THEN 'HOUSEHOLD'"
+        " WHEN 'HOUSEHOLD' THEN 'MACHINERY' ELSE 'AUTOMOBILE' END"
+    )
+    corrupted = (
+        cust.select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 10 == 0).select(
+                F.col("c_custkey").alias("k"), F.expr(rot).alias("seg")
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 10 == 0).select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+        )
+    )
+    votes = corrupted.groupBy("k", "seg").agg(F.count("*").alias("n"))
+    entity = votes.groupBy("k").agg(
+        F.count("*").alias("n_values"),
+        F.max("n").alias("top_votes"),
+        F.expr("min_by(seg, struct(-n, seg))").alias("repaired_seg"),
+    )
+    summary = entity.agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.sum(F.expr("CASE WHEN n_values > 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n_values > 1 AND top_votes >= 2 THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_majority_repaired"),
+    )
+    residual = (
+        entity.select("k", "repaired_seg")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("nv"))
+        .where(F.col("nv") > 1)
+        .agg(F.count("*").cast("bigint").alias("residual_violations"))
+    )
+    by_seg = entity.groupBy("repaired_seg").agg(
+        F.count("*").cast("bigint").alias("n_entities_seg")
+    )
+    return (
+        by_seg.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(residual))
+        .select(
+            "repaired_seg", "n_entities_seg",
+            "n_entities", "n_violating", "n_majority_repaired",
+            "residual_violations",
+            F.expr("n_violating * 10 = n_entities").alias(
+                "violations_match_plant"
+            ),
+        )
+        .orderBy("repaired_seg")
+    )

@@ -823,3 +823,15 @@ def test_srm_two_sided_discrimination(spark):
     rows01 = _Q["ev_ab_srm_check"](spark, "/root/testdata/sf0.01").collect()
     d01 = {r.experiment: r for r in rows01}
     assert d01["biased_drop"].srm_flag and not d01["clean"].srm_flag
+
+
+def test_constraint_repair_recovers_truth(spark):
+    rows = _rows(spark, "dp_constraint_repair")
+    assert len(rows) == 5  # one row per repaired segment value
+    r = rows[0]
+    assert r.violations_match_plant and r.n_violating == r.n_entities // 10
+    # every violating entity had a 2-1 majority -> all repaired
+    assert r.n_majority_repaired == r.n_violating
+    # the idempotence certificate: repair leaves zero FD violations
+    assert r.residual_violations == 0
+    assert sum(x.n_entities_seg for x in rows) == r.n_entities
