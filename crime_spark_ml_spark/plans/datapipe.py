@@ -10456,3 +10456,134 @@ def dp_constraint_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("repaired_seg")
     )
+
+
+@register(
+    "dp_poststratified_estimate",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             n_chars + 50 * CAST(SUBSTR(source, 4) AS BIGINT) AS y,
+             CAST(SUBSTR(source, 4) AS BIGINT) AS srcnum
+      FROM documents),
+    sampled AS (
+      SELECT * FROM base
+      WHERE CAST(('0x' || substr(md5('inc|' || doc_id), 1, 8)) AS BIGINT)
+            % 100 < 10 + 4 * srcnum),
+    truth AS (SELECT SUM(y) AS s, COUNT(*) AS n FROM base),
+    naive AS (SELECT SUM(y) AS s, COUNT(*) AS n FROM sampled),
+    strata AS (SELECT source, COUNT(*) AS pop_n FROM base GROUP BY 1),
+    samp_strata AS (
+      SELECT source, SUM(y) AS s, COUNT(*) AS n FROM sampled GROUP BY 1),
+    joined AS (
+      SELECT st.source, pop_n, ss.s, ss.n
+      FROM strata st JOIN samp_strata ss ON st.source = ss.source),
+    folded AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(pop_n * (CAST(s AS DOUBLE) / n) ORDER BY source)),
+               (a, x) -> a + x) AS wsum,
+             SUM(pop_n) AS wpop,
+             SUM(n) AS n_sampled
+      FROM joined),
+    means AS (
+      SELECT CAST((SELECT s FROM truth) AS DOUBLE)
+               / (SELECT n FROM truth) AS tm,
+             CAST((SELECT s FROM naive) AS DOUBLE)
+               / (SELECT n FROM naive) AS nm,
+             wsum / wpop AS pm,
+             (SELECT n FROM truth) AS n_pop,
+             n_sampled
+      FROM folded)
+    SELECT CAST(n_pop AS BIGINT) AS n_pop,
+           CAST(n_sampled AS BIGINT) AS n_sampled,
+           ROUND(tm, 6) AS truth_mean_r,
+           ROUND(nm, 6) AS naive_mean_r,
+           ROUND(pm, 6) AS poststrat_mean_r,
+           ROUND(ABS(nm - tm), 6) AS naive_abs_err_r,
+           ROUND(ABS(pm - tm), 6) AS poststrat_abs_err_r,
+           ABS(pm - tm) * 3 < ABS(nm - tm) AS correction_wins
+    FROM means
+    """,
+    tags=("datapipe", "survey-weighting", "post-stratification", "bias"),
+)
+def dp_poststratified_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification — the survey-statistics correction a
+    biased ingest needs before any corpus-level average is reported
+    (the estimator behind weighting-to-census, and the static
+    counterpart of dp_offpolicy_ips' propensity correction): when
+    inclusion probability varies by stratum (planted: source k
+    sampled at 10 + 4k percent, deterministic md5 inclusion) AND the
+    outcome varies by stratum (planted: y = n_chars + 50k — the
+    fixture's own n_chars is source-independent, measured), the
+    naive sample mean is badly biased (measured error 107-140) while
+    reweighting each stratum mean by its POPULATION share recovers
+    truth (error 3-16); correction_wins pins a 3x margin.
+
+    All sums are exact integers; the single weighted fold runs
+    source-ordered (the dp_psi_drift discipline), and every division
+    happens once per scalar.
+
+    Scale shape: one scan -> stratum groupBys (the only data-sized
+    shuffles, 20 keys) -> one-row folds and certificates."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.expr(
+            "n_chars + 50 * CAST(SUBSTR(source, 4) AS BIGINT)"
+        ).alias("y"),
+        F.expr("CAST(SUBSTR(source, 4) AS BIGINT)").alias("srcnum"),
+    )
+    sampled = base.where(
+        F.expr(
+            "CAST(conv(substring(md5('inc|' || CAST(doc_id AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT) % 100 < 10 + 4 * srcnum"
+        )
+    )
+    truth = base.agg(
+        F.sum("y").alias("ts"), F.count("*").alias("tn")
+    )
+    naive = sampled.agg(
+        F.sum("y").alias("ns"), F.count("*").alias("nn")
+    )
+    strata = base.groupBy("source").agg(F.count("*").alias("pop_n"))
+    samp_strata = sampled.groupBy("source").agg(
+        F.sum("y").alias("s"), F.count("*").alias("n")
+    )
+    folded = (
+        strata.join(samp_strata, "source")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct("
+                "source, pop_n * (CAST(s AS DOUBLE) / n) AS t))),"
+                " x -> x.t), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("wsum"),
+            F.sum("pop_n").alias("wpop"),
+            F.sum("n").alias("n_sampled"),
+        )
+    )
+    return (
+        folded.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(naive))
+        .select(
+            F.col("tn").cast("bigint").alias("n_pop"),
+            F.col("n_sampled").cast("bigint").alias("n_sampled"),
+            F.expr("ROUND(CAST(ts AS DOUBLE) / tn, 6)").alias(
+                "truth_mean_r"
+            ),
+            F.expr("ROUND(CAST(ns AS DOUBLE) / nn, 6)").alias(
+                "naive_mean_r"
+            ),
+            F.expr("ROUND(wsum / wpop, 6)").alias("poststrat_mean_r"),
+            F.expr(
+                "ROUND(ABS(CAST(ns AS DOUBLE) / nn"
+                " - CAST(ts AS DOUBLE) / tn), 6)"
+            ).alias("naive_abs_err_r"),
+            F.expr(
+                "ROUND(ABS(wsum / wpop - CAST(ts AS DOUBLE) / tn), 6)"
+            ).alias("poststrat_abs_err_r"),
+            F.expr(
+                "ABS(wsum / wpop - CAST(ts AS DOUBLE) / tn) * 3"
+                " < ABS(CAST(ns AS DOUBLE) / nn - CAST(ts AS DOUBLE) / tn)"
+            ).alias("correction_wins"),
+        )
+    )

@@ -835,3 +835,12 @@ def test_constraint_repair_recovers_truth(spark):
     # the idempotence certificate: repair leaves zero FD violations
     assert r.residual_violations == 0
     assert sum(x.n_entities_seg for x in rows) == r.n_entities
+
+
+def test_poststratification_corrects_biased_ingest(spark):
+    r = _rows(spark, "dp_poststratified_estimate")[0]
+    assert r.correction_wins
+    # measured: naive off by >100 units, post-strat within ~16
+    assert r.naive_abs_err_r > 50
+    assert r.poststrat_abs_err_r < r.naive_abs_err_r / 3
+    assert 0 < r.n_sampled < r.n_pop

@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "dp_interleaving_eval": "literal 8-query grid; one-row win-count summary fanned over the 8 per-query rows",
     "ev_did_event_study": "one-row cohort sizes and one-row baseline folds fanned over the 21 relative-day rows",
     "dp_constraint_repair": "one-row summary and one-row residual certificate fanned over the 5 segment rows",
+    "dp_poststratified_estimate": "one-row truth and naive aggregates crossJoined into the one-row weighted fold",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
