@@ -844,3 +844,12 @@ def test_poststratification_corrects_biased_ingest(spark):
     assert r.naive_abs_err_r > 50
     assert r.poststrat_abs_err_r < r.naive_abs_err_r / 3
     assert 0 < r.n_sampled < r.n_pop
+
+
+def test_capture_recapture_estimates_universe(spark):
+    r = _rows(spark, "dp_capture_recapture")[0]
+    assert r.within_band and r.rel_err_r < 0.2
+    assert 0 < r.n_overlap < min(r.n_sample_a, r.n_sample_b)
+    # ~30% marks each, ~9% overlap on the known 500-doc universe
+    assert 0.2 < r.n_sample_a / r.n_universe_true < 0.4
+    assert abs(r.chapman_est_r - r.n_universe_true) < 0.2 * r.n_universe_true
