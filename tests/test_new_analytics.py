@@ -853,3 +853,14 @@ def test_capture_recapture_estimates_universe(spark):
     # ~30% marks each, ~9% overlap on the known 500-doc universe
     assert 0.2 < r.n_sample_a / r.n_universe_true < 0.4
     assert abs(r.chapman_est_r - r.n_universe_true) < 0.2 * r.n_universe_true
+
+
+def test_bradley_terry_recovers_ladder(spark):
+    rows = _rows(spark, "ml_bradley_terry")
+    assert len(rows) == 6
+    assert all(r.rank_matches_plant for r in rows)
+    # the planted geometric ladder 2^i, gauge-fixed at model 0
+    for r in rows:
+        assert abs(r.strength_ratio_r - 2 ** r.model_id) < 0.1 * 2 ** r.model_id
+    ratios = [r.strength_ratio_r for r in rows]
+    assert ratios == sorted(ratios)
