@@ -1024,3 +1024,139 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model_id")
     )
+
+
+@register(
+    "ml_classification_report",
+    oracle="""
+    WITH labeled AS (
+      SELECT c_custkey AS id, c_mktsegment AS y_true,
+             CASE WHEN c_custkey % 10 < 8 THEN c_mktsegment
+                  ELSE CASE c_mktsegment
+                    WHEN 'AUTOMOBILE' THEN 'BUILDING'
+                    WHEN 'BUILDING' THEN 'FURNITURE'
+                    WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+                    WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+                    ELSE 'AUTOMOBILE' END END AS y_pred
+      FROM customer),
+    per_class AS (
+      SELECT cls,
+             SUM(CASE WHEN y_true = cls AND y_pred = cls
+                      THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN y_true != cls AND y_pred = cls
+                      THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN y_true = cls AND y_pred != cls
+                      THEN 1 ELSE 0 END) AS fn
+      FROM labeled
+      CROSS JOIN (SELECT UNNEST(['AUTOMOBILE', 'BUILDING', 'FURNITURE',
+                                 'HOUSEHOLD', 'MACHINERY']) AS cls)
+      GROUP BY cls),
+    scored AS (
+      SELECT cls, tp, fp, fn,
+             CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+             CAST(tp AS DOUBLE) / (tp + fn) AS rec
+      FROM per_class),
+    overall AS (
+      SELECT CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fp))
+               AS micro_accuracy
+      FROM scored)
+    SELECT cls,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(prec, 6) AS precision_r,
+           ROUND(rec, 6) AS recall_r,
+           ROUND(2.0 * prec * rec / (prec + rec), 6) AS f1_r,
+           ROUND(micro_accuracy, 6) AS micro_accuracy_r,
+           micro_accuracy > 0.75 AND micro_accuracy < 0.85
+             AS accuracy_in_band
+    FROM scored CROSS JOIN overall ORDER BY cls
+    """,
+    tags=("ml", "evaluation", "classification-report", "f1"),
+)
+def ml_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 — the multiclass evaluation
+    breakdown the ML surface reports accuracy for but never
+    decomposes: a PLANTED classifier (exactly 8-of-10 ids correct,
+    the rest confused into a fixed class rotation, so every cell of
+    the confusion structure is deterministic) is scored class by
+    class. Because the confusion is a pure rotation, every class's
+    false positives come from exactly one neighbor and precision ~
+    recall ~ 0.8 with exact-integer TP/FP/FN; micro accuracy is
+    pinned inside (0.75, 0.85). The per-class fan-out is a broadcast
+    5-row class grid (the conditional-aggregation pivot), so the
+    whole report costs one scan + one 5-group aggregate.
+
+    Real usage swaps the planted y_pred for a model's prediction
+    column — the report plan is unchanged."""
+    cust = load_table(spark, sf_dir, "customer")
+    rot = (
+        "CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'BUILDING'"
+        " WHEN 'BUILDING' THEN 'FURNITURE'"
+        " WHEN 'FURNITURE' THEN 'HOUSEHOLD'"
+        " WHEN 'HOUSEHOLD' THEN 'MACHINERY' ELSE 'AUTOMOBILE' END"
+    )
+    labeled = cust.select(
+        F.col("c_mktsegment").alias("y_true"),
+        F.expr(
+            f"CASE WHEN c_custkey % 10 < 8 THEN c_mktsegment"
+            f" ELSE {rot} END"
+        ).alias("y_pred"),
+    )
+    classes = spark.createDataFrame(
+        [(c,) for c in ("AUTOMOBILE", "BUILDING", "FURNITURE",
+                        "HOUSEHOLD", "MACHINERY")],
+        "cls string",
+    )
+    per_class = (
+        labeled.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN y_true = cls AND y_pred = cls"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("tp"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN y_true != cls AND y_pred = cls"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("fp"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN y_true = cls AND y_pred != cls"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("fn"),
+        )
+    )
+    scored = per_class.select(
+        "cls", "tp", "fp", "fn",
+        F.expr("CAST(tp AS DOUBLE) / (tp + fp)").alias("prec"),
+        F.expr("CAST(tp AS DOUBLE) / (tp + fn)").alias("rec"),
+    )
+    overall = scored.agg(
+        F.expr(
+            "CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fp))"
+        ).alias("micro_accuracy")
+    )
+    return (
+        scored.crossJoin(F.broadcast(overall))
+        .select(
+            "cls",
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            F.round("prec", 6).alias("precision_r"),
+            F.round("rec", 6).alias("recall_r"),
+            F.expr("ROUND(2.0 * prec * rec / (prec + rec), 6)").alias(
+                "f1_r"
+            ),
+            F.round("micro_accuracy", 6).alias("micro_accuracy_r"),
+            F.expr(
+                "micro_accuracy > 0.75 AND micro_accuracy < 0.85"
+            ).alias("accuracy_in_band"),
+        )
+        .orderBy("cls")
+    )

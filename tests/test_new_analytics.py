@@ -864,3 +864,15 @@ def test_bradley_terry_recovers_ladder(spark):
         assert abs(r.strength_ratio_r - 2 ** r.model_id) < 0.1 * 2 ** r.model_id
     ratios = [r.strength_ratio_r for r in rows]
     assert ratios == sorted(ratios)
+
+
+def test_classification_report_rotation_confusion(spark):
+    rows = _rows(spark, "ml_classification_report")
+    assert len(rows) == 5
+    assert rows[0].accuracy_in_band
+    for r in rows:
+        # 8-of-10 planted correctness per class, exact-integer cells
+        assert 0.6 < r.precision_r < 0.95 and 0.6 < r.recall_r < 0.95
+        assert 0.6 < r.f1_r < 0.95
+        assert r.tp > 0 and r.fp > 0 and r.fn > 0
+    assert 0.75 < rows[0].micro_accuracy_r < 0.85

@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "ev_did_event_study": "one-row cohort sizes and one-row baseline folds fanned over the 21 relative-day rows",
     "dp_constraint_repair": "one-row summary and one-row residual certificate fanned over the 5 segment rows",
     "dp_poststratified_estimate": "one-row truth and naive aggregates crossJoined into the one-row weighted fold",
+    "ml_classification_report": "5-row class grid broadcast for the confusion pivot; one-row micro accuracy fanned back",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
