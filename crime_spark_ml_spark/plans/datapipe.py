@@ -10665,3 +10665,125 @@ def dp_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_band"
         ),
     )
+
+
+def _maxcov_oracle(k: int) -> str:
+    """Greedy max-coverage unrolled to k rounds as chained CTEs."""
+    ctes = [
+        """dt AS (
+      SELECT doc_id,
+             list_filter(list_distinct(
+               string_split_regex(lower(text), '[^a-z]+')),
+               t -> length(t) BETWEEN 2 AND 12) AS toks
+      FROM documents WHERE text IS NOT NULL)""",
+        "cov0 AS (SELECT CAST([] AS VARCHAR[]) AS cov)",
+    ]
+    picks = []
+    for r in range(1, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT doc_id FROM best{i}" for i in range(1, r)
+        )
+        excl = f" WHERE doc_id NOT IN ({prior})" if prior else ""
+        ctes.append(f"""gain{r} AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> NOT list_contains(cov, t)))
+               AS gain
+      FROM dt CROSS JOIN cov{r - 1}{excl}),
+    best{r} AS (
+      SELECT doc_id, gain FROM gain{r}
+      ORDER BY gain DESC, doc_id LIMIT 1),
+    cov{r} AS (
+      SELECT list_distinct(list_concat(cov, toks)) AS cov
+      FROM cov{r - 1}, dt, best{r}
+      WHERE dt.doc_id = best{r}.doc_id)""")
+        picks.append(
+            f"SELECT {r} AS round, b.doc_id, CAST(b.gain AS BIGINT)"
+            f" AS new_tokens, CAST(len(c.cov) AS BIGINT) AS covered_total"
+            f" FROM best{r} b, cov{r} c"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(picks)
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "dp_max_coverage_select",
+    oracle=_maxcov_oracle(5),
+    tags=("datapipe", "data-selection", "submodular", "coverage"),
+)
+def dp_max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum coverage — the SUBMODULAR data-selection
+    primitive (pick the k documents whose union covers the most
+    vocabulary: eval-set construction, seed-corpus selection,
+    test-coverage triage) completing the selection trio:
+    dp_coreset_kcenter covers geometry, dp_mmr_diversify balances
+    relevance, this one maximizes discrete coverage with the classic
+    (1 - 1/e) greedy. Each round is lazy (the covered-set is a
+    one-row broadcast; gain = set-difference size against it; argmax
+    ties by doc_id, previously selected docs anti-joined out) and
+    costs one corpus pass — the dp_bpe_merge_learn round discipline.
+    The shared-vocabulary fixture SATURATES after two picks (the
+    whole ~100-word vocabulary is covered), so the trailing rounds
+    pin the saturation regime: zero marginal gain, distinct picks.
+
+    The hashed result carries each round's marginal gain and the
+    running covered-total, so BOTH submodularity certificates are
+    pinned: marginal gains never increase round over round, and
+    covered_total(r) - covered_total(r-1) = new_tokens(r) exactly
+    (the greedy bookkeeping must balance).
+
+    Scale shape: one tokenize pass -> k corpus passes, each a
+    row-local set difference against a broadcast array + one top-1;
+    nothing quadratic, no data-sized collect."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    dt = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(array_distinct(split(lower(text), '[^a-z]+')),"
+            " t -> length(t) BETWEEN 2 AND 12)"
+        ).alias("toks"),
+    )
+    cov = spark.range(1).select(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("cov")
+    )
+    out = []
+    selected = None
+    for r in range(1, 6):
+        pool = dt if selected is None else dt.join(
+            F.broadcast(selected), "doc_id", "left_anti"
+        )
+        gains = pool.crossJoin(F.broadcast(cov)).select(
+            "doc_id",
+            F.expr("size(array_except(toks, cov))").alias("gain"),
+        )
+        best = gains.orderBy(F.col("gain").desc(), "doc_id").limit(1)
+        picked = best.select("doc_id")
+        selected = picked if selected is None else selected.unionByName(
+            picked
+        )
+        cov = (
+            dt.join(
+                F.broadcast(best.select(F.col("doc_id").alias("b_id"))),
+                F.col("doc_id") == F.col("b_id"),
+            )
+            .crossJoin(F.broadcast(cov))
+            .select(
+                F.expr("array_distinct(concat(cov, toks))").alias("cov")
+            )
+        )
+        out.append(
+            best.crossJoin(F.broadcast(cov)).select(
+                F.lit(r).cast("int").alias("round"),
+                "doc_id",
+                F.col("gain").cast("bigint").alias("new_tokens"),
+                F.expr("CAST(size(cov) AS BIGINT)").alias("covered_total"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")

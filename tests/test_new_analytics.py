@@ -876,3 +876,16 @@ def test_classification_report_rotation_confusion(spark):
         assert 0.6 < r.f1_r < 0.95
         assert r.tp > 0 and r.fp > 0 and r.fn > 0
     assert 0.75 < rows[0].micro_accuracy_r < 0.85
+
+
+def test_max_coverage_submodular_certificates(spark):
+    rows = _rows(spark, "dp_max_coverage_select")
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+    gains = [r.new_tokens for r in rows]
+    # diminishing returns: greedy marginal gains never increase
+    assert gains == sorted(gains, reverse=True) and gains[-1] >= 0
+    # bookkeeping balances exactly
+    assert rows[0].covered_total == rows[0].new_tokens
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.covered_total - prev.covered_total == cur.new_tokens
+    assert len({r.doc_id for r in rows}) == 5

@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "dp_constraint_repair": "one-row summary and one-row residual certificate fanned over the 5 segment rows",
     "dp_poststratified_estimate": "one-row truth and naive aggregates crossJoined into the one-row weighted fold",
     "ml_classification_report": "5-row class grid broadcast for the confusion pivot; one-row micro accuracy fanned back",
+    "dp_max_coverage_select": "one-row covered-vocabulary array broadcast over the corpus each greedy round",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
