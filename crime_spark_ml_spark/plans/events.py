@@ -5105,3 +5105,143 @@ def ev_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("experiment")
     )
+
+
+# planted geometric retention: round(100 * 0.8^k) percent at age k
+_RET_PCT = {k: round(100 * 0.8 ** k) for k in range(1, 10)}
+_RET_CASE = (
+    "CASE k "
+    + " ".join(f"WHEN {k} THEN {p}" for k, p in _RET_PCT.items())
+    + " END"
+)
+
+
+@register(
+    "ev_retention_halflife",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS f
+      FROM events GROUP BY user_id),
+    maxd AS (
+      SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS md
+      FROM events),
+    ages AS (
+      SELECT user_id, f, k, {_RET_CASE} AS pct
+      FROM firsts, (SELECT UNNEST(range(1, 10)) AS k)
+      WHERE f + k <= (SELECT md FROM maxd)),
+    marked AS (
+      SELECT k, pct,
+             CASE WHEN CAST(('0x' || substr(md5('ret|' || user_id || '|'
+                    || k), 1, 8)) AS BIGINT) % 100 < pct
+                  THEN 1 ELSE 0 END AS retained
+      FROM ages),
+    rates AS (
+      SELECT k, SUM(retained) AS n_ret, COUNT(*) AS n_elig,
+             LN(CAST(SUM(retained) AS DOUBLE) / COUNT(*)) AS lnr
+      FROM marked GROUP BY k),
+    fit AS (
+      SELECT COUNT(*) AS n, SUM(k) AS sk, SUM(k * k) AS skk,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(lnr ORDER BY k)), (a, x) -> a + x) AS sl,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(k * lnr ORDER BY k)), (a, x) -> a + x) AS skl
+      FROM rates),
+    coef AS (
+      SELECT (n * skl - sk * sl) / (n * skk - sk * sk) AS slope
+      FROM fit)
+    SELECT CAST(k AS INT) AS k,
+           CAST(n_elig AS BIGINT) AS n_eligible,
+           CAST(n_ret AS BIGINT) AS n_retained,
+           ROUND(CAST(n_ret AS DOUBLE) / n_elig, 6) AS rate_r,
+           ROUND(slope, 6) AS slope_r,
+           ROUND(-LN(2.0) / slope, 6) AS halflife_days_r,
+           ABS(-LN(2.0) / slope - 3.106284) < 0.5 AS fit_recovers_plant
+    FROM rates CROSS JOIN coef ORDER BY k
+    """,
+    tags=("events", "retention", "survival-fit", "halflife"),
+)
+def ev_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life — fitting the exponential decay model
+    r(k) = r0 * exp(slope * k) to retention-by-age and reporting
+    -ln2/slope, the single number growth teams quote from the curve
+    ev_cohort_retention_matrix tabulates. The fixture's users are
+    near-daily-active (no organic decay to fit), so retention is
+    PLANTED geometric at exactly 0.8^k via per-(user, age) hash
+    thinning (round(100*0.8^k)% at age k — the ev_slo_burn_rate
+    plant discipline), giving the estimator a known half-life of
+    ln2/ln(1.25) = 3.106 days; fit_recovers_plant pins a +-0.5-day
+    band (measured within ~0.1 at every scale: the log-linear OLS is
+    exact on a geometric curve up to the percentage rounding and
+    binomial realization).
+
+    Counts are exact integers; the four OLS sums over the 9 (k,
+    ln rate) points fold k-ordered (the dp_psi_drift trick); the
+    half-life is one scalar expression.
+
+    Scale shape: per-user first-day groupBy (the only data-sized
+    shuffle) -> 9-age fan-out -> 9-row rates -> one-row fit."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.expr("ts_us DIV 86400000000")).alias("f")
+    )
+    md = int(
+        ev.agg(F.max(F.expr("ts_us DIV 86400000000")).alias("m")).first()["m"]
+    )
+    ages = (
+        firsts.crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").alias("k"))
+            )
+        )
+        .where(F.col("f") + F.col("k") <= md)
+        .select("user_id", "k", F.expr(_RET_CASE).alias("pct"))
+    )
+    marked = ages.select(
+        "k",
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5('ret|' ||"
+            " CAST(user_id AS STRING) || '|' || CAST(k AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT) % 100 < pct THEN 1 ELSE 0 END"
+        ).alias("retained"),
+    )
+    rates = marked.groupBy("k").agg(
+        F.sum("retained").alias("n_ret"),
+        F.count("*").alias("n_elig"),
+        F.expr(
+            "LN(CAST(SUM(retained) AS DOUBLE) / COUNT(*))"
+        ).alias("lnr"),
+    )
+    fit = rates.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.expr("k * k")).alias("skk"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(k, lnr))),"
+            " s -> s.lnr), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("sl"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(k,"
+            " k * lnr AS t))), s -> s.t), CAST(0 AS DOUBLE),"
+            " (a, x) -> a + x)"
+        ).alias("skl"),
+    ).select(
+        F.expr("(n * skl - sk * sl) / (n * skk - sk * sk)").alias("slope")
+    )
+    return (
+        rates.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("n_elig").cast("bigint").alias("n_eligible"),
+            F.col("n_ret").cast("bigint").alias("n_retained"),
+            F.expr("ROUND(CAST(n_ret AS DOUBLE) / n_elig, 6)").alias(
+                "rate_r"
+            ),
+            F.round("slope", 6).alias("slope_r"),
+            F.expr("ROUND(-LN(2.0) / slope, 6)").alias("halflife_days_r"),
+            F.expr("ABS(-LN(2.0) / slope - 3.106284) < 0.5").alias(
+                "fit_recovers_plant"
+            ),
+        )
+        .orderBy("k")
+    )

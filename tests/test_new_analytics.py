@@ -889,3 +889,15 @@ def test_max_coverage_submodular_certificates(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.covered_total - prev.covered_total == cur.new_tokens
     assert len({r.doc_id for r in rows}) == 5
+
+
+def test_retention_halflife_recovers_plant(spark):
+    rows = _rows(spark, "ev_retention_halflife")
+    assert [r.k for r in rows] == list(range(1, 10))
+    r = rows[0]
+    assert r.fit_recovers_plant
+    assert abs(r.halflife_days_r - 3.106284) < 0.5
+    rates = [x.rate_r for x in rows]
+    # the planted geometric curve genuinely decays
+    assert rates[0] > 0.6 > rates[-1] > 0.05
+    assert all(0 < x.n_retained <= x.n_eligible for x in rows)
