@@ -5245,3 +5245,212 @@ def ev_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "ev_uplift_qini",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    marked AS (
+      SELECT user_id,
+        CAST(('0x' || substr(md5('up-v1|' || user_id), 1, 8)) AS BIGINT)
+          % 2 = 0 AS treated,
+        CAST(('0x' || substr(md5('per|' || user_id), 1, 8)) AS BIGINT)
+          % 4 = 0 AS persuadable,
+        CAST(('0x' || substr(md5('c0|' || user_id), 1, 8)) AS BIGINT)
+          % 100 AS h0,
+        CAST(('0x' || substr(md5('c1|' || user_id), 1, 8)) AS BIGINT)
+          % 100 AS h1,
+        CAST(('0x' || substr(md5('sc|' || user_id), 1, 8)) AS BIGINT)
+          % 100 AS hs
+      FROM users),
+    outcomes AS (
+      SELECT user_id, treated,
+             CASE WHEN h0 < 20 OR (treated AND persuadable AND h1 < 80)
+                  THEN 1 ELSE 0 END AS conv,
+             CASE WHEN persuadable THEN 100 + hs % 50 ELSE hs END
+               AS good_score,
+             hs AS random_score
+      FROM marked),
+    both_m AS (
+      SELECT 'good' AS model, good_score AS score, user_id, treated, conv
+      FROM outcomes
+      UNION ALL
+      SELECT 'random', random_score, user_id, treated, conv
+      FROM outcomes),
+    ranked AS (
+      SELECT model, treated, conv,
+             NTILE(10) OVER (PARTITION BY model
+                             ORDER BY score DESC, user_id) AS decile
+      FROM both_m),
+    dec AS (
+      SELECT model, decile,
+             SUM(CASE WHEN treated THEN conv ELSE 0 END) AS ct,
+             SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN NOT treated THEN conv ELSE 0 END) AS cc,
+             SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS nc
+      FROM ranked GROUP BY 1, 2),
+    cum AS (
+      SELECT model, decile,
+             SUM(ct) OVER w AS ct, SUM(nt) OVER w AS nt,
+             SUM(cc) OVER w AS cc, SUM(nc) OVER w AS nc
+      FROM dec
+      WINDOW w AS (PARTITION BY model ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING)),
+    qini AS (
+      SELECT model, decile,
+             ct - cc * CAST(nt AS DOUBLE) / GREATEST(nc, 1) AS q,
+             MAX(CASE WHEN decile = 10
+                      THEN ct - cc * CAST(nt AS DOUBLE) / GREATEST(nc, 1)
+                      END) OVER (PARTITION BY model) AS q10
+      FROM cum),
+    auuc AS (
+      SELECT model,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(q - decile / 10.0 * q10 ORDER BY decile)),
+               (a, x) -> a + x) AS auuc_adj
+      FROM qini GROUP BY model),
+    wide AS (
+      SELECT MAX(CASE WHEN model = 'good' THEN auuc_adj END) AS ga,
+             MAX(CASE WHEN model = 'random' THEN auuc_adj END) AS ra
+      FROM auuc)
+    SELECT q.model, CAST(q.decile AS INT) AS decile,
+           ROUND(q.q, 6) AS qini_r,
+           ROUND(q.q - q.decile / 10.0 * q.q10, 6) AS qini_adj_r,
+           ROUND(a.auuc_adj, 6) AS auuc_adj_r,
+           ga > ra + ABS(ra) AS good_dominates
+    FROM qini q JOIN auuc a ON a.model = q.model CROSS JOIN wide
+    ORDER BY q.model, q.decile
+    """,
+    tags=("events", "uplift", "qini", "experiment"),
+)
+def ev_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve / AUUC — uplift-model evaluation, the targeting
+    question the experimentation family stops short of (ev_abtest_
+    lift says the treatment works ON AVERAGE; uplift asks WHO to
+    treat): users are ranked by an uplift score, and the cumulative
+    incremental conversions ct - cc*nt/nc per score decile, with the
+    random-targeting diagonal subtracted, is the Qini curve whose
+    sum is the AUUC. The campaign is PLANTED: 25% hash-chosen
+    persuadables convert (80%) only under treatment over a 20% base
+    rate, the 'good' model scores persuadables on top, the 'random'
+    model is pure hash — so ground truth says good's adjusted AUUC
+    must dominate (measured 48.6 vs -1.9 at sf0.01, 441 vs -11 at
+    sf0.1; the 15-user sf0.001 curve is honest noise, which is why
+    good_dominates is pinned at the gate scale by the vacuity guard,
+    the ev_ab_srm_check convention).
+
+    NTILE over a fully tie-broken order is engine-identical; counts
+    are exact integers; the AUUC folds decile-ordered.
+
+    Scale shape: one distinct-user rollup -> per-model rank windows
+    -> 20-cell aggregate -> decile-sized windows and folds."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    hashes = {
+        "treated": ("up-v1|", 2, 0),
+        "persuadable": ("per|", 4, 0),
+    }
+    hx = lambda salt, m: (  # noqa: E731
+        f"CAST(conv(substring(md5('{salt}' || CAST(user_id AS STRING)),"
+        f" 1, 8), 16, 10) AS BIGINT) % {m}"
+    )
+    marked = users.select(
+        "user_id",
+        F.expr(f"{hx('up-v1|', 2)} = 0").alias("treated"),
+        F.expr(f"{hx('per|', 4)} = 0").alias("persuadable"),
+        F.expr(hx("c0|", 100)).alias("h0"),
+        F.expr(hx("c1|", 100)).alias("h1"),
+        F.expr(hx("sc|", 100)).alias("hs"),
+    )
+    outcomes = marked.select(
+        "user_id", "treated",
+        F.expr(
+            "CASE WHEN h0 < 20 OR (treated AND persuadable AND h1 < 80)"
+            " THEN 1 ELSE 0 END"
+        ).alias("conv"),
+        F.expr(
+            "CASE WHEN persuadable THEN 100 + hs % 50 ELSE hs END"
+        ).alias("good_score"),
+        F.col("hs").alias("random_score"),
+    )
+    both_m = outcomes.select(
+        F.lit("good").alias("model"),
+        F.col("good_score").alias("score"),
+        "user_id", "treated", "conv",
+    ).unionByName(
+        outcomes.select(
+            F.lit("random").alias("model"),
+            F.col("random_score").alias("score"),
+            "user_id", "treated", "conv",
+        )
+    )
+    w_nt = Window.partitionBy("model").orderBy(
+        F.col("score").desc(), "user_id"
+    )
+    ranked = both_m.select(
+        "model", "treated", "conv",
+        F.ntile(10).over(w_nt).alias("decile"),
+    )
+    dec = ranked.groupBy("model", "decile").agg(
+        F.sum(F.expr("CASE WHEN treated THEN conv ELSE 0 END")).alias("ct"),
+        F.sum(F.expr("CASE WHEN treated THEN 1 ELSE 0 END")).alias("nt"),
+        F.sum(
+            F.expr("CASE WHEN NOT treated THEN conv ELSE 0 END")
+        ).alias("cc"),
+        F.sum(F.expr("CASE WHEN NOT treated THEN 1 ELSE 0 END")).alias("nc"),
+    )
+    w_cum = (
+        Window.partitionBy("model")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dec.select(
+        "model", "decile",
+        F.sum("ct").over(w_cum).alias("ct"),
+        F.sum("nt").over(w_cum).alias("nt"),
+        F.sum("cc").over(w_cum).alias("cc"),
+        F.sum("nc").over(w_cum).alias("nc"),
+    )
+    w_mod = Window.partitionBy("model")
+    qini = cum.select(
+        "model", "decile",
+        F.expr(
+            "ct - cc * CAST(nt AS DOUBLE) / GREATEST(nc, 1)"
+        ).alias("q"),
+    ).select(
+        "model", "decile", "q",
+        F.max(
+            F.expr("CASE WHEN decile = 10 THEN q END")
+        ).over(w_mod).alias("q10"),
+    )
+    auuc = qini.groupBy("model").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(decile,"
+            " q - decile / 10.0 * q10 AS t))), s -> s.t),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("auuc_adj")
+    )
+    wide = auuc.agg(
+        F.max(F.expr("CASE WHEN model = 'good' THEN auuc_adj END")).alias(
+            "ga"
+        ),
+        F.max(
+            F.expr("CASE WHEN model = 'random' THEN auuc_adj END")
+        ).alias("ra"),
+    )
+    return (
+        qini.join(auuc, "model")
+        .crossJoin(F.broadcast(wide))
+        .select(
+            "model",
+            F.col("decile").cast("int").alias("decile"),
+            F.round("q", 6).alias("qini_r"),
+            F.expr("ROUND(q - decile / 10.0 * q10, 6)").alias(
+                "qini_adj_r"
+            ),
+            F.round("auuc_adj", 6).alias("auuc_adj_r"),
+            F.expr("ga > ra + ABS(ra)").alias("good_dominates"),
+        )
+        .orderBy("model", "decile")
+    )
