@@ -10787,3 +10787,97 @@ def dp_max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("round")
+
+
+_RR_LANGS = "['de', 'en', 'es', 'fr', 'zh']"
+
+
+@register(
+    "dp_randomized_response",
+    oracle=f"""
+    WITH coins AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5('rrc|' || doc_id), 1, 8)) AS BIGINT)
+          % 2 = 0 AS truth_coin,
+        CAST(('0x' || substr(md5('rrv|' || doc_id), 1, 8)) AS BIGINT)
+          % 5 AS noise_idx
+      FROM documents),
+    reported AS (
+      SELECT lang AS true_lang,
+             CASE WHEN truth_coin THEN lang
+                  ELSE ({_RR_LANGS})[CAST(noise_idx AS INT) + 1] END
+               AS reported_lang
+      FROM coins),
+    truth AS (
+      SELECT true_lang AS lang, COUNT(*) AS n_true FROM reported
+      GROUP BY 1),
+    obs AS (
+      SELECT reported_lang AS lang, COUNT(*) AS n_obs FROM reported
+      GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n FROM reported)
+    SELECT t.lang,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_obs AS BIGINT) AS n_reported,
+           ROUND((n_obs - CAST(n AS DOUBLE) * 0.5 / 5.0) / 0.5, 6) AS n_estimated_r,
+           ROUND(ABS((n_obs - CAST(n AS DOUBLE) * 0.5 / 5.0) / 0.5
+                     - n_true) / n_true, 6) AS rel_err_r,
+           ABS((n_obs - CAST(n AS DOUBLE) * 0.5 / 5.0) / 0.5 - n_true)
+             / n_true < 0.35
+             AS within_band
+    FROM truth t JOIN obs ON obs.lang = t.lang CROSS JOIN total
+    ORDER BY t.lang
+    """,
+    tags=("datapipe", "privacy", "local-dp", "randomized-response"),
+)
+def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response — the LOCAL differential-privacy mechanism
+    (each row lies about itself before the collector ever sees it)
+    complementing dp_private_counts' central Laplace: with
+    probability 1/2 a document reports its true lang, else a
+    uniformly hash-chosen one, and the collector debiases with the
+    classic unbiased estimator n-hat = (obs - n(1-p)/k) / p. Both
+    the coin and the noise draw are deterministic md5 channels, so
+    the realized mechanism is identical in both engines and the
+    estimator's recovery is directly checkable against the exact
+    per-lang truth (rel_err pinned < 0.35 at every scale; the en
+    class sits near 4% error at sf0.1).
+
+    Scale shape: one scan, two 5-group aggregates, one 5-row join —
+    the mechanism itself is row-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    reported = docs.select(
+        F.col("lang").alias("true_lang"),
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5('rrc|' ||"
+            " CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+            " THEN lang ELSE element_at(array('de', 'en', 'es', 'fr',"
+            " 'zh'), CAST(CAST(conv(substring(md5('rrv|' ||"
+            " CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 5"
+            " AS INT) + 1) END"
+        ).alias("reported_lang"),
+    )
+    truth = reported.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count("*").alias("n_true")
+    )
+    obs = reported.groupBy(F.col("reported_lang").alias("lang")).agg(
+        F.count("*").alias("n_obs")
+    )
+    total = reported.agg(F.count("*").alias("n"))
+    est = "(n_obs - CAST(n AS DOUBLE) * 0.5 / 5.0) / 0.5"
+    return (
+        truth.join(obs, "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_obs").cast("bigint").alias("n_reported"),
+            F.expr(f"ROUND({est}, 6)").alias("n_estimated_r"),
+            F.expr(
+                f"ROUND(ABS({est} - n_true) / n_true, 6)"
+            ).alias("rel_err_r"),
+            F.expr(f"ABS({est} - n_true) / n_true < 0.35").alias(
+                "within_band"
+            ),
+        )
+        .orderBy("lang")
+    )

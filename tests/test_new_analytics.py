@@ -917,3 +917,14 @@ def test_qini_good_model_dominates_at_gate_scale(spark):
     d01 = {r.model: r for r in rows01}
     assert d01["good"].good_dominates
     assert d01["good"].auuc_adj_r > 10 > abs(d01["random"].auuc_adj_r)
+
+
+def test_randomized_response_debias_recovers(spark):
+    rows = _rows(spark, "dp_randomized_response")
+    assert [r.lang for r in rows] == ["de", "en", "es", "fr", "zh"]
+    assert all(r.within_band and r.rel_err_r < 0.35 for r in rows)
+    # the mechanism genuinely perturbs: reported != true per class
+    assert any(r.n_reported != r.n_true for r in rows)
+    # debiasing beats the raw reported count for the largest class
+    en = [r for r in rows if r.lang == "en"][0]
+    assert abs(en.n_estimated_r - en.n_true) < abs(en.n_reported - en.n_true)

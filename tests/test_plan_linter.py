@@ -79,6 +79,7 @@ BNLJ_ALLOWED = {
     "dp_max_coverage_select": "one-row covered-vocabulary array broadcast over the corpus each greedy round",
     "ev_retention_halflife": "9-row age grid fanned over users; one-row OLS fit fanned back over the 9 rate rows",
     "ev_uplift_qini": "one-row cross-model AUUC summary fanned over the 20 decile rows",
+    "dp_randomized_response": "one-row total-count scalar fanned over the 5 language rows",
     "ev_seasonal_decompose": "one-row (reduction, amplitude) anchors fanned over the ~24 day rows",
     "dp_skyline_pareto": "one-row (n_skyline, n_total) anchors fanned over the handful of skyline points",
     "dp_hll_intersection": "three one-row sketch/exact aggregates crossJoined into the single summary row",
