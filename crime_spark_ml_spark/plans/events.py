@@ -5454,3 +5454,504 @@ def ev_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "decile")
     )
+
+
+@register(
+    "ev_shapley_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS cts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    exposure AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN e.event_type = 'click'  THEN 1 ELSE 0 END)
+           + MAX(CASE WHEN e.event_type = 'view'   THEN 2 ELSE 0 END)
+           + MAX(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END) AS mask
+      FROM events e JOIN conv c USING (user_id)
+      WHERE e.ts < c.cts AND e.event_type IN ('click', 'view', 'signup')
+      GROUP BY e.user_id
+    ),
+    per_user AS (
+      SELECT c.user_id, COALESCE(x.mask, 0) AS mask
+      FROM conv c LEFT JOIN exposure x USING (user_id)
+    ),
+    v_raw AS (SELECT mask, COUNT(*) AS n FROM per_user GROUP BY mask),
+    masks AS (
+      SELECT m.mask, CAST(COALESCE(v.n, 0) AS BIGINT) AS v
+      FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) m(mask)
+      LEFT JOIN v_raw v USING (mask)
+    ),
+    channels AS (
+      SELECT * FROM (VALUES ('click', 1), ('signup', 4), ('view', 2)) c(channel, bit)
+    ),
+    marginals AS (
+      SELECT ch.channel,
+             CAST(SUM((CASE WHEN bit_count(m.mask) = 1 THEN 1 ELSE 2 END)
+                      * (vi.v - m.v)) AS BIGINT) AS phi_x6
+      FROM channels ch
+      JOIN masks m ON (m.mask & ch.bit) = 0
+      JOIN masks vi ON vi.mask = m.mask + ch.bit
+      GROUP BY ch.channel
+    ),
+    checks AS (
+      SELECT CAST(SUM(phi_x6) AS BIGINT) AS sum_phi FROM marginals
+    ),
+    anchor AS (
+      SELECT 6 * ((SELECT v FROM masks WHERE mask = 7)
+                  - (SELECT v FROM masks WHERE mask = 0)) AS rhs
+    )
+    SELECT channel, phi_x6,
+           ROUND(phi_x6 / 6.0, 6) AS shapley_r,
+           (SELECT sum_phi FROM checks) = (SELECT rhs FROM anchor)
+               AS efficiency_holds
+    FROM marginals ORDER BY channel
+    """,
+    tags=("events", "attribution", "shapley", "causal"),
+)
+def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value multi-touch attribution over the 3-channel
+    exposure game (click/view/signup touches strictly BEFORE the
+    user's first purchase; Zhao et al.'s coalition definition with a
+    count-valued characteristic: v(S) = converters whose exact
+    exposure set is S). The 3-channel game is solved EXACTLY —
+    marginal contributions over all 2^3 coalitions with the
+    |S|!(n-|S|-1)!/n! weights held as integers (x6), so the whole
+    computation is exact BIGINT arithmetic and the Shapley
+    EFFICIENCY axiom (sum of phi = v(N) - v(empty)) is pinned as a
+    hashed boolean. Complements ev_markov_attribution (removal
+    effects) and ev_first_touch_attribution (heuristic) with the
+    game-theoretic standard.
+
+    Scale shape: two user-keyed aggregations (first-purchase asof +
+    exposure masks) collapse the corpus to one row per user, then to
+    the 8-row v(S) table; the coalition enumeration is an 8x3
+    literal-table join (broadcast, constant size — the 2^n blowup is
+    bounded because ATTRIBUTION games fix n at the channel count,
+    not the user count)."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    exposure = (
+        ev.join(conv, "user_id")
+        .where(
+            (F.col("ts") < F.col("cts"))
+            & F.col("event_type").isin("click", "view", "signup")
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                + F.max(F.when(F.col("event_type") == "view", 2).otherwise(0))
+                + F.max(F.when(F.col("event_type") == "signup", 4).otherwise(0))
+            ).alias("mask")
+        )
+    )
+    per_user = conv.join(exposure, "user_id", "left").select(
+        F.coalesce("mask", F.lit(0)).alias("mask")
+    )
+    v_raw = per_user.groupBy("mask").agg(F.count("*").alias("n"))
+    masks = (
+        spark.createDataFrame([(m,) for m in range(8)], "mask int")
+        .join(v_raw, "mask", "left")
+        .select("mask", F.coalesce("n", F.lit(0)).cast("bigint").alias("v"))
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("signup", 4), ("view", 2)], "channel string, bit int"
+    )
+    m = masks.select(F.col("mask").alias("m_mask"), F.col("v").alias("m_v"))
+    vi = masks.select(F.col("mask").alias("i_mask"), F.col("v").alias("i_v"))
+    # 3x8 literal-table coalition enumeration: the bitmask predicate is
+    # non-equi, hence an intentional broadcast nested-loop over
+    # constant-size sides (BNLJ_ALLOWED)
+    marginals = (
+        F.broadcast(channels)
+        .join(F.broadcast(m), F.expr("(m_mask & bit) = 0"))
+        .join(F.broadcast(vi), F.expr("i_mask = m_mask + bit"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.when(F.bit_count("m_mask") == 1, 1).otherwise(2)
+                * (F.col("i_v") - F.col("m_v"))
+            )
+            .cast("bigint")
+            .alias("phi_x6")
+        )
+    )
+    checks = marginals.agg(F.sum("phi_x6").cast("bigint").alias("sum_phi"))
+    anchor = (
+        masks.agg(
+            (
+                6
+                * (
+                    F.sum(F.when(F.col("mask") == 7, F.col("v")).otherwise(0))
+                    - F.sum(F.when(F.col("mask") == 0, F.col("v")).otherwise(0))
+                )
+            ).alias("rhs")
+        )
+    )
+    return (
+        marginals.crossJoin(F.broadcast(checks))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "channel",
+            "phi_x6",
+            F.round(F.col("phi_x6") / 6.0, 6).alias("shapley_r"),
+            (F.col("sum_phi") == F.col("rhs")).alias("efficiency_holds"),
+        )
+        .orderBy("channel")
+    )
+
+
+# SPRT log-likelihood-ratio increments for H0: p=0.2 vs H1: p=0.25,
+# alpha = beta = 0.05. The LLR at trial t is s*L1 + f*L0 with s/f the
+# EXACT integer success/failure counts from a cumulative window, so
+# the walk is computed identically in both engines (no float
+# accumulation across rows — the only doubles are two LN constants
+# scaled by exact integers).
+_SPRT_LLR = "(s * LN(0.25 / 0.2) + f * LN(0.75 / 0.8))"
+_SPRT_CROSS = f"({_SPRT_LLR} >= LN(19.0) OR {_SPRT_LLR} <= -LN(19.0))"
+
+
+@register(
+    "ev_sprt_sequential",
+    oracle=f"""
+    WITH trials AS (
+      SELECT event_id, ts,
+             CASE WHEN CAST(('0x' || substr(md5('sprt-arm|' || event_id), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1
+                  WHEN CAST(('0x' || substr(md5('sprt-arm|' || event_id), 1, 8))
+                       AS BIGINT) % 2 = 1
+                   AND CAST(('0x' || substr(md5('sprt-lift|' || event_id), 1, 8))
+                       AS BIGINT) % 10 = 0 THEN 1
+                  ELSE 0 END AS succ
+      FROM events
+    ),
+    walk AS (
+      SELECT arm, succ,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(SUM(succ) OVER (PARTITION BY arm ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+      FROM trials
+      WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id)
+    ),
+    llr AS (
+      SELECT arm, rn, s, rn - s AS f FROM walk
+    ),
+    summary AS (
+      SELECT arm,
+             CAST(MAX(rn) AS BIGINT) AS n_trials,
+             CAST(MAX(s) AS BIGINT) AS n_succ,
+             CAST(MIN(rn) FILTER (WHERE {_SPRT_CROSS}) AS BIGINT) AS t_cross,
+             arg_min(CASE WHEN {_SPRT_LLR} >= LN(19.0) THEN 'accept_h1'
+                          ELSE 'accept_h0' END, rn)
+                 FILTER (WHERE {_SPRT_CROSS}) AS verdict,
+             arg_min(ROUND({_SPRT_LLR}, 6), rn)
+                 FILTER (WHERE {_SPRT_CROSS}) AS llr_cross
+      FROM llr GROUP BY arm
+    )
+    SELECT arm, n_trials, n_succ,
+           ROUND(CAST(n_succ AS DOUBLE) / n_trials, 6) AS p_hat_r,
+           COALESCE(verdict, 'continue') AS decision,
+           CAST(COALESCE(t_cross, -1) AS BIGINT) AS t_decide,
+           COALESCE(llr_cross, 0.0) AS llr_at_decision_r
+    FROM summary ORDER BY arm
+    """,
+    tags=("events", "abtest", "sequential", "sprt"),
+)
+def ev_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test run over the event
+    stream as an always-on A/B guardrail — the sequential-testing
+    complement of ev_abtest_lift's fixed-horizon test and
+    ev_power_analysis's a-priori sizing: the LLR for H0: p=0.2 vs
+    H1: p=0.25 (alpha=beta=0.05, Wald boundaries +/-ln 19) is a
+    cumulative walk per arm, and the test DECIDES at the first
+    boundary crossing instead of a fixed n. Arm B carries a
+    hash-planted ~+8pp lift (10% extra successes over the ~20%
+    purchase base), so B's walk drifts up to accept_h1 while A's
+    drifts down to accept_h0 — both decision branches are exercised
+    at the gate scale.
+
+    Determinism: the walk state is the exact integer (successes,
+    failures) pair from ONE cumulative window; the LLR is
+    reconstituted row-locally as s*L1 + f*L0, so no float ever
+    accumulates across rows and the crossing trial is
+    engine-identical. Scale shape: sequential tests are inherently
+    per-experiment ordered scans — the window partitions by arm
+    (experiments/arms are the parallel unit, the same layout the
+    per-user sessionizers use), and everything after the walk is a
+    2-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_hash = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("sprt-arm|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    lift_hash = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("sprt-lift|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    trials = ev.select(
+        "event_id",
+        "ts",
+        F.when(arm_hash == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .when((arm_hash == 1) & (lift_hash == 0), 1)
+        .otherwise(0)
+        .alias("succ"),
+    )
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    walk = trials.select(
+        "arm",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("succ").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("s"),
+    ).withColumn("f", F.col("rn") - F.col("s"))
+    summary = walk.groupBy("arm").agg(
+        F.max("rn").cast("bigint").alias("n_trials"),
+        F.max("s").cast("bigint").alias("n_succ"),
+        F.expr(f"MIN(rn) FILTER (WHERE {_SPRT_CROSS})").cast("bigint").alias("t_cross"),
+        F.expr(
+            f"min_by(CASE WHEN {_SPRT_LLR} >= LN(19.0) THEN 'accept_h1'"
+            f" ELSE 'accept_h0' END, rn) FILTER (WHERE {_SPRT_CROSS})"
+        ).alias("verdict"),
+        F.expr(f"min_by(ROUND({_SPRT_LLR}, 6), rn) FILTER (WHERE {_SPRT_CROSS})").alias(
+            "llr_cross"
+        ),
+    )
+    return summary.select(
+        "arm",
+        "n_trials",
+        "n_succ",
+        F.round(F.col("n_succ").cast("double") / F.col("n_trials"), 6).alias("p_hat_r"),
+        F.coalesce("verdict", F.lit("continue")).alias("decision"),
+        F.coalesce("t_cross", F.lit(-1)).cast("bigint").alias("t_decide"),
+        F.coalesce("llr_cross", F.lit(0.0)).alias("llr_at_decision_r"),
+    ).orderBy("arm")
+
+
+@register(
+    "ev_propensity_matching",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS y_cents
+      FROM events GROUP BY user_id
+    ),
+    labeled AS (
+      SELECT *,
+             CASE WHEN CAST(('0x' || substr(md5('psm-v1|' || user_id), 1, 8))
+                       AS BIGINT) % 10
+                  < CASE WHEN x >= 67 THEN 7 ELSE 2 END
+                  THEN 1 ELSE 0 END AS treated
+      FROM per_user
+    ),
+    ctrl AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(y_cents) AS BIGINT) AS sum_c
+      FROM labeled WHERE treated = 0 GROUP BY x
+    ),
+    frame AS (
+      SELECT x, 1 AS is_ctrl, CAST(NULL AS BIGINT) AS user_id,
+             CAST(NULL AS BIGINT) AS y_cents FROM ctrl
+      UNION ALL
+      SELECT x, 0, user_id, y_cents FROM labeled WHERE treated = 1
+    ),
+    nn AS (
+      SELECT x, is_ctrl, user_id, y_cents,
+             last_value(CASE WHEN is_ctrl = 1 THEN x END IGNORE NULLS)
+                 OVER (ORDER BY x ASC, is_ctrl DESC, user_id
+                       ROWS UNBOUNDED PRECEDING) AS prev_x,
+             last_value(CASE WHEN is_ctrl = 1 THEN x END IGNORE NULLS)
+                 OVER (ORDER BY x DESC, is_ctrl DESC, user_id
+                       ROWS UNBOUNDED PRECEDING) AS next_x
+      FROM frame
+    ),
+    m AS (
+      SELECT user_id, x, y_cents,
+             CASE WHEN prev_x IS NULL AND next_x IS NULL THEN NULL
+                  WHEN next_x IS NULL THEN prev_x
+                  WHEN prev_x IS NULL THEN next_x
+                  WHEN (x - prev_x) <= (next_x - x) THEN prev_x
+                  ELSE next_x END AS mx
+      FROM nn WHERE is_ctrl = 0
+    ),
+    mm AS (
+      SELECT m.user_id, m.y_cents, c.n_c, c.sum_c
+      FROM m JOIN ctrl c ON c.x = m.mx
+      WHERE m.mx IS NOT NULL AND ABS(m.x - m.mx) <= 2
+    ),
+    att AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(SUM(CAST(ROUND((y_cents * n_c - sum_c) * 10000.0 / n_c, 0)
+                           AS BIGINT)) AS BIGINT) AS sum_dmicro
+      FROM mm
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(treated) AS BIGINT) AS n_treated,
+             CAST(SUM(CASE WHEN treated = 1 THEN y_cents END) AS BIGINT) AS sum_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+             CAST(SUM(CASE WHEN treated = 0 THEN y_cents END) AS BIGINT) AS sum_ctrl
+      FROM labeled
+    )
+    SELECT n_users, n_treated, n_matched,
+           CAST(n_treated - n_matched AS BIGINT) AS n_unmatched,
+           ROUND(CAST(sum_dmicro AS DOUBLE) / n_matched / 1000000.0, 6) AS att_r,
+           ROUND((CAST(sum_t AS DOUBLE) / n_treated
+                  - CAST(sum_ctrl AS DOUBLE) / n_ctrl) / 100.0, 6) AS naive_diff_r,
+           ABS(CAST(sum_dmicro AS DOUBLE) / n_matched / 1000000.0)
+             < ABS((CAST(sum_t AS DOUBLE) / n_treated
+                    - CAST(sum_ctrl AS DOUBLE) / n_ctrl) / 100.0) AS bias_reduced
+    FROM att, tot
+    """,
+    tags=("events", "causal", "matching", "psm"),
+)
+def ev_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate matching (1:1 with replacement,
+    caliper 2) estimating a treatment effect under a PLANTED
+    activity-confounded assignment: treatment propensity is 0.7 for
+    active users (>= 67 events) and 0.2 for inactive ones (salted-md5
+    assignment, true effect ZERO), so the naive treated-minus-control
+    spend gap is biased upward by the activity confounder while
+    matching on activity recovers ~0 — the |ATT| < |naive| boolean is
+    the hashed debiasing pin. Completes the causal-inference family
+    (ev_did_estimator, ev_cuped_adjustment, dp_poststratified_estimate)
+    with the matching estimator.
+
+    Determinism: outcomes are exact integer cents; the per-match
+    treated-minus-control difference is quantized to BIGINT micro-
+    dollars before summing, so no float accumulates across rows.
+    Nearest control lookup is the union-frame as-of trick: one ASC
+    and one DESC cumulative window with last_value(... IGNORE NULLS)
+    over (covariate, control-first) order — ties at distance 0 pick
+    the co-located control, equidistant ties break toward the lower
+    covariate. Scale: the frame is USER-cardinality (already
+    aggregated); the two global sorts would range-partition by the
+    matching score at 100 TB exactly like e1_label_encode's
+    distributed rank."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("y_cents"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("psm-v1|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    labeled = per_user.withColumn(
+        "treated",
+        F.when(h < F.when(F.col("x") >= 67, 7).otherwise(2), 1).otherwise(0),
+    )
+    ctrl = (
+        labeled.where(F.col("treated") == 0)
+        .groupBy("x")
+        .agg(
+            F.count("*").cast("bigint").alias("n_c"),
+            F.sum("y_cents").cast("bigint").alias("sum_c"),
+        )
+    )
+    frame = ctrl.select(
+        "x",
+        F.lit(1).alias("is_ctrl"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("y_cents"),
+    ).unionAll(
+        labeled.where(F.col("treated") == 1).select(
+            "x", F.lit(0).alias("is_ctrl"), "user_id", "y_cents"
+        )
+    )
+    ctrl_x = F.when(F.col("is_ctrl") == 1, F.col("x"))
+    w_asc = Window.orderBy(
+        F.col("x").asc(), F.col("is_ctrl").desc(), F.col("user_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_desc = Window.orderBy(
+        F.col("x").desc(), F.col("is_ctrl").desc(), F.col("user_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nn = frame.select(
+        "x",
+        "is_ctrl",
+        "user_id",
+        "y_cents",
+        F.last(ctrl_x, ignorenulls=True).over(w_asc).alias("prev_x"),
+        F.last(ctrl_x, ignorenulls=True).over(w_desc).alias("next_x"),
+    )
+    m = nn.where(F.col("is_ctrl") == 0).select(
+        "user_id",
+        "x",
+        "y_cents",
+        F.when(F.col("prev_x").isNull() & F.col("next_x").isNull(), None)
+        .when(F.col("next_x").isNull(), F.col("prev_x"))
+        .when(F.col("prev_x").isNull(), F.col("next_x"))
+        .when(
+            (F.col("x") - F.col("prev_x")) <= (F.col("next_x") - F.col("x")),
+            F.col("prev_x"),
+        )
+        .otherwise(F.col("next_x"))
+        .alias("mx"),
+    )
+    mm = m.join(ctrl.withColumnRenamed("x", "mx"), "mx").where(
+        F.abs(F.col("x") - F.col("mx")) <= 2
+    )
+    att = mm.agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.sum(
+            F.round(
+                (F.col("y_cents") * F.col("n_c") - F.col("sum_c"))
+                * 10000.0
+                / F.col("n_c"),
+                0,
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_dmicro"),
+    )
+    tot = labeled.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y_cents")))
+        .cast("bigint")
+        .alias("sum_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ctrl"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y_cents")))
+        .cast("bigint")
+        .alias("sum_ctrl"),
+    )
+    att_expr = "CAST(sum_dmicro AS DOUBLE) / n_matched / 1000000.0"
+    naive_expr = (
+        "(CAST(sum_t AS DOUBLE) / n_treated"
+        " - CAST(sum_ctrl AS DOUBLE) / n_ctrl) / 100.0"
+    )
+    return att.crossJoin(F.broadcast(tot)).select(
+        "n_users",
+        "n_treated",
+        "n_matched",
+        (F.col("n_treated") - F.col("n_matched")).cast("bigint").alias("n_unmatched"),
+        F.expr(f"ROUND({att_expr}, 6)").alias("att_r"),
+        F.expr(f"ROUND({naive_expr}, 6)").alias("naive_diff_r"),
+        F.expr(f"ABS({att_expr}) < ABS({naive_expr})").alias("bias_reduced"),
+    )

@@ -928,3 +928,49 @@ def test_randomized_response_debias_recovers(spark):
     # debiasing beats the raw reported count for the largest class
     en = [r for r in rows if r.lang == "en"][0]
     assert abs(en.n_estimated_r - en.n_true) < abs(en.n_reported - en.n_true)
+
+
+def test_shapley_efficiency_and_exactness(spark):
+    rows = _rows(spark, "ev_shapley_attribution")
+    assert [r.channel for r in rows] == ["click", "signup", "view"]
+    # the efficiency axiom holds as exact integer arithmetic
+    assert all(r.efficiency_holds for r in rows)
+    # x6-integer encoding round-trips: shapley_r == phi_x6 / 6
+    for r in rows:
+        assert abs(r.shapley_r - r.phi_x6 / 6.0) < 1e-6
+    # exposure masks genuinely vary: attribution is not uniform
+    assert len({r.phi_x6 for r in rows}) > 1
+
+
+def test_sprt_planted_lift_decides_h1(spark):
+    rows = {r.arm: r for r in _rows(spark, "ev_sprt_sequential")}
+    assert set(rows) == {"A", "B"}
+    # arm B's hash-planted ~+8pp lift crosses the upper boundary early
+    b = rows["B"]
+    assert b.decision == "accept_h1" and 0 < b.t_decide < b.n_trials
+    assert b.llr_at_decision_r >= 2.944438
+    assert b.p_hat_r > 0.25 > rows["A"].p_hat_r
+    # the gate scale exercises the accept_h0 branch too (the smoke
+    # fixture's ~500 null-arm trials are below Wald's expected sample
+    # size for H0 at these settings; measured t_decide=1111 at sf0.01)
+    a01 = {
+        r.arm: r
+        for r in _Q["ev_sprt_sequential"](spark, "/root/testdata/sf0.01").collect()
+    }["A"]
+    assert a01.decision == "accept_h0"
+    assert a01.llr_at_decision_r <= -2.944438
+
+
+def test_propensity_matching_debiases_at_gate_scale(spark):
+    r = _rows(spark, "ev_propensity_matching")[0]
+    # bookkeeping at every scale
+    assert r.n_matched + r.n_unmatched == r.n_treated <= r.n_users
+    # activity-confounded assignment: treated users skew active, so
+    # the naive spend gap is large and positive at every scale
+    assert r.naive_diff_r > 50
+    # 15 users at sf0.001 is honest matching noise; the debiasing pin
+    # runs at the gate scale (measured naive 123.7 vs ATT 62.9 at
+    # sf0.01, 90.3 vs 6.0 at sf0.1 — true effect is zero)
+    r01 = _Q["ev_propensity_matching"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r01.bias_reduced
+    assert abs(r01.att_r) < 0.6 * r01.naive_diff_r

@@ -101,6 +101,11 @@ BNLJ_ALLOWED = {
     "fanned over the 5-row grouped slice",
     "ev_lagged_crosscorrelation": "seven-row lag grid fanned over the "
     "per-day rollup (|days| rows)",
+    "ev_shapley_attribution": "8-row coalition-mask table x 3-row "
+    "channel literal (non-equi bitmask join) plus one-row "
+    "efficiency/anchor scalars fanned over the 3 channel rows",
+    "ev_propensity_matching": "one-row population totals crossJoined "
+    "into the one-row matched-ATT aggregate",
 }
 
 # query name -> the library-internal blocked cross-product that makes
