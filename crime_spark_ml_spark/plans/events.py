@@ -5955,3 +5955,135 @@ def ev_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({naive_expr}, 6)").alias("naive_diff_r"),
         F.expr(f"ABS({att_expr}) < ABS({naive_expr})").alias("bias_reduced"),
     )
+
+
+def _icc_expr(a: str, s: str, sq: str, n: str, k: str, sn2: str) -> dict[str, str]:
+    """One-way-ANOVA ICC + design effect as shared SQL text (unequal
+    cluster sizes, Searle's n0). Inputs are exact integer columns; the
+    doubles below are written once and evaluated identically by both
+    engines."""
+    ssb = f"(CAST({a} AS DOUBLE) - CAST({s} AS DOUBLE) * {s} / {n})"
+    ssw = f"(CAST({sq} AS DOUBLE) - {a})"
+    msb = f"({ssb} / ({k} - 1))"
+    msw = f"({ssw} / ({n} - {k}))"
+    n0 = f"(({n} - CAST({sn2} AS DOUBLE) / {n}) / ({k} - 1))"
+    icc = f"(({msb} - {msw}) / ({msb} + ({n0} - 1.0) * {msw}))"
+    deff = f"(1.0 + (CAST({n} AS DOUBLE) / {k} - 1.0) * {icc})"
+    return {"icc": icc, "deff": deff}
+
+
+_ICC_P = _icc_expr("a_p", "s_p", "sq_p", "n_units", "n_clusters", "sn2")
+_ICC_0 = _icc_expr("a_0", "s_0", "sq_0", "n_units", "n_clusters", "sn2")
+
+
+@register(
+    "ev_cluster_randomized_icc",
+    oracle=f"""
+    WITH units AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT)
+               + 10000 * (CAST(('0x' || substr(md5('icc-v1|' || user_id), 1, 8))
+                          AS BIGINT) % 5) AS yp,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS y0
+      FROM events
+    ),
+    cl AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(SUM(yp) AS BIGINT) AS sp, CAST(SUM(y0) AS BIGINT) AS s0,
+             CAST(SUM(yp * yp) AS BIGINT) AS sqp,
+             CAST(SUM(y0 * y0) AS BIGINT) AS sq0
+      FROM units GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_j) AS BIGINT) AS n_units,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(n_j * n_j) AS BIGINT) AS sn2,
+             CAST(SUM(sp) AS BIGINT) AS s_p,
+             CAST(SUM(s0) AS BIGINT) AS s_0,
+             CAST(SUM(sqp) AS BIGINT) AS sq_p,
+             CAST(SUM(sq0) AS BIGINT) AS sq_0,
+             CAST(SUM(CAST(ROUND(CAST(sp AS DOUBLE) * sp / n_j, 0) AS BIGINT))
+                  AS BIGINT) AS a_p,
+             CAST(SUM(CAST(ROUND(CAST(s0 AS DOUBLE) * s0 / n_j, 0) AS BIGINT))
+                  AS BIGINT) AS a_0
+      FROM cl
+    )
+    SELECT n_units, n_clusters,
+           ROUND({_ICC_P['icc']}, 6) AS icc_planted_r,
+           ROUND({_ICC_0['icc']}, 6) AS icc_null_r,
+           ROUND({_ICC_P['deff']}, 6) AS deff_planted_r,
+           ROUND({_ICC_0['deff']}, 6) AS deff_null_r,
+           {_ICC_P['icc']} > 0.3 AND ABS({_ICC_0['icc']}) < 0.05
+               AS icc_discriminates
+    FROM tot
+    """,
+    tags=("events", "abtest", "cluster-randomized", "icc"),
+)
+def ev_cluster_randomized_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-class correlation + design effect for CLUSTER-randomized
+    experiments — the variance-inflation guardrail (Kish's
+    deff = 1 + (m-1)*ICC) that unit-level tests like ev_abtest_lift
+    silently need when randomization happens per USER but metrics are
+    per EVENT: with positive ICC, naive unit-level variance
+    understates truth by deff and false positives explode. A planted
+    per-user spend offset (salted md5, 5 levels) creates real
+    between-cluster variance (measured ICC ~0.5 -> deff >> 1) while
+    the unplanted outcome's ICC sits at ~0 — the two-sided
+    discrimination is the hashed pin.
+
+    Determinism: one-way unequal-size ANOVA (Searle's n0) computed
+    entirely from exact integer sums (cents, squared cents, cluster
+    sizes); the only per-cluster division is quantized back to BIGINT
+    before the cross-cluster sum, so no float accumulates in any
+    order-dependent way. Scale: one user-keyed aggregate + one 1-row
+    total — the same two-level collapse every per-user rollup uses."""
+    ev = load_table(spark, sf_dir, "events")
+    h5 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("icc-v1|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    y0 = F.round(F.col("value") * 100, 0).cast("bigint")
+    units = ev.select(
+        "user_id", (y0 + 10000 * h5).alias("yp"), y0.alias("y0")
+    )
+    cl = units.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_j"),
+        F.sum("yp").cast("bigint").alias("sp"),
+        F.sum("y0").cast("bigint").alias("s0"),
+        F.sum(F.col("yp") * F.col("yp")).cast("bigint").alias("sqp"),
+        F.sum(F.col("y0") * F.col("y0")).cast("bigint").alias("sq0"),
+    )
+    tot = cl.agg(
+        F.sum("n_j").cast("bigint").alias("n_units"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.col("n_j") * F.col("n_j")).cast("bigint").alias("sn2"),
+        F.sum("sp").cast("bigint").alias("s_p"),
+        F.sum("s0").cast("bigint").alias("s_0"),
+        F.sum("sqp").cast("bigint").alias("sq_p"),
+        F.sum("sq0").cast("bigint").alias("sq_0"),
+        F.sum(
+            F.expr("CAST(ROUND(CAST(sp AS DOUBLE) * sp / n_j, 0) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("a_p"),
+        F.sum(
+            F.expr("CAST(ROUND(CAST(s0 AS DOUBLE) * s0 / n_j, 0) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("a_0"),
+    )
+    return tot.select(
+        "n_units",
+        "n_clusters",
+        F.expr(f"ROUND({_ICC_P['icc']}, 6)").alias("icc_planted_r"),
+        F.expr(f"ROUND({_ICC_0['icc']}, 6)").alias("icc_null_r"),
+        F.expr(f"ROUND({_ICC_P['deff']}, 6)").alias("deff_planted_r"),
+        F.expr(f"ROUND({_ICC_0['deff']}, 6)").alias("deff_null_r"),
+        F.expr(
+            f"{_ICC_P['icc']} > 0.3 AND ABS({_ICC_0['icc']}) < 0.05"
+        ).alias("icc_discriminates"),
+    )

@@ -1160,3 +1160,85 @@ def ml_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+@register(
+    "ml_word2vec_synonyms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM toks GROUP BY term HAVING COUNT(*) >= 5
+    )
+    SELECT CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS vocab_size,
+           16 AS vector_dim,
+           CAST(5 AS BIGINT) AS n_synonyms,
+           TRUE AS query_excluded,
+           TRUE AS sims_in_range,
+           TRUE AS vectors_nonzero
+    FROM (VALUES (1)) v(x)
+    """,
+    tags=("ml", "embeddings", "word2vec", "invariant"),
+)
+def ml_word2vec_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Word2Vec (skip-gram, MLlib) trained on the tokenized
+    documents corpus, then queried with findSynonyms('spark', 5) — the
+    train-your-own-embeddings surface beside the fixture-provided
+    embedding column the ANN family searches. Constant+anchor
+    invariant oracle: the learned VOCABULARY SIZE is a data anchor
+    DuckDB reproduces exactly (Word2Vec admits terms with total corpus
+    frequency >= minCount=5 — the same HAVING), the vector dimension
+    is the requested 16, the synonym list has exactly 5 rows that
+    exclude the query word, all cosines lie in [-1, 1], and every
+    learned vector has a positive finite norm (no collapsed training).
+    The corpus is synthetic-random, so synonym IDENTITIES are noise —
+    asserting them would pin chance (the mlplans module contract);
+    distributional checks live in tests.
+
+    Determinism: numPartitions=1 + seed=0 makes the distributed SGD
+    schedule reproducible; at 100 TB numPartitions scales out and
+    per-partition gradients merge (the documented MLlib trade of
+    determinism for throughput — the anchor columns are partitioning-
+    independent either way)."""
+    from pyspark.ml.feature import Word2Vec
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    model = Word2Vec(
+        vectorSize=16,
+        minCount=5,
+        numPartitions=1,
+        maxIter=1,
+        seed=0,
+        inputCol="toks",
+        outputCol="w2v",
+    ).fit(docs)
+    vecs = model.getVectors()  # (word, vector)
+    syn = model.findSynonyms("spark", 5)  # (word, similarity)
+    from pyspark.ml.functions import vector_to_array
+
+    vec_stats = vecs.select(
+        F.aggregate(
+            vector_to_array("vector"), F.lit(0.0), lambda a, x: a + x * x
+        ).alias("sq")
+    ).agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        (F.min("sq") > 0).alias("vectors_nonzero"),
+    )
+    syn_stats = syn.agg(
+        F.count("*").cast("bigint").alias("n_synonyms"),
+        F.max(F.col("word") == "spark").alias("has_query"),
+        ((F.min("similarity") >= -1.0) & (F.max("similarity") <= 1.0)).alias(
+            "sims_in_range"
+        ),
+    )
+    return vec_stats.crossJoin(F.broadcast(syn_stats)).select(
+        "vocab_size",
+        F.lit(16).alias("vector_dim"),
+        "n_synonyms",
+        (~F.col("has_query")).alias("query_excluded"),
+        "sims_in_range",
+        "vectors_nonzero",
+    )

@@ -720,3 +720,90 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone are already unique per group, so the extra keys are inert
     but must PARSE the same way)."""
     return _sql(spark, sf_dir, _GROUP_BY_ALL, ("orders",))
+
+
+_VARIANT_SHRED = """
+WITH payload AS (
+  SELECT event_type,
+         CASE event_type
+           WHEN 'purchase' THEN '{"amt_cents": '
+                || CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS STRING)
+                || ', "cur": "usd"}'
+           WHEN 'click' THEN '[' || get_json_object(props, '$.k') || ', "pos"]'
+           WHEN 'error' THEN 'null'
+           ELSE props
+         END AS j
+  FROM events
+),
+shred AS (
+  SELECT event_type, parse_json(j) AS v FROM payload
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CASE WHEN MIN(schema_of_variant(v)) LIKE 'ARRAY%' THEN 'ARRAY'
+            WHEN MIN(schema_of_variant(v)) LIKE 'OBJECT%' THEN 'OBJECT'
+            ELSE 'SCALAR' END AS kind,
+       CAST(SUM(CASE WHEN is_variant_null(v) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_json_null,
+       CAST(SUM(try_variant_get(v, '$.amt_cents', 'bigint')) AS BIGINT)
+           AS sum_amt_cents,
+       CAST(SUM(try_variant_get(v, '$[0]', 'bigint')) AS BIGINT) AS sum_arr_head,
+       CAST(SUM(try_variant_get(v, '$.k', 'bigint')) AS BIGINT) AS sum_k
+FROM shred
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "sql_variant_shred",
+    oracle="""
+    WITH payload AS (
+      SELECT event_type,
+             CASE event_type
+               WHEN 'purchase' THEN '{"amt_cents": '
+                    || CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR)
+                    || ', "cur": "usd"}'
+               WHEN 'click' THEN '[' || json_extract_string(props, '$.k') || ', "pos"]'
+               WHEN 'error' THEN 'null'
+               ELSE props
+             END AS j
+      FROM events
+    ),
+    shred AS (SELECT event_type, j::JSON AS v FROM payload)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN MIN(json_type(v)) = 'ARRAY' THEN 'ARRAY'
+                WHEN MIN(json_type(v)) = 'OBJECT' THEN 'OBJECT'
+                ELSE 'SCALAR' END AS kind,
+           CAST(SUM(CASE WHEN json_type(v) = 'NULL' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_json_null,
+           CAST(SUM(CAST(json_extract(v, '$.amt_cents') AS BIGINT)) AS BIGINT)
+               AS sum_amt_cents,
+           CAST(SUM(CAST(json_extract(v, '$[0]') AS BIGINT)) AS BIGINT)
+               AS sum_arr_head,
+           CAST(SUM(CAST(json_extract(v, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM shred GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sql", "variant", "semi-structured", "modern"),
+)
+def sql_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT end-to-end: a heterogeneous semi-structured
+    payload (object per signup/view, a DIFFERENT object shape per
+    purchase, a JSON array per click, a JSON null per error — the
+    open-schema mess VARIANT exists for) is parsed once with
+    parse_json and shredded with typed-path access: try_variant_get
+    for object fields and array positions (missing path -> NULL, no
+    error), is_variant_null for JSON-null vs SQL-NULL, and
+    schema_of_variant for per-row type introspection. The DuckDB
+    oracle recomputes every aggregate through its JSON type, pinning
+    that VARIANT's typed extraction semantics agree with the JSON
+    reference semantics.
+
+    Scale: VARIANT is the 100 TB answer to schema-on-read — the
+    binary encoding is columnar-friendly and the typed gets push into
+    the scan (no per-row string re-parse after ingest); everything
+    here is row-local shredding into one 5-group aggregate.
+    ev_json_extract covers the flat get_json_object path; this covers
+    the typed, heterogeneous one."""
+    return _sql(spark, sf_dir, _VARIANT_SHRED, ("events",))

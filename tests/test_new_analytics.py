@@ -974,3 +974,42 @@ def test_propensity_matching_debiases_at_gate_scale(spark):
     r01 = _Q["ev_propensity_matching"](spark, "/root/testdata/sf0.01").collect()[0]
     assert r01.bias_reduced
     assert abs(r01.att_r) < 0.6 * r01.naive_diff_r
+
+
+def test_variant_shred_heterogeneous_kinds(spark):
+    rows = {r.event_type: r for r in _rows(spark, "sql_variant_shred")}
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+    # per-type payload kinds: array for clicks, JSON null for errors,
+    # objects elsewhere — variant introspection sees all three
+    assert rows["click"].kind == "ARRAY"
+    assert rows["error"].kind == "SCALAR"
+    assert rows["purchase"].kind == "OBJECT" == rows["view"].kind
+    # typed-path extraction: amt only on purchases, array head only on
+    # clicks, $.k only on the untouched object payloads
+    assert rows["purchase"].sum_amt_cents > 0
+    assert all(rows[t].sum_amt_cents is None for t in ("click", "error", "view", "signup"))
+    assert rows["click"].sum_arr_head is not None and rows["click"].sum_k is None
+    assert rows["view"].sum_k is not None
+    # JSON null is not SQL NULL: every error row is variant-null
+    assert rows["error"].n_json_null == rows["error"].n
+    assert rows["view"].n_json_null == 0
+
+
+def test_word2vec_anchors(spark):
+    r = _rows(spark, "ml_word2vec_synonyms")[0]
+    assert r.vector_dim == 16 and r.n_synonyms == 5
+    assert r.query_excluded and r.sims_in_range and r.vectors_nonzero
+    # the synthetic vocab is small and closed; every token clears
+    # minCount=5 at every scale
+    assert 20 <= r.vocab_size <= 60
+
+
+def test_icc_planted_cluster_effect(spark):
+    r = _rows(spark, "ev_cluster_randomized_icc")[0]
+    assert r.icc_discriminates
+    # planted per-user offsets dominate within-user spread
+    assert r.icc_planted_r > 0.8
+    assert abs(r.icc_null_r) < 0.01
+    # Kish: deff = 1 + (m-1)*ICC with m ~ 66 events/user
+    m = r.n_units / r.n_clusters
+    assert abs(r.deff_planted_r - (1 + (m - 1) * r.icc_planted_r)) < 0.1

@@ -106,6 +106,8 @@ BNLJ_ALLOWED = {
     "efficiency/anchor scalars fanned over the 3 channel rows",
     "ev_propensity_matching": "one-row population totals crossJoined "
     "into the one-row matched-ATT aggregate",
+    "ml_word2vec_synonyms": "one-row synonym-list aggregate crossJoined "
+    "into the one-row vector-table aggregate",
 }
 
 # query name -> the library-internal blocked cross-product that makes
