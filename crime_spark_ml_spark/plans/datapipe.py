@@ -10881,3 +10881,293 @@ def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# weak-supervision fixture: ground truth is a deterministic document
+# property; each labeling function is the truth XOR salted-md5 noise
+# (15% flip rate), and LF3 abstains on a 30% hash slice — the Snorkel
+# data model with every random draw reproducible in both engines.
+_WS_TRUTH = "CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END"
+
+
+def _ws_flip(salt: str, rate_pct: int, dialect: str = "duckdb") -> str:
+    """Salted-md5 Bernoulli flip, one expression per dialect (the two
+    engines spell hex-to-int differently but see identical bits)."""
+    if dialect == "spark":
+        h = (
+            f"CAST(conv(substring(md5('{salt}|' || CAST(doc_id AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            f"CAST(('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            f" AS BIGINT)"
+        )
+    return f"CASE WHEN {h} % 100 < {rate_pct} THEN 1 ELSE 0 END"
+
+
+@register(
+    "dp_weak_supervision_vote",
+    oracle=f"""
+    WITH lf AS (
+      SELECT doc_id,
+             {_WS_TRUTH} AS truth,
+             ({_WS_TRUTH} + {_ws_flip('ws1', 15)}) % 2 AS lf1,
+             ({_WS_TRUTH} + {_ws_flip('ws2', 15)}) % 2 AS lf2,
+             ({_WS_TRUTH} + {_ws_flip('ws3', 15)}) % 2 AS lf3,
+             {_ws_flip('ws3-abstain', 30)} AS lf3_abstains
+      FROM documents
+    ),
+    voted AS (
+      SELECT truth, lf1, lf2, lf3, lf3_abstains,
+             CASE WHEN lf3_abstains = 0
+                  THEN CASE WHEN lf1 + lf2 + lf3 >= 2 THEN 1 ELSE 0 END
+                  ELSE lf1 END AS vote
+      FROM lf
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(CASE WHEN lf1 = truth THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS acc_lf1_r,
+           ROUND(SUM(CASE WHEN lf2 = truth THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS acc_lf2_r,
+           ROUND(SUM(CASE WHEN lf3_abstains = 0 AND lf3 = truth THEN 1.0 ELSE 0 END)
+                 / SUM(CASE WHEN lf3_abstains = 0 THEN 1 ELSE 0 END), 6)
+               AS acc_lf3_r,
+           ROUND(SUM(CASE WHEN lf3_abstains = 0 THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS coverage_lf3_r,
+           ROUND(SUM(CASE WHEN vote = truth THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS acc_vote_r,
+           SUM(CASE WHEN vote = truth THEN 1.0 ELSE 0 END) / COUNT(*)
+             > GREATEST(SUM(CASE WHEN lf1 = truth THEN 1.0 ELSE 0 END) / COUNT(*),
+                        SUM(CASE WHEN lf2 = truth THEN 1.0 ELSE 0 END) / COUNT(*))
+               AS vote_beats_best
+    FROM voted
+    """,
+    tags=("datapipe", "weak-supervision", "labeling", "llm"),
+)
+def dp_weak_supervision_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision label aggregation (the Snorkel data model):
+    three noisy labeling functions — two full-coverage at 85%
+    accuracy, one abstaining on 30% of documents — are combined by
+    majority vote (falling back to the strongest LF when the
+    abstainer leaves a 2-way tie), and the vote's accuracy against
+    the deterministic ground truth must EXCEED the best single LF
+    (the conditional-independence gain that makes programmatic
+    labeling work; expected ~0.91 vs 0.85, pinned as a hashed
+    boolean). This is the label-synthesis half of the training-data
+    story next to dp_quality_score's heuristics and
+    ml_tfidf_text_classifier's supervised end.
+
+    Determinism: truth is a document property (n_chars >= median),
+    each LF is truth XOR salted-md5 noise, so both engines vote on
+    the identical label matrix; accuracies are exact integer ratios.
+    Scale: entirely row-local label algebra into one global
+    aggregate — no shuffle other than the final 1-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    lf = docs.selectExpr(
+        "doc_id",
+        f"{_WS_TRUTH} AS truth",
+        f"({_WS_TRUTH} + {_ws_flip('ws1', 15, 'spark')}) % 2 AS lf1",
+        f"({_WS_TRUTH} + {_ws_flip('ws2', 15, 'spark')}) % 2 AS lf2",
+        f"({_WS_TRUTH} + {_ws_flip('ws3', 15, 'spark')}) % 2 AS lf3",
+        f"{_ws_flip('ws3-abstain', 30, 'spark')} AS lf3_abstains",
+    )
+    voted = lf.withColumn(
+        "vote",
+        F.when(
+            F.col("lf3_abstains") == 0,
+            F.when(F.col("lf1") + F.col("lf2") + F.col("lf3") >= 2, 1).otherwise(0),
+        ).otherwise(F.col("lf1")),
+    )
+    acc = lambda c: F.sum(F.when(F.col(c) == F.col("truth"), 1.0).otherwise(0)) / F.count("*")  # noqa: E731
+    acc_vote = F.sum(F.when(F.col("vote") == F.col("truth"), 1.0).otherwise(0)) / F.count("*")
+    acc3 = F.sum(
+        F.when((F.col("lf3_abstains") == 0) & (F.col("lf3") == F.col("truth")), 1.0).otherwise(0)
+    ) / F.sum(F.when(F.col("lf3_abstains") == 0, 1).otherwise(0))
+    return voted.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(acc("lf1"), 6).alias("acc_lf1_r"),
+        F.round(acc("lf2"), 6).alias("acc_lf2_r"),
+        F.round(acc3, 6).alias("acc_lf3_r"),
+        F.round(
+            F.sum(F.when(F.col("lf3_abstains") == 0, 1.0).otherwise(0)) / F.count("*"),
+            6,
+        ).alias("coverage_lf3_r"),
+        F.round(acc_vote, 6).alias("acc_vote_r"),
+        (acc_vote > F.greatest(acc("lf1"), acc("lf2"))).alias("vote_beats_best"),
+    )
+
+
+# label-noise fixture: a 5-class "true" label derived from the
+# embedding itself (argmax of the first five dims, quantized to exact
+# 1e-6 ints), then 5% of labels rotated to the next class by salted
+# md5 — confident-learning's planted-corruption benchmark with every
+# draw reproducible in both engines.
+_LN_DIMS = 5
+_LN_ARGMAX = (
+    "CASE WHEN x0 = GREATEST(x0, x1, x2, x3, x4) THEN 0 "
+    "WHEN x1 = GREATEST(x0, x1, x2, x3, x4) THEN 1 "
+    "WHEN x2 = GREATEST(x0, x1, x2, x3, x4) THEN 2 "
+    "WHEN x3 = GREATEST(x0, x1, x2, x3, x4) THEN 3 ELSE 4 END"
+)
+
+
+@register(
+    "dp_label_noise_centroid",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             {', '.join(
+                 "CAST(ROUND(CAST(embedding[" + str(d + 1) + "] AS DOUBLE)"
+                 " * 1000000.0, 0) AS BIGINT) AS x" + str(d)
+                 for d in range(5))}
+      FROM embeddings
+    ),
+    lab AS (
+      SELECT *, {_LN_ARGMAX} AS t,
+             CASE WHEN CAST(('0x' || substr(md5('ln-v1|' ||
+                       CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+                  THEN 1 ELSE 0 END AS flipped
+      FROM q
+    ),
+    noisy AS (
+      SELECT *, CASE WHEN flipped = 1 THEN (t + 1) % 5 ELSE t END AS nl FROM lab
+    ),
+    cent AS (
+      SELECT nl AS cl, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(x0) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1,
+             CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x3) AS BIGINT) AS s3,
+             CAST(SUM(x4) AS BIGINT) AS s4
+      FROM noisy GROUP BY nl
+    ),
+    dots AS (
+      SELECT n.vec_id, n.nl, n.flipped, c.cl,
+             CAST(n.x0 * c.s0 + n.x1 * c.s1 + n.x2 * c.s2
+                  + n.x3 * c.s3 + n.x4 * c.s4 AS DOUBLE) / c.n_c AS dot
+      FROM noisy n, cent c
+    ),
+    margins AS (
+      SELECT vec_id, MAX(flipped) AS flipped,
+             CAST(ROUND(MAX(CASE WHEN nl = cl THEN dot END)
+                        - MAX(CASE WHEN nl != cl THEN dot END), 0) AS BIGINT)
+                 AS margin_q
+      FROM dots GROUP BY vec_id
+    ),
+    np AS (SELECT CAST(SUM(flipped) AS BIGINT) AS n_planted FROM margins),
+    ranked AS (
+      SELECT flipped, margin_q,
+             ROW_NUMBER() OVER (ORDER BY margin_q, vec_id) AS rn
+      FROM margins
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           (SELECT n_planted FROM np) AS n_planted,
+           CAST(SUM(CASE WHEN rn <= (SELECT n_planted FROM np) AND flipped = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           ROUND(CAST(SUM(CASE WHEN rn <= (SELECT n_planted FROM np)
+                              AND flipped = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT n_planted FROM np), 6) AS recall_r,
+           ROUND(CAST(SUM(CASE WHEN flipped = 1 THEN margin_q END) AS DOUBLE)
+                 / SUM(flipped) / 1000000000000.0, 6) AS mean_margin_flipped_r,
+           ROUND(CAST(SUM(CASE WHEN flipped = 0 THEN margin_q END) AS DOUBLE)
+                 / SUM(1 - flipped) / 1000000000000.0, 6) AS mean_margin_clean_r
+    FROM ranked
+    """,
+    tags=("datapipe", "label-noise", "data-quality", "llm"),
+)
+def dp_label_noise_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by centroid margin (the confident-
+    learning recipe): 5% of a 5-class labeling is corrupted by a
+    deterministic rotation, class prototypes are fitted ON THE NOISY
+    LABELS, and every point is scored by own-class-minus-best-other
+    prototype affinity — mislabeled points sit far from their
+    (wrong) class prototype, so ranking by margin and auditing the
+    bottom n_planted recovers most of the corruption (recall and the
+    flipped-vs-clean margin separation are the pins). This is the
+    label-QUALITY leg of the curation stack beside document-quality
+    (dp_quality_score) and duplicate (dp_semdedup) screens.
+
+    Determinism: dims quantized to exact 1e-6 ints, centroids kept as
+    (sum, count) rationals, margins quantized to BIGINT before any
+    cross-row mean — both engines rank the identical margin table
+    (ties broken by vec_id). Scale: one label-keyed aggregate builds
+    the 5-row prototype table (broadcast), scoring is row-local, and
+    the audit cut is a global rank — at scale a TakeOrdered top-k by
+    margin, exactly the ANN top-k shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        *[
+            F.round(F.col("embedding")[d].cast("double") * 1000000.0, 0)
+            .cast("bigint")
+            .alias(f"x{d}")
+            for d in range(_LN_DIMS)
+        ],
+    )
+    flip = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ln-v1|"), F.col("vec_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    ).cast("int")
+    lab = q.withColumn("t", F.expr(_LN_ARGMAX)).withColumn("flipped", flip)
+    noisy = lab.withColumn(
+        "nl",
+        F.when(F.col("flipped") == 1, (F.col("t") + 1) % 5).otherwise(F.col("t")),
+    )
+    cent = noisy.groupBy(F.col("nl").alias("cl")).agg(
+        F.count("*").cast("bigint").alias("n_c"),
+        *[F.sum(f"x{d}").cast("bigint").alias(f"s{d}") for d in range(_LN_DIMS)],
+    )
+    dot = (
+        sum(F.col(f"x{d}") * F.col(f"s{d}") for d in range(_LN_DIMS))
+        .cast("double")
+        / F.col("n_c")
+    )
+    dots = noisy.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "nl", "flipped", "cl", dot.alias("dot")
+    )
+    margins = dots.groupBy("vec_id").agg(
+        F.max("flipped").alias("flipped"),
+        F.round(
+            F.max(F.when(F.col("nl") == F.col("cl"), F.col("dot")))
+            - F.max(F.when(F.col("nl") != F.col("cl"), F.col("dot"))),
+            0,
+        )
+        .cast("bigint")
+        .alias("margin_q"),
+    )
+    np_ = margins.agg(F.sum("flipped").cast("bigint").alias("n_planted"))
+    ranked = margins.withColumn(
+        "rn", F.row_number().over(Window.orderBy("margin_q", "vec_id"))
+    ).crossJoin(F.broadcast(np_))
+    caught = F.sum(
+        F.when((F.col("rn") <= F.col("n_planted")) & (F.col("flipped") == 1), 1)
+        .otherwise(0)
+    )
+    return ranked.groupBy("n_planted").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        caught.cast("bigint").alias("n_caught"),
+        F.round(caught.cast("double") / F.col("n_planted"), 6).alias("recall_r"),
+        F.round(
+            F.sum(F.when(F.col("flipped") == 1, F.col("margin_q"))).cast("double")
+            / F.sum("flipped")
+            / 1000000000000.0,
+            6,
+        ).alias("mean_margin_flipped_r"),
+        F.round(
+            F.sum(F.when(F.col("flipped") == 0, F.col("margin_q"))).cast("double")
+            / F.sum(1 - F.col("flipped"))
+            / 1000000000000.0,
+            6,
+        ).alias("mean_margin_clean_r"),
+    ).select(
+        "n_vecs",
+        "n_planted",
+        "n_caught",
+        "recall_r",
+        "mean_margin_flipped_r",
+        "mean_margin_clean_r",
+    )

@@ -6087,3 +6087,128 @@ def ev_cluster_randomized_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_ICC_P['icc']} > 0.3 AND ABS({_ICC_0['icc']}) < 0.05"
         ).alias("icc_discriminates"),
     )
+
+
+@register(
+    "ev_littles_law",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS ns
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    iv AS (
+      SELECT user_id, sid, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+      FROM sess GROUP BY user_id, sid
+    ),
+    changes AS (
+      SELECT s_us AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e_us AS t, -1 AS delta FROM iv
+    ),
+    sweep AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc,
+             LEAD(t) OVER (ORDER BY t, delta) AS nxt
+      FROM changes
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(e_us - s_us) AS BIGINT) AS total_session_us,
+             CAST(MIN(s_us) AS BIGINT) AS t0,
+             CAST(MAX(e_us) AS BIGINT) AS t1
+      FROM iv
+    ),
+    integ AS (
+      SELECT CAST(SUM(conc * (COALESCE(nxt, t) - t)) AS BIGINT) AS sweep_us
+      FROM sweep
+    )
+    SELECT n_sessions, total_session_us, sweep_us,
+           total_session_us = sweep_us AS identity_holds,
+           ROUND(CAST(sweep_us AS DOUBLE) / (t1 - t0), 6) AS avg_concurrency_r,
+           ROUND(CAST(n_sessions AS DOUBLE) * 3600000000.0 / (t1 - t0), 6) AS lambda_per_hour_r,
+           ROUND(CAST(total_session_us AS DOUBLE) / n_sessions / 60000000.0, 6)
+               AS w_minutes_r
+    FROM tot, integ
+    """,
+    tags=("events", "queueing", "littles-law", "session"),
+)
+def ev_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = lambda * W) verified as an EXACT integer
+    identity over sessionized activity: the time integral of session
+    concurrency (a +1/-1 sweep line over session boundaries, integer
+    microseconds) must equal the plain sum of session durations —
+    the queueing-theory conservation law that makes time-average
+    concurrency, arrival rate, and mean session length mutually
+    consistent. identity_holds pins the sessionizer and the sweep
+    line against each other bit-exactly; the derived L, lambda, and W
+    are the capacity-planning numbers every concurrency dashboard
+    (ev_peak_concurrency) implicitly assumes reconcile.
+
+    Determinism: everything up to the final ratios is BIGINT. Tie
+    rows in the sweep order (t, delta) contribute zero-width
+    intervals, so the integral is invariant to engine tie-breaking.
+    Scale: sessionization shards by user; the sweep line is one
+    ordered pass over session BOUNDARIES (two rows per session, not
+    per event) — at 100 TB that is the day-partitioned timeline merge
+    ev_peak_concurrency already documents."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w_order)
+    ns = F.when(prev.isNull() | (F.col("ts_us") - prev >= 1800000000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts_us", "event_id", ns.alias("ns")
+    ).withColumn("sid", F.sum("ns").over(w_cum))
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
+    )
+    changes = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.orderBy("t", "delta")
+    sweep = changes.select(
+        "t",
+        F.sum("delta")
+        .over(w_sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("conc"),
+        F.lead("t").over(w_sweep).alias("nxt"),
+    )
+    tot = iv.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("bigint").alias("total_session_us"),
+        F.min("s_us").cast("bigint").alias("t0"),
+        F.max("e_us").cast("bigint").alias("t1"),
+    )
+    integ = sweep.agg(
+        F.sum(F.col("conc") * (F.coalesce("nxt", "t") - F.col("t")))
+        .cast("bigint")
+        .alias("sweep_us")
+    )
+    return tot.crossJoin(F.broadcast(integ)).select(
+        "n_sessions",
+        "total_session_us",
+        "sweep_us",
+        (F.col("total_session_us") == F.col("sweep_us")).alias("identity_holds"),
+        F.expr("ROUND(CAST(sweep_us AS DOUBLE) / (t1 - t0), 6)").alias(
+            "avg_concurrency_r"
+        ),
+        F.expr("ROUND(CAST(n_sessions AS DOUBLE) * 3600000000.0 / (t1 - t0), 6)").alias(
+            "lambda_per_hour_r"
+        ),
+        F.expr(
+            "ROUND(CAST(total_session_us AS DOUBLE) / n_sessions / 60000000.0, 6)"
+        ).alias("w_minutes_r"),
+    )

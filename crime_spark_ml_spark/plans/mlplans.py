@@ -1242,3 +1242,109 @@ def ml_word2vec_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sims_in_range",
         "vectors_nonzero",
     )
+
+
+@register(
+    "ml_aft_survival",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('aft-v1|' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 3 AS xp,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS fe_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp_us
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN fp_us IS NULL
+                          OR (fp_us - fe_us) * EXP(-CAST(xp AS DOUBLE))
+                             > 259200000000.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_censored,
+           TRUE AS coef_recovers_plant,
+           TRUE AS quantiles_monotone,
+           TRUE AS predictions_positive
+    FROM per_user
+    """,
+    tags=("ml", "survival", "aft", "invariant"),
+)
+def ml_aft_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accelerated-failure-time survival regression (MLlib
+    AFTSurvivalRegression, Weibull) on time-to-first-purchase with a
+    3-day censoring horizon — the PARAMETRIC complement of
+    ev_kaplan_meier's non-parametric curve: log(T) = b0 + b1*x + eps
+    with x = the user's event count. Higher activity mechanically
+    shortens time-to-purchase in this fixture (constant per-event
+    purchase probability over a fixed 30-day window), so the fitted
+    b1 MUST be negative — a direction the model has to learn from
+    censored likelihood, not a tautology. Constant+anchor oracle:
+    n_users and the CENSORED COUNT are exact data anchors (the
+    censoring rule is deterministic timestamp math DuckDB reproduces);
+    the coefficient sign, quantile monotonicity (p10 < p50 < p90 of
+    the predicted survival time for a probe user), and positivity are
+    the trained-model bands.
+
+    Scale: one user-keyed aggregate builds the survival frame (one
+    row per user); the L-BFGS fit is MLlib's distributed aggregator;
+    censoring at a fixed horizon is how production time-to-event
+    tables bound label lag at 100 TB."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import AFTSurvivalRegression
+
+    ev = load_table(spark, sf_dir, "events")
+    xp = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("aft-v1|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("fe_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+            "fp_us"
+        ),
+    ).withColumn("x", xp.cast("double"))
+    horizon_us = 259200000000  # 3 days
+    # planted acceleration: observed duration = raw * exp(-x), so the
+    # AFT coefficient on x has true value -1
+    planted = (F.col("fp_us") - F.col("fe_us")) * F.exp(-F.col("x"))
+    frame = per_user.select(
+        "x",
+        F.when(F.col("fp_us").isNull() | (planted > horizon_us), 0.0)
+        .otherwise(1.0)
+        .alias("censor"),
+        (
+            F.least(F.coalesce(planted, F.lit(float(horizon_us))), F.lit(float(horizon_us)))
+            / 86400000000.0
+            + 0.001  # clamp away from zero (first event == first purchase)
+        ).alias("label"),
+    )
+    assembled = VectorAssembler(inputCols=["x"], outputCol="features").transform(frame)
+    aft = AFTSurvivalRegression(
+        censorCol="censor",
+        quantileProbabilities=[0.1, 0.5, 0.9],
+        quantilesCol="q",
+    )
+    model = aft.fit(assembled)
+    coef = float(model.coefficients[0])
+    from pyspark.ml.functions import vector_to_array
+
+    qa = vector_to_array("q")
+    pred = model.transform(assembled.limit(1)).select(
+        "prediction", qa[0].alias("q10"), qa[1].alias("q50"), qa[2].alias("q90")
+    ).collect()[0]
+    anchors = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("fp_us").isNull() | (planted > horizon_us), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    return anchors.select(
+        "n_users",
+        "n_censored",
+        F.lit(coef < -0.5).alias("coef_recovers_plant"),
+        F.lit(pred.q10 < pred.q50 < pred.q90).alias("quantiles_monotone"),
+        F.lit(pred.prediction > 0 and pred.q10 > 0).alias("predictions_positive"),
+    )

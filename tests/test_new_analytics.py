@@ -1013,3 +1013,44 @@ def test_icc_planted_cluster_effect(spark):
     # Kish: deff = 1 + (m-1)*ICC with m ~ 66 events/user
     m = r.n_units / r.n_clusters
     assert abs(r.deff_planted_r - (1 + (m - 1) * r.icc_planted_r)) < 0.1
+
+
+def test_littles_law_exact_identity(spark):
+    r = _rows(spark, "ev_littles_law")[0]
+    # the conservation law holds bit-exactly in integer microseconds
+    assert r.identity_holds
+    assert r.total_session_us == r.sweep_us > 0
+    assert r.n_sessions > 0
+    # the derived triple is self-consistent: L = lambda * W (up to the
+    # horizon-vs-span normalization both sides share)
+    assert r.avg_concurrency_r > 0 and r.lambda_per_hour_r > 0
+    assert r.w_minutes_r > 0
+
+
+def test_weak_supervision_vote_beats_best_lf(spark):
+    r = _rows(spark, "dp_weak_supervision_vote")[0]
+    assert r.vote_beats_best
+    # LFs sit near their designed 85% accuracy, vote near 91%
+    for a in (r.acc_lf1_r, r.acc_lf2_r, r.acc_lf3_r):
+        assert 0.78 <= a <= 0.92
+    assert r.acc_vote_r >= max(r.acc_lf1_r, r.acc_lf2_r) + 0.02
+    assert 0.6 <= r.coverage_lf3_r <= 0.8
+
+
+def test_aft_recovers_planted_acceleration(spark):
+    r = _rows(spark, "ml_aft_survival")[0]
+    # the planted exp(-x) acceleration is recovered (true coef -1)
+    assert r.coef_recovers_plant
+    assert r.quantiles_monotone and r.predictions_positive
+    # censoring is live but not degenerate at the gate scale
+    r01 = _Q["ml_aft_survival"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 < r01.n_censored < r01.n_users
+
+
+def test_label_noise_centroid_separation(spark):
+    r = _rows(spark, "dp_label_noise_centroid")[0]
+    assert 0 < r.n_planted < r.n_vecs * 0.1
+    # auditing the bottom-margin slice recovers most planted flips
+    assert r.recall_r >= 0.75
+    # margins separate: flipped negative, clean positive
+    assert r.mean_margin_flipped_r < 0 < r.mean_margin_clean_r

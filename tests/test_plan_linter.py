@@ -108,6 +108,11 @@ BNLJ_ALLOWED = {
     "into the one-row matched-ATT aggregate",
     "ml_word2vec_synonyms": "one-row synonym-list aggregate crossJoined "
     "into the one-row vector-table aggregate",
+    "ev_littles_law": "one-row sweep-line integral crossJoined into the "
+    "one-row session totals",
+    "dp_label_noise_centroid": "5-row noisy-class prototype table "
+    "broadcast over the corpus; one-row n_planted scalar fanned over "
+    "the margin table",
 }
 
 # query name -> the library-internal blocked cross-product that makes
