@@ -6212,3 +6212,164 @@ def ev_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(total_session_us AS DOUBLE) / n_sessions / 60000000.0, 6)"
         ).alias("w_minutes_r"),
     )
+
+
+# --- bandit replay: the deterministic epsilon-greedy policy evaluated
+# by Li et al.'s replay method over a hash-logged uniform stream.
+# Policy state is pure integers (pulls, reward sums, step counter), so
+# greedy argmax comparisons are exact cross-multiplications — no float
+# enters the fold and both engines replay the identical trajectory.
+# acc layout: [n0, n1, n2, s0, s1, s2, matched, rsum, t]
+def _bandit_chosen(acc: str, elem_t: str) -> str:
+    """Arm chosen at step t given state acc (SQL array, 0-indexed)."""
+    a = acc
+    return (
+        f"CASE WHEN {elem_t} % 5 = 0 THEN CAST(({elem_t} DIV 5) % 3 AS BIGINT) "
+        f"WHEN {a}[0] = 0 THEN 0L WHEN {a}[1] = 0 THEN 1L WHEN {a}[2] = 0 THEN 2L "
+        f"ELSE (CASE WHEN {a}[3] * {a}[1] >= {a}[4] * {a}[0] "
+        f"THEN (CASE WHEN {a}[3] * {a}[2] >= {a}[5] * {a}[0] THEN 0L ELSE 2L END) "
+        f"ELSE (CASE WHEN {a}[4] * {a}[2] >= {a}[5] * {a}[1] THEN 1L ELSE 2L END) "
+        f"END) END"
+    )
+
+
+@register(
+    "ev_bandit_replay",
+    oracle="""
+    WITH RECURSIVE logged AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS t, a,
+             CASE WHEN h2 % 10 < 3 + 3 * a THEN 1 ELSE 0 END AS r
+      FROM (
+        SELECT event_id,
+               CAST(('0x' || substr(md5('ban-a|' || CAST(event_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 3 AS a,
+               CAST(('0x' || substr(md5('ban-r|' || CAST(event_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) AS h2
+        FROM events ORDER BY event_id LIMIT 600
+      )
+    ),
+    sim AS (
+      SELECT -1 AS t, CAST(0 AS BIGINT) AS n0, CAST(0 AS BIGINT) AS n1,
+             CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS s0,
+             CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+             CAST(0 AS BIGINT) AS matched, CAST(0 AS BIGINT) AS rsum
+      UNION ALL
+      SELECT l.t,
+             sim.n0 + CASE WHEN ch = 0 AND l.a = 0 THEN 1 ELSE 0 END,
+             sim.n1 + CASE WHEN ch = 1 AND l.a = 1 THEN 1 ELSE 0 END,
+             sim.n2 + CASE WHEN ch = 2 AND l.a = 2 THEN 1 ELSE 0 END,
+             sim.s0 + CASE WHEN ch = 0 AND l.a = 0 THEN l.r ELSE 0 END,
+             sim.s1 + CASE WHEN ch = 1 AND l.a = 1 THEN l.r ELSE 0 END,
+             sim.s2 + CASE WHEN ch = 2 AND l.a = 2 THEN l.r ELSE 0 END,
+             sim.matched + CASE WHEN ch = l.a THEN 1 ELSE 0 END,
+             sim.rsum + CASE WHEN ch = l.a THEN l.r ELSE 0 END
+      FROM (
+        SELECT sim.*,
+               CASE WHEN l0.t % 5 = 0 THEN (l0.t // 5) % 3
+                    WHEN sim.n0 = 0 THEN 0 WHEN sim.n1 = 0 THEN 1
+                    WHEN sim.n2 = 0 THEN 2
+                    ELSE (CASE WHEN sim.s0 * sim.n1 >= sim.s1 * sim.n0
+                          THEN (CASE WHEN sim.s0 * sim.n2 >= sim.s2 * sim.n0
+                                THEN 0 ELSE 2 END)
+                          ELSE (CASE WHEN sim.s1 * sim.n2 >= sim.s2 * sim.n1
+                                THEN 1 ELSE 2 END) END) END AS ch,
+               l0.t AS lt
+        FROM sim JOIN logged l0 ON l0.t = sim.t + 1
+      ) sim
+      JOIN logged l ON l.t = sim.lt
+    ),
+    final AS (
+      SELECT * FROM sim WHERE t = (SELECT MAX(t) FROM logged)
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+             CAST(SUM(r) AS BIGINT) AS logged_reward
+      FROM logged
+    )
+    SELECT n_logged, matched AS n_matched, n0, n1, n2,
+           ROUND(CAST(rsum AS DOUBLE) / matched, 6) AS replay_value_r,
+           ROUND(CAST(logged_reward AS DOUBLE) / n_logged, 6) AS logging_value_r,
+           ROUND(CAST(n2 AS DOUBLE) / matched, 6) AS best_arm_share_r,
+           CAST(n2 AS DOUBLE) / matched > 0.5
+             AND CAST(rsum AS DOUBLE) / matched
+                 > CAST(logged_reward AS DOUBLE) / n_logged AS policy_learns
+    FROM final, base
+    """,
+    tags=("events", "bandit", "off-policy", "replay"),
+)
+def ev_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy bandit evaluation by REPLAY (Li et al. 2011) — the
+    unbiased counterfactual method next to dp_offpolicy_ips' inverse-
+    propensity weighting: a deterministic epsilon-greedy policy
+    (greedy on exact integer means, one forced-exploration step in
+    five) is replayed over a uniformly-hash-logged 600-event stream
+    with arm-dependent planted rewards (rates 0.3/0.6/0.9); only
+    steps where the policy's choice matches the logged action count.
+    The policy must concentrate on the best arm (share > 0.5) and its
+    replay value must beat the uniform logging value ~0.6 — both
+    pinned.
+
+    Determinism: the whole trajectory is integer state — greedy
+    comparisons are cross-multiplications (s_i*n_j >= s_j*n_i), so
+    Spark's single-row aggregate fold and DuckDB's recursive CTE walk
+    identical paths. Scale: replay is inherently sequential, so the
+    fold runs over a BOUNDED 600-step window (the per-experiment unit
+    at 100 TB — fleets of replays parallelize across experiments,
+    like the SPRT arms)."""
+    ev = load_table(spark, sf_dir, "events")
+    ha = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ban-a|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 3
+    )
+    hr = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ban-r|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long")
+    )
+    logged = (
+        ev.orderBy("event_id")
+        .limit(600)
+        .select(
+            "event_id",
+            ha.alias("a"),
+            F.when(hr % 10 < 3 + 3 * ha, F.lit(1)).otherwise(0).cast("long").alias("r"),
+        )
+    )
+    chosen = _bandit_chosen("acc", "acc[8]")
+    upd = []
+    for i in range(3):
+        upd.append(f"acc[{i}] + (CASE WHEN ({chosen}) = {i}L AND e.a = {i}L THEN 1L ELSE 0L END)")
+    for i in range(3):
+        upd.append(
+            f"acc[{i + 3}] + (CASE WHEN ({chosen}) = {i}L AND e.a = {i}L THEN e.r ELSE 0L END)"
+        )
+    upd.append(f"acc[6] + (CASE WHEN ({chosen}) = e.a THEN 1L ELSE 0L END)")
+    upd.append(f"acc[7] + (CASE WHEN ({chosen}) = e.a THEN e.r ELSE 0L END)")
+    upd.append("acc[8] + 1L")
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(event_id, a, r))),"
+        " x -> struct(x.a AS a, x.r AS r)),"
+        " array(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),"
+        f" (acc, e) -> array({', '.join(upd)}), acc -> acc)"
+    )
+    state = logged.agg(
+        F.expr(fold).alias("acc"),
+        F.count("*").cast("bigint").alias("n_logged"),
+        F.sum("r").cast("bigint").alias("logged_reward"),
+    )
+    return state.select(
+        "n_logged",
+        F.col("acc")[6].alias("n_matched"),
+        F.col("acc")[0].alias("n0"),
+        F.col("acc")[1].alias("n1"),
+        F.col("acc")[2].alias("n2"),
+        F.expr("ROUND(CAST(acc[7] AS DOUBLE) / acc[6], 6)").alias("replay_value_r"),
+        F.expr("ROUND(CAST(logged_reward AS DOUBLE) / n_logged, 6)").alias(
+            "logging_value_r"
+        ),
+        F.expr("ROUND(CAST(acc[2] AS DOUBLE) / acc[6], 6)").alias("best_arm_share_r"),
+        F.expr(
+            "CAST(acc[2] AS DOUBLE) / acc[6] > 0.5 AND "
+            "CAST(acc[7] AS DOUBLE) / acc[6]"
+            " > CAST(logged_reward AS DOUBLE) / n_logged"
+        ).alias("policy_learns"),
+    )

@@ -1348,3 +1348,81 @@ def ml_aft_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pred.q10 < pred.q50 < pred.q90).alias("quantiles_monotone"),
         F.lit(pred.prediction > 0 and pred.q10 > 0).alias("predictions_positive"),
     )
+
+
+@register(
+    "ml_prefixspan_sequences",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+      FROM events
+    ),
+    first5 AS (SELECT user_id, event_type, rn FROM ranked WHERE rn <= 5),
+    singles AS (
+      SELECT event_type AS pattern,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS freq
+      FROM first5 GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type || '>' || b.event_type AS pattern,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS freq
+      FROM first5 a JOIN first5 b
+        ON a.user_id = b.user_id AND a.rn < b.rn
+      GROUP BY 1
+    ),
+    allp AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM first5)
+    SELECT pattern, freq
+    FROM allp, tot
+    WHERE freq * 5 >= n
+    ORDER BY pattern
+    """,
+    tags=("ml", "sequential-patterns", "prefixspan"),
+)
+def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PrefixSpan sequential-pattern mining over each user's
+    FIRST FIVE events (time-ordered, event_id tie-break) — the
+    order-aware sibling of ml_fpgrowth_itemsets: 'click then purchase'
+    is a different pattern from 'purchase then click'. Patterns up to
+    length 2 with support >= 20% are returned, and — unusually for an
+    ML surface — this carries a FULL VALUE oracle: a length-<=2
+    gap-allowed subsequence's support is exactly the count of users
+    with an occurrence of a at an earlier rank than an occurrence of
+    b, which DuckDB computes with a rank self-join. The 20% support
+    cut is applied identically POST-HOC on both sides (freq*5 >= n),
+    so MLlib's internal minSupport boundary semantics never enter the
+    comparison (PrefixSpan runs at a looser 0.1).
+
+    The 5-event prefix is what makes the mining non-vacuous: over full
+    67-event histories every type precedes every type for every user
+    and all supports collapse to n. Scale: sequence assembly is one
+    user-keyed window + collect of 5 structs; PrefixSpan itself is
+    MLlib's distributed projected-database algorithm."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    first5 = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 5)
+    seqs = first5.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rn, event_type))),"
+            " s -> array(s.event_type))"
+        ).alias("sequence")
+    )
+    n = seqs.count()  # bounded: one integer, the sequence-table size
+    ps = PrefixSpan(minSupport=0.1, maxPatternLength=2, sequenceCol="sequence")
+    freq = ps.findFrequentSequentialPatterns(seqs)
+    return (
+        freq.select(
+            F.expr("array_join(transform(sequence, x -> x[0]), '>')").alias(
+                "pattern"
+            ),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+        .where(F.col("freq") * 5 >= F.lit(n))
+        .orderBy("pattern")
+    )

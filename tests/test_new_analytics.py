@@ -1054,3 +1054,32 @@ def test_label_noise_centroid_separation(spark):
     assert r.recall_r >= 0.75
     # margins separate: flipped negative, clean positive
     assert r.mean_margin_flipped_r < 0 < r.mean_margin_clean_r
+
+
+def test_prefixspan_supports_vary_and_bound(spark):
+    rows = _rows(spark, "ml_prefixspan_sequences")
+    freqs = {r.pattern: r.freq for r in rows}
+    singles = {p: f for p, f in freqs.items() if ">" not in p}
+    pairs = {p: f for p, f in freqs.items() if ">" in p}
+    assert singles and pairs
+    # Apriori: a pair's support never exceeds either constituent's
+    for p, f in pairs.items():
+        a, b = p.split(">")
+        if a in singles:
+            assert f <= singles[a]
+        if b in singles:
+            assert f <= singles[b]
+    # the 5-event prefix keeps mining non-vacuous: supports vary
+    assert len(set(freqs.values())) > 1
+
+
+def test_bandit_replay_learns_best_arm(spark):
+    r = _rows(spark, "ev_bandit_replay")[0]
+    assert r.policy_learns
+    assert r.n_logged == 600
+    # unbiased replay: matched count ~ n/3 under uniform logging
+    assert 120 <= r.n_matched <= 280
+    assert r.n0 + r.n1 + r.n2 == r.n_matched
+    # the 0.9-rate arm dominates pulls and lifts the value estimate
+    assert r.n2 > 3 * max(r.n0, r.n1)
+    assert r.replay_value_r > r.logging_value_r + 0.1
