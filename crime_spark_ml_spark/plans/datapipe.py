@@ -11171,3 +11171,174 @@ def dp_label_noise_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_margin_flipped_r",
         "mean_margin_clean_r",
     )
+
+
+# empirical-Bayes CTR fixture: items are the props k-value (0..99);
+# items k >= 80 keep only a salted-md5 tenth of their impressions, so
+# the corpus has a dense head and a sparse tail — the regime shrinkage
+# exists for. Rates are quantized to 1e-9 BIGINTs before any
+# cross-item moment, so the method-of-moments prior is identical in
+# both engines.
+_EB_SPARSE = (
+    "(k >= 80 AND {h} % 10 != 0)"
+)
+
+
+@register(
+    "dp_empirical_bayes_ctr",
+    oracle="""
+    WITH imp AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS click
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT imp.*, ROW_NUMBER() OVER (PARTITION BY k ORDER BY event_id) AS rid
+        FROM imp
+      )
+      WHERE k < 80 OR rid % 10 = 1
+    ),
+    items AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(click) AS BIGINT) AS c_k,
+             CAST(ROUND(CAST(SUM(click) AS DOUBLE) / COUNT(*) * 1000000.0, 0)
+                  AS BIGINT) AS r_q
+      FROM kept GROUP BY k
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CASE WHEN k >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_sparse,
+             CAST(SUM(r_q) AS BIGINT) AS sum_r,
+             CAST(SUM(r_q * r_q) AS BIGINT) AS sum_r2
+      FROM items
+    ),
+    prior AS (
+      SELECT *,
+             CAST(sum_r AS DOUBLE) / n_items / 1000000.0 AS m,
+             (CAST(sum_r2 AS DOUBLE) / n_items
+              - (CAST(sum_r AS DOUBLE) / n_items)
+                * (CAST(sum_r AS DOUBLE) / n_items))
+             / 1000000.0 / 1000000.0 AS v
+      FROM mom
+    ),
+    ab AS (
+      SELECT *, (m * (1.0 - m) / v - 1.0) * m AS alpha,
+                (m * (1.0 - m) / v - 1.0) * (1.0 - m) AS beta
+      FROM prior
+    ),
+    shrunk AS (
+      SELECT i.k, i.n_k, i.c_k, i.r_q, ab.m, ab.alpha, ab.beta, ab.n_items,
+             ab.n_sparse,
+             CAST(ROUND((i.c_k + ab.alpha) / (i.n_k + ab.alpha + ab.beta)
+                        * 1000000.0, 0) AS BIGINT) AS s_q
+      FROM items i, ab
+    )
+    SELECT MAX(n_items) AS n_items, MAX(n_sparse) AS n_sparse,
+           ROUND(MAX(alpha), 6) AS alpha_r,
+           ROUND(MAX(beta), 6) AS beta_r,
+           ROUND(MAX(m), 6) AS mean_ctr_r,
+           CAST(SUM(CASE WHEN NOT ((s_q BETWEEN r_q AND CAST(ROUND(m * 1000000.0, 0) AS BIGINT))
+                              OR (s_q BETWEEN CAST(ROUND(m * 1000000.0, 0) AS BIGINT) AND r_q))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           ROUND(CAST(SUM(CASE WHEN k >= 80 THEN ABS(s_q - r_q) END) AS DOUBLE)
+                 / SUM(CASE WHEN k >= 80 THEN 1 END) / 1000000.0, 6)
+               AS sparse_move_r,
+           ROUND(CAST(SUM(CASE WHEN k < 80 THEN ABS(s_q - r_q) END) AS DOUBLE)
+                 / SUM(CASE WHEN k < 80 THEN 1 END) / 1000000.0, 6)
+               AS dense_move_r
+    FROM shrunk
+    """,
+    tags=("datapipe", "empirical-bayes", "shrinkage", "ctr"),
+)
+def dp_empirical_bayes_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes CTR smoothing (beta-binomial, method-of-moments
+    prior) — the shrinkage estimator every ranking/ads system applies
+    before trusting a 3-impression item's 100% CTR: the prior (alpha,
+    beta) is fitted from the cross-item rate moments, and each item's
+    rate is posterior-shrunk toward the global mean with strength
+    inversely proportional to its sample size. A planted sparse tail
+    (items k >= 80 keep one impression in ten via a deterministic
+    event_id-ordered rank slice — click-agnostic, so unbiased) gives the shrinkage something real to do: sparse items
+    must move farther toward the prior mean than dense ones
+    (sparse_move vs dense_move), and NO item may overshoot past the
+    mean or move away from it (n_violations = 0 — the posterior-mean
+    betweenness property, checked exactly on quantized rates).
+
+    Determinism: per-item rates and shrunk rates are quantized to
+    1e-9 BIGINTs before any cross-item sum; the thinning slice is a
+    click-then-rownumber rank, identical in both engines. Scale: one
+    item-keyed aggregate, a one-row moment reduce, and a broadcast of
+    the 2-parameter prior back over items."""
+    ev = load_table(spark, sf_dir, "events")
+    imp = ev.where(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("click"),
+    )
+    w = Window.partitionBy("k").orderBy("event_id")
+    kept = imp.withColumn("rid", F.row_number().over(w)).where(
+        (F.col("k") < 80) | (F.col("rid") % 10 == 1)
+    )
+    items = kept.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("click").cast("bigint").alias("c_k"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(click) AS DOUBLE) / COUNT(*) * 1000000.0, 0)"
+            " AS BIGINT)"
+        ).alias("r_q"),
+    )
+    mom = items.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("k") >= 80, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sparse"),
+        F.sum("r_q").cast("bigint").alias("sum_r"),
+        F.sum(F.col("r_q") * F.col("r_q")).cast("bigint").alias("sum_r2"),
+    )
+    m = "CAST(sum_r AS DOUBLE) / n_items / 1000000.0"
+    mq = "CAST(sum_r AS DOUBLE) / n_items"  # quantized-scale mean
+    v = (
+        f"(CAST(sum_r2 AS DOUBLE) / n_items - ({mq}) * ({mq}))"
+        " / 1000000.0 / 1000000.0"
+    )
+    ab = mom.selectExpr(
+        "n_items",
+        "n_sparse",
+        f"({m}) AS m",
+        f"(({m}) * (1.0 - ({m})) / ({v}) - 1.0) * ({m}) AS alpha",
+        f"(({m}) * (1.0 - ({m})) / ({v}) - 1.0) * (1.0 - ({m})) AS beta",
+    )
+    shrunk = items.crossJoin(F.broadcast(ab)).withColumn(
+        "s_q",
+        F.expr(
+            "CAST(ROUND((c_k + alpha) / (n_k + alpha + beta) * 1000000.0, 0)"
+            " AS BIGINT)"
+        ),
+    )
+    m_q = "CAST(ROUND(m * 1000000.0, 0) AS BIGINT)"
+    return shrunk.agg(
+        F.max("n_items").alias("n_items"),
+        F.max("n_sparse").alias("n_sparse"),
+        F.round(F.max("alpha"), 6).alias("alpha_r"),
+        F.round(F.max("beta"), 6).alias("beta_r"),
+        F.round(F.max("m"), 6).alias("mean_ctr_r"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN NOT ((s_q BETWEEN r_q AND {m_q})"
+                f" OR (s_q BETWEEN {m_q} AND r_q)) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN k >= 80 THEN ABS(s_q - r_q) END) AS DOUBLE)"
+            " / SUM(CASE WHEN k >= 80 THEN 1 END) / 1000000.0, 6)"
+        ).alias("sparse_move_r"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN k < 80 THEN ABS(s_q - r_q) END) AS DOUBLE)"
+            " / SUM(CASE WHEN k < 80 THEN 1 END) / 1000000.0, 6)"
+        ).alias("dense_move_r"),
+    )

@@ -6373,3 +6373,132 @@ def ev_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > CAST(logged_reward AS DOUBLE) / n_logged"
         ).alias("policy_learns"),
     )
+
+
+def _rdd_sums(pfx: str, pred: str, c: int) -> str:
+    """Conditional OLS sufficient statistics for one side of a cutoff
+    (SQL text shared verbatim by both engines; exact BIGINT sums)."""
+    return (
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS {pfx}_n, "
+        f"CAST(SUM(CASE WHEN {pred} THEN x - {c} ELSE 0 END) AS BIGINT) AS {pfx}_sx, "
+        f"CAST(SUM(CASE WHEN {pred} THEN y ELSE 0 END) AS BIGINT) AS {pfx}_sy, "
+        f"CAST(SUM(CASE WHEN {pred} THEN (x - {c}) * (x - {c}) ELSE 0 END) AS BIGINT)"
+        f" AS {pfx}_sxx, "
+        f"CAST(SUM(CASE WHEN {pred} THEN (x - {c}) * y ELSE 0 END) AS BIGINT)"
+        f" AS {pfx}_sxy"
+    )
+
+
+def _rdd_intercept(pfx: str) -> str:
+    """Local-linear intercept at the cutoff from the side's exact sums."""
+    n, sx, sy, sxx, sxy = (f"{pfx}_{c}" for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (
+        f"((CAST({n} AS DOUBLE) * {sxy} - CAST({sx} AS DOUBLE) * {sy})"
+        f" / NULLIF(CAST({n} AS DOUBLE) * {sxx} - CAST({sx} AS DOUBLE) * {sx},"
+        f" 0.0))"
+    )
+    return (
+        f"((CAST({sy} AS DOUBLE) - {slope} * {sx})"
+        f" / NULLIF(CAST({n} AS DOUBLE), 0.0))"
+    )
+
+
+_RDD_GROUPS = ", ".join(
+    [
+        _rdd_sums("ml", "x >= 55 AND x < 67", 67),
+        _rdd_sums("mr", "x >= 67 AND x < 79", 67),
+        _rdd_sums("pl", "x >= 54 AND x < 60", 60),
+        _rdd_sums("pr", "x >= 60 AND x < 66", 60),
+    ]
+)
+_RDD_TAU = f"({_rdd_intercept('mr')} - {_rdd_intercept('ml')}) / 100.0"
+_RDD_PLACEBO = f"({_rdd_intercept('pr')} - {_rdd_intercept('pl')}) / 100.0"
+
+
+@register(
+    "ev_regression_discontinuity",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0) AS BIGINT)
+               + 50000 * CASE WHEN COUNT(*) >= 67 THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY user_id
+    ),
+    sums AS (SELECT {_RDD_GROUPS} FROM per_user)
+    SELECT ml_n AS n_left, mr_n AS n_right,
+           ROUND({_RDD_TAU}, 6) AS tau_dollars_r,
+           ROUND({_RDD_PLACEBO}, 6) AS placebo_dollars_r,
+           ABS(({_RDD_TAU}) - 500.0) < 150.0
+             AND ABS({_RDD_PLACEBO}) < 150.0 AS rdd_detects
+    FROM sums
+    """,
+    tags=("events", "causal", "rdd"),
+)
+def ev_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity design — the last missing
+    estimator in the causal family (DiD, CUPED, PSM, post-strat,
+    uplift, ICC): users crossing an activity threshold (x >= 67
+    events) receive a PLANTED +$500 outcome jump on top of spend that
+    varies SMOOTHLY (and steeply) with activity, and local linear
+    fits on each side of the cutoff (bandwidth 12) must recover the
+    jump while a placebo cutoff at 60 (bandwidth 6, fully inside the
+    untreated region) must find none — naive above-vs-below means
+    would be hopelessly confounded by the spend-activity slope that
+    the side-specific slopes absorb.
+
+    Determinism: both OLS fits consume exact BIGINT sufficient
+    statistics (outcomes in integer cents, regressor centered at the
+    cutoff) accumulated in ONE conditional aggregation pass; the only
+    doubles are the closed-form slope/intercept ratios, written once
+    and evaluated identically by both engines. Scale: one user-keyed
+    aggregate then a single-row reduce — the four windows share the
+    same scan."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100, 0).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            )
+            + 50000 * F.when(F.count("*") >= 67, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = per_user.selectExpr("x", "y").agg(
+        *[F.expr(e) for e in _split_agg_exprs(_RDD_GROUPS)]
+    )
+    return sums.selectExpr(
+        "ml_n AS n_left",
+        "mr_n AS n_right",
+        f"ROUND({_RDD_TAU}, 6) AS tau_dollars_r",
+        f"ROUND({_RDD_PLACEBO}, 6) AS placebo_dollars_r",
+        f"ABS(({_RDD_TAU}) - 500.0) < 150.0 AND ABS({_RDD_PLACEBO}) < 150.0"
+        " AS rdd_detects",
+    )
+
+
+def _split_agg_exprs(groups: str) -> list[str]:
+    """Split the shared 'expr AS alias, ...' text into individual
+    aggregate expressions for DataFrame.agg (top-level commas only)."""
+    out, depth, cur = [], 0, []
+    for ch in groups:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out

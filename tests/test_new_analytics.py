@@ -1083,3 +1083,31 @@ def test_bandit_replay_learns_best_arm(spark):
     # the 0.9-rate arm dominates pulls and lifts the value estimate
     assert r.n2 > 3 * max(r.n0, r.n1)
     assert r.replay_value_r > r.logging_value_r + 0.1
+
+
+def test_empirical_bayes_shrinks_sparse_harder(spark):
+    r = _rows(spark, "dp_empirical_bayes_ctr")[0]
+    # the planted sparse tail exists and the prior is proper
+    assert r.n_sparse == 20 and r.n_items >= r.n_sparse + 50
+    assert r.alpha_r > 0 and r.beta_r > 0
+    assert 0.3 < r.mean_ctr_r < 0.7
+    # posterior-mean betweenness: no item overshoots or moves away
+    assert r.n_violations == 0
+    # sparse items shrink strictly harder than dense ones
+    assert r.sparse_move_r > 2 * r.dense_move_r
+    # more data -> stronger prior (alpha grows with corpus)
+    r01 = _Q["dp_empirical_bayes_ctr"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r01.alpha_r > r.alpha_r
+
+
+def test_rdd_recovers_planted_jump_at_gate_scale(spark):
+    r = _rows(spark, "ev_regression_discontinuity")[0]
+    # smoke scale has ~12 users in the bandwidth: structure only
+    assert r.n_left > 0 and r.n_right > 0
+    # the gate scale recovers the $500 jump and the placebo is quiet
+    # (measured tau 569.5 / placebo -100.5 at sf0.01; 514.9 / -30.6
+    # at sf0.1)
+    r01 = _Q["ev_regression_discontinuity"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r01.rdd_detects
+    assert abs(r01.tau_dollars_r - 500) < 150
+    assert abs(r01.placebo_dollars_r) < 150

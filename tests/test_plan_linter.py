@@ -113,6 +113,8 @@ BNLJ_ALLOWED = {
     "dp_label_noise_centroid": "5-row noisy-class prototype table "
     "broadcast over the corpus; one-row n_planted scalar fanned over "
     "the margin table",
+    "dp_empirical_bayes_ctr": "one-row (alpha, beta) method-of-moments "
+    "prior fanned over the ~100-item rate table",
 }
 
 # query name -> the library-internal blocked cross-product that makes
