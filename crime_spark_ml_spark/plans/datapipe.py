@@ -11342,3 +11342,184 @@ def dp_empirical_bayes_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / SUM(CASE WHEN k < 80 THEN 1 END) / 1000000.0, 6)"
         ).alias("dense_move_r"),
     )
+
+
+# raking fixture: a deterministically biased sample (English and
+# even-numbered sources are under-sampled at different rates, so BOTH
+# margins are skewed and the dimensions interact). Weights live in
+# integer micro-units and each IPF scaling re-quantizes, so margin
+# sums stay exact BIGINTs in both engines.
+_RAKE_KEEP_DUCK = (
+    "CAST(('0x' || substr(md5('rake-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 20 < (CASE WHEN lang = 'en' THEN 3 ELSE 9 END"
+    " + CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 4 ELSE 0 END)"
+)
+_RAKE_KEEP_SPARK = (
+    "CAST(conv(substring(md5('rake-v1|' || CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 20 < (CASE WHEN lang = 'en' THEN 3 ELSE 9 END"
+    " + CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0 THEN 4 ELSE 0 END)"
+)
+_RAKE_ROUNDS = 4
+
+
+def _rake_stage_sql(prev: str, dim: str, idx: int) -> str:
+    """One IPF scaling stage as an unrolled DuckDB CTE pair."""
+    return f"""
+    m{idx} AS (
+      SELECT {dim} AS cat, CAST(SUM(w) AS BIGINT) AS sw
+      FROM {prev} GROUP BY {dim}
+    ),
+    s{idx} AS (
+      SELECT s.doc_id, s.lang, s.source,
+             CAST(ROUND(CAST(s.w AS DOUBLE)
+                  * (CAST(p.cnt AS DOUBLE) * 1000000.0) / m.sw, 0) AS BIGINT) AS w
+      FROM {prev} s
+      JOIN m{idx} m ON m.cat = s.{dim}
+      JOIN pop_{dim} p ON p.{dim} = s.{dim}
+    )"""
+
+
+def _rake_oracle() -> str:
+    stages = []
+    prev = "s0"
+    idx = 0
+    for _ in range(_RAKE_ROUNDS):
+        for dim in ("lang", "source"):
+            idx += 1
+            stages.append(_rake_stage_sql(prev, dim, idx))
+            prev = f"s{idx}"
+    final = prev
+    return f"""
+    WITH pop_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+    ),
+    pop_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY source
+    ),
+    s0 AS (
+      SELECT doc_id, lang, source, CAST(1000000 AS BIGINT) AS w
+      FROM documents WHERE {_RAKE_KEEP_DUCK}
+    ),{','.join(stages)},
+    lang_err AS (
+      SELECT MAX(ABS(CAST(sw AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0) - 1.0))
+          AS e
+      FROM (SELECT lang, CAST(SUM(w) AS BIGINT) AS sw FROM {final} GROUP BY lang) x
+      JOIN pop_lang USING (lang)
+    ),
+    source_err AS (
+      SELECT MAX(ABS(CAST(sw AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0) - 1.0))
+          AS e
+      FROM (SELECT source, CAST(SUM(w) AS BIGINT) AS sw FROM {final}
+            GROUP BY source) x
+      JOIN pop_source USING (source)
+    ),
+    ess AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+             CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(w * w) AS BIGINT) AS sww
+      FROM {final}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_pop,
+           n_sample,
+           ROUND((SELECT e FROM lang_err), 6) AS max_lang_err_r,
+           ROUND((SELECT e FROM source_err), 6) AS max_source_err_r,
+           ROUND(CAST(sw AS DOUBLE) * sw / sww, 6) AS ess_r,
+           ROUND(n_sample / (CAST(sw AS DOUBLE) * sw / sww), 6)
+               AS weighting_deff_r,
+           (SELECT e FROM lang_err) < 0.01 AND (SELECT e FROM source_err) < 0.01
+               AS converged
+    FROM ess
+    """
+
+
+@register(
+    "dp_raking_ipf",
+    oracle=_rake_oracle(),
+    tags=("datapipe", "raking", "calibration", "survey"),
+)
+def dp_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting — the two-margin
+    calibration that dp_poststratified_estimate's single-margin
+    weighting can't do: a deterministically biased sample (English
+    docs and even-numbered sources under-sampled at DIFFERENT rates,
+    so the margins interact) is reweighted by alternately scaling
+    weights to match the population lang margin, then the source
+    margin, for 4 rounds. Convergence is pinned (both margins within
+    1% after the final round) along with Kish's effective sample size
+    and the weighting design effect n/ESS — the price of the bias.
+
+    Determinism: weights are integer micro-units re-quantized after
+    every scaling, so every margin sum is an exact BIGINT in both
+    engines (the scaling factor itself is one double multiply per
+    row, written identically). Scale: each stage is a margin-keyed
+    aggregate (5 or 20 rows) broadcast back over the sample — 8 tiny
+    joins, no corpus shuffle beyond the margin groupBys; this is
+    exactly how survey-calibration jobs rake billions of rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pop = {
+        dim: docs.groupBy(dim).agg(F.count("*").cast("bigint").alias("cnt"))
+        for dim in ("lang", "source")
+    }
+    cur = docs.where(F.expr(_RAKE_KEEP_SPARK)).select(
+        "doc_id", "lang", "source", F.lit(1000000).cast("bigint").alias("w")
+    )
+    for _ in range(_RAKE_ROUNDS):
+        for dim in ("lang", "source"):
+            sums = cur.groupBy(dim).agg(F.sum("w").cast("bigint").alias("sw"))
+            cur = (
+                cur.join(F.broadcast(sums), dim)
+                .join(F.broadcast(pop[dim].withColumnRenamed("cnt", "p_cnt")), dim)
+                .select(
+                    "doc_id",
+                    "lang",
+                    "source",
+                    F.expr(
+                        "CAST(ROUND(CAST(w AS DOUBLE)"
+                        " * (CAST(p_cnt AS DOUBLE) * 1000000.0) / sw, 0) AS BIGINT)"
+                    ).alias("w"),
+                )
+            )
+        # each stage references cur twice (margin agg + rescale), so the
+        # lazy plan doubles per stage — truncate lineage once per round
+        # like the connected-components loop (operators/dedup.py) does
+        cur = cur.localCheckpoint(eager=False)
+    cur = cur.cache()
+    errs = {}
+    for dim in ("lang", "source"):
+        errs[dim] = (
+            cur.groupBy(dim)
+            .agg(F.sum("w").cast("bigint").alias("sw"))
+            .join(F.broadcast(pop[dim]), dim)
+            .agg(
+                F.max(
+                    F.expr(
+                        "ABS(CAST(sw AS DOUBLE)"
+                        " / (CAST(cnt AS DOUBLE) * 1000000.0) - 1.0)"
+                    )
+                ).alias("e")
+            )
+        )
+    ess = cur.agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+    )
+    n_pop = docs.agg(F.count("*").cast("bigint").alias("n_pop"))
+    le = errs["lang"].withColumnRenamed("e", "le")
+    se = errs["source"].withColumnRenamed("e", "se")
+    return (
+        ess.crossJoin(F.broadcast(n_pop))
+        .crossJoin(F.broadcast(le))
+        .crossJoin(F.broadcast(se))
+        .select(
+            "n_pop",
+            "n_sample",
+            F.round("le", 6).alias("max_lang_err_r"),
+            F.round("se", 6).alias("max_source_err_r"),
+            F.expr("ROUND(CAST(sw AS DOUBLE) * sw / sww, 6)").alias("ess_r"),
+            F.expr("ROUND(n_sample / (CAST(sw AS DOUBLE) * sw / sww), 6)").alias(
+                "weighting_deff_r"
+            ),
+            ((F.col("le") < 0.01) & (F.col("se") < 0.01)).alias("converged"),
+        )
+    )

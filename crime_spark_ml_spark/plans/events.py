@@ -6502,3 +6502,186 @@ def _split_agg_exprs(groups: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return out
+
+
+# O'Brien-Fleming two-sided boundaries for K=5 looks, alpha=0.05:
+# z_k = C * sqrt(K/k) with C chosen so total type-I error is 5%.
+# Classic tabulated values, shared as literals by both engines.
+_OBF_BOUND = (
+    "CASE look WHEN 1 THEN 4.561748 WHEN 2 THEN 3.225665"
+    " WHEN 3 THEN 2.633717 WHEN 4 THEN 2.280874 ELSE 2.040068 END"
+)
+# z for a two-sample proportion test from exact cumulative counts.
+# sqrt is IEEE-correctly-rounded, so both engines agree bit-for-bit.
+_OBF_Z = (
+    "((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)"
+    " / SQRT((CAST(sa + sb AS DOUBLE) / (na + nb))"
+    " * (1.0 - CAST(sa + sb AS DOUBLE) / (na + nb))"
+    " * (1.0 / na + 1.0 / nb)))"
+)
+
+
+@register(
+    "ev_group_sequential_obf",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id,
+             CASE WHEN CAST(('0x' || substr(md5('gst-arm|' ||
+                       CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS base_succ,
+             CASE WHEN CAST(('0x' || substr(md5('gst-lift|' ||
+                       CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+                  THEN 1 ELSE 0 END AS lift,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    tagged AS (
+      SELECT e.experiment, r.arm,
+             CASE WHEN e.experiment = 'planted' AND r.arm = 1
+                  THEN CASE WHEN r.base_succ + r.lift > 0 THEN 1 ELSE 0 END
+                  ELSE r.base_succ END AS succ,
+             CAST((r.rn * 5 + r.n - 1) // r.n AS INT) AS l
+      FROM ranked r, (VALUES ('null'), ('planted')) e(experiment)
+    ),
+    inc AS (
+      SELECT experiment, l,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na_i,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb_i,
+             SUM(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS sa_i,
+             SUM(CASE WHEN arm = 1 THEN succ ELSE 0 END) AS sb_i
+      FROM tagged GROUP BY experiment, l
+    ),
+    looks AS (
+      SELECT experiment, l AS look,
+             CAST(SUM(na_i) OVER w AS BIGINT) AS na,
+             CAST(SUM(nb_i) OVER w AS BIGINT) AS nb,
+             CAST(SUM(sa_i) OVER w AS BIGINT) AS sa,
+             CAST(SUM(sb_i) OVER w AS BIGINT) AS sb
+      FROM inc
+      WINDOW w AS (PARTITION BY experiment ORDER BY l
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    zed AS (
+      SELECT experiment, look, na, nb, sa, sb,
+             ROUND({_OBF_Z}, 6) AS z_r,
+             ROUND({_OBF_BOUND}, 6) AS bound_r,
+             ABS({_OBF_Z}) >= {_OBF_BOUND} AS crossed
+      FROM looks
+    ),
+    decided AS (
+      SELECT experiment,
+             CAST(COALESCE(MIN(CASE WHEN crossed THEN look END), -1) AS INT)
+                 AS decided_look
+      FROM zed GROUP BY experiment
+    )
+    SELECT z.experiment, CAST(z.look AS INT) AS look, z.na, z.nb, z.sa, z.sb,
+           z.z_r, z.bound_r, z.crossed, d.decided_look
+    FROM zed z JOIN decided d USING (experiment)
+    ORDER BY z.experiment, z.look
+    """,
+    tags=("events", "abtest", "sequential", "group-sequential"),
+)
+def ev_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B testing with O'Brien-Fleming boundaries
+    (K=5 interim looks, two-sided alpha=0.05) — the industry-standard
+    interim-analysis discipline beside ev_sprt_sequential's fully-
+    sequential SPRT: the experiment peeks at 20/40/60/80/100% of the
+    horizon and may stop early only if |z| clears the look's OBF
+    bound (huge early, ~2.04 at the end — the shape that preserves
+    overall type-I error). TWO experiments run on the same stream: a
+    'planted' one (arm B gets the same ~+8pp hash lift family as the
+    SPRT query, under a different salt) that must cross and stop
+    early at the gate scale, and a 'null' one (no lift) that must
+    never cross — both sides of the guarantee pinned in one result.
+
+    Determinism: cumulative per-look counts are exact integers from
+    one look-indexed aggregate + a 5-row prefix window; the z
+    statistic uses only divisions and SQRT (IEEE correctly-rounded,
+    unlike libm ln/pow), so both engines compute identical doubles.
+    Scale: one corpus pass computes each event's first-look index;
+    everything after is a 10-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("gst-arm|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    lift = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("gst-lift|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 10
+        == 0
+    ).cast("int")
+    w_rn = Window.orderBy("ts_us", "event_id")
+    ranked = ev.select(
+        "event_id",
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("base_succ"),
+        lift.alias("lift"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    experiments = spark.createDataFrame(
+        [("null",), ("planted",)], "experiment string"
+    )
+    tagged = ranked.crossJoin(F.broadcast(experiments)).select(
+        "experiment",
+        "arm",
+        F.when(
+            (F.col("experiment") == "planted") & (F.col("arm") == 1),
+            F.when(F.col("base_succ") + F.col("lift") > 0, 1).otherwise(0),
+        )
+        .otherwise(F.col("base_succ"))
+        .alias("succ"),
+        F.expr("CAST((rn * 5 + n - 1) DIV n AS INT)").alias("l"),
+    )
+    inc = tagged.groupBy("experiment", "l").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_i"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb_i"),
+        F.sum(F.when(F.col("arm") == 0, F.col("succ")).otherwise(0)).alias("sa_i"),
+        F.sum(F.when(F.col("arm") == 1, F.col("succ")).otherwise(0)).alias("sb_i"),
+    )
+    w_cum = (
+        Window.partitionBy("experiment")
+        .orderBy("l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    looks = inc.select(
+        "experiment",
+        F.col("l").alias("look"),
+        F.sum("na_i").over(w_cum).cast("bigint").alias("na"),
+        F.sum("nb_i").over(w_cum).cast("bigint").alias("nb"),
+        F.sum("sa_i").over(w_cum).cast("bigint").alias("sa"),
+        F.sum("sb_i").over(w_cum).cast("bigint").alias("sb"),
+    )
+    zed = looks.select(
+        "experiment",
+        "look",
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        F.expr(f"ROUND({_OBF_Z}, 6)").alias("z_r"),
+        F.expr(f"ROUND({_OBF_BOUND}, 6)").alias("bound_r"),
+        F.expr(f"ABS({_OBF_Z}) >= {_OBF_BOUND}").alias("crossed"),
+    )
+    decided = zed.groupBy("experiment").agg(
+        F.coalesce(F.min(F.when(F.col("crossed"), F.col("look"))), F.lit(-1))
+        .cast("int")
+        .alias("decided_look")
+    )
+    return (
+        zed.join(decided, "experiment")
+        .select(
+            "experiment",
+            F.col("look").cast("int").alias("look"),
+            "na",
+            "nb",
+            "sa",
+            "sb",
+            "z_r",
+            "bound_r",
+            "crossed",
+            "decided_look",
+        )
+        .orderBy("experiment", "look")
+    )

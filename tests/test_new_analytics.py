@@ -1111,3 +1111,36 @@ def test_rdd_recovers_planted_jump_at_gate_scale(spark):
     assert r01.rdd_detects
     assert abs(r01.tau_dollars_r - 500) < 150
     assert abs(r01.placebo_dollars_r) < 150
+
+
+def test_obf_planted_crosses_null_never(spark):
+    rows = _rows(spark, "ev_group_sequential_obf")
+    null = [r for r in rows if r.experiment == "null"]
+    planted = [r for r in rows if r.experiment == "planted"]
+    assert len(null) == 5 and len(planted) == 5
+    # boundaries decay in the OBF shape
+    bounds = [r.bound_r for r in planted]
+    assert bounds == sorted(bounds, reverse=True) and bounds[0] > 4.5
+    # the null experiment never crosses at any scale
+    assert all(not r.crossed for r in null)
+    assert all(r.decided_look == -1 for r in null)
+    # the planted lift is detected (look 3 at smoke, look 1 at gate)
+    assert planted[0].decided_look in (1, 2, 3, 4, 5)
+    assert any(r.crossed for r in planted)
+    # sample accounting: looks are cumulative
+    for seq in (null, planted):
+        ns = [r.na + r.nb for r in seq]
+        assert ns == sorted(ns)
+
+
+def test_raking_calibrates_both_margins(spark):
+    r = _rows(spark, "dp_raking_ipf")[0]
+    assert r.converged
+    # the biased keep-rule genuinely thins the sample
+    assert r.n_sample < 0.6 * r.n_pop
+    # final stage scales source exactly; lang within the band
+    assert r.max_source_err_r == 0.0
+    assert r.max_lang_err_r < 0.01
+    # unequal weights cost effective sample size (Kish)
+    assert r.ess_r < r.n_sample
+    assert r.weighting_deff_r > 1.1

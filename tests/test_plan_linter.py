@@ -115,6 +115,10 @@ BNLJ_ALLOWED = {
     "the margin table",
     "dp_empirical_bayes_ctr": "one-row (alpha, beta) method-of-moments "
     "prior fanned over the ~100-item rate table",
+    "dp_raking_ipf": "one-row population-count and max-error scalars "
+    "crossJoined into the one-row ESS aggregate",
+    "ev_group_sequential_obf": "2-row experiment literal fanned over "
+    "the event scan; one-row total-count window feeding the look index",
 }
 
 # query name -> the library-internal blocked cross-product that makes
