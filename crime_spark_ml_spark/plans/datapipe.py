@@ -11523,3 +11523,106 @@ def dp_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("le") < 0.01) & (F.col("se") < 0.01)).alias("converged"),
         )
     )
+
+
+# late-interaction fixture: each 64-dim embedding is reshaped into
+# 8 token vectors x 8 dims, quantized to exact 1e-3 ints, so MaxSim
+# is pure BIGINT arithmetic (dot ~1e6-scale per term, 8 terms).
+_MAXSIM_DOT = " + ".join(f"q.q{k} * d.d{k}" for k in range(8))
+
+
+@register(
+    "dp_maxsim_late_interaction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT vec_id, t,
+             {', '.join(
+                 "CAST(ROUND(CAST(embedding[CAST(t * 8 + " + str(k + 1)
+                 + " AS INT)] AS DOUBLE) * 1000.0, 0) AS BIGINT) AS d" + str(k)
+                 for k in range(8))}
+      FROM embeddings, UNNEST(range(0, 8)) u(t)
+    ),
+    q AS (
+      SELECT t AS qt,
+             {', '.join("d" + str(k) + " AS q" + str(k) for k in range(8))}
+      FROM toks WHERE vec_id = 0
+    ),
+    dots AS (
+      SELECT d.vec_id, q.qt, MAX({_MAXSIM_DOT}) AS best
+      FROM toks d, q
+      GROUP BY d.vec_id, q.qt
+    ),
+    scored AS (
+      SELECT vec_id, CAST(SUM(best) AS BIGINT) AS maxsim_q
+      FROM dots GROUP BY vec_id
+    )
+    SELECT vec_id, maxsim_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY maxsim_q DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM scored
+    ORDER BY maxsim_q DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("datapipe", "similarity", "late-interaction", "colbert", "llm"),
+)
+def dp_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): documents
+    and the query are MULTI-vector — 8 token vectors of 8 dims each
+    (the 64-dim fixture embedding reshaped) — and the score is the
+    sum over query tokens of the best-matching document token dot
+    product. This is the third retrieval primitive beside lexical
+    BM25 (dp_bm25_rank) and single-vector dense ANN (dp_ann_*), and
+    the one modern rerankers use when one pooled vector loses
+    token-level signal. Query = vec 0's token set; its self-match
+    must rank 1 (pinned), with everything downstream of the exact
+    integer MaxSim ranking hash-checked.
+
+    Determinism: token vectors are quantized to exact 1e-3 ints, so
+    every dot, max, and sum is BIGINT arithmetic — no float anywhere.
+    Scale shape: the token explode is x8 row-local; the (doc, query-
+    token) best-match is one partial-aggregated groupBy keyed by
+    (vec_id, qt) with the 8-row query broadcast; the final top-k is
+    TakeOrderedAndProject. At 100 TB this is exactly the PLAID/
+    ColBERT scoring pass over a candidate set (the ANN family
+    provides the candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        "vec_id",
+        F.explode(F.expr("sequence(0, 7)")).alias("t"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "t",
+        *[
+            F.expr(
+                f"CAST(ROUND(CAST(embedding[t * 8 + {k}] AS DOUBLE)"
+                " * 1000.0, 0) AS BIGINT)"
+            ).alias(f"d{k}")
+            for k in range(8)
+        ],
+    )
+    q = toks.where(F.col("vec_id") == 0).select(
+        F.col("t").alias("qt"),
+        *[F.col(f"d{k}").alias(f"q{k}") for k in range(8)],
+    )
+    dot = F.expr(" + ".join(f"q{k} * d{k}" for k in range(8)))
+    dots = (
+        toks.crossJoin(F.broadcast(q))
+        .groupBy("vec_id", "qt")
+        .agg(F.max(dot).alias("best"))
+    )
+    scored = dots.groupBy("vec_id").agg(
+        F.sum("best").cast("bigint").alias("maxsim_q")
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "maxsim_q",
+            F.row_number()
+            .over(Window.orderBy(F.desc("maxsim_q"), "vec_id"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .orderBy(F.desc("maxsim_q"), "vec_id")
+        .limit(10)
+    )

@@ -1426,3 +1426,80 @@ def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") * 5 >= F.lit(n))
         .orderBy("pattern")
     )
+
+
+@register(
+    "ml_lda_topics",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT term) FROM toks) AS BIGINT) AS vocab_size,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           3 AS k_topics,
+           TRUE AS topics_nonnegative,
+           TRUE AS doc_mixtures_are_distributions,
+           TRUE AS perplexity_finite
+    FROM (VALUES (1)) v(x)
+    """,
+    tags=("ml", "topics", "lda", "invariant"),
+)
+def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LDA (MLlib EM optimizer, k=3, seed=0) over the
+    CountVectorized documents corpus — the topic-model surface beside
+    Word2Vec (embeddings) and TF-IDF (weighting). Constant+anchor
+    invariant oracle: the vocabulary size is a data anchor DuckDB
+    reproduces (CountVectorizer at minDF=1 admits every distinct
+    token), the document count and k are constants, and the trained-
+    model bands assert real distributions came back: every topic's
+    expected-count matrix is nonnegative with positive per-topic
+    mass (EM keeps it unnormalized), every document's topic mixture
+    sums to 1 within 1e-6, and the training-set perplexity is finite
+    and positive.
+    The corpus is synthetic-random so topic IDENTITIES are noise —
+    asserting them would pin chance (mlplans module contract).
+
+    Scale: CountVectorizer is one fit pass + a row-local transform;
+    EM LDA is MLlib's distributed graph-based estimator; the checks
+    are two aggregates over k=3 and n_docs rows."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", minDF=1.0)
+    cv_model = cv.fit(docs)
+    vec = cv_model.transform(docs)
+    lda = LDA(k=3, seed=0, maxIter=5, optimizer="em", featuresCol="features")
+    model = lda.fit(vec)
+    # topicsMatrix is vocab x k (tiny: bounded by the closed synthetic
+    # vocabulary); under the EM optimizer entries are UNNORMALIZED
+    # expected token counts, so the band asserts nonnegativity and
+    # positive per-topic mass (normalizing would be vacuously 1)
+    tm = model.topicsMatrix().toArray()
+    topics_ok = bool((tm >= 0).all() and all(tm[:, j].sum() > 0 for j in range(3)))
+    mix_ok = (
+        model.transform(vec)
+        .select(
+            F.aggregate(
+                vector_to_array("topicDistribution"), F.lit(0.0), lambda a, x: a + x
+            ).alias("s")
+        )
+        .agg((F.max(F.abs(F.col("s") - 1.0)) < 1e-6).alias("ok"))
+        .collect()[0]["ok"]
+    )
+    import math
+
+    ppl = model.logPerplexity(vec)
+    anchors = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    vocab = F.lit(len(cv_model.vocabulary)).cast("bigint")
+    return anchors.select(
+        vocab.alias("vocab_size"),
+        "n_docs",
+        F.lit(3).alias("k_topics"),
+        F.lit(bool(topics_ok)).alias("topics_nonnegative"),
+        F.lit(bool(mix_ok)).alias("doc_mixtures_are_distributions"),
+        F.lit(bool(math.isfinite(ppl) and ppl > 0)).alias("perplexity_finite"),
+    )

@@ -1144,3 +1144,24 @@ def test_raking_calibrates_both_margins(spark):
     # unequal weights cost effective sample size (Kish)
     assert r.ess_r < r.n_sample
     assert r.weighting_deff_r > 1.1
+
+
+def test_maxsim_self_match_ranks_first(spark):
+    rows = _rows(spark, "dp_maxsim_late_interaction")
+    assert len(rows) == 10
+    # the query's own token set is its best match
+    assert rows[0].vec_id == 0 and rows[0].rank == 1
+    scores = [r.maxsim_q for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # self-similarity clears the field by a real margin
+    assert rows[0].maxsim_q > 1.2 * rows[1].maxsim_q
+    assert [r.rank for r in rows] == list(range(1, 11))
+
+
+def test_lda_anchors_and_bands(spark):
+    r = _rows(spark, "ml_lda_topics")[0]
+    assert r.k_topics == 3
+    assert 20 <= r.vocab_size <= 60
+    assert r.topics_nonnegative
+    assert r.doc_mixtures_are_distributions
+    assert r.perplexity_finite

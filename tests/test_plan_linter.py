@@ -119,6 +119,8 @@ BNLJ_ALLOWED = {
     "crossJoined into the one-row ESS aggregate",
     "ev_group_sequential_obf": "2-row experiment literal fanned over "
     "the event scan; one-row total-count window feeding the look index",
+    "dp_maxsim_late_interaction": "8-row query-token table broadcast "
+    "over the corpus token explode (brute-force-topk pattern)",
 }
 
 # query name -> the library-internal blocked cross-product that makes
