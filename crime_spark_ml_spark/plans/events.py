@@ -6685,3 +6685,191 @@ def ev_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("experiment", "look")
     )
+
+
+@register(
+    "ev_metric_decomposition",
+    oracle="""
+    WITH purch AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS segment,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000
+                       < 7 * 86400000000 THEN 1
+                  WHEN epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000
+                       >= 21 * 86400000000 THEN 2
+                  ELSE 0 END AS period,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5('mdx|' || CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    shaped AS (
+      SELECT segment, period,
+             cents + CASE WHEN period = 2 AND segment = 1 THEN 2000 ELSE 0 END
+                 AS cents
+      FROM purch
+      WHERE period IN (1, 2)
+        AND NOT (period = 2 AND segment = 0 AND h < 7)
+    ),
+    cells AS (
+      SELECT segment, period, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS v
+      FROM shaped GROUP BY segment, period
+    ),
+    tot AS (
+      SELECT period, CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(v) AS BIGINT) AS vv
+      FROM cells GROUP BY period
+    ),
+    wide AS (
+      SELECT c1.segment,
+             c1.n AS n1, c2.n AS n2, c1.v AS v1, c2.v AS v2,
+             t1.nn AS nn1, t2.nn AS nn2, t1.vv AS vv1, t2.vv AS vv2
+      FROM (SELECT * FROM cells WHERE period = 1) c1
+      JOIN (SELECT * FROM cells WHERE period = 2) c2 USING (segment)
+      CROSS JOIN (SELECT * FROM tot WHERE period = 1) t1
+      CROSS JOIN (SELECT * FROM tot WHERE period = 2) t2
+    ),
+    contrib AS (
+      SELECT segment, n1, n2,
+             CAST(v1 AS DOUBLE) / n1 / 100.0 AS y1,
+             CAST(v2 AS DOUBLE) / n2 / 100.0 AS y2,
+             (CAST(n1 AS DOUBLE) / nn1)
+               * (CAST(v2 AS DOUBLE) / n2 - CAST(v1 AS DOUBLE) / n1) / 100.0
+                 AS within_c,
+             (CAST(n2 AS DOUBLE) / nn2 - CAST(n1 AS DOUBLE) / nn1)
+               * (CAST(v2 AS DOUBLE) / n2) / 100.0 AS mix_c,
+             (CAST(vv2 AS DOUBLE) / nn2 - CAST(vv1 AS DOUBLE) / nn1) / 100.0
+                 AS delta_all
+      FROM wide
+    ),
+    q AS (
+      SELECT segment, n1, n2,
+             ROUND(y1, 6) AS y1_r, ROUND(y2, 6) AS y2_r,
+             ROUND(within_c, 6) AS within_contrib_r,
+             ROUND(mix_c, 6) AS mix_contrib_r,
+             CAST(ROUND(within_c * 1000000.0, 0) AS BIGINT) AS w_q,
+             CAST(ROUND(mix_c * 1000000.0, 0) AS BIGINT) AS m_q,
+             delta_all
+      FROM contrib
+    )
+    SELECT segment, n1, n2, y1_r, y2_r, within_contrib_r, mix_contrib_r,
+           ROUND(MAX(delta_all) OVER (), 6) AS delta_metric_r,
+           ABS(CAST(SUM(w_q + m_q) OVER () AS DOUBLE) / 1000000.0
+               - MAX(delta_all) OVER ()) < 0.0001 AS decomposition_exact
+    FROM q ORDER BY segment
+    """,
+    tags=("events", "metrics", "decomposition", "mix-shift"),
+)
+def ev_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-movement decomposition (Oaxaca/Laspeyres two-term form)
+    — the "WHY did average order value move" breakdown every metrics
+    review needs: the change in the overall per-purchase value
+    between week 1 and week 4 splits EXACTLY into per-segment
+    within-segment changes (period-1 weights x value deltas) and
+    mix-shift terms (weight deltas x period-2 values). Two planted,
+    separable movements make the attribution non-vacuous: segment 0
+    loses 70% of its period-2 volume (a pure mix shift) and segment
+    1's period-2 purchases gain $20 (a pure within shift) — each must
+    dominate its own column while the identity within+mix == delta
+    holds to 1e-4 dollars (contributions quantized to micro-dollars
+    before the cross-segment sum).
+
+    Scale: one (segment, period)-keyed aggregate over the purchase
+    scan, a 2-row total, and a 5-row decomposition — window functions
+    run on the 5-row relation only."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mdx|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    day_us = 86400000000
+    origin = 1704067200000000  # 2024-01-01 epoch micros
+    period = (
+        F.when(F.col("ts_us") - origin < 7 * day_us, 1)
+        .when(F.col("ts_us") - origin >= 21 * day_us, 2)
+        .otherwise(0)
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        (F.get_json_object("props", "$.k").cast("bigint") % 5).alias("segment"),
+        period.alias("period"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        h.alias("h"),
+    )
+    shaped = purch.where(
+        F.col("period").isin(1, 2)
+        & ~((F.col("period") == 2) & (F.col("segment") == 0) & (F.col("h") < 7))
+    ).select(
+        "segment",
+        "period",
+        (
+            F.col("cents")
+            + F.when((F.col("period") == 2) & (F.col("segment") == 1), 2000).otherwise(0)
+        ).alias("cents"),
+    )
+    cells = shaped.groupBy("segment", "period").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("v"),
+    )
+    tot = cells.groupBy("period").agg(
+        F.sum("n").cast("bigint").alias("nn"), F.sum("v").cast("bigint").alias("vv")
+    )
+    c1 = cells.where(F.col("period") == 1).select(
+        "segment", F.col("n").alias("n1"), F.col("v").alias("v1")
+    )
+    c2 = cells.where(F.col("period") == 2).select(
+        "segment", F.col("n").alias("n2"), F.col("v").alias("v2")
+    )
+    t1 = tot.where(F.col("period") == 1).select(
+        F.col("nn").alias("nn1"), F.col("vv").alias("vv1")
+    )
+    t2 = tot.where(F.col("period") == 2).select(
+        F.col("nn").alias("nn2"), F.col("vv").alias("vv2")
+    )
+    wide = (
+        c1.join(c2, "segment")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    contrib = wide.selectExpr(
+        "segment",
+        "n1",
+        "n2",
+        "CAST(v1 AS DOUBLE) / n1 / 100.0 AS y1",
+        "CAST(v2 AS DOUBLE) / n2 / 100.0 AS y2",
+        "(CAST(n1 AS DOUBLE) / nn1)"
+        " * (CAST(v2 AS DOUBLE) / n2 - CAST(v1 AS DOUBLE) / n1) / 100.0 AS within_c",
+        "(CAST(n2 AS DOUBLE) / nn2 - CAST(n1 AS DOUBLE) / nn1)"
+        " * (CAST(v2 AS DOUBLE) / n2) / 100.0 AS mix_c",
+        "(CAST(vv2 AS DOUBLE) / nn2 - CAST(vv1 AS DOUBLE) / nn1) / 100.0"
+        " AS delta_all",
+    )
+    q = contrib.selectExpr(
+        "segment",
+        "n1",
+        "n2",
+        "ROUND(y1, 6) AS y1_r",
+        "ROUND(y2, 6) AS y2_r",
+        "ROUND(within_c, 6) AS within_contrib_r",
+        "ROUND(mix_c, 6) AS mix_contrib_r",
+        "CAST(ROUND(within_c * 1000000.0, 0) AS BIGINT) AS w_q",
+        "CAST(ROUND(mix_c * 1000000.0, 0) AS BIGINT) AS m_q",
+        "delta_all",
+    )
+    w_all = Window.partitionBy()
+    return q.select(
+        "segment",
+        "n1",
+        "n2",
+        "y1_r",
+        "y2_r",
+        "within_contrib_r",
+        "mix_contrib_r",
+        F.round(F.max("delta_all").over(w_all), 6).alias("delta_metric_r"),
+        (
+            F.abs(
+                F.sum(F.col("w_q") + F.col("m_q")).over(w_all).cast("double")
+                / 1000000.0
+                - F.max("delta_all").over(w_all)
+            )
+            < 0.0001
+        ).alias("decomposition_exact"),
+    ).orderBy("segment")

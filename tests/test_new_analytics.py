@@ -1165,3 +1165,19 @@ def test_lda_anchors_and_bands(spark):
     assert r.topics_nonnegative
     assert r.doc_mixtures_are_distributions
     assert r.perplexity_finite
+
+
+def test_metric_decomposition_attributes_planted_movements(spark):
+    # pins at the gate scale (smoke may drop a sparse segment cell)
+    rows = _Q["ev_metric_decomposition"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    assert all(r.decomposition_exact for r in rows)
+    by_seg = {r.segment: r for r in rows}
+    # the 70% volume cut of segment 0 is the dominant (negative) mix term
+    assert by_seg[0].mix_contrib_r < 0
+    assert abs(by_seg[0].mix_contrib_r) == max(abs(r.mix_contrib_r) for r in rows)
+    # the +$20 lift to segment 1 is the dominant within term
+    assert by_seg[1].within_contrib_r == max(r.within_contrib_r for r in rows)
+    assert by_seg[1].y2_r - by_seg[1].y1_r > 10
+    # one shared overall delta
+    assert len({r.delta_metric_r for r in rows}) == 1

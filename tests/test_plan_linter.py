@@ -121,6 +121,8 @@ BNLJ_ALLOWED = {
     "the event scan; one-row total-count window feeding the look index",
     "dp_maxsim_late_interaction": "8-row query-token table broadcast "
     "over the corpus token explode (brute-force-topk pattern)",
+    "ev_metric_decomposition": "one-row period totals crossJoined "
+    "into the 5-row per-segment cell table",
 }
 
 # query name -> the library-internal blocked cross-product that makes
