@@ -11626,3 +11626,95 @@ def dp_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim_q"), "vec_id")
         .limit(10)
     )
+
+
+# unicode-hygiene patterns (the invisible codepoints are embedded as
+# real characters — built from escapes in the generator, identical in
+# both engines): zero-widths, bidi controls, C0 control bytes, and a
+# latin+cyrillic mixed-script check — the encoding-level poisoning
+# and display-spoofing vectors a 100 TB text ingest must screen.
+_UH_ZW = '[\u200b\u200c\u200d\ufeff]'
+_UH_BIDI = '[\u202a\u202b\u202c\u202d\u202e\u2066\u2067\u2068\u2069]'
+_UH_CTRL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_UH_CYR = '[Ѐ-ӿ]'
+
+
+@register(
+    "dp_unicode_hygiene",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(20000021 AS BIGINT), 'pay​load with a hidden zero‌width break'),
+        (CAST(20000022 AS BIGINT), 'visit ‮reversed-display‬ domain now'),
+        (CAST(20000023 AS BIGINT), 'the pаssword looks latin but is not'),
+        (CAST(20000024 AS BIGINT), 'bell  and escape  control bytes')) p(doc_id, text)
+    ),
+    scanned AS (
+      SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[​‌‍﻿]', '', 'g'))
+                  AS BIGINT) AS n_zero_width,
+             CAST(length(text) - length(regexp_replace(text, '[‪‫‬‭‮⁦⁧⁨⁩]', '', 'g'))
+                  AS BIGINT) AS n_bidi,
+             CAST(length(text)
+                  - length(regexp_replace(text,
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+                  AS BIGINT) AS n_ctrl,
+             regexp_matches(text, '[Ѐ-ӿ]')
+               AND regexp_matches(text, '[a-zA-Z]') AS mixed_script
+      FROM corpus
+    )
+    SELECT doc_id, n_zero_width, n_bidi, n_ctrl, mixed_script
+    FROM scanned
+    WHERE n_zero_width > 0 OR n_bidi > 0 OR n_ctrl > 0 OR mixed_script
+    ORDER BY doc_id
+    """,
+    tags=("datapipe", "hygiene", "unicode", "security", "llm"),
+)
+def dp_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-level hygiene screen — the poisoning/display-spoofing
+    audit a text ingest runs before training: per document, counts of
+    ZERO-WIDTH characters (invisible token splits that defeat exact
+    dedup and keyword filters), BIDI control characters (the
+    Trojan-Source display-reordering vector), C0 control bytes, and a
+    latin+cyrillic MIXED-SCRIPT flag (homoglyph spoofing). Four
+    planted probe documents — one per vector — must be flagged with
+    exact counts while the natural ASCII corpus stays clean (the
+    query returns ONLY flagged docs, so the result is exactly the
+    planted set at every scale; zero false positives are part of the
+    hash).
+
+    Determinism: counts are codepoint-length differences after
+    regexp_replace with literal-codepoint classes — both engines
+    count the identical characters. Scale: row-local regex over the
+    scan, output bounded by the violation count."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = spark.createDataFrame([
+        (20000021, 'pay\u200bload with a hidden zero\u200cwidth break'),
+        (20000022, 'visit \u202ereversed-display\u202c domain now'),
+        (20000023, 'the pаssword looks latin but is not'),
+        (20000024, 'bell \x07 and escape \x1b control bytes')
+    ], "doc_id bigint, text string")
+    corpus = docs.select("doc_id", "text").unionAll(probes)
+
+    def n_matches(pat: str):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint")
+
+    scanned = corpus.select(
+        "doc_id",
+        n_matches(_UH_ZW).alias("n_zero_width"),
+        n_matches(_UH_BIDI).alias("n_bidi"),
+        n_matches(_UH_CTRL).alias("n_ctrl"),
+        (
+            F.col("text").rlike(_UH_CYR) & F.col("text").rlike("[a-zA-Z]")
+        ).alias("mixed_script"),
+    )
+    return scanned.where(
+        (F.col("n_zero_width") > 0)
+        | (F.col("n_bidi") > 0)
+        | (F.col("n_ctrl") > 0)
+        | F.col("mixed_script")
+    ).orderBy("doc_id")

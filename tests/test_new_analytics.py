@@ -1181,3 +1181,20 @@ def test_metric_decomposition_attributes_planted_movements(spark):
     assert by_seg[1].y2_r - by_seg[1].y1_r > 10
     # one shared overall delta
     assert len({r.delta_metric_r for r in rows}) == 1
+
+
+def test_unicode_hygiene_flags_only_probes(spark):
+    rows = _rows(spark, "dp_unicode_hygiene")
+    # exactly the four planted probes; the natural corpus is clean
+    assert [r.doc_id for r in rows] == [20000021, 20000022, 20000023, 20000024]
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[20000021].n_zero_width == 2
+    assert by_id[20000022].n_bidi == 2
+    assert by_id[20000023].mixed_script
+    assert by_id[20000024].n_ctrl == 2
+    # each probe trips exactly its own vector
+    for r in rows:
+        assert (
+            (r.n_zero_width > 0) + (r.n_bidi > 0) + (r.n_ctrl > 0) + r.mixed_script
+            == 1
+        )
