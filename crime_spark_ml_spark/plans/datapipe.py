@@ -11718,3 +11718,70 @@ def dp_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("n_ctrl") > 0)
         | F.col("mixed_script")
     ).orderBy("doc_id")
+
+
+@register(
+    "dp_redirect_resolution",
+    oracle="""
+    SELECT CAST(doc_id % 8 AS BIGINT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id - doc_id % 8) AS BIGINT) AS n_terminals,
+           TRUE AS all_resolved
+    FROM documents
+    GROUP BY doc_id % 8
+    ORDER BY hops
+    """,
+    tags=("datapipe", "crawl", "pointer-doubling", "graph"),
+)
+def dp_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING — the crawl-
+    pipeline primitive that collapses 301-chains to their terminal
+    URL before dedup/fetch budgeting: a planted functional graph
+    (every doc with doc_id % 8 != 0 redirects to doc_id - 1, making
+    chains of length 0..7) is resolved in ceil(log2(8)) = 3 rounds of
+    ptr = ptr(ptr) self-joins with distance accumulation — NOT by a
+    per-node walk, which would take 7 sequential rounds and is the
+    difference between O(log d) and O(d) shuffles at 100 TB. The
+    oracle knows the ANALYTIC truth (terminal = doc_id - doc_id % 8,
+    hops = doc_id % 8), so the iterative algorithm is checked against
+    a closed form it never sees; all_resolved additionally pins that
+    every pointer reached a fixed point (the loud-non-convergence
+    guard the CC operator also carries).
+
+    Scale: 3 self-joins keyed by the current pointer, each followed
+    by a localCheckpoint to keep lineage linear (operators/dedup.py
+    precedent); the final rollup is an 8-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    state = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % 8 != 0, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("ptr"),
+        F.when(F.col("doc_id") % 8 != 0, F.lit(1)).otherwise(0)
+        .cast("bigint")
+        .alias("d"),
+    )
+    for _ in range(3):  # chains are <= 7 hops; 2^3 covers them
+        nxt = state.select(
+            F.col("node").alias("n2"),
+            F.col("ptr").alias("ptr2"),
+            F.col("d").alias("d2"),
+        )
+        state = (
+            state.join(nxt, state.ptr == nxt.n2)
+            .select("node", F.col("ptr2").alias("ptr"), (F.col("d") + F.col("d2")).alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    term = state.select(F.col("node").alias("t2"), F.col("ptr").alias("tptr"))
+    resolved = state.join(
+        term, state.ptr == term.t2
+    ).select("node", "ptr", "d", (F.col("ptr") == F.col("tptr")).alias("fixed"))
+    return (
+        resolved.groupBy(F.col("d").alias("hops"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("ptr").cast("bigint").alias("n_terminals"),
+            F.min("fixed").alias("all_resolved"),
+        )
+        .orderBy("hops")
+    )

@@ -1198,3 +1198,15 @@ def test_unicode_hygiene_flags_only_probes(spark):
             (r.n_zero_width > 0) + (r.n_bidi > 0) + (r.n_ctrl > 0) + r.mixed_script
             == 1
         )
+
+
+def test_redirect_resolution_log_rounds(spark):
+    rows = _rows(spark, "dp_redirect_resolution")
+    assert [r.hops for r in rows] == list(range(8))
+    # every pointer reached a fixed point in 3 doubling rounds
+    assert all(r.all_resolved for r in rows)
+    # groups of 8 consecutive ids: each residue bucket has ~n/8 docs
+    n = sum(r.n_docs for r in rows)
+    assert all(abs(r.n_docs - n / 8) <= 1 for r in rows)
+    # terminals are the residue-0 docs only
+    assert all(r.n_terminals == rows[0].n_docs for r in rows)
