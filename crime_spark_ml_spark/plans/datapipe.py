@@ -11785,3 +11785,105 @@ def dp_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops")
     )
+
+
+# rater-agreement fixture: a deterministic binary quality label, two
+# signal raters at 10%/20% salted-md5 noise, and one pure-noise rater
+# — Cohen's kappa must separate real agreement from chance agreement.
+_KAPPA = (
+    "(({po}) - ({pe})) / (1.0 - ({pe}))"
+)
+
+
+def _kappa_sql(a: str, b: str) -> str:
+    po = f"CAST(SUM(CASE WHEN {a} = {b} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+    pe = (
+        f"(CAST(SUM({a}) AS DOUBLE) / COUNT(*))"
+        f" * (CAST(SUM({b}) AS DOUBLE) / COUNT(*))"
+        f" + (1.0 - CAST(SUM({a}) AS DOUBLE) / COUNT(*))"
+        f" * (1.0 - CAST(SUM({b}) AS DOUBLE) / COUNT(*))"
+    )
+    return _KAPPA.format(po=po, pe=pe)
+
+
+@register(
+    "dp_rater_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS t,
+             CASE WHEN CAST(('0x' || substr(md5('ka|' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 < 10 THEN 1 ELSE 0 END AS fa,
+             CASE WHEN CAST(('0x' || substr(md5('kb|' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 < 20 THEN 1 ELSE 0 END AS fb,
+             CAST(('0x' || substr(md5('kc|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS rc
+      FROM documents
+    ),
+    raters AS (
+      SELECT doc_id, (t + fa) % 2 AS ra, (t + fb) % 2 AS rb, rc FROM lab
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS po_ab_r,
+           ROUND({_kappa_sql('ra', 'rb')}, 6) AS kappa_ab_r,
+           ROUND({_kappa_sql('ra', 'rc')}, 6) AS kappa_ac_r,
+           {_kappa_sql('ra', 'rb')} > 0.3
+             AND ABS({_kappa_sql('ra', 'rc')}) < 0.15 AS kappa_discriminates
+    FROM raters
+    """,
+    tags=("datapipe", "eval", "agreement", "kappa", "llm"),
+)
+def dp_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement — the calibration check an
+    LLM-as-judge pipeline runs before trusting its graders: two
+    raters that are salted-md5-noised copies of a deterministic
+    quality label (10% and 20% flip rates) must show substantial
+    chance-CORRECTED agreement (expected kappa ~0.5), while a third
+    pure-coin rater's kappa with either must sit at ~0 even though
+    its RAW agreement is ~50% — the po-vs-kappa gap is exactly why
+    raw agreement rates overstate judge reliability. Both sides of
+    the discrimination are pinned in one hashed boolean.
+
+    Determinism: every rate is a ratio of exact integer counts from
+    ONE aggregate pass; kappa is a fixed-order double expression
+    shared verbatim. Scale: row-local label algebra into a 1-row
+    reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def flip(salt: str, pct: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}|"), F.col("doc_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < pct
+        ).cast("int")
+
+    t = F.when(F.col("n_chars") >= 306, 1).otherwise(0)
+    rc = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("kc|"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    raters = docs.select(
+        ((t + flip("ka", 10)) % 2).alias("ra"),
+        ((t + flip("kb", 20)) % 2).alias("rb"),
+        rc.alias("rc"),
+    )
+    return raters.selectExpr("ra", "rb", "rc").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("po_ab_r"),
+        F.expr(f"ROUND({_kappa_sql('ra', 'rb')}, 6)").alias("kappa_ab_r"),
+        F.expr(f"ROUND({_kappa_sql('ra', 'rc')}, 6)").alias("kappa_ac_r"),
+        F.expr(
+            f"{_kappa_sql('ra', 'rb')} > 0.3"
+            f" AND ABS({_kappa_sql('ra', 'rc')}) < 0.15"
+        ).alias("kappa_discriminates"),
+    )

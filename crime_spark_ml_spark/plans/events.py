@@ -6873,3 +6873,135 @@ def ev_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.0001
         ).alias("decomposition_exact"),
     ).orderBy("segment")
+
+
+@register(
+    "ev_cace_noncompliance",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS base_cents
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT *,
+             CAST(('0x' || substr(md5('cace-z|' || user_id), 1, 8)) AS BIGINT)
+                 % 2 AS z,
+             CASE WHEN CAST(('0x' || substr(md5('cace-d|' || user_id), 1, 8))
+                       AS BIGINT) % 10
+                  < CASE WHEN x >= 67 THEN 8 ELSE 3 END
+                  THEN 1 ELSE 0 END AS willing
+      FROM per_user
+    ),
+    obs AS (
+      SELECT z, z * willing AS d,
+             base_cents + 3000 * (z * willing) AS y
+      FROM arms
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(z) AS BIGINT) AS n_assigned,
+             CAST(SUM(d) AS BIGINT) AS n_exposed,
+             CAST(SUM(CASE WHEN z = 1 THEN y END) AS BIGINT) AS y1,
+             CAST(SUM(CASE WHEN z = 0 THEN y END) AS BIGINT) AS y0,
+             CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+             CAST(SUM(CASE WHEN d = 1 THEN y END) AS BIGINT) AS yd1,
+             CAST(SUM(CASE WHEN d = 0 THEN y END) AS BIGINT) AS yd0,
+             CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd0
+      FROM obs
+    )
+    SELECT n_users, n_assigned, n_exposed,
+           ROUND(CAST(n_exposed AS DOUBLE) / n_assigned, 6) AS compliance_rate_r,
+           ROUND((CAST(y1 AS DOUBLE) / n_assigned
+                  - CAST(y0 AS DOUBLE) / n_ctrl) / 100.0, 6) AS itt_r,
+           ROUND((CAST(y1 AS DOUBLE) / n_assigned - CAST(y0 AS DOUBLE) / n_ctrl)
+                 / (CAST(n_exposed AS DOUBLE) / n_assigned) / 100.0, 6) AS cace_r,
+           ROUND((CAST(yd1 AS DOUBLE) / n_exposed
+                  - CAST(yd0 AS DOUBLE) / nd0) / 100.0, 6) AS per_protocol_r,
+           ABS((CAST(y1 AS DOUBLE) / n_assigned - CAST(y0 AS DOUBLE) / n_ctrl)
+               / (CAST(n_exposed AS DOUBLE) / n_assigned) / 100.0 - 30.0)
+             < ABS((CAST(yd1 AS DOUBLE) / n_exposed
+                    - CAST(yd0 AS DOUBLE) / nd0) / 100.0 - 30.0)
+               AS cace_beats_per_protocol
+    FROM cells
+    """,
+    tags=("events", "causal", "iv", "noncompliance"),
+)
+def ev_cace_noncompliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noncompliance-aware experiment analysis (one-sided
+    noncompliance, Wald/IV estimator): assignment is random but only
+    WILLING users actually take the treatment — and willingness is
+    PLANTED to correlate with activity (80% for active users, 30%
+    otherwise), so the naive per-protocol exposed-vs-unexposed
+    comparison inherits the activity->spend confounder while the
+    complier average causal effect CACE = ITT / compliance-rate
+    recovers the planted $30 effect from intention-to-treat
+    quantities alone. The |CACE - 30| < |PP - 30| boolean is the
+    hashed methods pin — the reason experimenters divide by the
+    compliance rate instead of conditioning on exposure. Completes
+    the causal family's last gap (IV / noncompliance) beside RDD,
+    DiD, PSM, CUPED, post-strat, ICC and uplift.
+
+    Determinism: outcomes are exact integer cents (the planted effect
+    is +3000 cents to exposed users); every estimator is a ratio of
+    BIGINT sums written identically in both engines. Scale: one
+    user-keyed aggregate then a 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("base_cents"),
+    )
+    hz = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cace-z|"), F.col("user_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    hd = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cace-d|"), F.col("user_id"))), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    arms = per_user.withColumn("z", hz).withColumn(
+        "willing",
+        F.when(hd < F.when(F.col("x") >= 67, 8).otherwise(3), 1).otherwise(0),
+    )
+    obs = arms.select(
+        "z",
+        (F.col("z") * F.col("willing")).alias("d"),
+        (F.col("base_cents") + 3000 * F.col("z") * F.col("willing")).alias("y"),
+    )
+    cells = obs.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("z").cast("bigint").alias("n_assigned"),
+        F.sum("d").cast("bigint").alias("n_exposed"),
+        F.sum(F.when(F.col("z") == 1, F.col("y"))).cast("bigint").alias("y1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y"))).cast("bigint").alias("y0"),
+        F.sum(F.when(F.col("z") == 0, 1).otherwise(0)).cast("bigint").alias("n_ctrl"),
+        F.sum(F.when(F.col("d") == 1, F.col("y"))).cast("bigint").alias("yd1"),
+        F.sum(F.when(F.col("d") == 0, F.col("y"))).cast("bigint").alias("yd0"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).cast("bigint").alias("nd0"),
+    )
+    itt = "(CAST(y1 AS DOUBLE) / n_assigned - CAST(y0 AS DOUBLE) / n_ctrl)"
+    rate = "(CAST(n_exposed AS DOUBLE) / n_assigned)"
+    pp = "(CAST(yd1 AS DOUBLE) / n_exposed - CAST(yd0 AS DOUBLE) / nd0)"
+    return cells.selectExpr(
+        "n_users",
+        "n_assigned",
+        "n_exposed",
+        f"ROUND({rate}, 6) AS compliance_rate_r",
+        f"ROUND({itt} / 100.0, 6) AS itt_r",
+        f"ROUND({itt} / {rate} / 100.0, 6) AS cace_r",
+        f"ROUND({pp} / 100.0, 6) AS per_protocol_r",
+        f"ABS({itt} / {rate} / 100.0 - 30.0) < ABS({pp} / 100.0 - 30.0)"
+        " AS cace_beats_per_protocol",
+    )
