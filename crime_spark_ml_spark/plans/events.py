@@ -7005,3 +7005,345 @@ def ev_cace_noncompliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ABS({itt} / {rate} / 100.0 - 30.0) < ABS({pp} / 100.0 - 30.0)"
         " AS cace_beats_per_protocol",
     )
+
+
+# Bayesian A/B on a 999-point grid. Unnormalized Beta log-densities
+# use only LN (attested identical across engines); weights are
+# quantized to 1e12 BIGINTs at the max-shifted exponential, so all
+# normalizations and cumulative sums are exact integer arithmetic.
+_BAB_LOGPDF = "(s * LN(x) + f * LN(1.0 - x))"
+
+
+@register(
+    "ev_bayesian_ab_posterior",
+    oracle=f"""
+    WITH trials AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('bab-arm|' || event_id), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1
+                  WHEN CAST(('0x' || substr(md5('bab-arm|' || event_id), 1, 8))
+                       AS BIGINT) % 2 = 1
+                   AND CAST(('0x' || substr(md5('bab-lift|' || event_id), 1, 8))
+                       AS BIGINT) % 20 = 0 THEN 1
+                  ELSE 0 END AS succ
+      FROM events
+    ),
+    counts AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(succ) AS BIGINT) AS s,
+             CAST(COUNT(*) - SUM(succ) AS BIGINT) AS f
+      FROM trials GROUP BY arm
+    ),
+    grid AS (
+      SELECT arm, s, f, n, CAST(i AS DOUBLE) / 1000.0 AS x, i
+      FROM counts, UNNEST(range(1, 1000)) u(i)
+    ),
+    lp AS (
+      SELECT arm, n, s, i, {_BAB_LOGPDF} AS logpdf,
+             MAX({_BAB_LOGPDF}) OVER (PARTITION BY arm) AS lmax
+      FROM grid
+    ),
+    w AS (
+      SELECT arm, n, s, i,
+             CAST(ROUND(EXP(logpdf - lmax) * 1000000000000.0, 0) AS BIGINT) AS q
+      FROM lp
+    ),
+    cum AS (
+      SELECT arm, n, s, i, q,
+             CAST(SUM(q) OVER (PARTITION BY arm ORDER BY i
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cq,
+             CAST(SUM(q) OVER (PARTITION BY arm) AS BIGINT) AS tq
+      FROM w
+    ),
+    joined AS (
+      SELECT b.q AS qb, b.tq AS tqb,
+             COALESCE(a.cq - a.q, 0) AS fa_prev, a.tq AS tqa
+      FROM (SELECT * FROM cum WHERE arm = 'B') b
+      JOIN (SELECT * FROM cum WHERE arm = 'A') a USING (i)
+    ),
+    prob AS (
+      SELECT CAST(SUM(CAST(ROUND(qb * (CAST(fa_prev AS DOUBLE) / tqa), 0)
+                           AS BIGINT)) AS BIGINT) AS num,
+             CAST(MAX(tqb) AS BIGINT) AS den
+      FROM joined
+    )
+    SELECT (SELECT n FROM counts WHERE arm = 'A') AS n_a,
+           (SELECT n FROM counts WHERE arm = 'B') AS n_b,
+           ROUND((SELECT CAST(s AS DOUBLE) / n FROM counts WHERE arm = 'A'), 6)
+               AS p_hat_a_r,
+           ROUND((SELECT CAST(s AS DOUBLE) / n FROM counts WHERE arm = 'B'), 6)
+               AS p_hat_b_r,
+           ROUND(CAST(num AS DOUBLE) / den, 6) AS prob_b_beats_a_r,
+           CAST(num AS DOUBLE) / den > 0.95 AS ship_b
+    FROM prob
+    """,
+    tags=("events", "abtest", "bayesian"),
+)
+def ev_bayesian_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B decision — P(p_B > p_A) under independent
+    Beta(1+s, 1+f) posteriors, the probability-of-superiority number
+    product teams actually ship on (beside the frequentist family:
+    fixed-horizon ev_abtest_lift, SPRT, OBF looks): computed on a
+    999-point grid as sum_i w_B(x_i) * F_A(x_{{i-1}}) with a planted
+    ~+4pp lift on arm B (salted md5, 1-in-20 extra successes), so the
+    posterior must clear the 95% ship threshold at the gate scale.
+
+    Determinism: log-densities use LN only; each arm's grid weights
+    are max-shifted, exponentiated once, and QUANTIZED to 1e12
+    BIGINTs, making every normalization, cumulative distribution,
+    and the final probability numerator exact integer arithmetic —
+    no float ever accumulates across grid rows. Scale: one corpus
+    pass collapses to a 2-row count table; everything after runs on
+    the 2x999-row grid."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("bab-arm|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    lift_h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("bab-lift|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    trials = ev.select(
+        F.when(arm_h == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .when((arm_h == 1) & (lift_h == 0), 1)
+        .otherwise(0)
+        .alias("succ"),
+    )
+    counts = trials.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("succ").cast("bigint").alias("s"),
+        (F.count("*") - F.sum("succ")).cast("bigint").alias("f"),
+    )
+    grid = counts.select(
+        "arm", "n", "s", "f", F.explode(F.expr("sequence(1, 999)")).alias("i")
+    ).withColumn("x", F.col("i").cast("double") / 1000.0)
+    w_arm = Window.partitionBy("arm")
+    lp = grid.select(
+        "arm",
+        "n",
+        "s",
+        "i",
+        F.expr(_BAB_LOGPDF).alias("logpdf"),
+    ).withColumn("lmax", F.max("logpdf").over(w_arm))
+    w = lp.select(
+        "arm",
+        "n",
+        "s",
+        "i",
+        F.expr(
+            "CAST(ROUND(EXP(logpdf - lmax) * 1000000000000.0, 0) AS BIGINT)"
+        ).alias("q"),
+    )
+    w_cum = w_arm.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = w.select(
+        "arm",
+        "n",
+        "i",
+        "q",
+        F.sum("q").over(w_cum).cast("bigint").alias("cq"),
+        F.sum("q").over(w_arm).cast("bigint").alias("tq"),
+    )
+    b = cum.where(F.col("arm") == "B").select(
+        "i", F.col("q").alias("qb"), F.col("tq").alias("tqb")
+    )
+    a = cum.where(F.col("arm") == "A").select(
+        "i",
+        (F.col("cq") - F.col("q")).alias("fa_prev"),
+        F.col("tq").alias("tqa"),
+    )
+    prob = (
+        b.join(a, "i")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(qb * (CAST(fa_prev AS DOUBLE) / tqa), 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("num"),
+            F.max("tqb").cast("bigint").alias("den"),
+        )
+    )
+    ca = counts.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    cb = counts.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    return (
+        prob.crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(cb))
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "ROUND(CAST(s_a AS DOUBLE) / n_a, 6) AS p_hat_a_r",
+            "ROUND(CAST(s_b AS DOUBLE) / n_b, 6) AS p_hat_b_r",
+            "ROUND(CAST(num AS DOUBLE) / den, 6) AS prob_b_beats_a_r",
+            "CAST(num AS DOUBLE) / den > 0.95 AS ship_b",
+        )
+    )
+
+
+# meta-analysis fixture: 8 "experiments" (event_id % 8) each A/B
+# split by salted md5; experiments 0-6 plant a 1-in-20 extra-success
+# lift on B, experiment 7 plants 4-in-20 — the heterogeneity Cochran's
+# Q must flag. All per-experiment terms are quantized to 1e-6 BIGINTs
+# before cross-experiment sums.
+_MA_D = "(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)"
+_MA_VAR = (
+    "((CAST(sa AS DOUBLE) / na) * (1.0 - CAST(sa AS DOUBLE) / na) / na"
+    " + (CAST(sb AS DOUBLE) / nb) * (1.0 - CAST(sb AS DOUBLE) / nb) / nb)"
+)
+
+
+@register(
+    "ev_meta_analysis",
+    oracle=f"""
+    WITH trials AS (
+      SELECT event_id % 8 AS exp_id,
+             CAST(('0x' || substr(md5('ma-z|' || event_id), 1, 8)) AS BIGINT) % 2
+                 AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1
+                  WHEN CAST(('0x' || substr(md5('ma-z|' || event_id), 1, 8))
+                       AS BIGINT) % 2 = 1
+                   AND CAST(('0x' || substr(md5('ma-l|' || event_id), 1, 8))
+                       AS BIGINT) % 20
+                       < CASE WHEN event_id % 8 = 7 THEN 8 ELSE 1 END THEN 1
+                  ELSE 0 END AS succ
+      FROM events
+    ),
+    cells AS (
+      SELECT exp_id,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN arm = 1 THEN succ ELSE 0 END) AS BIGINT) AS sb
+      FROM trials GROUP BY exp_id
+    ),
+    terms AS (
+      SELECT exp_id, na, nb,
+             {_MA_D} AS d,
+             CAST(ROUND(1.0 / {_MA_VAR} * 1000000.0, 0) AS BIGINT) AS wq,
+             CAST(ROUND({_MA_D} / {_MA_VAR} * 1000000.0, 0) AS BIGINT) AS wdq
+      FROM cells
+    ),
+    pooled AS (
+      SELECT exp_id, na, nb, d, wq,
+             CAST(SUM(wdq) OVER () AS DOUBLE) / SUM(wq) OVER () AS mu
+      FROM terms
+    ),
+    qterms AS (
+      SELECT exp_id, na, nb, d, mu,
+             CAST(ROUND(CAST(wq AS DOUBLE) / 1000000.0 * (d - mu) * (d - mu)
+                        * 1000000.0, 0) AS BIGINT) AS qq,
+             CAST(ROUND(CAST(wq AS DOUBLE) / SUM(wq) OVER () * 1000000.0, 0)
+                  AS BIGINT) AS wshare_q
+      FROM pooled
+    )
+    SELECT exp_id, na, nb,
+           ROUND(d, 6) AS effect_r,
+           ROUND(CAST(wshare_q AS DOUBLE) / 1000000.0, 6) AS weight_share_r,
+           ROUND(MAX(mu) OVER (), 6) AS pooled_effect_r,
+           ROUND(CAST(SUM(qq) OVER () AS DOUBLE) / 1000000.0, 6) AS cochran_q_r,
+           CAST(SUM(qq) OVER () AS DOUBLE) / 1000000.0 > 14.067
+               AS heterogeneity_flagged
+    FROM qterms
+    ORDER BY exp_id
+    """,
+    tags=("events", "abtest", "meta-analysis"),
+)
+def ev_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effects meta-analysis across 8 experiments — how an
+    experimentation platform pools a re-run test family: per
+    experiment the risk difference and its variance come from exact
+    arm counts, the pooled effect is the inverse-variance weighted
+    mean, and Cochran's Q (against the chi-square 7-df 95% critical
+    value 14.067) tests whether one pooled number is even coherent.
+    Seven experiments plant the same ~+4pp lift; the eighth plants
+    ~+30pp — Q must flag the heterogeneity at the gate scale while
+    the pooled estimate sits in the common-effect band.
+
+    Determinism: weights, weighted effects, Q terms, and weight
+    shares are quantized to 1e-6 BIGINTs before every
+    cross-experiment sum (the 8-row windows then aggregate exact
+    integers). Scale: one (experiment, arm)-keyed corpus aggregate,
+    then 8-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    hz = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ma-z|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    hl = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ma-l|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    lift_thresh = F.when(F.col("event_id") % 8 == 7, 8).otherwise(1)
+    trials = ev.select(
+        (F.col("event_id") % 8).alias("exp_id"),
+        hz.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .when((hz == 1) & (hl < lift_thresh), 1)
+        .otherwise(0)
+        .alias("succ"),
+    )
+    cells = trials.groupBy("exp_id").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("succ")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("succ")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    terms = cells.selectExpr(
+        "exp_id",
+        "na",
+        "nb",
+        f"{_MA_D} AS d",
+        f"CAST(ROUND(1.0 / {_MA_VAR} * 1000000.0, 0) AS BIGINT) AS wq",
+        f"CAST(ROUND({_MA_D} / {_MA_VAR} * 1000000.0, 0) AS BIGINT) AS wdq",
+    )
+    w_all = Window.partitionBy()
+    pooled = terms.select(
+        "exp_id",
+        "na",
+        "nb",
+        "d",
+        "wq",
+        (
+            F.sum("wdq").over(w_all).cast("double") / F.sum("wq").over(w_all)
+        ).alias("mu"),
+    )
+    qterms = pooled.select(
+        "exp_id",
+        "na",
+        "nb",
+        "d",
+        "mu",
+        F.expr(
+            "CAST(ROUND(CAST(wq AS DOUBLE) / 1000000.0 * (d - mu) * (d - mu)"
+            " * 1000000.0, 0) AS BIGINT)"
+        ).alias("qq"),
+        F.expr(
+            "CAST(ROUND(CAST(wq AS DOUBLE) / SUM(wq) OVER () * 1000000.0, 0)"
+            " AS BIGINT)"
+        ).alias("wshare_q"),
+    )
+    return qterms.select(
+        "exp_id",
+        "na",
+        "nb",
+        F.round("d", 6).alias("effect_r"),
+        F.expr("ROUND(CAST(wshare_q AS DOUBLE) / 1000000.0, 6)").alias(
+            "weight_share_r"
+        ),
+        F.round(F.max("mu").over(w_all), 6).alias("pooled_effect_r"),
+        F.expr("ROUND(CAST(SUM(qq) OVER () AS DOUBLE) / 1000000.0, 6)").alias(
+            "cochran_q_r"
+        ),
+        F.expr("CAST(SUM(qq) OVER () AS DOUBLE) / 1000000.0 > 14.067").alias(
+            "heterogeneity_flagged"
+        ),
+    ).orderBy("exp_id")

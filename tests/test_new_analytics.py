@@ -1235,3 +1235,26 @@ def test_kappa_corrects_chance_agreement(spark):
     # the coin rater agrees ~half the time raw, ~zero after correction
     assert abs(r.kappa_ac_r) < 0.1
     assert r.po_ab_r > r.kappa_ab_r  # raw agreement always overstates
+
+
+def test_bayesian_ab_ships_planted_lift(spark):
+    r = _rows(spark, "ev_bayesian_ab_posterior")[0]
+    assert r.ship_b and r.prob_b_beats_a_r > 0.95
+    assert r.p_hat_b_r > r.p_hat_a_r
+    # posterior sharpens with data (0.971 -> ~1.0 at gate scales)
+    r01 = _Q["ev_bayesian_ab_posterior"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r01.prob_b_beats_a_r > r.prob_b_beats_a_r - 1e-9
+    assert 0 <= r.prob_b_beats_a_r <= 1
+
+
+def test_meta_analysis_flags_outlier_at_gate_scale(spark):
+    rows = _rows(spark, "ev_meta_analysis")
+    assert [r.exp_id for r in rows] == list(range(8))
+    assert abs(sum(r.weight_share_r for r in rows) - 1.0) < 1e-3
+    assert len({r.pooled_effect_r for r in rows}) == 1
+    # smoke is underpowered for Q; the gate scale must flag the
+    # planted outlier (measured Q 69.6 at sf0.01, 1063.6 at sf0.1)
+    rows01 = _Q["ev_meta_analysis"](spark, "/root/testdata/sf0.01").collect()
+    assert rows01[0].heterogeneity_flagged
+    assert rows01[7].effect_r == max(r.effect_r for r in rows01)
+    assert rows01[7].effect_r > 3 * rows01[0].pooled_effect_r

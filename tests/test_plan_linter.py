@@ -123,6 +123,8 @@ BNLJ_ALLOWED = {
     "over the corpus token explode (brute-force-topk pattern)",
     "ev_metric_decomposition": "one-row period totals crossJoined "
     "into the 5-row per-segment cell table",
+    "ev_bayesian_ab_posterior": "one-row per-arm count scalars "
+    "crossJoined into the one-row grid-integral numerator",
 }
 
 # query name -> the library-internal blocked cross-product that makes
