@@ -7347,3 +7347,121 @@ def ev_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heterogeneity_flagged"
         ),
     ).orderBy("exp_id")
+
+
+@register(
+    "ev_quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS base
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(('0x' || substr(md5('qte|' || user_id), 1, 8)) AS BIGINT) % 2
+                 AS treated,
+             base + CASE WHEN CAST(('0x' || substr(md5('qte|' || user_id), 1, 8))
+                              AS BIGINT) % 2 = 1
+                          AND base >= 70000
+                         THEN base // 2 ELSE 0 END AS y
+      FROM per_user
+    ),
+    agg AS (
+      SELECT quantile_cont(CASE WHEN treated = 1 THEN CAST(y AS DOUBLE) END,
+                           [0.1, 0.25, 0.5, 0.75, 0.9]) AS qt_arr,
+             quantile_cont(CASE WHEN treated = 0 THEN CAST(y AS DOUBLE) END,
+                           [0.1, 0.25, 0.5, 0.75, 0.9]) AS qc_arr,
+             CAST(SUM(CASE WHEN treated = 1 THEN y END) AS DOUBLE)
+               / SUM(CASE WHEN treated = 1 THEN 1 END)
+               - CAST(SUM(CASE WHEN treated = 0 THEN y END) AS DOUBLE)
+               / SUM(CASE WHEN treated = 0 THEN 1 END) AS mean_diff
+      FROM arms
+    ),
+    qs AS (
+      SELECT CAST([0.1, 0.25, 0.5, 0.75, 0.9][i] AS DOUBLE) AS p,
+             qt_arr[i] AS qt, qc_arr[i] AS qc, mean_diff
+      FROM agg, UNNEST(range(1, 6)) u(j), LATERAL (SELECT CAST(j AS INT) AS i) x
+    )
+    SELECT p,
+           ROUND(qt / 100.0, 6) AS q_treated_r,
+           ROUND(qc / 100.0, 6) AS q_control_r,
+           ROUND((qt - qc) / 100.0, 6) AS qte_r,
+           ROUND(mean_diff / 100.0, 6) AS ate_r
+    FROM qs ORDER BY p
+    """,
+    tags=("events", "causal", "quantile", "distributional"),
+)
+def ev_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the distributional view a mean
+    ATE hides: treatment is randomly assigned (salted md5), but the
+    PLANTED effect is +50% spend ONLY for users already above a
+    $700 base — so the QTE must be ~0 at low/median quantiles and
+    large at p90, while the single mean-difference number smears the
+    tail effect over everyone. The exact interpolated quantiles
+    (Spark percentile == DuckDB quantile_cont, the a8_percentiles
+    pairing) are hash-compared per treatment arm at five probability
+    points.
+
+    Scale: one user-keyed aggregate; the per-arm quantiles are one
+    sort-based aggregate over the user table fanned across the
+    literal 5-row probability grid."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("base"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qte|"), F.col("user_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    arms = per_user.select(
+        h.alias("treated"),
+        (
+            F.col("base")
+            + F.when((h == 1) & (F.col("base") >= 70000), F.expr("base DIV 2")).otherwise(0)
+        ).alias("y"),
+    )
+    ps = "array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D)"
+    agg = arms.agg(
+        F.expr(
+            f"percentile(CASE WHEN treated = 1 THEN CAST(y AS DOUBLE) END, {ps})"
+        ).alias("qt_arr"),
+        F.expr(
+            f"percentile(CASE WHEN treated = 0 THEN CAST(y AS DOUBLE) END, {ps})"
+        ).alias("qc_arr"),
+        F.expr(
+            "CAST(SUM(CASE WHEN treated = 1 THEN y END) AS DOUBLE)"
+            " / SUM(CASE WHEN treated = 1 THEN 1 END)"
+            " - CAST(SUM(CASE WHEN treated = 0 THEN y END) AS DOUBLE)"
+            " / SUM(CASE WHEN treated = 0 THEN 1 END)"
+        ).alias("mean_diff"),
+    )
+    qs = agg.select(
+        F.posexplode(F.expr(ps)).alias("idx", "p"),
+        "qt_arr",
+        "qc_arr",
+        "mean_diff",
+    ).selectExpr(
+        "p",
+        "qt_arr[idx] AS qt",
+        "qc_arr[idx] AS qc",
+        "mean_diff",
+    )
+    return qs.selectExpr(
+        "p",
+        "ROUND(qt / 100.0, 6) AS q_treated_r",
+        "ROUND(qc / 100.0, 6) AS q_control_r",
+        "ROUND((qt - qc) / 100.0, 6) AS qte_r",
+        "ROUND(mean_diff / 100.0, 6) AS ate_r",
+    ).orderBy("p")

@@ -1258,3 +1258,17 @@ def test_meta_analysis_flags_outlier_at_gate_scale(spark):
     assert rows01[0].heterogeneity_flagged
     assert rows01[7].effect_r == max(r.effect_r for r in rows01)
     assert rows01[7].effect_r > 3 * rows01[0].pooled_effect_r
+
+
+def test_qte_tail_effect_invisible_to_mean(spark):
+    rows = _Q["ev_quantile_treatment_effect"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [r.p for r in rows] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    by_p = {r.p: r for r in rows}
+    # the planted +50%-above-$700 effect concentrates at the tail
+    assert by_p[0.9].qte_r > 200
+    assert abs(by_p[0.5].qte_r) < 60 and abs(by_p[0.1].qte_r) < 60
+    # the mean smears it: ATE far below the p90 effect
+    assert 0 < rows[0].ate_r < by_p[0.9].qte_r / 2
+    assert len({r.ate_r for r in rows}) == 1
