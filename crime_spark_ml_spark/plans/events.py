@@ -7465,3 +7465,137 @@ def ev_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((qt - qc) / 100.0, 6) AS qte_r",
         "ROUND(mean_diff / 100.0, 6) AS ate_r",
     ).orderBy("p")
+
+
+@register(
+    "ev_factorial_interaction",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS base
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(('0x' || substr(md5('fa|' || user_id), 1, 8)) AS BIGINT) % 2
+                 AS a,
+             CAST(('0x' || substr(md5('fb|' || user_id), 1, 8)) AS BIGINT) % 2
+                 AS b,
+             base
+      FROM per_user
+    ),
+    obs AS (
+      SELECT a, b, base + 5000 * a + 30000 * a * b AS y FROM arms
+    ),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+      FROM obs GROUP BY a, b
+    ),
+    wide AS (
+      SELECT SUM(CASE WHEN a = 0 AND b = 0 THEN n END) AS n00,
+             SUM(CASE WHEN a = 1 AND b = 0 THEN n END) AS n10,
+             SUM(CASE WHEN a = 0 AND b = 1 THEN n END) AS n01,
+             SUM(CASE WHEN a = 1 AND b = 1 THEN n END) AS n11,
+             CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN s END) AS DOUBLE)
+               / SUM(CASE WHEN a = 0 AND b = 0 THEN n END) / 100.0 AS m00,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN s END) AS DOUBLE)
+               / SUM(CASE WHEN a = 1 AND b = 0 THEN n END) / 100.0 AS m10,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN s END) AS DOUBLE)
+               / SUM(CASE WHEN a = 0 AND b = 1 THEN n END) / 100.0 AS m01,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN s END) AS DOUBLE)
+               / SUM(CASE WHEN a = 1 AND b = 1 THEN n END) / 100.0 AS m11
+      FROM cells
+    )
+    SELECT CAST(n00 AS BIGINT) AS n00, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n11 AS BIGINT) AS n11,
+           ROUND(m00, 6) AS m00_r, ROUND(m10, 6) AS m10_r,
+           ROUND(m01, 6) AS m01_r, ROUND(m11, 6) AS m11_r,
+           ROUND((m10 + m11) / 2.0 - (m00 + m01) / 2.0, 6) AS main_a_r,
+           ROUND((m01 + m11) / 2.0 - (m00 + m10) / 2.0, 6) AS main_b_r,
+           ROUND(m11 - m10 - m01 + m00, 6) AS interaction_r,
+           m11 - m10 - m01 + m00 > 100.0
+             AND ABS(m01 - m00) < (m11 - m10) / 2.0 AS interaction_detected
+    FROM wide
+    """,
+    tags=("events", "abtest", "factorial", "interaction"),
+)
+def ev_factorial_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 factorial experiment analysis — the design that tests two
+    feature flags AND their interaction in one experiment instead of
+    two sequential A/Bs: users are independently hash-assigned to
+    factors A and B, and the planted response surface (+\\$50 for A
+    alone, nothing for B alone, +\\$300 MORE only when BOTH are on)
+    must surface as a large interaction contrast
+    (m11 - m10 - m01 + m00 ~ 300) while B's SIMPLE effect at a=0
+    (m01 - m00) stays at noise — note B's MARGINAL effect is ix/2 by
+    construction, the misread a one-factor-at-a-time program makes.
+    interaction_detected pins both contrasts at the gate scale.
+
+    Determinism: cell sums are exact integer cents; the four cell
+    means and the three contrasts are fixed-order double expressions
+    shared verbatim. Scale: one user-keyed aggregate into a 4-cell
+    reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("base"),
+    )
+
+    def h2(salt: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col("user_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+
+    obs = per_user.select(
+        h2("fa").alias("a"),
+        h2("fb").alias("b"),
+        "base",
+    ).selectExpr("a", "b", "base + 5000 * a + 30000 * a * b AS y")
+    cells = obs.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    m = lambda i, j: (  # noqa: E731
+        f"CAST(SUM(CASE WHEN a = {i} AND b = {j} THEN s END) AS DOUBLE)"
+        f" / SUM(CASE WHEN a = {i} AND b = {j} THEN n END) / 100.0"
+    )
+    wide = cells.agg(
+        *[
+            F.expr(f"SUM(CASE WHEN a = {i} AND b = {j} THEN n END)")
+            .cast("bigint")
+            .alias(f"n{i}{j}")
+            for i in (0, 1)
+            for j in (0, 1)
+        ],
+        *[F.expr(m(i, j)).alias(f"m{i}{j}") for i in (0, 1) for j in (0, 1)],
+    )
+    return wide.selectExpr(
+        "n00",
+        "n10",
+        "n01",
+        "n11",
+        "ROUND(m00, 6) AS m00_r",
+        "ROUND(m10, 6) AS m10_r",
+        "ROUND(m01, 6) AS m01_r",
+        "ROUND(m11, 6) AS m11_r",
+        "ROUND((m10 + m11) / 2.0 - (m00 + m01) / 2.0, 6) AS main_a_r",
+        "ROUND((m01 + m11) / 2.0 - (m00 + m10) / 2.0, 6) AS main_b_r",
+        "ROUND(m11 - m10 - m01 + m00, 6) AS interaction_r",
+        "m11 - m10 - m01 + m00 > 100.0"
+        " AND ABS(m01 - m00) < (m11 - m10) / 2.0 AS interaction_detected",
+    )

@@ -1272,3 +1272,18 @@ def test_qte_tail_effect_invisible_to_mean(spark):
     # the mean smears it: ATE far below the p90 effect
     assert 0 < rows[0].ate_r < by_p[0.9].qte_r / 2
     assert len({r.ate_r for r in rows}) == 1
+
+
+def test_factorial_interaction_detected_at_gate_scale(spark):
+    r = _rows(spark, "ev_factorial_interaction")[0]
+    assert r.n00 + r.n10 + r.n01 + r.n11 > 0
+    r01 = _Q["ev_factorial_interaction"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r01.interaction_detected
+    # the planted +$300 synergy dominates (measured ix 449 at sf0.01,
+    # 307 at sf0.1)
+    assert r01.interaction_r > 100
+    # B alone does nothing: simple effect at a=0 is noise
+    assert abs(r01.m01_r - r01.m00_r) < r01.interaction_r / 2
+    # cell accounting: roughly balanced random assignment
+    cells = [r01.n00, r01.n10, r01.n01, r01.n11]
+    assert max(cells) < 2 * min(cells)
