@@ -807,3 +807,58 @@ def sql_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_json_extract covers the flat get_json_object path; this covers
     the typed, heterogeneous one."""
     return _sql(spark, sf_dir, _VARIANT_SHRED, ("events",))
+
+
+_SQL_UDF_DEFS = (
+    """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+       RETURNS DOUBLE RETURN p * (1.0 - d)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION qty_bucket(q DOUBLE)
+       RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'
+                                  WHEN q < 30 THEN 'mid' ELSE 'high' END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION tiers(n INT)
+       RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))""",
+)
+
+_SQL_UDF_QUERY = """
+SELECT qty_bucket(l_quantity) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       (SELECT MAX(i) FROM tiers(5)) AS tier_max
+FROM lineitem
+GROUP BY qty_bucket(l_quantity)
+ORDER BY bucket
+"""
+
+
+@register(
+    "sql_udf_suite",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(5 AS INT) AS tier_max
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("sql", "udf", "modern"),
+)
+def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined user functions — the catalog surface that
+    replaces JVM-class UDF registration for pure-SQL logic: a scalar
+    UDF in an aggregate argument (disc_price), a scalar UDF as a
+    GROUPING expression (qty_bucket), and a TABLE-valued SQL UDF
+    consumed by a scalar subquery (tiers(5)) all resolve through the
+    analyzer and INLINE into the plan (they are Catalyst expression
+    substitutions, not black-box calls — predicate pushdown and
+    codegen still apply, which is why they beat Python UDFs at 100 TB
+    by construction). The oracle recomputes every result with the
+    expressions inlined by hand, pinning that the UDF indirection is
+    semantically free; revenue accumulates in DECIMAL for exactness
+    (dec_sum discipline)."""
+    for ddl in _SQL_UDF_DEFS:
+        spark.sql(ddl)
+    return _sql(spark, sf_dir, _SQL_UDF_QUERY, ("lineitem",))

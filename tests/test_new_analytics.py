@@ -1287,3 +1287,13 @@ def test_factorial_interaction_detected_at_gate_scale(spark):
     # cell accounting: roughly balanced random assignment
     cells = [r01.n00, r01.n10, r01.n01, r01.n11]
     assert max(cells) < 2 * min(cells)
+
+
+def test_sql_udf_suite_buckets(spark):
+    rows = _rows(spark, "sql_udf_suite")
+    assert [r.bucket for r in rows] == ["high", "low", "mid"]
+    assert all(r.tier_max == 5 for r in rows)
+    assert all(r.n_items > 0 and r.revenue > 0 for r in rows)
+    # bucket widths (10/20/21+ qty) order the counts: high > mid > low
+    by = {r.bucket: r.n_items for r in rows}
+    assert by["high"] > by["mid"] > by["low"]
