@@ -1503,3 +1503,83 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(mix_ok)).alias("doc_mixtures_are_distributions"),
         F.lit(bool(math.isfinite(ppl) and ppl > 0)).alias("perplexity_finite"),
     )
+
+
+@register(
+    "ml_feature_importance_planted",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN embedding[1] + embedding[2] > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           TRUE AS informative_dims_top2,
+           TRUE AS accuracy_beats_chance,
+           TRUE AS importances_normalized
+    FROM embeddings
+    """,
+    tags=("ml", "interpretability", "feature-importance", "invariant"),
+)
+def ml_feature_importance_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest feature importances with a PLANTED learnable
+    signal — unlike the rest of the ml_* family (whose fixture labels
+    are random relative to the features, so chance-level metrics are
+    the honest expectation), here the label IS a function of the
+    features (y = 1 iff dim0 + dim1 > 0 — DuckDB reproduces the class
+    balance as an exact data anchor), so the model must actually
+    LEARN: the two informative dims must own the top-2 Gini
+    importances among 8 features, held-out accuracy must beat chance
+    by a wide band (a depth-5 forest approximates the oblique
+    boundary axis-by-axis), and the importance vector must sum to 1.
+
+    Scale: the 8-feature assembly is row-local; RF training is
+    MLlib's distributed histogram-based learner; the checks collapse
+    to constant-size driver arithmetic on the fitted model."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        *[F.col("embedding")[d].cast("double").alias(f"x{d}") for d in range(8)],
+        F.when(
+            F.col("embedding")[0].cast("double")
+            + F.col("embedding")[1].cast("double")
+            > 0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=[f"x{d}" for d in range(8)], outputCol="features"
+    ).transform(base)
+    train, test = assembled.randomSplit([0.7, 0.3], seed=0)
+    rf = RandomForestClassifier(
+        numTrees=20, maxDepth=5, seed=0, labelCol="label", featuresCol="features"
+    )
+    model = rf.fit(train)
+    imp = list(model.featureImportances.toArray())
+    top2 = sorted(range(8), key=lambda d: -imp[d])[:2]
+    acc = (
+        model.transform(test)
+        .agg(F.avg((F.col("prediction") == F.col("label")).cast("double")))
+        .collect()[0][0]
+    )
+    anchors = emb.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(
+            F.when(
+                F.col("embedding")[0].cast("double")
+                + F.col("embedding")[1].cast("double")
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    return anchors.select(
+        "n_vecs",
+        "n_pos",
+        F.lit(set(top2) == {0, 1}).alias("informative_dims_top2"),
+        F.lit(bool(acc > 0.8)).alias("accuracy_beats_chance"),
+        F.lit(bool(abs(sum(imp) - 1.0) < 1e-6)).alias("importances_normalized"),
+    )

@@ -1297,3 +1297,12 @@ def test_sql_udf_suite_buckets(spark):
     # bucket widths (10/20/21+ qty) order the counts: high > mid > low
     by = {r.bucket: r.n_items for r in rows}
     assert by["high"] > by["mid"] > by["low"]
+
+
+def test_rf_recovers_planted_informative_dims(spark):
+    r = _rows(spark, "ml_feature_importance_planted")[0]
+    assert r.informative_dims_top2
+    assert r.accuracy_beats_chance
+    assert r.importances_normalized
+    # the derived label is roughly balanced (sum of two ~zero-mean dims)
+    assert 0.3 < r.n_pos / r.n_vecs < 0.7
