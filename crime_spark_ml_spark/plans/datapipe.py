@@ -11887,3 +11887,98 @@ def dp_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND ABS({_kappa_sql('ra', 'rc')}) < 0.15"
         ).alias("kappa_discriminates"),
     )
+
+
+@register(
+    "dp_fairness_audit",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS t,
+             CASE WHEN n_chars - CASE WHEN lang = 'fr' THEN 100 ELSE 0 END
+                       >= 306 THEN 1 ELSE 0 END AS d
+      FROM documents
+    ),
+    per_group AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS n_sel,
+             CAST(SUM(CASE WHEN t = 1 AND d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tp,
+             CAST(SUM(t) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN t = 0 AND d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS fp,
+             CAST(SUM(1 - t) AS BIGINT) AS nn
+      FROM scored GROUP BY lang
+    ),
+    ref AS (
+      SELECT CAST(n_sel AS DOUBLE) / n AS sel_en,
+             CAST(tp AS DOUBLE) / np AS tpr_en
+      FROM per_group WHERE lang = 'en'
+    )
+    SELECT lang, n,
+           ROUND(CAST(n_sel AS DOUBLE) / n, 6) AS sel_rate_r,
+           ROUND(CAST(tp AS DOUBLE) / np, 6) AS tpr_r,
+           ROUND(CAST(fp AS DOUBLE) / nn, 6) AS fpr_r,
+           ROUND(CAST(n_sel AS DOUBLE) / n - sel_en, 6) AS dp_gap_r,
+           ROUND(CAST(tp AS DOUBLE) / np - tpr_en, 6) AS eo_tpr_gap_r,
+           ABS(CAST(n_sel AS DOUBLE) / n - sel_en) > 0.10 AS dp_flagged
+    FROM per_group, ref
+    ORDER BY lang
+    """,
+    tags=("datapipe", "fairness", "audit", "responsible-ai"),
+)
+def dp_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit — demographic parity and equalized-odds
+    gaps for a selection rule across language groups, the
+    responsible-AI screen a training-data filter needs before its
+    quality threshold silently skews the corpus: the ground-truth
+    label is a document property (n_chars >= median), the audited
+    decision applies the same threshold to a PLANTED-biased score
+    (French docs docked 100 chars), and the audit must flag exactly
+    that group — its selection rate and TPR fall ~20pp below the
+    English reference while the untouched groups sit at sampling
+    noise (the text length distribution is language-independent by
+    fixture construction, so the clean groups are true negatives).
+
+    Determinism: every rate is a ratio of exact integer counts from
+    one group-keyed aggregate; gaps subtract the broadcast one-row
+    English reference. Scale: one scan, 5 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(F.col("n_chars") >= 306, 1).otherwise(0)
+    d = F.when(
+        F.col("n_chars") - F.when(F.col("lang") == "fr", 100).otherwise(0) >= 306, 1
+    ).otherwise(0)
+    per_group = (
+        docs.select("lang", t.alias("t"), d.alias("d"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("d").cast("bigint").alias("n_sel"),
+            F.sum(F.when((F.col("t") == 1) & (F.col("d") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum("t").cast("bigint").alias("np"),
+            F.sum(F.when((F.col("t") == 0) & (F.col("d") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(1 - F.col("t")).cast("bigint").alias("nn"),
+        )
+    )
+    ref = per_group.where(F.col("lang") == "en").select(
+        (F.col("n_sel").cast("double") / F.col("n")).alias("sel_en"),
+        (F.col("tp").cast("double") / F.col("np")).alias("tpr_en"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(ref))
+        .selectExpr(
+            "lang",
+            "n",
+            "ROUND(CAST(n_sel AS DOUBLE) / n, 6) AS sel_rate_r",
+            "ROUND(CAST(tp AS DOUBLE) / np, 6) AS tpr_r",
+            "ROUND(CAST(fp AS DOUBLE) / nn, 6) AS fpr_r",
+            "ROUND(CAST(n_sel AS DOUBLE) / n - sel_en, 6) AS dp_gap_r",
+            "ROUND(CAST(tp AS DOUBLE) / np - tpr_en, 6) AS eo_tpr_gap_r",
+            "ABS(CAST(n_sel AS DOUBLE) / n - sel_en) > 0.10 AS dp_flagged",
+        )
+        .orderBy("lang")
+    )

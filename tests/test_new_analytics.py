@@ -1306,3 +1306,20 @@ def test_rf_recovers_planted_informative_dims(spark):
     assert r.importances_normalized
     # the derived label is roughly balanced (sum of two ~zero-mean dims)
     assert 0.3 < r.n_pos / r.n_vecs < 0.7
+
+
+def test_fairness_audit_flags_only_planted_group(spark):
+    rows = _rows(spark, "dp_fairness_audit")
+    by = {r.lang: r for r in rows}
+    assert set(by) == {"de", "en", "es", "fr", "zh"}
+    # the planted 100-char dock is caught on both fairness criteria
+    assert by["fr"].dp_flagged
+    assert by["fr"].dp_gap_r < -0.1
+    assert by["fr"].eo_tpr_gap_r < -0.2
+    # reference group is its own baseline
+    assert by["en"].dp_gap_r == 0.0 and by["en"].eo_tpr_gap_r == 0.0
+    # untouched groups are true negatives at the volume scale (n=1000+)
+    rows1 = _Q["dp_fairness_audit"](spark, "/root/testdata/sf0.1").collect()
+    assert [r.lang for r in rows1 if r.dp_flagged] == ["fr"]
+    # the decision rule is threshold-consistent: no false positives ever
+    assert all(r.fpr_r == 0.0 for r in rows)
