@@ -125,6 +125,8 @@ BNLJ_ALLOWED = {
     "into the 5-row per-segment cell table",
     "ev_bayesian_ab_posterior": "one-row per-arm count scalars "
     "crossJoined into the one-row grid-integral numerator",
+    "dp_fairness_audit": "one-row English-reference rates broadcast "
+    "over the 5 language-group rows",
 }
 
 # query name -> the library-internal blocked cross-product that makes
