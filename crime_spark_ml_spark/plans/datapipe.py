@@ -11982,3 +11982,155 @@ def dp_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dp_learning_curve",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x0,
+             CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x1,
+             CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x2,
+             CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x3,
+             CAST(ROUND(CAST(embedding[5] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x4,
+             CAST(('0x' || substr(md5('lc-split|' || CAST(vec_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 5 AS split,
+             CAST(('0x' || substr(md5('lc-sub|' || CAST(vec_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 100 AS sub
+      FROM embeddings
+    ),
+    lab AS (SELECT *, CASE WHEN x0 + x1 > 0 THEN 1 ELSE 0 END AS t FROM q),
+    cents AS (
+      SELECT f.frac, t,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x0) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1,
+             CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x3) AS BIGINT) AS s3,
+             CAST(SUM(x4) AS BIGINT) AS s4
+      FROM lab, (VALUES (10), (25), (50), (100)) f(frac)
+      WHERE split != 0 AND sub < f.frac
+      GROUP BY f.frac, t
+    ),
+    wide AS (
+      SELECT c1.frac,
+             c1.n AS n1, c1.s0 AS a0, c1.s1 AS a1, c1.s2 AS a2,
+             c1.s3 AS a3, c1.s4 AS a4,
+             c0.n AS n0, c0.s0 AS b0, c0.s1 AS b1, c0.s2 AS b2,
+             c0.s3 AS b3, c0.s4 AS b4
+      FROM (SELECT * FROM cents WHERE t = 1) c1
+      JOIN (SELECT * FROM cents WHERE t = 0) c0 USING (frac)
+    ),
+    scored AS (
+      SELECT w.frac, l.t,
+             CASE WHEN (l.x0 * w.a0 + l.x1 * w.a1 + l.x2 * w.a2
+                        + l.x3 * w.a3 + l.x4 * w.a4) * w.n0
+                      > (l.x0 * w.b0 + l.x1 * w.b1 + l.x2 * w.b2
+                         + l.x3 * w.b3 + l.x4 * w.b4) * w.n1
+                  THEN 1 ELSE 0 END AS pred
+      FROM wide w, (SELECT * FROM lab WHERE split = 0) l
+    )
+    SELECT frac,
+           (SELECT CAST(SUM(CASE WHEN split != 0 AND sub < s.frac
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lab) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(CAST(SUM(CASE WHEN pred = t THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS acc_r
+    FROM scored s
+    GROUP BY frac ORDER BY frac
+    """,
+    tags=("datapipe", "ml-eval", "learning-curve", "llm"),
+)
+def dp_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve measurement — accuracy as a function of
+    TRAINING-DATA SIZE, the scaling-law question every data-
+    acquisition budget hinges on: nested hash subsets (10/25/50/100%
+    of the training pool — nested so bigger budgets strictly contain
+    smaller ones) each fit a nearest-centroid classifier on five
+    quantized dims against a derived learnable label (dim0+dim1 > 0,
+    the ml_feature_importance_planted signal), and all are evaluated
+    on the SAME held-out 20% split. More data must help: the
+    100%-budget accuracy exceeds the 10%-budget accuracy (pinned in
+    the vacuity guard; the full curve is hash-attested).
+
+    Determinism: centroids are (sum, count) integer rationals and the
+    binary decision is a cross-multiplied exact-integer comparison —
+    no division, no float, anywhere in the classifier. Scale: one
+    (budget, class)-keyed aggregate over the training pool (the 4-
+    budget fan is a literal explode), the 8-row model broadcast over
+    the test split."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def h(salt: str, mod: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col("vec_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    q = emb.select(
+        "vec_id",
+        *[
+            F.round(F.col("embedding")[d].cast("double") * 1000000.0, 0)
+            .cast("bigint")
+            .alias(f"x{d}")
+            for d in range(5)
+        ],
+        h("lc-split", 5).alias("split"),
+        h("lc-sub", 100).alias("sub"),
+    )
+    lab = q.withColumn(
+        "t", F.when(F.col("x0") + F.col("x1") > 0, 1).otherwise(0)
+    )
+    fracs = spark.createDataFrame([(10,), (25,), (50,), (100,)], "frac int")
+    train = lab.where(F.col("split") != 0).crossJoin(F.broadcast(fracs)).where(
+        F.col("sub") < F.col("frac")
+    )
+    cents = train.groupBy("frac", "t").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[F.sum(f"x{d}").cast("bigint").alias(f"s{d}") for d in range(5)],
+    )
+    c1 = cents.where(F.col("t") == 1).select(
+        "frac",
+        F.col("n").alias("n1"),
+        *[F.col(f"s{d}").alias(f"a{d}") for d in range(5)],
+    )
+    c0 = cents.where(F.col("t") == 0).select(
+        "frac",
+        F.col("n").alias("n0"),
+        *[F.col(f"s{d}").alias(f"b{d}") for d in range(5)],
+    )
+    wide = c1.join(c0, "frac")
+    test = lab.where(F.col("split") == 0)
+    dot1 = " + ".join(f"x{d} * a{d}" for d in range(5))
+    dot0 = " + ".join(f"x{d} * b{d}" for d in range(5))
+    scored = test.crossJoin(F.broadcast(wide)).withColumn(
+        "pred",
+        F.expr(f"CASE WHEN ({dot1}) * n0 > ({dot0}) * n1 THEN 1 ELSE 0 END"),
+    )
+    n_train = (
+        lab.where(F.col("split") != 0)
+        .crossJoin(F.broadcast(fracs))
+        .where(F.col("sub") < F.col("frac"))
+        .groupBy("frac")
+        .agg(F.count("*").cast("bigint").alias("n_train"))
+    )
+    return (
+        scored.groupBy("frac")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(
+                F.sum(F.when(F.col("pred") == F.col("t"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("acc_r"),
+        )
+        .join(n_train, "frac")
+        .select("frac", "n_train", "n_test", "acc_r")
+        .orderBy("frac")
+    )

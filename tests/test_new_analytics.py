@@ -1323,3 +1323,19 @@ def test_fairness_audit_flags_only_planted_group(spark):
     assert [r.lang for r in rows1 if r.dp_flagged] == ["fr"]
     # the decision rule is threshold-consistent: no false positives ever
     assert all(r.fpr_r == 0.0 for r in rows)
+
+
+def test_learning_curve_more_data_helps(spark):
+    rows = _rows(spark, "dp_learning_curve")
+    assert [r.frac for r in rows] == [10, 25, 50, 100]
+    # nested budgets: strictly growing training sets, fixed test set
+    ns = [r.n_train for r in rows]
+    assert ns == sorted(ns) and ns[0] < ns[-1]
+    assert len({r.n_test for r in rows}) == 1
+    # the signal is learnable everywhere, and the full budget beats
+    # the 10% budget (the curve is strictly monotone at volume scale)
+    assert all(r.acc_r > 0.7 for r in rows)
+    assert rows[-1].acc_r > rows[0].acc_r
+    rows1 = _Q["dp_learning_curve"](spark, "/root/testdata/sf0.1").collect()
+    accs = [r.acc_r for r in rows1]
+    assert accs == sorted(accs)

@@ -127,6 +127,9 @@ BNLJ_ALLOWED = {
     "crossJoined into the one-row grid-integral numerator",
     "dp_fairness_audit": "one-row English-reference rates broadcast "
     "over the 5 language-group rows",
+    "dp_learning_curve": "4-row budget literal fanned over the training "
+    "pool; 4-row (budget x class) centroid model broadcast over the "
+    "test split",
 }
 
 # query name -> the library-internal blocked cross-product that makes
