@@ -11895,7 +11895,7 @@ def dp_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT lang,
              CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS t,
-             CASE WHEN n_chars - CASE WHEN lang = 'fr' THEN 100 ELSE 0 END
+             CASE WHEN n_chars - CASE WHEN lang = 'fr' THEN 200 ELSE 0 END
                        >= 306 THEN 1 ELSE 0 END AS d
       FROM documents
     ),
@@ -11934,10 +11934,10 @@ def dp_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality threshold silently skews the corpus: the ground-truth
     label is a document property (n_chars >= median), the audited
     decision applies the same threshold to a PLANTED-biased score
-    (French docs docked 100 chars), and the audit must flag exactly
-    that group — its selection rate and TPR fall ~20pp below the
-    English reference while the untouched groups sit at sampling
-    noise (the text length distribution is language-independent by
+    (French docs docked 200 chars), and the audit must flag exactly
+    that group — its selection rate falls ~40pp and its TPR ~70pp
+    below the English reference while the untouched groups sit at
+    sampling noise (the text length distribution is language-independent by
     fixture construction, so the clean groups are true negatives).
 
     Determinism: every rate is a ratio of exact integer counts from
@@ -11946,7 +11946,7 @@ def dp_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.when(F.col("n_chars") >= 306, 1).otherwise(0)
     d = F.when(
-        F.col("n_chars") - F.when(F.col("lang") == "fr", 100).otherwise(0) >= 306, 1
+        F.col("n_chars") - F.when(F.col("lang") == "fr", 200).otherwise(0) >= 306, 1
     ).otherwise(0)
     per_group = (
         docs.select("lang", t.alias("t"), d.alias("d"))

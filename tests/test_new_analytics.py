@@ -1312,16 +1312,18 @@ def test_fairness_audit_flags_only_planted_group(spark):
     rows = _rows(spark, "dp_fairness_audit")
     by = {r.lang: r for r in rows}
     assert set(by) == {"de", "en", "es", "fr", "zh"}
-    # the planted 100-char dock is caught on both fairness criteria
+    # the planted 200-char dock is caught on both fairness criteria
+    # even at smoke-scale group sizes (~80/group)
     assert by["fr"].dp_flagged
-    assert by["fr"].dp_gap_r < -0.1
-    assert by["fr"].eo_tpr_gap_r < -0.2
+    assert by["fr"].dp_gap_r < -0.15
+    assert by["fr"].eo_tpr_gap_r < -0.3
     # reference group is its own baseline
     assert by["en"].dp_gap_r == 0.0 and by["en"].eo_tpr_gap_r == 0.0
-    # untouched groups are true negatives at the volume scale (n=1000+)
+    # untouched groups are true negatives at the volume scale
+    # (n=700+/group; smoke groups are too small to bound their noise)
     rows1 = _Q["dp_fairness_audit"](spark, "/root/testdata/sf0.1").collect()
     assert [r.lang for r in rows1 if r.dp_flagged] == ["fr"]
-    # the decision rule is threshold-consistent: no false positives ever
+    # the dock only ever suppresses: it cannot create false positives
     assert all(r.fpr_r == 0.0 for r in rows)
 
 
