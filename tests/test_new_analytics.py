@@ -1341,3 +1341,14 @@ def test_learning_curve_more_data_helps(spark):
     rows1 = _Q["dp_learning_curve"](spark, "/root/testdata/sf0.1").collect()
     accs = [r.acc_r for r in rows1]
     assert accs == sorted(accs)
+
+
+def test_wasserstein_recovers_shift_at_volume_scale(spark):
+    r = _rows(spark, "dp_wasserstein_drift")[0]
+    assert r.w1_exceeds_null
+    assert r.w1_planted_r > 0 and r.w1_null_r > 0
+    # translation recovery needs the sampling floor out of the way:
+    # at sf0.1 (n~2500/group) W1 ~ 28.3 vs a 2.9 null floor
+    r1 = _Q["dp_wasserstein_drift"](spark, "/root/testdata/sf0.1").collect()[0]
+    assert abs(r1.w1_planted_r - 30) < 5
+    assert r1.w1_planted_r > 5 * r1.w1_null_r
