@@ -7599,3 +7599,143 @@ def ev_factorial_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m11 - m10 - m01 + m00 > 100.0"
         " AND ABS(m01 - m00) < (m11 - m10) / 2.0 AS interaction_detected",
     )
+
+
+# One-sided standard-normal quantiles z(1 - 0.10 * i / 20) for the
+# Benjamini-Hochberg step-up at q = 0.10 over m = 20 experiments —
+# literal constants so no inverse-CDF (libm erf) enters either engine.
+_BH_ZCRIT = (
+    "CASE rank WHEN 1 THEN 2.5758 WHEN 2 THEN 2.3263 WHEN 3 THEN 2.1701"
+    " WHEN 4 THEN 2.0537 WHEN 5 THEN 1.9600 WHEN 6 THEN 1.8808"
+    " WHEN 7 THEN 1.8119 WHEN 8 THEN 1.7507 WHEN 9 THEN 1.6954"
+    " WHEN 10 THEN 1.6449 WHEN 11 THEN 1.5982 WHEN 12 THEN 1.5548"
+    " WHEN 13 THEN 1.5141 WHEN 14 THEN 1.4758 WHEN 15 THEN 1.4395"
+    " WHEN 16 THEN 1.4051 WHEN 17 THEN 1.3722 WHEN 18 THEN 1.3408"
+    " WHEN 19 THEN 1.3106 ELSE 1.2816 END"
+)
+_BH_Z = (
+    "((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)"
+    " / SQRT((CAST(sa + sb AS DOUBLE) / (na + nb))"
+    " * (1.0 - CAST(sa + sb AS DOUBLE) / (na + nb))"
+    " * (1.0 / na + 1.0 / nb)))"
+)
+
+
+@register(
+    "ev_fdr_bh",
+    oracle=f"""
+    WITH trials AS (
+      SELECT event_id % 20 AS exp_id,
+             CAST(('0x' || substr(md5('bh-z|' || event_id), 1, 8)) AS BIGINT) % 2
+                 AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1
+                  WHEN event_id % 20 IN (3, 11)
+                   AND CAST(('0x' || substr(md5('bh-z|' || event_id), 1, 8))
+                       AS BIGINT) % 2 = 1
+                   AND CAST(('0x' || substr(md5('bh-l|' || event_id), 1, 8))
+                       AS BIGINT) % 5 = 0 THEN 1
+                  ELSE 0 END AS succ
+      FROM events
+    ),
+    cells AS (
+      SELECT exp_id,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN arm = 1 THEN succ ELSE 0 END) AS BIGINT) AS sb
+      FROM trials GROUP BY exp_id
+    ),
+    zs AS (
+      SELECT exp_id, {_BH_Z} AS z,
+             CAST(ROW_NUMBER() OVER (ORDER BY {_BH_Z} DESC, exp_id) AS INT)
+                 AS rank,
+             exp_id IN (3, 11) AS is_planted
+      FROM cells
+    ),
+    crit AS (
+      SELECT *, {_BH_ZCRIT} AS zcrit FROM zs
+    ),
+    k AS (
+      SELECT COALESCE(MAX(CASE WHEN z >= zcrit THEN rank END), 0) AS kmax
+      FROM crit
+    )
+    SELECT exp_id, ROUND(z, 6) AS z_r, rank, ROUND(zcrit, 6) AS zcrit_r,
+           rank <= (SELECT kmax FROM k) AS bh_rejected,
+           z >= 1.6449 AS naive_rejected,
+           is_planted
+    FROM crit
+    ORDER BY exp_id
+    """,
+    tags=("events", "abtest", "multiple-testing", "fdr"),
+)
+def ev_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a
+    20-experiment family — the multiple-testing discipline an
+    experimentation platform applies before reading a metrics
+    dashboard of parallel tests: two experiments (3 and 11) carry a
+    planted ~+16pp lift, the other eighteen are null, and the BH
+    step-up at q=0.10 (largest rank whose z clears its literal
+    critical value — no inverse-normal in either engine) must reject
+    the planted pair at the gate scale while per-comparison 'naive'
+    z > 1.645 testing is reported alongside for the false-positive
+    contrast. The whole 20-row decision table is hash-checked:
+    z statistics (divisions + IEEE-exact SQRT only), ranks, critical
+    values, and both rejection columns.
+
+    Scale: one (experiment, arm)-keyed corpus aggregate; ranking and
+    the step-up run on the 20-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+    hz = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("bh-z|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    hl = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("bh-l|"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("long") % 5
+    )
+    planted = F.col("event_id") % 20
+    trials = ev.select(
+        (F.col("event_id") % 20).alias("exp_id"),
+        hz.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(planted.isin(3, 11) & (hz == 1) & (hl == 0), 1)
+        .otherwise(0)
+        .alias("succ"),
+    )
+    cells = trials.groupBy("exp_id").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("succ")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("succ")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    zs = cells.select(
+        "exp_id",
+        F.expr(_BH_Z).alias("z"),
+        F.col("exp_id").isin(3, 11).alias("is_planted"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("z"), "exp_id")).cast("int"),
+    )
+    crit = zs.withColumn("zcrit", F.expr(_BH_ZCRIT))
+    k = crit.agg(
+        F.coalesce(
+            F.max(F.when(F.col("z") >= F.col("zcrit"), F.col("rank"))), F.lit(0)
+        ).alias("kmax")
+    )
+    return (
+        crit.crossJoin(F.broadcast(k))
+        .select(
+            "exp_id",
+            F.round("z", 6).alias("z_r"),
+            "rank",
+            F.round("zcrit", 6).alias("zcrit_r"),
+            (F.col("rank") <= F.col("kmax")).alias("bh_rejected"),
+            (F.col("z") >= 1.6449).alias("naive_rejected"),
+            "is_planted",
+        )
+        .orderBy("exp_id")
+    )

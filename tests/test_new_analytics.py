@@ -1352,3 +1352,24 @@ def test_wasserstein_recovers_shift_at_volume_scale(spark):
     r1 = _Q["dp_wasserstein_drift"](spark, "/root/testdata/sf0.1").collect()[0]
     assert abs(r1.w1_planted_r - 30) < 5
     assert r1.w1_planted_r > 5 * r1.w1_null_r
+
+
+def test_fdr_bh_controls_what_naive_does_not(spark):
+    rows = _rows(spark, "ev_fdr_bh")
+    assert len(rows) == 20
+    assert sorted(r.rank for r in rows) == list(range(1, 21))
+    # smoke scale: per-comparison testing already fires on a null while
+    # the BH step-up stays quiet (measured: naive flags exp 2, BH none)
+    assert not any(r.bh_rejected for r in rows)
+    assert any(r.naive_rejected and not r.is_planted for r in rows)
+    # gate scale: BH rejects planted experiments only (exp 11 clears;
+    # exp 3's draw lands under its rank-2 critical value)
+    rows01 = _Q["ev_fdr_bh"](spark, "/root/testdata/sf0.01").collect()
+    bh01 = {r.exp_id for r in rows01 if r.bh_rejected}
+    assert bh01 and bh01 <= {3, 11}
+    assert sum(r.naive_rejected for r in rows01) >= len(bh01)
+    # volume scale: both planted experiments rejected; false
+    # discoveries bounded (q = 0.10 permits the one 2.46-z null)
+    rows1 = _Q["ev_fdr_bh"](spark, "/root/testdata/sf0.1").collect()
+    bh1 = {r.exp_id for r in rows1 if r.bh_rejected}
+    assert {3, 11} <= bh1 and len(bh1 - {3, 11}) <= 1

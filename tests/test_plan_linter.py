@@ -130,6 +130,8 @@ BNLJ_ALLOWED = {
     "dp_learning_curve": "4-row budget literal fanned over the training "
     "pool; 4-row (budget x class) centroid model broadcast over the "
     "test split",
+    "ev_fdr_bh": "one-row step-up kmax scalar fanned over the 20-row "
+    "ranked z table",
 }
 
 # query name -> the library-internal blocked cross-product that makes
