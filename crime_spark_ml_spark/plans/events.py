@@ -7739,3 +7739,138 @@ def ev_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exp_id")
     )
+
+
+# Mann-Whitney doubled average rank for value v: 2*avgrank =
+# 2*cnt_less + cnt_eq + 1 — an exact integer even under ties, so the
+# rank sum, U statistic, and rank-biserial effect are integer-exact.
+_MW_Z = (
+    "((CAST(u2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * nb / 2.0)"
+    " / SQRT(CAST(na AS DOUBLE) * nb * (na + nb + 1.0) / 12.0))"
+)
+
+
+@register(
+    "ev_mann_whitney",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS base,
+             CAST(('0x' || substr(md5('mw|' || user_id), 1, 8)) AS BIGINT) % 2
+                 AS t
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT 'planted' AS pair, t, base + 15000 * t AS y FROM per_user
+      UNION ALL
+      SELECT 'null', t, base FROM per_user
+    ),
+    vals AS (
+      SELECT pair, y, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(t) AS BIGINT) AS cnt_a
+      FROM pairs GROUP BY pair, y
+    ),
+    ranked AS (
+      SELECT pair, y, cnt, cnt_a,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY pair ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cnt_less
+      FROM vals
+    ),
+    sums AS (
+      SELECT pair,
+             CAST(SUM(cnt_a * (2 * cnt_less + cnt + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(SUM(cnt - cnt_a) AS BIGINT) AS nb
+      FROM ranked GROUP BY pair
+    ),
+    stats AS (
+      SELECT pair, na, nb,
+             CAST(r2a - na * (na + 1) AS BIGINT) AS u2
+      FROM sums
+    )
+    SELECT pair, na, nb,
+           CAST(u2 // 2 AS BIGINT) AS u_x2_half,
+           ROUND({_MW_Z}, 6) AS z_r,
+           ROUND(1.0 - CAST(u2 AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+               AS rank_biserial_r
+    FROM stats ORDER BY pair
+    """,
+    tags=("events", "abtest", "nonparametric", "rank-test"),
+)
+def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U — the nonparametric two-sample test the family
+    lacked (z/t-style proportion tests, KS, and W1 are covered; the
+    RANK-SUM test is what analysts reach for on heavy-tailed spend
+    where mean tests are fragile): a planted +\\$150 treated shift
+    and a null split of the same users are tested side by side. All
+    rank arithmetic is integer-exact even under ties (doubled average
+    ranks: 2*cnt_less + cnt_eq + 1), so U and the rank-biserial
+    effect size are exact; the normal-approximation z uses only
+    divisions and IEEE-exact SQRT. The planted pair clears |z| > 3 at
+    the gate scale while the null pair stays inside +/-2 (vacuity
+    pins); the full 2-row statistic table is hash-checked.
+
+    Scale: one user-keyed aggregate, one (pair, value)-keyed count,
+    and a window over the DISTINCT-VALUE relation — the W1 shape."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mw|"), F.col("user_id"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("base"),
+    ).withColumn("t", h)
+    pairs = per_user.select(
+        F.lit("planted").alias("pair"),
+        "t",
+        (F.col("base") + 15000 * F.col("t")).alias("y"),
+    ).unionAll(
+        per_user.select(F.lit("null").alias("pair"), "t", F.col("base").alias("y"))
+    )
+    vals = pairs.groupBy("pair", "y").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("t").cast("bigint").alias("cnt_a"),
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.withColumn(
+        "cnt_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+    )
+    sums = ranked.groupBy("pair").agg(
+        F.sum(F.col("cnt_a") * (2 * F.col("cnt_less") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum("cnt_a").cast("bigint").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("nb"),
+    )
+    stats = sums.select(
+        "pair",
+        "na",
+        "nb",
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1)).cast("bigint").alias("u2"),
+    )
+    return stats.selectExpr(
+        "pair",
+        "na",
+        "nb",
+        "CAST(u2 DIV 2 AS BIGINT) AS u_x2_half",
+        f"ROUND({_MW_Z}, 6) AS z_r",
+        "ROUND(1.0 - CAST(u2 AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)"
+        " AS rank_biserial_r",
+    ).orderBy("pair")

@@ -1373,3 +1373,18 @@ def test_fdr_bh_controls_what_naive_does_not(spark):
     rows1 = _Q["ev_fdr_bh"](spark, "/root/testdata/sf0.1").collect()
     bh1 = {r.exp_id for r in rows1 if r.bh_rejected}
     assert {3, 11} <= bh1 and len(bh1 - {3, 11}) <= 1
+
+
+def test_mann_whitney_rank_test_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_mann_whitney")}
+    assert set(rows) == {"null", "planted"}
+    # the planted shift pushes A's ranks up: positive z, negative rb
+    assert rows["planted"].z_r > rows["null"].z_r
+    assert rows["planted"].rank_biserial_r < rows["null"].rank_biserial_r
+    # gate scale: planted significant, null quiet (measured z 5.09 vs
+    # 1.30 at sf0.01; 11.2 vs 0.01 at sf0.1)
+    r01 = {r.pair: r for r in
+           _Q["ev_mann_whitney"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].z_r > 3
+    assert abs(r01["null"].z_r) < 2
+    assert r01["planted"].na + r01["planted"].nb == 150
