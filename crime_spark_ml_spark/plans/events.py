@@ -7874,3 +7874,361 @@ def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(1.0 - CAST(u2 AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)"
         " AS rank_biserial_r",
     ).orderBy("pair")
+
+
+# One-way ANOVA from the four per-arm integer moments (n_g, s_g, q_g).
+# Written as ONE fixed expression over pivoted arm columns so both
+# engines evaluate the identical float op sequence (a groupBy SUM over
+# DOUBLE terms would sum in nondeterministic order).
+_ANOVA_SSB = (
+    "(CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1"
+    " + CAST(s2 AS DOUBLE) * s2 / n2 + CAST(s3 AS DOUBLE) * s3 / n3"
+    " - CAST(s0 + s1 + s2 + s3 AS DOUBLE)"
+    "   * (s0 + s1 + s2 + s3) / (n0 + n1 + n2 + n3))"
+)
+_ANOVA_SSW = (
+    "(CAST(q0 + q1 + q2 + q3 AS DOUBLE)"
+    " - (CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1"
+    "    + CAST(s2 AS DOUBLE) * s2 / n2 + CAST(s3 AS DOUBLE) * s3 / n3))"
+)
+_ANOVA_F = (
+    f"(({_ANOVA_SSB} / 3.0)"
+    f" / ({_ANOVA_SSW} / (n0 + n1 + n2 + n3 - 4)))"
+)
+
+
+@register(
+    "ev_anova_oneway",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS base,
+             CAST(('0x' || substr(md5('anova|' || user_id), 1, 8)) AS BIGINT)
+                 % 4 AS arm
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT 'planted' AS pair, arm, base + 40000 * arm AS y FROM per_user
+      UNION ALL
+      SELECT 'null', arm, base FROM per_user
+    ),
+    cells AS (
+      SELECT pair,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN arm = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN arm = 2 THEN y ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN arm = 3 THEN y ELSE 0 END) AS BIGINT) AS s3,
+             CAST(SUM(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS BIGINT)
+                 AS q0,
+             CAST(SUM(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS BIGINT)
+                 AS q1,
+             CAST(SUM(CASE WHEN arm = 2 THEN y * y ELSE 0 END) AS BIGINT)
+                 AS q2,
+             CAST(SUM(CASE WHEN arm = 3 THEN y * y ELSE 0 END) AS BIGINT)
+                 AS q3
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair,
+           CAST(n0 + n1 + n2 + n3 AS BIGINT) AS n_total,
+           CAST(ROUND({_ANOVA_SSB}, 0) AS BIGINT) AS ss_between_r,
+           CAST(ROUND({_ANOVA_SSW}, 0) AS BIGINT) AS ss_within_r,
+           ROUND({_ANOVA_F}, 6) AS f_r,
+           ROUND({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW}), 6)
+               AS eta2_r,
+           {_ANOVA_F} > 2.6049 AS rejected
+    FROM cells ORDER BY pair
+    """,
+    tags=("events", "abtest", "anova", "omnibus-test"),
+)
+def ev_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test — the k-sample omnibus the testing family
+    lacked: every existing test (z-lift, Welch-style CUPED, Mann-
+    Whitney, KS) is two-sample, but real experiments ship 3+ variants
+    and the correct first question is the OMNIBUS "does any arm
+    differ" before pairwise drilling (which ev_fdr_bh then corrects).
+    Users hash-split into k=4 arms; a planted pair adds a +400*arm
+    dollar staircase to per-user purchase spend while a null pair
+    tests the same split unshifted.
+
+    Group moments (n_g, sum, sum-of-squares in integer cents) are
+    exact bigints; SSB/SSW/F come from ONE fixed-order float
+    expression over the pivoted arm columns, so both engines run the
+    identical IEEE sequence. Planted F clears the df=(3,inf) 5%%
+    critical value 2.6049 with eta^2 visible; the null pair stays
+    under it (vacuity pins in tests).
+
+    Scale: one user-keyed aggregate then a 4-arm conditional pivot —
+    partial aggregation all the way down, no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("anova|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("base"),
+    ).withColumn("arm", arm)
+    pairs = per_user.select(
+        F.lit("planted").alias("pair"),
+        "arm",
+        (F.col("base") + 40000 * F.col("arm")).alias("y"),
+    ).unionAll(
+        per_user.select(F.lit("null").alias("pair"), "arm", F.col("base").alias("y"))
+    )
+    cells = pairs.groupBy("pair").agg(
+        *[
+            F.sum(F.when(F.col("arm") == g, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{g}")
+            for g in range(4)
+        ],
+        *[
+            F.sum(F.when(F.col("arm") == g, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{g}")
+            for g in range(4)
+        ],
+        *[
+            F.sum(F.when(F.col("arm") == g, F.col("y") * F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias(f"q{g}")
+            for g in range(4)
+        ],
+    )
+    return cells.selectExpr(
+        "pair",
+        "CAST(n0 + n1 + n2 + n3 AS BIGINT) AS n_total",
+        f"CAST(ROUND({_ANOVA_SSB}, 0) AS BIGINT) AS ss_between_r",
+        f"CAST(ROUND({_ANOVA_SSW}, 0) AS BIGINT) AS ss_within_r",
+        f"ROUND({_ANOVA_F}, 6) AS f_r",
+        f"ROUND({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW}), 6) AS eta2_r",
+        f"{_ANOVA_F} > 2.6049 AS rejected",
+    ).orderBy("pair")
+
+
+# Per-event-hour log-rank terms (identical text both engines): the
+# observed-minus-expected arm-1 deaths and the hypergeometric variance.
+_LR_OE = "(CAST(d1 AS DOUBLE) - CAST(n1 AS DOUBLE) * d / n)"
+_LR_V = (
+    "(CAST(n1 AS DOUBLE) * n0 * d * (n - d)"
+    " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+)
+
+
+@register(
+    "ev_logrank_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             CAST(('0x' || substr(md5('lr2|' || user_id), 1, 8)) AS BIGINT) % 2
+                 AS arm
+      FROM events),
+    gaps AS (
+      SELECT arm,
+             (LEAD(ts_us) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id)
+              - ts_us) // 3600000000 AS h,
+             CASE WHEN LEAD(ts_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id) IS NULL
+                  THEN 0 ELSE 1 END AS observed,
+             ts_us
+      FROM base),
+    spells AS (
+      SELECT arm, observed,
+             CASE WHEN observed = 1 THEN h
+                  ELSE ((SELECT MAX(ts_us) FROM base) - ts_us)
+                       // 3600000000 END AS h
+      FROM gaps),
+    paired AS (
+      SELECT 'planted' AS pair, arm, observed,
+             h * (1 + arm) AS h FROM spells
+      UNION ALL
+      SELECT 'null', arm, observed, h FROM spells),
+    per_h AS (
+      SELECT pair, h,
+             CAST(SUM(CASE WHEN arm = 1 THEN observed ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN arm = 0 THEN observed ELSE 0 END)
+                  AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 - observed ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 - observed ELSE 0 END)
+                  AS BIGINT) AS c0
+      FROM paired GROUP BY pair, h),
+    cum AS (
+      SELECT pair, h, d1, d0,
+             CAST(SUM(d1 + c1) OVER (PARTITION BY pair) -
+                  COALESCE(SUM(d1 + c1) OVER (PARTITION BY pair ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n1,
+             CAST(SUM(d0 + c0) OVER (PARTITION BY pair) -
+                  COALESCE(SUM(d0 + c0) OVER (PARTITION BY pair ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n0
+      FROM per_h),
+    terms AS (
+      SELECT pair, h, d1, d0, d1 + d0 AS d, n1, n0, n1 + n0 AS n
+      FROM cum WHERE d1 + d0 > 0 AND n1 + n0 >= 2),
+    folded AS (
+      SELECT pair,
+             CAST(SUM(d1) AS BIGINT) AS deaths_arm1,
+             CAST(SUM(d0) AS BIGINT) AS deaths_arm0,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list({_LR_OE} ORDER BY h)), (a, x) -> a + x) AS oe,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list({_LR_V} ORDER BY h)), (a, x) -> a + x) AS v
+      FROM terms GROUP BY pair)
+    SELECT pair, deaths_arm1, deaths_arm0,
+           ROUND(oe, 6) AS oe_r, ROUND(v, 6) AS v_r,
+           ROUND(oe * oe / v, 6) AS chi2_r,
+           oe * oe / v > 3.8415 AS rejected
+    FROM folded ORDER BY pair
+    """,
+    tags=("events", "survival", "logrank", "censoring"),
+)
+def ev_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test — the standard companion the
+    ev_kaplan_meier estimator was missing: KM draws the two curves,
+    the log-rank test says whether they differ. Users hash-split into
+    two arms; spells are the same right-censored inter-event gaps KM
+    uses. The planted pair doubles arm-1 time (h * (1 + arm), applied
+    to censored spells too — "time runs slower" under treatment); the
+    null pair tests the untouched split.
+
+    At each event hour the arm-1 observed-minus-expected deaths under
+    the hypergeometric null and its variance accumulate via the
+    ev_holt_forecast fold discipline (hour-ordered list, sequential
+    fold) so both engines sum the identical IEEE sequence; per-hour
+    death/censor counts and risk sets are exact integers. chi2 =
+    OE^2/V: the planted pair clears the df=1 5%% critical value
+    3.8415, the null stays under it (vacuity pins).
+
+    Scale shape: per-user LEAD window (bounded state) -> per-(pair,
+    hour) groupBy (the only data-sized shuffle, cardinality ~2x
+    distinct hours) -> windows and folds on the hour-sized relation."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("lr2|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    we = int(ev.agg(F.max("ts_us").alias("m")).first()["m"])
+    gaps = ev.withColumn("arm", arm).select(
+        "arm",
+        "ts_us",
+        ((F.lead("ts_us").over(w_user) - F.col("ts_us")) / 3_600_000_000)
+        .cast("long")
+        .alias("h"),
+        F.when(F.lead("ts_us").over(w_user).isNull(), 0)
+        .otherwise(1)
+        .alias("observed"),
+    )
+    spells = gaps.select(
+        "arm",
+        "observed",
+        F.when(F.col("observed") == 1, F.col("h"))
+        .otherwise(((F.lit(we) - F.col("ts_us")) / 3_600_000_000).cast("long"))
+        .alias("h"),
+    )
+    paired = spells.select(
+        F.lit("planted").alias("pair"),
+        "arm",
+        "observed",
+        (F.col("h") * (1 + F.col("arm"))).alias("h"),
+    ).unionAll(
+        spells.select(F.lit("null").alias("pair"), "arm", "observed", "h")
+    )
+    per_h = paired.groupBy("pair", "h").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("observed")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("observed")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.when(F.col("arm") == 1, 1 - F.col("observed")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1 - F.col("observed")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+    )
+    w_all = Window.partitionBy("pair")
+    w_cum = (
+        Window.partitionBy("pair")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_h.select(
+        "pair",
+        "h",
+        "d1",
+        "d0",
+        (
+            F.sum(F.col("d1") + F.col("c1")).over(w_all)
+            - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(w_cum), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n1"),
+        (
+            F.sum(F.col("d0") + F.col("c0")).over(w_all)
+            - F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(w_cum), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n0"),
+    )
+    terms = cum.where((F.col("d1") + F.col("d0") > 0) & (F.col("n1") + F.col("n0") >= 2)).select(
+        "pair",
+        "h",
+        "d1",
+        "d0",
+        (F.col("d1") + F.col("d0")).alias("d"),
+        "n1",
+        "n0",
+        (F.col("n1") + F.col("n0")).alias("n"),
+    )
+    folded = terms.groupBy("pair").agg(
+        F.sum("d1").cast("bigint").alias("deaths_arm1"),
+        F.sum("d0").cast("bigint").alias("deaths_arm0"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(h,"
+            f" {_LR_OE} AS t))), s -> s.t),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("oe"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(h,"
+            f" {_LR_V} AS t))), s -> s.t),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("v"),
+    )
+    return folded.selectExpr(
+        "pair",
+        "deaths_arm1",
+        "deaths_arm0",
+        "ROUND(oe, 6) AS oe_r",
+        "ROUND(v, 6) AS v_r",
+        "ROUND(oe * oe / v, 6) AS chi2_r",
+        "oe * oe / v > 3.8415 AS rejected",
+    ).orderBy("pair")

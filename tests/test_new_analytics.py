@@ -1388,3 +1388,38 @@ def test_mann_whitney_rank_test_discriminates(spark):
     assert r01["planted"].z_r > 3
     assert abs(r01["null"].z_r) < 2
     assert r01["planted"].na + r01["planted"].nb == 150
+
+
+def test_anova_omnibus_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_anova_oneway")}
+    assert set(rows) == {"null", "planted"}
+    # smoke: planted staircase F=8.66 rejects, null F=0.05 quiet
+    assert rows["planted"].rejected and not rows["null"].rejected
+    assert rows["planted"].f_r > rows["null"].f_r
+    assert rows["planted"].eta2_r > rows["null"].eta2_r
+    # identical split => identical within-group variability structure
+    assert rows["planted"].n_total == rows["null"].n_total == 15
+    # gate scale: measured F 230.2 planted vs 1.10 null
+    r01 = {r.pair: r for r in
+           _Q["ev_anova_oneway"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].f_r > 100 and r01["planted"].rejected
+    assert r01["null"].f_r < 2.6049 and not r01["null"].rejected
+
+
+def test_logrank_survival_test_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_logrank_test")}
+    assert set(rows) == {"null", "planted"}
+    # smoke: doubling arm-1 time gives chi2 112.3 vs 0.54 null
+    assert rows["planted"].rejected and not rows["null"].rejected
+    # treated deaths deferred => arm-1 observed deaths below expected
+    assert rows["planted"].oe_r < 0
+    # both pairs carry the same total observed deaths (same spells)
+    assert (
+        rows["planted"].deaths_arm1 + rows["planted"].deaths_arm0
+        == rows["null"].deaths_arm1 + rows["null"].deaths_arm0
+    )
+    # gate scale: measured chi2 1035.7 planted vs 0.00 null
+    r01 = {r.pair: r for r in
+           _Q["ev_logrank_test"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].chi2_r > 100 and r01["planted"].rejected
+    assert r01["null"].chi2_r < 3.8415 and not r01["null"].rejected
