@@ -8232,3 +8232,350 @@ def ev_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(oe * oe / v, 6) AS chi2_r",
         "oe * oe / v > 3.8415 AS rejected",
     ).orderBy("pair")
+
+
+# Ljung-Box Q over lags 1..7 as ONE fixed-order float expression on the
+# pivoted per-lag autocovariances (c0..c7 are exact bigints; n is the
+# series length) — same determinism discipline as _ANOVA_F.
+_LB_Q = (
+    "(CAST(n AS DOUBLE) * (n + 2) * ("
+    + " + ".join(
+        f"(CAST(c{k} AS DOUBLE) / c0) * (CAST(c{k} AS DOUBLE) / c0)"
+        f" / (n - {k})"
+        for k in range(1, 8)
+    )
+    + "))"
+)
+
+
+@register(
+    "ev_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    shuf AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('lb|' || d)) AS BIGINT)
+                 AS t,
+             x
+      FROM daily
+    ),
+    ser AS (
+      SELECT 'planted' AS pair, t,
+             x + (SELECT SUM(x) // COUNT(*) FROM daily)
+                 * (CASE WHEN t % 5 = 0 THEN 1 ELSE 0 END) AS x
+      FROM shuf
+      UNION ALL
+      SELECT 'null', t, x FROM shuf
+    ),
+    moments AS (
+      SELECT pair, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ser GROUP BY pair
+    ),
+    cent AS (
+      SELECT ser.pair, t, CAST(n * x - s AS BIGINT) AS u, n
+      FROM ser JOIN moments ON ser.pair = moments.pair
+    ),
+    covs AS (
+      SELECT a.pair, a.n,
+             CAST(SUM(CASE WHEN b.t = a.t THEN a.u * b.u END) AS BIGINT)
+                 AS c0,
+             {', '.join(
+                 f'CAST(SUM(CASE WHEN b.t = a.t + {k} THEN a.u * b.u END)'
+                 f' AS BIGINT) AS c{k}' for k in range(1, 8))}
+      FROM cent a JOIN cent b ON a.pair = b.pair AND b.t >= a.t
+      GROUP BY a.pair, a.n
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(c5 AS DOUBLE) / c0, 6) AS r5_r,
+           ROUND({_LB_Q}, 6) AS q_r,
+           {_LB_Q} > 14.0671 AS rejected
+    FROM covs ORDER BY pair
+    """,
+    tags=("events", "timeseries", "autocorrelation", "portmanteau"),
+)
+def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series —
+    the whiteness test the time-series family (Holt, Holt-Winters,
+    seasonal decompose, CUSUM) lacked: after fitting, the standard
+    question is "is anything left in the residual ACF", and this is
+    the test that answers it. The raw fixture series carries real
+    weekly seasonality, so the NULL series is the daily counts in
+    hash-of-date order (a deterministic shuffle provably destroys
+    autocorrelation while keeping the exact value multiset); the
+    planted series adds a +100%%-of-mean comb on every 5th position,
+    a pure lag-5 periodicity.
+
+    Autocovariances are exact bigints on the n-scaled centered series
+    u_t = n*x_t - S (u/n = x - mean, so c_k/n^2 is the classical
+    autocovariance and every n^2 cancels in r_k = c_k/c_0); Q over
+    lags 1..7 is one fixed-order float expression over the pivoted
+    c_k columns. Planted Q clears the chi2(7) 5%% critical value
+    14.0671 with the lag-5 spike visible in r5; the shuffled null
+    stays under it (vacuity pins).
+
+    Scale: one date-keyed count aggregate (the only data-sized
+    shuffle); everything downstream runs on the 30-row series, and
+    the lag join is a self-join on that tiny relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    mean_x = daily.agg(
+        (F.sum("x") / F.count("*")).cast("bigint").alias("m")
+    )
+    shuf = daily.select(
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.concat(F.lit("lb|"), F.col("d").cast("string")))))
+        .cast("bigint")
+        .alias("t"),
+        "x",
+    )
+    ser = (
+        shuf.crossJoin(F.broadcast(mean_x))
+        .select(
+            F.lit("planted").alias("pair"),
+            "t",
+            (
+                F.col("x")
+                + F.col("m") * F.when(F.col("t") % 5 == 0, 1).otherwise(0)
+            ).alias("x"),
+        )
+        .unionAll(shuf.select(F.lit("null").alias("pair"), "t", "x"))
+    )
+    moments = ser.groupBy("pair").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cent = ser.join(F.broadcast(moments), "pair").select(
+        "pair",
+        "t",
+        (F.col("n") * F.col("x") - F.col("s")).cast("bigint").alias("u"),
+        "n",
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    covs = (
+        a.join(
+            b,
+            (F.col("a.pair") == F.col("b.pair")) & (F.col("b.t") >= F.col("a.t")),
+        )
+        .groupBy(F.col("a.pair").alias("pair"), F.col("a.n").alias("n"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.t") == F.col("a.t"), F.col("a.u") * F.col("b.u"))
+            )
+            .cast("bigint")
+            .alias("c0"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("b.t") == F.col("a.t") + k,
+                        F.col("a.u") * F.col("b.u"),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"c{k}")
+                for k in range(1, 8)
+            ],
+        )
+    )
+    return covs.selectExpr(
+        "pair",
+        "CAST(n AS BIGINT) AS n_days",
+        "ROUND(CAST(c5 AS DOUBLE) / c0, 6) AS r5_r",
+        f"ROUND({_LB_Q}, 6) AS q_r",
+        f"{_LB_Q} > 14.0671 AS rejected",
+    ).orderBy("pair")
+
+
+@register(
+    "ev_permutation_test",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS base,
+             CAST(('0x' || substr(md5('perm|' || user_id), 1, 8)) AS BIGINT)
+                 % 2 AS t
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT 'planted' AS pair, user_id, t, base + 30000 * t AS y
+      FROM per_user
+      UNION ALL
+      SELECT 'null', user_id, t, base FROM per_user
+    ),
+    obs AS (
+      SELECT pair,
+             CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s1o,
+             CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s0o,
+             CAST(SUM(t) AS BIGINT) AS n1o,
+             CAST(SUM(1 - t) AS BIGINT) AS n0o
+      FROM pairs GROUP BY pair
+    ),
+    perms AS (
+      SELECT pair, b,
+             CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s1b,
+             CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s0b,
+             CAST(SUM(arm) AS BIGINT) AS n1b,
+             CAST(SUM(1 - arm) AS BIGINT) AS n0b
+      FROM (
+        SELECT pair, y, g.b,
+               CAST(('0x' || substr(md5('perm' || g.b || '|' || user_id),
+                     1, 8)) AS BIGINT) % 2 AS arm
+        FROM pairs, (SELECT UNNEST(generate_series(0, 199)) AS b) g
+      ) GROUP BY pair, b
+    ),
+    cmp AS (
+      SELECT perms.pair,
+             CAST(SUM(CASE WHEN
+               CAST(ABS(s1b * n0b - s0b * n1b) AS HUGEINT)
+                   * (CAST(n1o AS HUGEINT) * n0o)
+               >= CAST(ABS(s1o * n0o - s0o * n1o) AS HUGEINT)
+                   * (CAST(n1b AS HUGEINT) * n0b)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      FROM perms JOIN obs ON perms.pair = obs.pair
+      WHERE n1b > 0 AND n0b > 0
+      GROUP BY perms.pair
+    )
+    SELECT obs.pair,
+           ROUND((CAST(s1o AS DOUBLE) / n1o - CAST(s0o AS DOUBLE) / n0o)
+                 / 100.0, 6) AS t_obs_dollars_r,
+           n_ge,
+           ROUND((1.0 + n_ge) / 201.0, 6) AS p_mc_r,
+           (1.0 + n_ge) / 201.0 <= 0.05 AS significant
+    FROM cmp JOIN obs ON cmp.pair = obs.pair
+    ORDER BY obs.pair
+    """,
+    tags=("events", "abtest", "permutation-test", "resampling"),
+)
+def ev_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test on the treated-vs-control mean
+    spend difference — the assumption-free significance machine the
+    parametric (z, F) and rank (Mann-Whitney) tests complement: the
+    null distribution is built by RE-RANDOMIZING the observed labels
+    (B=200 deterministic md5(b|user) reassignments), so it is exact
+    for any statistic under any spend distribution. p = (1 + #{b:
+    |T_b| >= |T_obs|}) / (B + 1), the add-one form that keeps the MC
+    p-value valid.
+
+    Every |T_b| >= |T_obs| comparison is EXACT 128-bit integer
+    arithmetic (cross-multiplied sums, HUGEINT in DuckDB /
+    DECIMAL(38,0) in Spark), so no float tie at the acceptance
+    boundary can flip a count between engines; only the reported
+    dollar statistic and p are float-rounded. A planted +$300
+    treated shift is significant (p at the 1/201 floor at gate
+    scale) while the null relabeling of the same users is not
+    (vacuity pins).
+
+    Scale: one user-keyed aggregate, then a users x 200 explode into
+    a (pair, b)-keyed partial aggregation — 400 cells out, fully
+    map-side combinable, no window, no data-sized join."""
+    ev = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("perm|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("base"),
+    ).withColumn("t", t)
+    pairs = per_user.select(
+        F.lit("planted").alias("pair"),
+        "user_id",
+        "t",
+        (F.col("base") + 30000 * F.col("t")).alias("y"),
+    ).unionAll(
+        per_user.select(
+            F.lit("null").alias("pair"), "user_id", "t", F.col("base").alias("y")
+        )
+    )
+    obs = pairs.groupBy("pair").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s1o"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s0o"),
+        F.sum("t").cast("bigint").alias("n1o"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n0o"),
+    )
+    exploded = pairs.select(
+        "pair", "y", "user_id", F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b")
+    ).withColumn(
+        "arm",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2,
+    )
+    perms = exploded.groupBy("pair", "b").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s1b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s0b"),
+        F.sum("arm").cast("bigint").alias("n1b"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n0b"),
+    )
+    cmp = (
+        perms.join(F.broadcast(obs), "pair")
+        .where((F.col("n1b") > 0) & (F.col("n0b") > 0))
+        .groupBy("pair")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "CAST(ABS(s1b * n0b - s0b * n1b) AS DECIMAL(38,0))"
+                        " * (CAST(n1o AS DECIMAL(38,0)) * n0o)"
+                        " >= CAST(ABS(s1o * n0o - s0o * n1o) AS DECIMAL(38,0))"
+                        " * (CAST(n1b AS DECIMAL(38,0)) * n0b)"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge")
+        )
+    )
+    return (
+        cmp.join(F.broadcast(obs), "pair")
+        .selectExpr(
+            "pair",
+            "ROUND((CAST(s1o AS DOUBLE) / n1o - CAST(s0o AS DOUBLE) / n0o)"
+            " / 100.0, 6) AS t_obs_dollars_r",
+            "n_ge",
+            "ROUND((CAST(1 AS DOUBLE) + n_ge) / 201.0, 6) AS p_mc_r",
+            "(CAST(1 AS DOUBLE) + n_ge) / 201.0 <= 0.05 AS significant",
+        )
+        .orderBy("pair")
+    )

@@ -1423,3 +1423,34 @@ def test_logrank_survival_test_discriminates(spark):
            _Q["ev_logrank_test"](spark, "/root/testdata/sf0.01").collect()}
     assert r01["planted"].chi2_r > 100 and r01["planted"].rejected
     assert r01["null"].chi2_r < 3.8415 and not r01["null"].rejected
+
+
+def test_ljung_box_whiteness_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_ljung_box")}
+    assert set(rows) == {"null", "planted"}
+    # hash-shuffled null is white (Q 12.3 < 14.07 at smoke); the
+    # period-5 comb rejects with the lag-5 spike visible
+    assert rows["planted"].rejected and not rows["null"].rejected
+    assert rows["planted"].r5_r > 0.5
+    assert abs(rows["null"].r5_r) < 0.3
+    assert rows["planted"].n_days == rows["null"].n_days == 30
+    # gate scale: measured Q 36.8 planted vs 9.5 null
+    r01 = {r.pair: r for r in
+           _Q["ev_ljung_box"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].q_r > 14.0671 and not r01["null"].rejected
+
+
+def test_permutation_test_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_permutation_test")}
+    assert set(rows) == {"null", "planted"}
+    # smoke (15 users) is genuinely underpowered: the pin is the
+    # ORDERING (planted p 0.0995 << null p 0.95), not significance
+    assert rows["planted"].p_mc_r < 0.15 < rows["null"].p_mc_r
+    assert rows["planted"].t_obs_dollars_r > rows["null"].t_obs_dollars_r
+    # MC p-values live on the (1 + n_ge)/201 grid
+    assert 0 < rows["planted"].p_mc_r <= 1 and 0 < rows["null"].p_mc_r <= 1
+    # gate scale: planted at the 1/201 floor, null quiet
+    r01 = {r.pair: r for r in
+           _Q["ev_permutation_test"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].significant and r01["planted"].n_ge == 0
+    assert not r01["null"].significant and r01["null"].p_mc_r > 0.3
