@@ -12269,3 +12269,173 @@ def dp_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > MAX(CASE WHEN pair = 'null' THEN w1_q END)"
         ).alias("w1_exceeds_null"),
     )
+
+
+# Fleiss' kappa epilogue over the panel aggregates (N items, m=5
+# raters, 3 categories): Pbar from the exact integer sum of squared
+# per-item category counts, Pe from the pooled category masses — one
+# fixed-order float expression per output column.
+_FLEISS_PBAR = "((CAST(ssum AS DOUBLE) - 5.0 * n) / (CAST(n AS DOUBLE) * 5 * 4))"
+_FLEISS_PE = (
+    "((CAST(t0 AS DOUBLE) / (5.0 * n)) * (CAST(t0 AS DOUBLE) / (5.0 * n))"
+    " + (CAST(t1 AS DOUBLE) / (5.0 * n)) * (CAST(t1 AS DOUBLE) / (5.0 * n))"
+    " + (CAST(t2 AS DOUBLE) / (5.0 * n)) * (CAST(t2 AS DOUBLE) / (5.0 * n)))"
+)
+_FLEISS_K = f"(({_FLEISS_PBAR} - {_FLEISS_PE}) / (1.0 - {_FLEISS_PE}))"
+
+
+def _fleiss_label_sql(panel: str, r: int) -> str:
+    """Rater r's 3-class label for one document (shared semantics,
+    engine-local hash spelling handled by the caller templates)."""
+    if panel == "signal":
+        noise = 5 * r
+        return (
+            f"CASE WHEN CAST(('0x' || substr(md5('fs{r}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {noise}"
+            f" THEN (CAST(('0x' || substr(md5('fl|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3"
+            f"       + 1 + CAST(('0x' || substr(md5('fo{r}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2) % 3"
+            f" ELSE CAST(('0x' || substr(md5('fl|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 END"
+        )
+    return (
+        f"CAST(('0x' || substr(md5('fr{r}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3"
+    )
+
+
+@register(
+    "dp_fleiss_kappa",
+    oracle=f"""
+    WITH labels AS (
+      SELECT 'signal' AS panel, doc_id,
+             {', '.join(_fleiss_label_sql('signal', r) + f' AS l{r}' for r in range(1, 6))}
+      FROM documents
+      UNION ALL
+      SELECT 'random', doc_id,
+             {', '.join(_fleiss_label_sql('random', r) + f' AS l{r}' for r in range(1, 6))}
+      FROM documents
+    ),
+    counts AS (
+      SELECT panel, doc_id,
+             {', '.join(
+                 'CAST(' + ' + '.join(f'(CASE WHEN l{r} = {j} THEN 1 ELSE 0 END)' for r in range(1, 6))
+                 + f' AS BIGINT) AS n{j}' for j in range(3))}
+      FROM labels
+    ),
+    agg AS (
+      SELECT panel,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS ssum,
+             CAST(SUM(n0) AS BIGINT) AS t0,
+             CAST(SUM(n1) AS BIGINT) AS t1,
+             CAST(SUM(n2) AS BIGINT) AS t2
+      FROM counts GROUP BY panel
+    )
+    SELECT panel, n AS n_items,
+           ROUND({_FLEISS_PBAR}, 6) AS pbar_r,
+           ROUND({_FLEISS_PE}, 6) AS pe_r,
+           ROUND({_FLEISS_K}, 6) AS kappa_r,
+           {_FLEISS_K} > 0.5 AS substantial_agreement
+    FROM agg ORDER BY panel
+    """,
+    tags=("datapipe", "eval", "agreement", "fleiss-kappa", "llm"),
+)
+def dp_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — the MULTI-rater generalization dp_rater_kappa
+    (pairwise Cohen) can't express: a 5-grader LLM-as-judge panel
+    scored as one agreement number over 3 categories. Two panels over
+    the same documents: 'signal' raters are salted-md5-noised copies
+    of a deterministic 3-class label (5%..25%% noise), 'random'
+    raters are pure md5 noise — kappa must separate substantial
+    agreement (>0.5) from chance (~0) on identical marginals
+    machinery.
+
+    Per-item category counts n_ij and their squared sums are exact
+    integers; Pbar, Pe, and kappa are fixed-order float expressions
+    over the 5-column panel aggregate. Vacuity pins: signal panel
+    clears 0.5 at every scale, random panel sits inside +/-0.1.
+
+    Scale: row-local label synthesis (no join), one panel-keyed
+    aggregate — partial aggregation all the way down; 5 raters x 3
+    categories stay fixed columns regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def lab(panel: str, r: int) -> F.Column:
+        true_l = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fl|"), F.col("doc_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        )
+        if panel == "signal":
+            flip = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"fs{r}|"), F.col("doc_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+                < 5 * r
+            )
+            off = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"fo{r}|"), F.col("doc_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            return F.when(flip, (true_l + 1 + off) % 3).otherwise(true_l)
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"fr{r}|"), F.col("doc_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        )
+
+    labels = docs.select(
+        F.lit("signal").alias("panel"),
+        "doc_id",
+        *[lab("signal", r).alias(f"l{r}") for r in range(1, 6)],
+    ).unionAll(
+        docs.select(
+            F.lit("random").alias("panel"),
+            "doc_id",
+            *[lab("random", r).alias(f"l{r}") for r in range(1, 6)],
+        )
+    )
+    counts = labels.select(
+        "panel",
+        *[
+            sum(
+                (F.col(f"l{r}") == j).cast("int") for r in range(1, 6)
+            ).cast("bigint").alias(f"n{j}")
+            for j in range(3)
+        ],
+    )
+    agg = counts.groupBy("panel").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.col("n0") * F.col("n0")
+            + F.col("n1") * F.col("n1")
+            + F.col("n2") * F.col("n2")
+        )
+        .cast("bigint")
+        .alias("ssum"),
+        F.sum("n0").cast("bigint").alias("t0"),
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    return agg.selectExpr(
+        "panel",
+        "n AS n_items",
+        f"ROUND({_FLEISS_PBAR}, 6) AS pbar_r",
+        f"ROUND({_FLEISS_PE}, 6) AS pe_r",
+        f"ROUND({_FLEISS_K}, 6) AS kappa_r",
+        f"{_FLEISS_K} > 0.5 AS substantial_agreement",
+    ).orderBy("panel")

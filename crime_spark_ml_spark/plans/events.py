@@ -8579,3 +8579,163 @@ def ev_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# CMH statistic over the 3 strata pivoted into fixed columns: sum of
+# per-stratum (a - E) and hypergeometric V in one fixed-order float
+# expression (same determinism discipline as _ANOVA_F / _LB_Q).
+_CMH_OE = " + ".join(
+    f"(CAST(a{s} AS DOUBLE) - CAST(n1{s} AS DOUBLE) * m1{s} / nn{s})"
+    for s in range(3)
+)
+_CMH_V = " + ".join(
+    f"(CAST(n1{s} AS DOUBLE) * (nn{s} - n1{s}) * m1{s} * (nn{s} - m1{s})"
+    f" / (CAST(nn{s} AS DOUBLE) * nn{s} * (nn{s} - 1)))"
+    for s in range(3)
+)
+_CMH = f"((({_CMH_OE}) * ({_CMH_OE})) / ({_CMH_V}))"
+# marginal (stratum-ignoring) 2x2 chi-square from the pooled cells
+_CMH_MARG = (
+    "(CAST(nn AS DOUBLE) * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+    " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+    " / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)))"
+)
+
+
+@register(
+    "ev_cmh_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5('st|' || user_id), 1, 8)) AS BIGINT)
+                 % 3 AS s,
+             CAST(('0x' || substr(md5('x|' || user_id), 1, 8)) AS BIGINT)
+                 % 100 AS hx,
+             CAST(('0x' || substr(md5('y|' || user_id), 1, 8)) AS BIGINT)
+                 % 100 AS hy
+      FROM events
+    ),
+    designed AS (
+      SELECT 'confounded' AS pair, s,
+             CASE WHEN hx < 20 + 30 * s THEN 1 ELSE 0 END AS x,
+             CASE WHEN hy < 10 + 25 * s THEN 1 ELSE 0 END AS y
+      FROM per_user
+      UNION ALL
+      SELECT 'causal', s,
+             CASE WHEN hx < 20 + 30 * s THEN 1 ELSE 0 END,
+             CASE WHEN hy < 10 + 15 * s
+                       + 25 * (CASE WHEN hx < 20 + 30 * s THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END
+      FROM per_user
+    ),
+    cells AS (
+      SELECT pair,
+             {', '.join(
+              f"CAST(SUM(CASE WHEN s = {s} AND x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a{s}, "
+              f"CAST(SUM(CASE WHEN s = {s} AND x = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1{s}, "
+              f"CAST(SUM(CASE WHEN s = {s} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1{s}, "
+              f"CAST(SUM(CASE WHEN s = {s} THEN 1 ELSE 0 END) AS BIGINT) AS nn{s}"
+              for s in range(3))},
+             CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS nn
+      FROM designed GROUP BY pair
+    )
+    SELECT pair, nn AS n_users,
+           ROUND({_CMH_MARG}, 6) AS marginal_chi2_r,
+           ROUND({_CMH}, 6) AS cmh_chi2_r,
+           {_CMH_MARG} > 3.8415 AS marginal_rejected,
+           {_CMH} > 3.8415 AS cmh_rejected
+    FROM cells ORDER BY pair
+    """,
+    tags=("events", "abtest", "stratified-test", "confounding"),
+)
+def ev_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test — the inference
+    companion to dp_simpson_audit: that query EXHIBITS a reversal,
+    this one TESTS exposure->outcome association while controlling
+    the stratum. Two planted designs over hash-derived user strata:
+    'confounded' makes stratum drive both exposure and outcome with
+    NO within-stratum effect (classic Simpson bait — the marginal 2x2
+    chi-square fires, CMH stays quiet), 'causal' adds a genuine
+    +25pp within-stratum exposure effect (both fire).
+
+    All 2x2x3 cell counts are exact bigints pivoted into fixed
+    columns; the CMH sum of per-stratum (a - E) and hypergeometric
+    variances and the marginal chi-square are fixed-order float
+    expressions, so both engines run the identical IEEE sequence.
+
+    Scale: one DISTINCT over user ids (the only data-sized shuffle)
+    then a single conditional-pivot aggregate to one row per design —
+    partial-aggregatable, no join, no window."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def h(salt: str) -> "F.Column":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("user_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+
+    per_user = ev.select(
+        "user_id",
+        (h("st|") % 3).alias("s"),
+        (h("x|") % 100).alias("hx"),
+        (h("y|") % 100).alias("hy"),
+    ).distinct()
+    x = F.when(F.col("hx") < 20 + 30 * F.col("s"), 1).otherwise(0)
+    designed = per_user.select(
+        F.lit("confounded").alias("pair"),
+        "s",
+        x.alias("x"),
+        F.when(F.col("hy") < 10 + 25 * F.col("s"), 1).otherwise(0).alias("y"),
+    ).unionAll(
+        per_user.select(
+            F.lit("causal").alias("pair"),
+            "s",
+            x.alias("x"),
+            F.when(F.col("hy") < 10 + 15 * F.col("s") + 25 * x, 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    aggs = []
+    for s in range(3):
+        aggs += [
+            F.sum(
+                F.when((F.col("s") == s) & (F.col("x") == 1) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias(f"a{s}"),
+            F.sum(F.when((F.col("s") == s) & (F.col("x") == 1), 1).otherwise(0))
+            .cast("bigint").alias(f"n1{s}"),
+            F.sum(F.when((F.col("s") == s) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint").alias(f"m1{s}"),
+            F.sum(F.when(F.col("s") == s, 1).otherwise(0))
+            .cast("bigint").alias(f"nn{s}"),
+        ]
+    aggs += [
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("nn"),
+    ]
+    cells = designed.groupBy("pair").agg(*aggs)
+    return cells.selectExpr(
+        "pair",
+        "nn AS n_users",
+        f"ROUND({_CMH_MARG}, 6) AS marginal_chi2_r",
+        f"ROUND({_CMH}, 6) AS cmh_chi2_r",
+        f"{_CMH_MARG} > 3.8415 AS marginal_rejected",
+        f"{_CMH} > 3.8415 AS cmh_rejected",
+    ).orderBy("pair")

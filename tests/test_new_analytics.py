@@ -1454,3 +1454,36 @@ def test_permutation_test_discriminates(spark):
            _Q["ev_permutation_test"](spark, "/root/testdata/sf0.01").collect()}
     assert r01["planted"].significant and r01["planted"].n_ge == 0
     assert not r01["null"].significant and r01["null"].p_mc_r > 0.3
+
+
+def test_cmh_separates_confounding_from_effect(spark):
+    # smoke (15 users) is underpowered for decisions; pin the gate
+    # scale where the design's story is measurable
+    rows = {r.pair: r for r in
+            _Q["ev_cmh_test"](spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"confounded", "causal"}
+    # the Simpson bait: marginal association fires, stratified doesn't
+    assert rows["confounded"].marginal_rejected
+    assert not rows["confounded"].cmh_rejected
+    # a genuine within-stratum effect: both fire
+    assert rows["causal"].marginal_rejected and rows["causal"].cmh_rejected
+    assert rows["causal"].cmh_chi2_r > 5 * rows["confounded"].cmh_chi2_r
+    # smoke still returns both designs with sane statistics
+    sm = {r.pair: r for r in _rows(spark, "ev_cmh_test")}
+    assert set(sm) == {"confounded", "causal"}
+    assert all(r.cmh_chi2_r >= 0 and r.marginal_chi2_r >= 0
+               for r in sm.values())
+
+
+def test_fleiss_kappa_separates_panels(spark):
+    rows = {r.panel: r for r in _rows(spark, "dp_fleiss_kappa")}
+    assert set(rows) == {"signal", "random"}
+    # noisy-but-real 5-rater panel: substantial agreement; pure-noise
+    # panel: chance-level (measured 0.608 vs 0.0007 at smoke)
+    assert rows["signal"].substantial_agreement
+    assert not rows["random"].substantial_agreement
+    assert rows["signal"].kappa_r > 0.5
+    assert abs(rows["random"].kappa_r) < 0.1
+    # Pe sits at the 3-category chance floor ~1/3 for both panels
+    assert abs(rows["signal"].pe_r - 1 / 3) < 0.01
+    assert abs(rows["random"].pe_r - 1 / 3) < 0.01
