@@ -8354,29 +8354,26 @@ def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("x") - F.col("s")).cast("bigint").alias("u"),
         "n",
     )
-    a, b = cent.alias("a"), cent.alias("b")
+    # equi-join lag alignment: each point fans out to its 8 lag
+    # targets (t+k), then joins back on (pair, t) — a hash join, never
+    # a nested-loop range join, and still tiny (30 x 8 rows per pair)
+    fanned = cent.select(
+        "pair",
+        "n",
+        F.col("u").alias("ua"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+        F.col("t"),
+    ).withColumn("tt", F.col("t") + F.col("k"))
+    b = cent.select("pair", F.col("t").alias("tt"), F.col("u").alias("ub"))
     covs = (
-        a.join(
-            b,
-            (F.col("a.pair") == F.col("b.pair")) & (F.col("b.t") >= F.col("a.t")),
-        )
-        .groupBy(F.col("a.pair").alias("pair"), F.col("a.n").alias("n"))
+        fanned.join(b, ["pair", "tt"])
+        .groupBy("pair", "n")
         .agg(
-            F.sum(
-                F.when(F.col("b.t") == F.col("a.t"), F.col("a.u") * F.col("b.u"))
-            )
-            .cast("bigint")
-            .alias("c0"),
             *[
-                F.sum(
-                    F.when(
-                        F.col("b.t") == F.col("a.t") + k,
-                        F.col("a.u") * F.col("b.u"),
-                    )
-                )
+                F.sum(F.when(F.col("k") == k, F.col("ua") * F.col("ub")))
                 .cast("bigint")
                 .alias(f"c{k}")
-                for k in range(1, 8)
+                for k in range(0, 8)
             ],
         )
     )
