@@ -12439,3 +12439,84 @@ def dp_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_FLEISS_K}, 6) AS kappa_r",
         f"{_FLEISS_K} > 0.5 AS substantial_agreement",
     ).orderBy("panel")
+
+
+@register(
+    "dp_kcore_decomposition",
+    oracle="""
+    WITH p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    c AS (
+      SELECT CAST(3 + j * (n // 20) AS BIGINT) AS v
+      FROM p, UNNEST(generate_series(0, 19)) AS t(j)
+    ),
+    te AS (
+      SELECT CAST(i AS BIGINT) AS u, CAST((i - 1) // 2 AS BIGINT) AS w
+      FROM p, UNNEST(generate_series(1, n - 1)) AS s(i)
+    ),
+    core_edges AS (
+      SELECT a.v AS u, b.v AS w FROM c a JOIN c b ON a.v <> b.v
+      UNION
+      SELECT u, w FROM (
+        SELECT u, w FROM te UNION ALL SELECT w AS u, u AS w FROM te
+      ) x
+      WHERE u IN (SELECT v FROM c) AND w IN (SELECT v FROM c)
+    )
+    SELECT u AS node_id, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+    FROM core_edges GROUP BY u ORDER BY node_id
+    """,
+    tags=("datapipe", "graph", "kcore", "iterative"),
+)
+def dp_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition by distributed iterative peeling — the
+    graph-family operator (BFS layers, triangles, PageRank, CC,
+    link prediction) that finds the dense sub-communities bulk
+    statistics miss. The fixture graph is CONSTRUCTED so the answer
+    is provable and the oracle needs no iteration: a binary tree on
+    the N embedding ids (every tree is 1-degenerate — any induced
+    subgraph keeps a node of tree-degree <= 1, and because planted
+    nodes are spaced N/20 >= 25 apart no node has two planted
+    children, so the deepest surviving non-planted node always has
+    degree <= 2 and peels) plus a planted 20-clique, whose members
+    each keep 19 in-clique edges. The 3-core is therefore EXACTLY
+    the planted clique; the oracle just rebuilds its edge set in
+    closed form while Spark must actually converge the peeling loop.
+
+    Scale shape: each round is one degree aggregation + one
+    anti-join on the shrinking edge relation, O(tree depth) ~
+    log2(N) rounds, lineage truncated per round via localCheckpoint
+    — the same bounded-iteration discipline as the CC dedup
+    clustering and redirect pointer-doubling. Driver traffic is one
+    integer (the low-degree count) per round; a 60-round cap fails
+    loudly instead of spinning."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    step = n // 20
+    clique = [3 + j * step for j in range(20)]
+    cpairs = spark.createDataFrame(
+        [(u, w) for u in clique for w in clique if u != w], "u bigint, w bigint"
+    )
+    tree = spark.range(1, n).select(
+        F.col("id").alias("u"), ((F.col("id") - 1) / 2).cast("bigint").alias("w")
+    )
+    edges = (
+        tree.unionAll(tree.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        .unionAll(cpairs)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(60):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+        low = deg.where(F.col("d") < 3).select("u").localCheckpoint(eager=False)
+        if low.isEmpty():
+            break
+        edges = (
+            edges.join(low, "u", "left_anti")
+            .join(low.select(F.col("u").alias("w")), "w", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError("k-core peeling did not converge in 60 rounds")
+    return (
+        edges.groupBy(F.col("u").alias("node_id"))
+        .agg(F.count("*").cast("bigint").alias("deg_in_core"))
+        .orderBy("node_id")
+    )

@@ -1487,3 +1487,16 @@ def test_fleiss_kappa_separates_panels(spark):
     # Pe sits at the 3-category chance floor ~1/3 for both panels
     assert abs(rows["signal"].pe_r - 1 / 3) < 0.01
     assert abs(rows["random"].pe_r - 1 / 3) < 0.01
+
+
+def test_kcore_recovers_planted_clique_exactly(spark):
+    rows = _rows(spark, "dp_kcore_decomposition")
+    # 3-core is provably exactly the 20 planted clique nodes
+    assert len(rows) == 20
+    n = 500  # embeddings rows at SF_SMOKE
+    expected = {3 + j * (n // 20) for j in range(20)}
+    assert {r.node_id for r in rows} == expected
+    # every member keeps at least its 19 in-clique edges; tree edges
+    # between clique members can only add
+    assert all(r.deg_in_core >= 19 for r in rows)
+    assert all(r.deg_in_core <= 21 for r in rows)
