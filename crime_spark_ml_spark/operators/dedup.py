@@ -470,3 +470,27 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "containment")
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, max_rounds: int = 60) -> tuple[DataFrame, int]:
+    """Iteratively peel nodes of degree < k from a symmetric directed
+    edge relation (u, w) until fixpoint; returns (surviving edges,
+    rounds). Each round is one degree aggregation plus two anti-joins
+    on the shrinking edge set, with localCheckpoint truncating the
+    lineage — the same bounded-iteration discipline as the
+    connected-components clustering above. Driver traffic is one
+    boolean (low-set emptiness) per round; a loud cap instead of an
+    unbounded spin. Converges in O(peeling depth) rounds: log2(n) on
+    tree-like graphs, the degeneracy ordering depth in general."""
+    edges = edges.localCheckpoint(eager=False)
+    for rounds in range(1, max_rounds + 1):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+        low = deg.where(F.col("d") < k).select("u").localCheckpoint(eager=False)
+        if low.isEmpty():
+            return edges, rounds
+        edges = (
+            edges.join(low, "u", "left_anti")
+            .join(low.select(F.col("u").alias("w")), "w", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")

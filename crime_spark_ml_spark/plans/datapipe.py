@@ -12497,26 +12497,16 @@ def dp_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree = spark.range(1, n).select(
         F.col("id").alias("u"), ((F.col("id") - 1) / 2).cast("bigint").alias("w")
     )
+    from ..operators.dedup import kcore_peel
+
     edges = (
         tree.unionAll(tree.select(F.col("w").alias("u"), F.col("u").alias("w")))
         .unionAll(cpairs)
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    for _ in range(60):
-        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
-        low = deg.where(F.col("d") < 3).select("u").localCheckpoint(eager=False)
-        if low.isEmpty():
-            break
-        edges = (
-            edges.join(low, "u", "left_anti")
-            .join(low.select(F.col("u").alias("w")), "w", "left_anti")
-            .localCheckpoint(eager=False)
-        )
-    else:
-        raise RuntimeError("k-core peeling did not converge in 60 rounds")
+    core, _rounds = kcore_peel(edges, k=3, max_rounds=60)
     return (
-        edges.groupBy(F.col("u").alias("node_id"))
+        core.groupBy(F.col("u").alias("node_id"))
         .agg(F.count("*").cast("bigint").alias("deg_in_core"))
         .orderBy("node_id")
     )

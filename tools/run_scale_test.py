@@ -714,9 +714,49 @@ def cmd_newops(spark, args) -> None:
     _record("newops", out)
 
 
+def cmd_kcore(spark, args) -> None:
+    """Iterative k-core peeling under volume: the tree+clique graph of
+    dp_kcore_decomposition at n = 100k/200k/400k nodes (pure
+    spark.range synthesis, no fixture). The claims measured: rounds
+    grow ~log2(n) (tree peeling depth), wall time grows sub-linearly
+    in rounds x edges, and the recovered core is exactly the planted
+    20-clique at every size."""
+    from crime_spark_ml_spark.operators.dedup import kcore_peel
+
+    sizes = [int(x) for x in (args.sizes or "100000,200000,400000").split(",")]
+    per = []
+    for n in sizes:
+        step = n // 20
+        clique = [3 + j * step for j in range(20)]
+        cpairs = spark.createDataFrame(
+            [(u, w) for u in clique for w in clique if u != w],
+            "u bigint, w bigint",
+        )
+        tree = spark.range(1, n).select(
+            F.col("id").alias("u"),
+            ((F.col("id") - 1) / 2).cast("bigint").alias("w"),
+        )
+        edges = (
+            tree.unionAll(tree.select(F.col("w").alias("u"), F.col("u").alias("w")))
+            .unionAll(cpairs)
+            .distinct()
+        )
+        t0 = time.perf_counter()
+        core, rounds = kcore_peel(edges, k=3, max_rounds=80)
+        members = sorted(r.u for r in core.select("u").distinct().collect())
+        wall = time.perf_counter() - t0
+        assert members == sorted(clique), f"core mismatch at n={n}"
+        per.append(
+            {"n_nodes": n, "rounds": rounds, "wall_sec": round(wall, 2),
+             "core_size": len(members)}
+        )
+        print(f"[scale][kcore] n={n} rounds={rounds} sec={wall:.2f}")
+    _record("kcore", {"per_size": per})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -759,6 +799,8 @@ def main() -> None:
         cmd_assign(spark, args)
     if args.phase in ("newops",):
         cmd_newops(spark, args)
+    if args.phase in ("kcore",):
+        cmd_kcore(spark, args)
 
 
 if __name__ == "__main__":
