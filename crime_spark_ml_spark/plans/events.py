@@ -8736,3 +8736,187 @@ def ev_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_CMH_MARG} > 3.8415 AS marginal_rejected",
         f"{_CMH} > 3.8415 AS cmh_rejected",
     ).orderBy("pair")
+
+
+# Granger F from the 9 integer regression sums via centered cross
+# products C_ab = n*S_ab - S_a*S_b (exact bigints): restricted RSS
+# (y ~ 1 + y1) vs unrestricted RSS (y ~ 1 + y1 + x1) by Cramer's
+# rule, one fixed-order float expression.
+_GC_RSSR = (
+    "(CAST(cyy AS DOUBLE) - CAST(cyy1 AS DOUBLE) * cyy1 / cy1y1)"
+)
+_GC_RSSU = (
+    "(CAST(cyy AS DOUBLE)"
+    " - (CAST(cyy1 AS DOUBLE) * cyy1 * cx1x1"
+    "    - 2.0 * CAST(cyy1 AS DOUBLE) * cyx1 * cy1x1"
+    "    + CAST(cyx1 AS DOUBLE) * cyx1 * cy1y1)"
+    "   / (CAST(cy1y1 AS DOUBLE) * cx1x1 - CAST(cy1x1 AS DOUBLE) * cy1x1))"
+)
+_GC_F = f"((n - 3) * ({_GC_RSSR} - {_GC_RSSU}) / {_GC_RSSU})"
+
+
+@register(
+    "ev_granger_causality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t, x, y
+      FROM daily
+    ),
+    sh AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('gc|' || d)) AS BIGINT)
+                 AS t,
+             x AS xs
+      FROM daily
+    ),
+    base AS (SELECT idx.t, idx.x, idx.y, sh.xs FROM idx JOIN sh ON idx.t = sh.t),
+    planted_series AS (
+      SELECT t, x, y + LAG(x) OVER (ORDER BY t) AS yp FROM base
+    ),
+    rows_p AS (
+      SELECT 'planted' AS pair, yp AS yv,
+             LAG(yp) OVER (ORDER BY t) AS y1,
+             LAG(x) OVER (ORDER BY t) AS x1,
+             t
+      FROM planted_series
+    ),
+    rows_n AS (
+      SELECT 'null' AS pair, y AS yv,
+             LAG(y) OVER (ORDER BY t) AS y1,
+             LAG(xs) OVER (ORDER BY t) AS x1,
+             t
+      FROM base
+    ),
+    reg AS (
+      SELECT * FROM rows_p WHERE t >= 3
+      UNION ALL
+      SELECT * FROM rows_n WHERE t >= 3
+    ),
+    sums AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yv) AS BIGINT) AS sy,
+             CAST(SUM(y1) AS BIGINT) AS sy1,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(yv * yv) AS BIGINT) AS syy,
+             CAST(SUM(y1 * y1) AS BIGINT) AS sy1y1,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(SUM(yv * y1) AS BIGINT) AS syy1,
+             CAST(SUM(yv * x1) AS BIGINT) AS syx1,
+             CAST(SUM(y1 * x1) AS BIGINT) AS sy1x1
+      FROM reg GROUP BY pair
+    ),
+    cc AS (
+      SELECT pair, n,
+             n * syy - sy * sy AS cyy,
+             n * sy1y1 - sy1 * sy1 AS cy1y1,
+             n * sx1x1 - sx1 * sx1 AS cx1x1,
+             n * syy1 - sy * sy1 AS cyy1,
+             n * syx1 - sy * sx1 AS cyx1,
+             n * sy1x1 - sy1 * sx1 AS cy1x1
+      FROM sums
+    )
+    SELECT pair, n AS n_obs,
+           ROUND({_GC_F}, 6) AS f_r,
+           ROUND(1.0 - {_GC_RSSU} / {_GC_RSSR}, 6) AS partial_r2_r,
+           {_GC_F} > 4.2417 AS x_granger_causes_y
+    FROM cc ORDER BY pair
+    """,
+    tags=("events", "timeseries", "granger", "causality"),
+)
+def ev_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag-1) between the daily click and purchase
+    series — the lead-lag question the correlation-only
+    ev_lagged_crosscorrelation can't answer: does PAST x improve the
+    prediction of y beyond y's own past? F compares the restricted
+    AR(1) regression y_t ~ y_{t-1} against the unrestricted
+    y_t ~ y_{t-1} + x_{t-1}. The planted pair injects a true lag
+    dependence (y'_t = y_t + x_{t-1}, integer construction); the
+    null pair regresses on a hash-shuffled x whose lead-lag relation
+    to y is destroyed by construction while both marginals keep
+    their real seasonality.
+
+    All 9 regression sums and the centered cross products C_ab =
+    n*S_ab - S_a*S_b are exact bigints; both RSS terms and F come
+    from one fixed-order float expression (Cramer's rule on the 2x2
+    normal equations). Planted F clears the F(1,25) 5%% critical
+    value 4.2417; the shuffled null stays under it (vacuity pins).
+
+    Scale: one date-keyed aggregate is the only data-sized shuffle;
+    lags, regression rows, and sums all live on the 30-row series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+        "x",
+        "y",
+    )
+    sh = daily.select(
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.concat(F.lit("gc|"), F.col("d").cast("string")))))
+        .cast("bigint")
+        .alias("t"),
+        F.col("x").alias("xs"),
+    )
+    base = idx.join(sh, "t")
+    w_t = Window.orderBy("t")
+    planted_series = base.select(
+        "t", "x", (F.col("y") + F.lag("x").over(w_t)).alias("yp")
+    )
+    rows_p = planted_series.select(
+        F.lit("planted").alias("pair"),
+        F.col("yp").alias("yv"),
+        F.lag("yp").over(w_t).alias("y1"),
+        F.lag("x").over(w_t).alias("x1"),
+        "t",
+    )
+    rows_n = base.select(
+        F.lit("null").alias("pair"),
+        F.col("y").alias("yv"),
+        F.lag("y").over(w_t).alias("y1"),
+        F.lag("xs").over(w_t).alias("x1"),
+        "t",
+    )
+    reg = rows_p.where(F.col("t") >= 3).unionAll(rows_n.where(F.col("t") >= 3))
+    sums = reg.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yv").cast("bigint").alias("sy"),
+        F.sum("y1").cast("bigint").alias("sy1"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).cast("bigint").alias("sy1y1"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
+        F.sum(F.col("yv") * F.col("y1")).cast("bigint").alias("syy1"),
+        F.sum(F.col("yv") * F.col("x1")).cast("bigint").alias("syx1"),
+        F.sum(F.col("y1") * F.col("x1")).cast("bigint").alias("sy1x1"),
+    )
+    cc = sums.selectExpr(
+        "pair",
+        "n",
+        "n * syy - sy * sy AS cyy",
+        "n * sy1y1 - sy1 * sy1 AS cy1y1",
+        "n * sx1x1 - sx1 * sx1 AS cx1x1",
+        "n * syy1 - sy * sy1 AS cyy1",
+        "n * syx1 - sy * sx1 AS cyx1",
+        "n * sy1x1 - sy1 * sx1 AS cy1x1",
+    )
+    return cc.selectExpr(
+        "pair",
+        "n AS n_obs",
+        f"ROUND({_GC_F}, 6) AS f_r",
+        f"ROUND(1.0 - {_GC_RSSU} / {_GC_RSSR}, 6) AS partial_r2_r",
+        f"{_GC_F} > 4.2417 AS x_granger_causes_y",
+    ).orderBy("pair")

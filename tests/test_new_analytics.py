@@ -1500,3 +1500,19 @@ def test_kcore_recovers_planted_clique_exactly(spark):
     # between clique members can only add
     assert all(r.deg_in_core >= 19 for r in rows)
     assert all(r.deg_in_core <= 21 for r in rows)
+
+
+def test_granger_causality_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_granger_causality")}
+    assert set(rows) == {"null", "planted"}
+    # injected y_t = y + x_{t-1}: F 36.2 rejects with partial R2 0.59;
+    # hash-shuffled x: F 0.04, no spurious causality
+    assert rows["planted"].x_granger_causes_y
+    assert not rows["null"].x_granger_causes_y
+    assert rows["planted"].partial_r2_r > 0.4
+    assert rows["null"].partial_r2_r < 0.2
+    assert rows["planted"].n_obs == rows["null"].n_obs == 28
+    # gate scale: measured F 41.6 vs 0.89
+    r01 = {r.pair: r for r in
+           _Q["ev_granger_causality"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].f_r > 10 and not r01["null"].x_granger_causes_y
