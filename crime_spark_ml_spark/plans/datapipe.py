@@ -12510,3 +12510,161 @@ def dp_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("deg_in_core"))
         .orderBy("node_id")
     )
+
+
+def _gm_oracle() -> str:
+    """Unrolled 5-iteration Weiszfeld in DuckDB long form."""
+    its = []
+    for i in range(1, 6):
+        its.append(
+            f"""dist{i} AS (
+      SELECT vec_id, SQRT(SUM((xd - md) * (xd - md))) + 1e-9 AS dist
+      FROM long JOIN m{i-1} USING (d) GROUP BY vec_id
+    ),
+    m{i} AS (
+      SELECT d, SUM(xd / dist) / SUM(1.0 / dist) AS md
+      FROM long JOIN dist{i} USING (vec_id) GROUP BY d
+    )"""
+        )
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, embedding,
+             CAST(('0x' || substr(md5('gm|' || vec_id), 1, 8)) AS BIGINT)
+                 % 10 = 0 AS poisoned
+      FROM embeddings
+    ),
+    long AS (
+      SELECT vec_id, d,
+             CASE WHEN poisoned THEN CAST(embedding[d] AS DOUBLE) + 50.0
+                  ELSE CAST(embedding[d] AS DOUBLE) END AS xd,
+             poisoned
+      FROM pts, UNNEST(generate_series(1, len(embedding))) AS u(d)
+    ),
+    m0 AS (SELECT d, AVG(xd) AS md FROM long GROUP BY d),
+    clean AS (SELECT d, AVG(xd) AS cd FROM long WHERE NOT poisoned GROUP BY d),
+    {', '.join(its)},
+    dm AS (
+      SELECT SQRT(SUM((m0.md - clean.cd) * (m0.md - clean.cd))) AS v
+      FROM m0 JOIN clean USING (d)
+    ),
+    dg AS (
+      SELECT SQRT(SUM((m5.md - clean.cd) * (m5.md - clean.cd))) AS v
+      FROM m5 JOIN clean USING (d)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pts WHERE poisoned) AS BIGINT)
+               AS n_poisoned,
+           ROUND((SELECT v FROM dm), 4) AS dist_mean_r,
+           ROUND((SELECT v FROM dg), 4) AS dist_gmed_r,
+           ROUND((SELECT v FROM dm) / ((SELECT v FROM dg) + 1e-9), 2)
+               AS robustness_ratio_r,
+           (SELECT v FROM dm) > 5 * ((SELECT v FROM dg) + 1e-9)
+               AS gmedian_robust
+    """
+
+
+@register(
+    "dp_geometric_median",
+    oracle=_gm_oracle(),
+    tags=("datapipe", "embeddings", "robust-aggregation", "poisoning"),
+)
+def dp_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of the embedding corpus by 5 fixed Weiszfeld
+    iterations — the POISONING-ROBUST aggregate a training-data
+    pipeline wants where the mean is a single-outlier casualty
+    (robust federated/distributed aggregation uses exactly this): 10%%
+    of vectors are hash-selected and shifted +50 in every dimension,
+    dragging the mean ~sqrt(64)*5 away from the clean centroid while
+    the geometric median (breakdown point 0.5) stays near it. The
+    output certifies the robustness ratio d(mean, clean)/d(gmed,
+    clean) >> 5.
+
+    Spark shape: the iterate is DRIVER-SIDE BOUNDED STATE (64
+    doubles, the IVF-centroid discipline) broadcast into row-local
+    distances, so each iteration is one posexplode + per-dim hash
+    aggregate — a fixed 64-group shuffle per pass, no data-sized
+    join, corpus-size-independent state. The DuckDB oracle unrolls
+    the same 5 iterations as long-form CTEs. Float sums differ only
+    in last-bit order; outputs round at 4 with O(1-40) magnitudes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    poisoned = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("gm|"), F.col("vec_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    pts = emb.select(
+        "vec_id",
+        poisoned.alias("poisoned"),
+        F.transform(
+            "embedding",
+            lambda v: F.when(poisoned, v.cast("double") + 50.0).otherwise(
+                v.cast("double")
+            ),
+        ).alias("x"),
+    ).localCheckpoint(eager=False)
+    long = pts.select(
+        "vec_id", "poisoned", F.posexplode("x").alias("p", "xd")
+    ).select("vec_id", "poisoned", (F.col("p") + 1).alias("d"), "xd")
+    m = [
+        r.md
+        for r in long.groupBy("d").agg(F.avg("xd").alias("md")).orderBy("d").collect()
+    ]
+    clean = long.where(~F.col("poisoned")).groupBy("d").agg(
+        F.avg("xd").alias("cd")
+    )
+    m0 = list(m)
+    for _ in range(5):
+        m_lit = F.array([F.lit(float(v)) for v in m])
+        dist = (
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("x", m_lit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                )
+            )
+            + 1e-9
+        )
+        per_dim = (
+            pts.withColumn("dist", dist)
+            .select(F.posexplode("x").alias("p", "xd"), "dist")
+            .groupBy((F.col("p") + 1).alias("d"))
+            .agg(
+                (F.sum(F.col("xd") / F.col("dist")) / F.sum(F.lit(1.0) / F.col("dist")))
+                .alias("md")
+            )
+            .orderBy("d")
+        )
+        m = [r.md for r in per_dim.collect()]
+    m0_df = spark.createDataFrame(
+        [(i + 1, float(v)) for i, v in enumerate(m0)], "d int, md double"
+    )
+    m5_df = spark.createDataFrame(
+        [(i + 1, float(v)) for i, v in enumerate(m)], "d int, md double"
+    )
+    dm = (
+        m0_df.join(clean, "d")
+        .agg(F.sqrt(F.sum((F.col("md") - F.col("cd")) * (F.col("md") - F.col("cd")))).alias("v"))
+    )
+    dg = (
+        m5_df.join(clean, "d")
+        .agg(F.sqrt(F.sum((F.col("md") - F.col("cd")) * (F.col("md") - F.col("cd")))).alias("v"))
+    )
+    npo = pts.agg(
+        F.sum(F.col("poisoned").cast("int")).cast("bigint").alias("n_poisoned")
+    )
+    return (
+        npo.crossJoin(F.broadcast(dm.select(F.col("v").alias("vm"))))
+        .crossJoin(F.broadcast(dg.select(F.col("v").alias("vg"))))
+        .selectExpr(
+            "n_poisoned",
+            "ROUND(vm, 4) AS dist_mean_r",
+            "ROUND(vg, 4) AS dist_gmed_r",
+            "ROUND(vm / (vg + 1e-9), 2) AS robustness_ratio_r",
+            "vm > 5 * (vg + 1e-9) AS gmedian_robust",
+        )
+    )

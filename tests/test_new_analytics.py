@@ -1516,3 +1516,15 @@ def test_granger_causality_discriminates(spark):
     r01 = {r.pair: r for r in
            _Q["ev_granger_causality"](spark, "/root/testdata/sf0.01").collect()}
     assert r01["planted"].f_r > 10 and not r01["null"].x_granger_causes_y
+
+
+def test_geometric_median_resists_poisoning(spark):
+    r = _rows(spark, "dp_geometric_median")[0]
+    # ~10% of 500 vectors poisoned (+50 per dim)
+    assert 30 <= r.n_poisoned <= 70
+    # the mean is dragged ~sqrt(64)*5; the Weiszfeld iterate stays
+    # within 0.1 of the clean centroid (measured 33.6 vs 0.09)
+    assert r.dist_mean_r > 20
+    assert r.dist_gmed_r < 1
+    assert r.gmedian_robust
+    assert r.robustness_ratio_r > 50

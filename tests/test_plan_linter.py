@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "j_spatial_hotspots": "one-row total-count scalar fanned over the <=432 grid cells",
     "dp_psi_drift": "one-row (ref, cur) totals fanned over the <=10 PSI bins",
     "dp_benford_screen": "single-row digit-total scalar broadcast over 9 digit rows",
+    "dp_geometric_median": "two one-row distance scalars crossJoined onto the one-row poison count",
     "ev_ljung_box": "single-row series-mean scalar broadcast over the 30-row daily series",
     "dp_training_data_funnel": "one-row pack-stats aggregate crossJoined onto the one-row counter aggregate",
     "dp_graph_triangles": "one-row (nodes, edges, wedges, triangles) global aggregate fanned over the top-10 node rows",
