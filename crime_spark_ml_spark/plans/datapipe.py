@@ -12668,3 +12668,138 @@ def dp_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vm > 5 * (vg + 1e-9) AS gmedian_robust",
         )
     )
+
+
+@register(
+    "dp_silhouette_simplified",
+    oracle="""
+    WITH pts AS (
+      SELECT vec_id, embedding,
+             CAST(('0x' || substr(md5('sl|' || vec_id), 1, 8)) AS BIGINT)
+                 % 8 AS lab,
+             CAST(('0x' || substr(md5('sr|' || vec_id), 1, 8)) AS BIGINT)
+                 % 8 AS rnd
+      FROM embeddings
+    ),
+    paired AS (
+      SELECT 'planted' AS pair, vec_id, lab AS cl, lab, embedding FROM pts
+      UNION ALL
+      SELECT 'null', vec_id, rnd AS cl, lab, embedding FROM pts
+    ),
+    long AS (
+      SELECT pair, vec_id, cl, d,
+             CAST(embedding[d] AS DOUBLE)
+                 + (CASE WHEN d <= 2 THEN 3.0 * lab ELSE 0.0 END) AS xd
+      FROM paired, UNNEST(generate_series(1, len(embedding))) AS u(d)
+    ),
+    cent AS (
+      SELECT pair, cl AS cc, d, AVG(xd) AS cd FROM long GROUP BY pair, cl, d
+    ),
+    dists AS (
+      SELECT long.pair, vec_id, cl, cc,
+             SQRT(SUM((xd - cd) * (xd - cd))) AS dist
+      FROM long JOIN cent ON long.pair = cent.pair AND long.d = cent.d
+      GROUP BY long.pair, vec_id, cl, cc
+    ),
+    ab AS (
+      SELECT pair, vec_id,
+             MIN(CASE WHEN cc = cl THEN dist END) AS a,
+             MIN(CASE WHEN cc <> cl THEN dist END) AS b
+      FROM dists GROUP BY pair, vec_id
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette_r,
+           AVG((b - a) / GREATEST(a, b)) > 0.5 AS well_clustered
+    FROM ab GROUP BY pair ORDER BY pair
+    """,
+    tags=("datapipe", "embeddings", "clustering-eval", "silhouette"),
+)
+def dp_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score — the internal
+    clustering-quality metric the ml family (KMeans, elbow, GMM)
+    reports nothing like: s = (b - a)/max(a, b) with a the distance
+    to the OWN cluster centroid and b the nearest OTHER centroid.
+    The centroid form is chosen deliberately: classic silhouette is
+    an all-pairs O(n^2) computation, the simplified form is linear
+    and the standard at scale. Points get a row-local +3*label shift
+    in 2 dims (8 hash-assigned clusters, adjacent separation 3*sqrt2
+    vs unit intra-cluster spread); the planted pair scores the
+    CONSISTENT labeling (~0.65), the null pair scores a mismatched
+    hash labeling of the same geometry (~0, nothing to separate).
+
+    Scale shape: one (pair, label, dim)-keyed centroid aggregate
+    (16x64 rows), joined back per-dimension — the join fans each
+    point's dim over k=8 centroids, a bounded k*dims blowup, then
+    one (vec, centroid) aggregate and one per-pair mean. No
+    all-pairs anywhere; state is centroid-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def h(salt: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("vec_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        )
+
+    pts = emb.select(
+        "vec_id", "embedding", h("sl|").alias("lab"), h("sr|").alias("rnd")
+    )
+    paired = pts.select(
+        F.lit("planted").alias("pair"),
+        "vec_id",
+        F.col("lab").alias("cl"),
+        "lab",
+        "embedding",
+    ).unionAll(
+        pts.select(
+            F.lit("null").alias("pair"),
+            "vec_id",
+            F.col("rnd").alias("cl"),
+            "lab",
+            "embedding",
+        )
+    )
+    long = paired.select(
+        "pair",
+        "vec_id",
+        "cl",
+        "lab",
+        F.posexplode("embedding").alias("p", "xf"),
+    ).select(
+        "pair",
+        "vec_id",
+        "cl",
+        (F.col("p") + 1).alias("d"),
+        (
+            F.col("xf").cast("double")
+            + F.when(F.col("p") + 1 <= 2, 3.0 * F.col("lab")).otherwise(0.0)
+        ).alias("xd"),
+    )
+    cent = long.groupBy("pair", F.col("cl").alias("cc"), "d").agg(
+        F.avg("xd").alias("cd")
+    )
+    dists = (
+        long.join(F.broadcast(cent), ["pair", "d"])
+        .groupBy("pair", "vec_id", "cl", "cc")
+        .agg(
+            F.sqrt(F.sum((F.col("xd") - F.col("cd")) * (F.col("xd") - F.col("cd"))))
+            .alias("dist")
+        )
+    )
+    ab = dists.groupBy("pair", "vec_id").agg(
+        F.min(F.when(F.col("cc") == F.col("cl"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("cc") != F.col("cl"), F.col("dist"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        ab.groupBy("pair")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.round(F.avg(sil), 6).alias("mean_silhouette_r"),
+            (F.avg(sil) > 0.5).alias("well_clustered"),
+        )
+        .orderBy("pair")
+    )

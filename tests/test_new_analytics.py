@@ -1528,3 +1528,15 @@ def test_geometric_median_resists_poisoning(spark):
     assert r.dist_gmed_r < 1
     assert r.gmedian_robust
     assert r.robustness_ratio_r > 50
+
+
+def test_silhouette_separates_consistent_from_mismatched_labels(spark):
+    rows = {r.pair: r for r in _rows(spark, "dp_silhouette_simplified")}
+    assert set(rows) == {"null", "planted"}
+    # consistent labels on 3-sigma-separated clusters: ~0.77; the same
+    # geometry under a mismatched hash labeling: ~ -0.17
+    assert rows["planted"].well_clustered
+    assert not rows["null"].well_clustered
+    assert rows["planted"].mean_silhouette_r > 0.6
+    assert rows["null"].mean_silhouette_r < 0.1
+    assert rows["planted"].n_points == rows["null"].n_points == 500
