@@ -12803,3 +12803,108 @@ def dp_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+@register(
+    "dp_mcnemar_model_compare",
+    oracle="""
+    WITH preds AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5('ma|' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 < 20 THEN 1 ELSE 0 END AS fa,
+             CASE WHEN CAST(('0x' || substr(md5('mb|' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 < 10 THEN 1 ELSE 0 END AS fb,
+             CASE WHEN CAST(('0x' || substr(md5('mc|' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 100 < 20 THEN 1 ELSE 0 END AS fc
+      FROM documents
+    ),
+    scored AS (
+      SELECT 'planted' AS pair,
+             1 - fa AS a_right, 1 - fb AS b_right FROM preds
+      UNION ALL
+      SELECT 'null', 1 - fa, 1 - fc FROM preds
+    ),
+    cells AS (
+      SELECT pair,
+             CAST(SUM(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(a_right) AS BIGINT) AS a_correct,
+             CAST(SUM(b_right) AS BIGINT) AS b_correct,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY pair
+    )
+    SELECT pair, n AS n_items, b AS a_only_right, c AS b_only_right,
+           ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+               AS mcnemar_chi2_r,
+           ROUND(CAST(b_correct - a_correct AS DOUBLE) / n, 6)
+               AS accuracy_delta_r,
+           CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.8415 AS b_beats_a
+    FROM cells ORDER BY pair
+    """,
+    tags=("datapipe", "eval", "mcnemar", "model-comparison", "llm"),
+)
+def dp_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED model comparison — the correct test
+    when two model versions score the SAME items (an unpaired
+    proportions z wastes the pairing and understates power): only the
+    discordant pairs b = A-right/B-wrong and c = A-wrong/B-right
+    carry information, chi2 = (b-c)^2/(b+c). The planted pair
+    compares a 20%%-error model against a genuinely better 10%%-error
+    model; the null pair compares two independent 20%%-error models
+    of the same truth. All cell counts exact integers; one float
+    division. Planted rejects at every scale with the accuracy delta
+    visible; null stays under 3.8415 (vacuity pins).
+
+    Scale: row-local prediction synthesis, one pair-keyed conditional
+    aggregate — no join, no window, partial aggregation throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def noise(salt: str, pct: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < pct
+        ).cast("int")
+    preds = docs.select(
+        "doc_id",
+        noise("ma|", 20).alias("fa"),
+        noise("mb|", 10).alias("fb"),
+        noise("mc|", 20).alias("fc"),
+    )
+    scored = preds.select(
+        F.lit("planted").alias("pair"),
+        (1 - F.col("fa")).alias("a_right"),
+        (1 - F.col("fb")).alias("b_right"),
+    ).unionAll(
+        preds.select(
+            F.lit("null").alias("pair"),
+            (1 - F.col("fa")).alias("a_right"),
+            (1 - F.col("fc")).alias("b_right"),
+        )
+    )
+    cells = scored.groupBy("pair").agg(
+        F.sum(F.when((F.col("a_right") == 1) & (F.col("b_right") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("a_right") == 0) & (F.col("b_right") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum("a_right").cast("bigint").alias("a_correct"),
+        F.sum("b_right").cast("bigint").alias("b_correct"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return cells.selectExpr(
+        "pair",
+        "n AS n_items",
+        "b AS a_only_right",
+        "c AS b_only_right",
+        "ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) AS mcnemar_chi2_r",
+        "ROUND(CAST(b_correct - a_correct AS DOUBLE) / n, 6) AS accuracy_delta_r",
+        "CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.8415 AS b_beats_a",
+    ).orderBy("pair")

@@ -8920,3 +8920,155 @@ def ev_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND(1.0 - {_GC_RSSU} / {_GC_RSSR}, 6) AS partial_r2_r",
         f"{_GC_F} > 4.2417 AS x_granger_causes_y",
     ).orderBy("pair")
+
+
+# ITS reuses the Granger Cramer's-rule machinery with regressors
+# y1 := t (trend) and x1 := step indicator; same centered-cross-
+# product column names, same fixed-order float expressions, plus the
+# step-coefficient estimate from the 2x2 normal equations.
+_ITS_CHAT = (
+    "((CAST(cyx1 AS DOUBLE) * cy1y1 - CAST(cyy1 AS DOUBLE) * cy1x1)"
+    " / (CAST(cy1y1 AS DOUBLE) * cx1x1 - CAST(cy1x1 AS DOUBLE) * cy1x1))"
+)
+
+
+@register(
+    "ev_interrupted_time_series",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    shuf AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('its|' || d)) AS BIGINT)
+                 AS t,
+             x
+      FROM daily
+    ),
+    ser AS (
+      SELECT 'planted' AS pair, t,
+             x + (SELECT s // 60 FROM tot)
+                 * (CASE WHEN t >= 20 THEN 1 ELSE 0 END) AS yv,
+             t AS y1,
+             CAST(CASE WHEN t >= 20 THEN 1 ELSE 0 END AS BIGINT) AS x1
+      FROM shuf
+      UNION ALL
+      SELECT 'null', t, x, t,
+             CAST(CASE WHEN t >= 20 THEN 1 ELSE 0 END AS BIGINT)
+      FROM shuf
+    ),
+    sums AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yv) AS BIGINT) AS sy,
+             CAST(SUM(y1) AS BIGINT) AS sy1,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(yv * yv) AS BIGINT) AS syy,
+             CAST(SUM(y1 * y1) AS BIGINT) AS sy1y1,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(SUM(yv * y1) AS BIGINT) AS syy1,
+             CAST(SUM(yv * x1) AS BIGINT) AS syx1,
+             CAST(SUM(y1 * x1) AS BIGINT) AS sy1x1
+      FROM ser GROUP BY pair
+    ),
+    cc AS (
+      SELECT pair, n,
+             n * syy - sy * sy AS cyy,
+             n * sy1y1 - sy1 * sy1 AS cy1y1,
+             n * sx1x1 - sx1 * sx1 AS cx1x1,
+             n * syy1 - sy * sy1 AS cyy1,
+             n * syx1 - sy * sx1 AS cyx1,
+             n * sy1x1 - sy1 * sx1 AS cy1x1
+      FROM sums
+    )
+    SELECT pair, n AS n_days,
+           CAST((SELECT s // 60 FROM tot) AS BIGINT) AS planted_step,
+           ROUND({_ITS_CHAT}, 4) AS step_hat_r,
+           ROUND({_GC_F}, 6) AS f_r,
+           {_GC_F} > 4.21 AS step_detected
+    FROM cc ORDER BY pair
+    """,
+    tags=("events", "timeseries", "quasi-experiment", "segmented-regression"),
+)
+def ev_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time series (segmented regression) — the
+    quasi-experimental design for a KNOWN intervention date that
+    DiD (needs a control group), RDD (needs a running variable), and
+    CUSUM (detects, doesn't size) don't cover: y_t ~ intercept +
+    trend*t + step*I(t >= T0), F-testing the step term and reporting
+    its size. Both pairs build on the hash-shuffled daily series
+    (destroying real seasonality so the step is the only structure):
+    the planted pair injects a half-mean step at day 20 and recovers
+    it (step_hat within a few percent of planted_step at gate
+    scale); the null pair fits the same break date to the unshifted
+    series and stays under F(1,27) = 4.21.
+
+    Same exact-bigint centered-cross-product discipline as
+    ev_granger_causality (y1 := t, x1 := step), one extra Cramer
+    column for the coefficient. Scale: one date-keyed aggregate,
+    everything else on the 30-row series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    tot = daily.agg((F.floor(F.sum("x") / 60)).cast("bigint").alias("step"))
+    shuf = daily.select(
+        F.row_number()
+        .over(
+            Window.orderBy(F.md5(F.concat(F.lit("its|"), F.col("d").cast("string"))))
+        )
+        .cast("bigint")
+        .alias("t"),
+        "x",
+    )
+    step_i = F.when(F.col("t") >= 20, 1).otherwise(0).cast("bigint")
+    with_step = shuf.crossJoin(F.broadcast(tot))
+    ser = with_step.select(
+        F.lit("planted").alias("pair"),
+        "t",
+        (F.col("x") + F.col("step") * step_i).alias("yv"),
+        F.col("t").alias("y1"),
+        step_i.alias("x1"),
+        "step",
+    ).unionAll(
+        with_step.select(
+            F.lit("null").alias("pair"),
+            "t",
+            F.col("x").alias("yv"),
+            F.col("t").alias("y1"),
+            step_i.alias("x1"),
+            "step",
+        )
+    )
+    sums = ser.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yv").cast("bigint").alias("sy"),
+        F.sum("y1").cast("bigint").alias("sy1"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).cast("bigint").alias("sy1y1"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
+        F.sum(F.col("yv") * F.col("y1")).cast("bigint").alias("syy1"),
+        F.sum(F.col("yv") * F.col("x1")).cast("bigint").alias("syx1"),
+        F.sum(F.col("y1") * F.col("x1")).cast("bigint").alias("sy1x1"),
+        F.min("step").cast("bigint").alias("planted_step"),
+    )
+    cc = sums.selectExpr(
+        "pair",
+        "n",
+        "planted_step",
+        "n * syy - sy * sy AS cyy",
+        "n * sy1y1 - sy1 * sy1 AS cy1y1",
+        "n * sx1x1 - sx1 * sx1 AS cx1x1",
+        "n * syy1 - sy * sy1 AS cyy1",
+        "n * syx1 - sy * sx1 AS cyx1",
+        "n * sy1x1 - sy1 * sx1 AS cy1x1",
+    )
+    return cc.selectExpr(
+        "pair",
+        "n AS n_days",
+        "planted_step",
+        f"ROUND({_ITS_CHAT}, 4) AS step_hat_r",
+        f"ROUND({_GC_F}, 6) AS f_r",
+        f"{_GC_F} > 4.21 AS step_detected",
+    ).orderBy("pair")

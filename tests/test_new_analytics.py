@@ -1540,3 +1540,35 @@ def test_silhouette_separates_consistent_from_mismatched_labels(spark):
     assert rows["planted"].mean_silhouette_r > 0.6
     assert rows["null"].mean_silhouette_r < 0.1
     assert rows["planted"].n_points == rows["null"].n_points == 500
+
+
+def test_mcnemar_paired_comparison_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "dp_mcnemar_model_compare")}
+    assert set(rows) == {"null", "planted"}
+    # 10%-error B vs 20%-error A on the same items: chi2 11.6 rejects
+    # with the accuracy delta visible; two independent 20%-error
+    # models: chi2 0.25 quiet
+    assert rows["planted"].b_beats_a and not rows["null"].b_beats_a
+    assert rows["planted"].accuracy_delta_r > 0.05
+    assert abs(rows["null"].accuracy_delta_r) < 0.05
+    # only discordant pairs drive the statistic
+    assert rows["planted"].b_only_right > rows["planted"].a_only_right
+
+
+def test_interrupted_time_series_recovers_step(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_interrupted_time_series")}
+    assert set(rows) == {"null", "planted"}
+    assert rows["planted"].step_detected and not rows["null"].step_detected
+    # the fitted step equals null-baseline + planted step EXACTLY
+    # (linear model, same base series)
+    assert abs(
+        rows["planted"].step_hat_r
+        - (rows["null"].step_hat_r + rows["planted"].planted_step)
+    ) < 1e-6
+    # gate scale: step 166 recovered as 170.4 (residual 4.4 baseline),
+    # F 290 vs null 0.20
+    r01 = {r.pair: r for r in
+           _Q["ev_interrupted_time_series"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].f_r > 100
+    assert abs(r01["planted"].step_hat_r - r01["planted"].planted_step) \
+        < 0.1 * r01["planted"].planted_step

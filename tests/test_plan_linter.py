@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "dp_benford_screen": "single-row digit-total scalar broadcast over 9 digit rows",
     "dp_geometric_median": "two one-row distance scalars crossJoined onto the one-row poison count",
     "ev_ljung_box": "single-row series-mean scalar broadcast over the 30-row daily series",
+    "ev_interrupted_time_series": "single-row step-size scalar broadcast over the 30-row daily series",
     "dp_training_data_funnel": "one-row pack-stats aggregate crossJoined onto the one-row counter aggregate",
     "dp_graph_triangles": "one-row (nodes, edges, wedges, triangles) global aggregate fanned over the top-10 node rows",
     "dp_conformal_coverage": "one-row (slope, intercept) model and one-row q_hat broadcast over the calibration/test splits",
