@@ -12908,3 +12908,120 @@ def dp_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(b_correct - a_correct AS DOUBLE) / n, 6) AS accuracy_delta_r",
         "CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.8415 AS b_beats_a",
     ).orderBy("pair")
+
+
+@register(
+    "dp_tail_index",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5('hl|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 + 1) / 1000000.0 AS uv
+      FROM documents
+    ),
+    samples AS (
+      SELECT 'pareto' AS pair, POW(uv, -0.5) AS x FROM u
+      UNION ALL
+      SELECT 'exponential', 1.0 - LN(uv) AS x FROM u
+    ),
+    cut AS (
+      SELECT pair, CAST(FLOOR(COUNT(*) * 0.1) AS BIGINT) AS k
+      FROM samples GROUP BY pair
+    ),
+    ranked AS (
+      SELECT pair, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pair ORDER BY x DESC)
+                  AS BIGINT) AS rk
+      FROM samples
+    ),
+    topk AS (
+      SELECT ranked.pair, x, rk, k
+      FROM ranked JOIN cut ON ranked.pair = cut.pair
+      WHERE rk <= k + 1
+    ),
+    hill AS (
+      SELECT pair, CAST(MIN(k) AS BIGINT) AS k_used,
+             MIN(CASE WHEN rk = k + 1 THEN x END) AS x_cut,
+             SUM(CASE WHEN rk <= k THEN LN(x) END) AS sum_ln_top
+      FROM topk GROUP BY pair
+    )
+    SELECT pair, k_used,
+           ROUND(x_cut, 6) AS x_threshold_r,
+           ROUND(sum_ln_top / k_used - LN(x_cut), 6) AS hill_h_r,
+           ROUND(1.0 / (sum_ln_top / k_used - LN(x_cut)), 4) AS alpha_hat_r,
+           1.0 / (sum_ln_top / k_used - LN(x_cut)) < 3.0 AS heavy_tailed
+    FROM hill ORDER BY pair
+    """,
+    tags=("datapipe", "distribution", "tail-index", "hill-estimator"),
+)
+def dp_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator — the heavy-tail diagnostic a
+    training-data pipeline consults before choosing length caps,
+    sampling temperatures, or mean-based quality stats (on an
+    infinite-variance tail the mean is meaningless; dp_zipf_fit
+    covers discrete rank-frequency, this is the continuous
+    order-statistics estimator). H = mean(ln x_top_k) - ln x_(k+1),
+    alpha_hat = 1/H over the top-10%% order statistics. Two
+    synthesized samples from the same hash-uniform draws: inverse-CDF
+    Pareto(alpha=2) must recover alpha_hat ~ 2 (heavy), while an
+    exponential sample's pseudo-alpha drifts high (thin tail, the
+    flag stays off).
+
+    Scale: the rank window partitions by pair and would become a
+    top-k TakeOrderedAndProject under a LIMIT form at scale; counts,
+    the k+1 cut, and the log-sum are one aggregate each. All inputs
+    are row-local hash synthesis; outputs are deterministic floats
+    rounded above ULP.
+
+    The k+1-th order statistic is the classical Hill threshold; it
+    is computed exactly (MIN over the rank = k+1 row), not via an
+    interpolated percentile, so both engines cut at the identical
+    point."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("hl|"), F.col("doc_id"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000000
+                + 1
+            )
+            / 1000000.0
+        ).alias("uv"),
+    )
+    samples = u.select(
+        F.lit("pareto").alias("pair"), F.pow(F.col("uv"), -0.5).alias("x")
+    ).unionAll(
+        u.select(
+            F.lit("exponential").alias("pair"), (1.0 - F.log(F.col("uv"))).alias("x")
+        )
+    )
+    cut = samples.groupBy("pair").agg(
+        F.floor(F.count("*") * 0.1).cast("bigint").alias("k")
+    )
+    ranked = samples.select(
+        "pair",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("pair").orderBy(F.desc("x")))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    topk = ranked.join(F.broadcast(cut), "pair").where(F.col("rk") <= F.col("k") + 1)
+    hill = topk.groupBy("pair").agg(
+        F.min("k").cast("bigint").alias("k_used"),
+        F.min(F.when(F.col("rk") == F.col("k") + 1, F.col("x"))).alias("x_cut"),
+        F.sum(F.when(F.col("rk") <= F.col("k"), F.log("x"))).alias("sum_ln_top"),
+    )
+    return hill.selectExpr(
+        "pair",
+        "k_used",
+        "ROUND(x_cut, 6) AS x_threshold_r",
+        "ROUND(sum_ln_top / k_used - LN(x_cut), 6) AS hill_h_r",
+        "ROUND(1.0 / (sum_ln_top / k_used - LN(x_cut)), 4) AS alpha_hat_r",
+        "1.0 / (sum_ln_top / k_used - LN(x_cut)) < 3.0 AS heavy_tailed",
+    ).orderBy("pair")

@@ -1572,3 +1572,15 @@ def test_interrupted_time_series_recovers_step(spark):
     assert r01["planted"].f_r > 100
     assert abs(r01["planted"].step_hat_r - r01["planted"].planted_step) \
         < 0.1 * r01["planted"].planted_step
+
+
+def test_hill_estimator_recovers_pareto_alpha(spark):
+    rows = {r.pair: r for r in _rows(spark, "dp_tail_index")}
+    assert set(rows) == {"pareto", "exponential"}
+    # inverse-CDF Pareto(2) recovers alpha_hat ~1.92 on top-10% order
+    # stats; the exponential sample's pseudo-alpha drifts to ~4.0
+    assert rows["pareto"].heavy_tailed
+    assert not rows["exponential"].heavy_tailed
+    assert abs(rows["pareto"].alpha_hat_r - 2.0) < 0.3
+    assert rows["exponential"].alpha_hat_r > 3.5
+    assert rows["pareto"].k_used == rows["exponential"].k_used == 50
