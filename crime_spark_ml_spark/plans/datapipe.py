@@ -3048,7 +3048,7 @@ def dp_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dp_key_balance",
     oracle="""
     WITH b AS (
-      SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+      SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS STRING)), 1, 8))
                   AS BIGINT) % 32 AS bucket
       FROM orders
     ), h AS (
@@ -7738,7 +7738,7 @@ def dp_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y,
              (CAST(o_totalprice AS DOUBLE) - 250000.0) / 150000.0
              + ((CAST(CAST(('0x' || substr(md5('cal-v1|'
-                    || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                    || CAST(o_orderkey AS STRING)), 1, 8)) AS BIGINT) % 10000
                  AS DOUBLE) / 10000.0) - 0.5) * 2.0 AS t
       FROM orders),
     prob AS (
@@ -8011,11 +8011,11 @@ def dp_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rows_assigned AS (
       SELECT o_custkey AS grp,
              CASE WHEN CAST(('0x' || substr(md5('rowsplit-v1|'
-                        || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                        || CAST(o_orderkey AS STRING)), 1, 8)) AS BIGINT)
                        % 100 < 80
                   THEN 'train' ELSE 'test' END AS row_split,
              CASE WHEN CAST(('0x' || substr(md5('grpsplit-v1|'
-                        || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                        || CAST(o_custkey AS STRING)), 1, 8)) AS BIGINT)
                        % 100 < 80
                   THEN 'train' ELSE 'test' END AS grp_split
       FROM orders),
@@ -8594,7 +8594,7 @@ def dp_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH logs AS (
       SELECT o_orderkey AS okey,
-             CAST(('0x' || substr(md5('act-v1|' || CAST(o_orderkey AS VARCHAR)),
+             CAST(('0x' || substr(md5('act-v1|' || CAST(o_orderkey AS STRING)),
                    1, 8)) AS BIGINT) % 3 AS a_log,
              LEAST(CAST(floor(CAST(o_totalprice AS DOUBLE) / 150000.0)
                         AS BIGINT), 2) AS best_a
@@ -13025,3 +13025,79 @@ def dp_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(1.0 / (sum_ln_top / k_used - LN(x_cut)), 4) AS alpha_hat_r",
         "1.0 / (sum_ln_top / k_used - LN(x_cut)) < 3.0 AS heavy_tailed",
     ).orderBy("pair")
+
+
+# the FD probe grid: (name, lhs expr, rhs expr) — identical SQL text
+# in both engines. Key FDs must hold, the derived-column FD must hold
+# by construction, and the behavioral candidates must fail with
+# visible violation counts.
+_FD_GRID = (
+    ("o_orderkey->o_custkey", "CAST(o_orderkey AS STRING)", "CAST(o_custkey AS STRING)"),
+    ("o_orderkey->o_orderstatus", "CAST(o_orderkey AS STRING)", "o_orderstatus"),
+    ("o_orderpriority->prio_digit", "o_orderpriority", "substr(o_orderpriority, 1, 1)"),
+    ("o_custkey->o_orderpriority", "CAST(o_custkey AS STRING)", "o_orderpriority"),
+    ("o_custkey->o_orderstatus", "CAST(o_custkey AS STRING)", "o_orderstatus"),
+    ("o_orderdate->o_orderstatus", "CAST(o_orderdate AS STRING)", "o_orderstatus"),
+)
+
+
+@register(
+    "dp_fd_discovery",
+    oracle=f"""
+    WITH stacked AS (
+      {' UNION ALL '.join(
+          f"SELECT '{name}' AS fd, {lhs} AS lhs, {rhs} AS rhs FROM orders"
+          for name, lhs, rhs in _FD_GRID)}
+    )
+    SELECT fd,
+           CAST(COUNT(DISTINCT lhs) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT (lhs, rhs)) AS BIGINT) AS n_lhs_rhs,
+           CAST(COUNT(DISTINCT (lhs, rhs)) - COUNT(DISTINCT lhs) AS BIGINT)
+               AS violating_groups,
+           COUNT(DISTINCT lhs) = COUNT(DISTINCT (lhs, rhs)) AS holds
+    FROM stacked GROUP BY fd ORDER BY fd
+    """,
+    tags=("datapipe", "profiling", "functional-dependency", "data-quality"),
+)
+def dp_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DISCOVERY over a candidate grid — the
+    profiling question dp_constraint_repair assumes already answered
+    (it repairs a KNOWN FD; this finds which hold): X -> Y holds iff
+    |distinct X| = |distinct (X,Y)|, and the violating-group count
+    sizes how broken a failed candidate is. The grid mixes key FDs
+    (must hold), a derived-column FD (holds by construction), and
+    behavioral candidates (customers place orders under many
+    priorities/statuses, dates carry many statuses — all must fail
+    with visible violation counts).
+
+    Scale: one stacked scan (candidate grid is bounded, 6 rows per
+    input row) into a distinct-aggregate per candidate — the same
+    expand-then-partial-aggregate shape as distinct_aggs; counts are
+    exact integers, no float anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    stacked = None
+    for name, lhs, rhs in _FD_GRID:
+        part = orders.selectExpr(
+            f"'{name}' AS fd", f"{lhs} AS lhs", f"{rhs} AS rhs"
+        )
+        stacked = part if stacked is None else stacked.unionAll(part)
+    return (
+        stacked.groupBy("fd")
+        .agg(
+            F.count_distinct(F.col("lhs")).cast("bigint").alias("n_lhs"),
+            F.count_distinct(F.col("lhs"), F.col("rhs"))
+            .cast("bigint")
+            .alias("n_lhs_rhs"),
+            (
+                F.count_distinct(F.col("lhs"), F.col("rhs"))
+                - F.count_distinct(F.col("lhs"))
+            )
+            .cast("bigint")
+            .alias("violating_groups"),
+            (
+                F.count_distinct(F.col("lhs"))
+                == F.count_distinct(F.col("lhs"), F.col("rhs"))
+            ).alias("holds"),
+        )
+        .orderBy("fd")
+    )

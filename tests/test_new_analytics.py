@@ -1584,3 +1584,16 @@ def test_hill_estimator_recovers_pareto_alpha(spark):
     assert abs(rows["pareto"].alpha_hat_r - 2.0) < 0.3
     assert rows["exponential"].alpha_hat_r > 3.5
     assert rows["pareto"].k_used == rows["exponential"].k_used == 50
+
+
+def test_fd_discovery_separates_keys_from_behavior(spark):
+    rows = {r.fd: r for r in _rows(spark, "dp_fd_discovery")}
+    assert len(rows) == 6
+    # key FDs and the derived-column FD hold with zero violations
+    for name in ("o_orderkey->o_custkey", "o_orderkey->o_orderstatus",
+                 "o_orderpriority->prio_digit"):
+        assert rows[name].holds and rows[name].violating_groups == 0
+    # behavioral candidates fail with visible violation mass
+    for name in ("o_custkey->o_orderpriority", "o_custkey->o_orderstatus",
+                 "o_orderdate->o_orderstatus"):
+        assert not rows[name].holds and rows[name].violating_groups > 0
