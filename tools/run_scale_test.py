@@ -754,9 +754,73 @@ def cmd_kcore(spark, args) -> None:
     _record("kcore", {"per_size": per})
 
 
+def cmd_gmedian(spark, args) -> None:
+    """Weiszfeld geometric median under volume: 5 fixed iterations =
+    6 corpus passes with driver-side 64-double state (the
+    dp_geometric_median shape) at n = 100k/200k/400k vectors with the
+    same 10% +50/dim poisoning plant. The claims measured: wall time
+    ~linear in corpus size (pass-bound, state constant) and the
+    robustness invariant (median stays near the clean centroid while
+    the mean is dragged) holding at every size."""
+    emb = spark.read.parquet(f"{args.dir}/embeddings.parquet")
+    sizes = [int(x) for x in (args.sizes or "100000,200000,400000").split(",")]
+    per = []
+    for n in sizes:
+        sub = emb.where(F.col("vec_id") < n)
+        poisoned = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("gm|"), F.col("vec_id"))), 1, 8),
+                16, 10,
+            ).cast("long") % 10 == 0
+        )
+        pts = sub.select(
+            "vec_id",
+            poisoned.alias("poisoned"),
+            F.transform(
+                "embedding",
+                lambda v: F.when(poisoned, v.cast("double") + 50.0).otherwise(
+                    v.cast("double")
+                ),
+            ).alias("x"),
+        ).localCheckpoint(eager=False)
+        t0 = time.perf_counter()
+        long = pts.select("poisoned", F.posexplode("x").alias("p", "xd"))
+        m = [r.md for r in long.groupBy("p").agg(F.avg("xd").alias("md"))
+             .orderBy("p").collect()]
+        clean = [r.cd for r in long.where(~F.col("poisoned")).groupBy("p")
+                 .agg(F.avg("xd").alias("cd")).orderBy("p").collect()]
+        m0 = list(m)
+        for _ in range(5):
+            m_lit = F.array([F.lit(float(v)) for v in m])
+            dist = (
+                F.sqrt(F.aggregate(
+                    F.zip_with("x", m_lit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0).cast("double"), lambda acc, v: acc + v,
+                )) + 1e-9
+            )
+            per_dim = (
+                pts.withColumn("dist", dist)
+                .select(F.posexplode("x").alias("p", "xd"), "dist")
+                .groupBy("p")
+                .agg((F.sum(F.col("xd") / F.col("dist"))
+                      / F.sum(F.lit(1.0) / F.col("dist"))).alias("md"))
+                .orderBy("p")
+            )
+            m = [r.md for r in per_dim.collect()]
+        wall = time.perf_counter() - t0
+        d_mean = sum((a - c) ** 2 for a, c in zip(m0, clean)) ** 0.5
+        d_gmed = sum((a - c) ** 2 for a, c in zip(m, clean)) ** 0.5
+        assert d_mean > 5 * d_gmed, f"robustness broke at n={n}"
+        per.append({"n_vectors": n, "wall_sec": round(wall, 2),
+                    "d_mean": round(d_mean, 3), "d_gmed": round(d_gmed, 3)})
+        print(f"[scale][gmedian] n={n} sec={wall:.2f} "
+              f"d_mean={d_mean:.2f} d_gmed={d_gmed:.3f}")
+    _record("gmedian", {"per_size": per})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "gmedian", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -768,7 +832,7 @@ def main() -> None:
     ap.add_argument("--assign-k", type=int, default=256, dest="assign_k")
     args = ap.parse_args()
     spark = get_spark("scale-test", cpus=32, shuffle_partitions=32)
-    if args.phase in ("gen", "all", "newops") and (
+    if args.phase in ("gen", "all", "newops", "gmedian") and (
         args.phase == "gen" or not os.path.exists(f"{args.dir}/embeddings.parquet")
     ):
         cmd_gen(spark, args)
@@ -801,6 +865,8 @@ def main() -> None:
         cmd_newops(spark, args)
     if args.phase in ("kcore",):
         cmd_kcore(spark, args)
+    if args.phase in ("gmedian",):
+        cmd_gmedian(spark, args)
 
 
 if __name__ == "__main__":
