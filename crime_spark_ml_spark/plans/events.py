@@ -9072,3 +9072,122 @@ def ev_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_GC_F}, 6) AS f_r",
         f"{_GC_F} > 4.21 AS step_detected",
     ).orderBy("pair")
+
+
+# Welch statistics from per-arm integer moments (n, s, q): sample
+# variances, t, and the Welch-Satterthwaite df as fixed-order float
+# expressions over the pivoted columns.
+_WT_V1 = "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1))"
+_WT_V0 = "((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1))"
+_WT_SE2 = f"({_WT_V1} / n1 + {_WT_V0} / n0)"
+_WT_T = (
+    f"((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / SQRT({_WT_SE2}))"
+)
+_WT_DF = (
+    f"(({_WT_SE2}) * ({_WT_SE2})"
+    f" / (({_WT_V1} / n1) * ({_WT_V1} / n1) / (n1 - 1)"
+    f"    + ({_WT_V0} / n0) * ({_WT_V0} / n0) / (n0 - 1)))"
+)
+
+
+@register(
+    "ev_welch_ttest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                  AS BIGINT) AS base,
+             CAST(('0x' || substr(md5('wt|' || user_id), 1, 8)) AS BIGINT)
+                 % 2 AS t
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT 'planted' AS pair, t, base + 25000 * t AS y FROM per_user
+      UNION ALL
+      SELECT 'null', t, base FROM per_user
+    ),
+    cells AS (
+      SELECT pair,
+             CAST(SUM(t) AS BIGINT) AS n1,
+             CAST(SUM(1 - t) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN t = 1 THEN y * y ELSE 0 END) AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN t = 0 THEN y * y ELSE 0 END) AS BIGINT) AS q0
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair,
+           CAST(n1 + n0 AS BIGINT) AS n_total,
+           ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 100.0,
+                 6) AS mean_diff_dollars_r,
+           ROUND({_WT_T}, 6) AS t_r,
+           ROUND({_WT_DF}, 4) AS welch_df_r,
+           ABS({_WT_T}) > 2.2 AS rejected
+    FROM cells ORDER BY pair
+    """,
+    tags=("events", "abtest", "welch-t", "parametric-test"),
+)
+def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user mean spend — the
+    parametric workhorse between the proportions z (ev_abtest_lift),
+    the rank test (ev_mann_whitney), and the resampling test
+    (ev_permutation_test): continuous metric, no equal-variance
+    assumption, Welch-Satterthwaite df reported. Per-arm moments
+    (n, sum, sum of squares in integer cents) are exact bigints;
+    variances, t, and df are one fixed-order float expression over
+    the pivoted arm columns. The critical value 2.2 is conservative
+    for df >= 11 (every scale here); a planted +$250 treated shift
+    rejects at gate scale while the null split stays inside the band
+    (vacuity pins; smoke is underpowered and pins ordering only).
+
+    Scale: one user-keyed aggregate then one 2-arm conditional pivot
+    — partial aggregation all the way down, no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wt|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("base"),
+    ).withColumn("t", t)
+    pairs = per_user.select(
+        F.lit("planted").alias("pair"), "t", (F.col("base") + 25000 * F.col("t")).alias("y")
+    ).unionAll(
+        per_user.select(F.lit("null").alias("pair"), "t", F.col("base").alias("y"))
+    )
+    cells = pairs.groupBy("pair").agg(
+        F.sum("t").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).cast("bigint").alias("s0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y") * F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y") * F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("q0"),
+    )
+    return cells.selectExpr(
+        "pair",
+        "CAST(n1 + n0 AS BIGINT) AS n_total",
+        "ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 100.0, 6)"
+        " AS mean_diff_dollars_r",
+        f"ROUND({_WT_T}, 6) AS t_r",
+        f"ROUND({_WT_DF}, 4) AS welch_df_r",
+        f"ABS({_WT_T}) > 2.2 AS rejected",
+    ).orderBy("pair")

@@ -1597,3 +1597,21 @@ def test_fd_discovery_separates_keys_from_behavior(spark):
     for name in ("o_custkey->o_orderpriority", "o_custkey->o_orderstatus",
                  "o_orderdate->o_orderstatus"):
         assert not rows[name].holds and rows[name].violating_groups > 0
+
+
+def test_welch_ttest_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_welch_ttest")}
+    assert set(rows) == {"null", "planted"}
+    # planted +$250 rejects even at smoke (t 2.85, df 12.6); null 1.19
+    assert rows["planted"].rejected and not rows["null"].rejected
+    assert rows["planted"].t_r > rows["null"].t_r
+    # same split => identical Welch df for both pairs
+    assert rows["planted"].welch_df_r == rows["null"].welch_df_r > 11
+    # the mean difference is the plant plus the null baseline exactly
+    assert abs(
+        rows["planted"].mean_diff_dollars_r
+        - rows["null"].mean_diff_dollars_r - 250.0
+    ) < 1e-6
+    r01 = {r.pair: r for r in
+           _Q["ev_welch_ttest"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].t_r > 5 and abs(r01["null"].t_r) < 2.2
