@@ -13101,3 +13101,209 @@ def dp_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+# Krippendorff's alpha (nominal, 3 categories, 3 raters with missing
+# ratings): with w_u = 2/(m_u - 1) integer for m_u in {2, 3}, the
+# doubled coincidence mass is exact — alpha = 1 - (n-1)*off2 /
+# (2*(n^2 - t0^2 - t1^2 - t2^2)), one float division at the end.
+_KRIPP_ALPHA = (
+    "(1.0 - CAST((n - 1) * off2 AS DOUBLE)"
+    " / (2.0 * (CAST(n AS DOUBLE) * n - CAST(t0 AS DOUBLE) * t0"
+    "           - CAST(t1 AS DOUBLE) * t1 - CAST(t2 AS DOUBLE) * t2)))"
+)
+
+
+def _kripp_rating_sql(panel: str, r: int) -> str:
+    """Rater r's nominal label (0..2) or NULL when the rater skipped
+    the unit — presence and value both salted-md5 deterministic."""
+    present = (
+        f"CAST(('0x' || substr(md5('kp{r}|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % 100 < 60"
+    )
+    if panel == "signal":
+        noise = 5 * r
+        value = (
+            f"CASE WHEN CAST(('0x' || substr(md5('kn{r}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {noise}"
+            f" THEN (CAST(('0x' || substr(md5('kt|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3"
+            f"       + 1 + CAST(('0x' || substr(md5('ko{r}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2) % 3"
+            f" ELSE CAST(('0x' || substr(md5('kt|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 END"
+        )
+    else:
+        value = (
+            f"CAST(('0x' || substr(md5('kr{r}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3"
+        )
+    return f"CASE WHEN {present} THEN {value} END"
+
+
+@register(
+    "dp_krippendorff_alpha",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT 'signal' AS panel, doc_id,
+             {', '.join(_kripp_rating_sql('signal', r) + f' AS l{r}' for r in range(1, 4))}
+      FROM documents
+      UNION ALL
+      SELECT 'random', doc_id,
+             {', '.join(_kripp_rating_sql('random', r) + f' AS l{r}' for r in range(1, 4))}
+      FROM documents
+    ),
+    units AS (
+      SELECT panel, doc_id,
+             {', '.join(
+                 'CAST(' + ' + '.join(f'(CASE WHEN l{r} = {j} THEN 1 ELSE 0 END)' for r in range(1, 4))
+                 + f' AS BIGINT) AS u{j}' for j in range(3))}
+      FROM ratings
+    ),
+    pairable AS (
+      SELECT panel, u0, u1, u2, u0 + u1 + u2 AS m,
+             u0 * (u0 - 1) + u1 * (u1 - 1) + u2 * (u2 - 1) AS same_pairs
+      FROM units WHERE u0 + u1 + u2 >= 2
+    ),
+    agg AS (
+      SELECT panel,
+             CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM((2 / (m - 1)) * (m * (m - 1) - same_pairs)) AS BIGINT)
+                 AS off2,
+             CAST(SUM(u0) AS BIGINT) AS t0,
+             CAST(SUM(u1) AS BIGINT) AS t1,
+             CAST(SUM(u2) AS BIGINT) AS t2
+      FROM pairable GROUP BY panel
+    )
+    SELECT panel, n_units, n AS n_pairable_values,
+           ROUND({_KRIPP_ALPHA}, 6) AS alpha_r,
+           {_KRIPP_ALPHA} > 0.667 AS reliable
+    FROM agg ORDER BY panel
+    """,
+    tags=("datapipe", "eval", "agreement", "krippendorff", "llm"),
+)
+def dp_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) — the agreement coefficient for
+    INCOMPLETE rating matrices, which Cohen (dp_rater_kappa, needs
+    exactly 2 raters everywhere) and Fleiss (dp_fleiss_kappa, needs a
+    constant rater count) cannot handle: each of 3 raters covers only
+    a hash-selected ~60%% of documents, so units carry 0-3 ratings
+    and only m>=2 units are pairable. With w_u = 2/(m_u-1) integer
+    for m_u in {{2,3}}, the doubled coincidence mass off2, the
+    per-category totals t_c, and n are all exact bigints; alpha
+    reduces to 1 - (n-1)*off2 / (2*(n^2 - sum t_c^2)) — ONE float
+    division. The signal panel (5/10/15%% noise over a shared true
+    label) clears Krippendorff's canonical 0.667 reliability bar;
+    the pure-noise panel sits at ~0 on identical missingness
+    machinery (vacuity pins).
+
+    Scale: row-local rating synthesis, one unit-level projection,
+    one panel-keyed aggregate — no join, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rating(panel: str, r: int) -> F.Column:
+        present = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"kp{r}|"), F.col("doc_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 60
+        )
+        true_l = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("kt|"), F.col("doc_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        )
+        if panel == "signal":
+            flip = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"kn{r}|"), F.col("doc_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+                < 5 * r
+            )
+            off = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"ko{r}|"), F.col("doc_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            val = F.when(flip, (true_l + 1 + off) % 3).otherwise(true_l)
+        else:
+            val = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"kr{r}|"), F.col("doc_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 3
+            )
+        return F.when(present, val)
+
+    ratings = docs.select(
+        F.lit("signal").alias("panel"),
+        "doc_id",
+        *[rating("signal", r).alias(f"l{r}") for r in range(1, 4)],
+    ).unionAll(
+        docs.select(
+            F.lit("random").alias("panel"),
+            "doc_id",
+            *[rating("random", r).alias(f"l{r}") for r in range(1, 4)],
+        )
+    )
+    units = ratings.select(
+        "panel",
+        *[
+            # NULL (skipped rater) must contribute 0, not poison the
+            # sum: when/otherwise mirrors the oracle's CASE exactly
+            sum(
+                F.when(F.col(f"l{r}") == j, 1).otherwise(0) for r in range(1, 4)
+            )
+            .cast("bigint")
+            .alias(f"u{j}")
+            for j in range(3)
+        ],
+    )
+    pairable = units.select(
+        "panel",
+        "u0",
+        "u1",
+        "u2",
+        (F.col("u0") + F.col("u1") + F.col("u2")).alias("m"),
+        (
+            F.col("u0") * (F.col("u0") - 1)
+            + F.col("u1") * (F.col("u1") - 1)
+            + F.col("u2") * (F.col("u2") - 1)
+        ).alias("same_pairs"),
+    ).where(F.col("m") >= 2)
+    agg = pairable.groupBy("panel").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(
+            (2 / (F.col("m") - 1)).cast("bigint")
+            * (F.col("m") * (F.col("m") - 1) - F.col("same_pairs"))
+        )
+        .cast("bigint")
+        .alias("off2"),
+        F.sum("u0").cast("bigint").alias("t0"),
+        F.sum("u1").cast("bigint").alias("t1"),
+        F.sum("u2").cast("bigint").alias("t2"),
+    )
+    return agg.selectExpr(
+        "panel",
+        "n_units",
+        "n AS n_pairable_values",
+        f"ROUND({_KRIPP_ALPHA}, 6) AS alpha_r",
+        f"{_KRIPP_ALPHA} > 0.667 AS reliable",
+    ).orderBy("panel")

@@ -1615,3 +1615,16 @@ def test_welch_ttest_discriminates(spark):
     r01 = {r.pair: r for r in
            _Q["ev_welch_ttest"](spark, "/root/testdata/sf0.01").collect()}
     assert r01["planted"].t_r > 5 and abs(r01["null"].t_r) < 2.2
+
+
+def test_krippendorff_alpha_handles_missingness(spark):
+    rows = {r.panel: r for r in _rows(spark, "dp_krippendorff_alpha")}
+    assert set(rows) == {"signal", "random"}
+    # ~60% per-rater coverage: only m>=2 units are pairable (326/500)
+    assert 0 < rows["signal"].n_units < 500
+    assert rows["signal"].n_units == rows["random"].n_units
+    # noisy-but-real panel clears the canonical 0.667 bar; pure noise
+    # sits at chance on identical missingness machinery
+    assert rows["signal"].reliable and not rows["random"].reliable
+    assert rows["signal"].alpha_r > 0.667
+    assert abs(rows["random"].alpha_r) < 0.1
