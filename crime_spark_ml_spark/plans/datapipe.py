@@ -13307,3 +13307,134 @@ def dp_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_KRIPP_ALPHA}, 6) AS alpha_r",
         f"{_KRIPP_ALPHA} > 0.667 AS reliable",
     ).orderBy("panel")
+
+
+# Newman modularity via the integer identity
+#   Q = (4*m*intra - sum_c d_c^2) / (4*m^2)
+# (sum_c e_c = intra edge count, d_c = degree mass per community) —
+# every term an exact bigint, one float division at the end.
+_MODULARITY_Q = (
+    "(CAST(4 * m * intra - dsq AS DOUBLE) / (CAST(4 AS DOUBLE) * m * m))"
+)
+
+
+@register(
+    "dp_graph_modularity",
+    oracle=f"""
+    WITH p AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+    ring AS (
+      SELECT CAST(i AS BIGINT) AS u, CAST(i + 8 AS BIGINT) AS w
+      FROM p, UNNEST(generate_series(0, nn - 9)) AS s(i)
+    ),
+    cross_e AS (
+      SELECT CAST(i AS BIGINT) AS u, CAST(i + 1 AS BIGINT) AS w
+      FROM p, UNNEST(generate_series(0, nn - 2)) AS s(i)
+      WHERE i % 37 = 0
+    ),
+    edges AS (SELECT u, w FROM ring UNION ALL SELECT u, w FROM cross_e),
+    paired AS (
+      SELECT 'planted' AS pair, u, w, u % 8 AS lu, w % 8 AS lw FROM edges
+      UNION ALL
+      SELECT 'null', u, w,
+             CAST(('0x' || substr(md5('gmod|' || u), 1, 8)) AS BIGINT) % 8,
+             CAST(('0x' || substr(md5('gmod|' || w), 1, 8)) AS BIGINT) % 8
+      FROM edges
+    ),
+    tot AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN lu = lw THEN 1 ELSE 0 END) AS BIGINT) AS intra
+      FROM paired GROUP BY pair
+    ),
+    degs AS (
+      SELECT pair, lab, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (
+        SELECT pair, lu AS lab FROM paired
+        UNION ALL SELECT pair, lw FROM paired
+      ) GROUP BY pair, lab
+    ),
+    dsqs AS (
+      SELECT pair, CAST(SUM(d * d) AS BIGINT) AS dsq FROM degs GROUP BY pair
+    )
+    SELECT tot.pair, m AS m_edges, intra AS intra_edges,
+           ROUND({_MODULARITY_Q}, 6) AS q_r,
+           {_MODULARITY_Q} > 0.3 AS modular
+    FROM tot JOIN dsqs ON tot.pair = dsqs.pair
+    ORDER BY tot.pair
+    """,
+    tags=("datapipe", "graph", "modularity", "community"),
+)
+def dp_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a labeling — the community-quality score
+    the graph family (k-core finds dense subgraphs, CC finds
+    components) needed to EVALUATE a partition: Q = sum_c (e_c/m -
+    (d_c/2m)^2), computed through the exact integer identity
+    Q = (4*m*intra - sum_c d_c^2) / (4*m^2) so both engines perform
+    one float division on identical bigints. The graph is a ring
+    within each of 8 residue communities (i ~ i+8) plus sparse
+    cross-community bridges (i ~ i+1 for i % 37 = 0); the TRUE
+    labeling scores Q ~ 0.85 while a hash labeling of the same graph
+    scores ~0 (vacuity pins).
+
+    Scale: edges synthesize from spark.range (no fixture reads
+    except the size anchor), labels are pure functions of node id
+    (no label join), and the whole computation is two pair-keyed
+    aggregates plus a degree explode — community count stays fixed,
+    state is 8 rows."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    ring = spark.range(0, n - 8).select(
+        F.col("id").alias("u"), (F.col("id") + 8).alias("w")
+    )
+    cross_e = (
+        spark.range(0, n - 1)
+        .where(F.col("id") % 37 == 0)
+        .select(F.col("id").alias("u"), (F.col("id") + 1).alias("w"))
+    )
+    edges = ring.unionAll(cross_e)
+
+    def hlab(col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("gmod|"), F.col(col))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        )
+
+    paired = edges.select(
+        F.lit("planted").alias("pair"),
+        "u",
+        "w",
+        (F.col("u") % 8).alias("lu"),
+        (F.col("w") % 8).alias("lw"),
+    ).unionAll(
+        edges.select(
+            F.lit("null").alias("pair"), "u", "w", hlab("u").alias("lu"), hlab("w").alias("lw")
+        )
+    )
+    tot = paired.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.when(F.col("lu") == F.col("lw"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("intra"),
+    )
+    degs = (
+        paired.select("pair", F.col("lu").alias("lab"))
+        .unionAll(paired.select("pair", F.col("lw").alias("lab")))
+        .groupBy("pair", "lab")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    dsqs = degs.groupBy("pair").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("dsq")
+    )
+    return (
+        tot.join(dsqs, "pair")
+        .selectExpr(
+            "pair",
+            "m AS m_edges",
+            "intra AS intra_edges",
+            f"ROUND({_MODULARITY_Q}, 6) AS q_r",
+            f"{_MODULARITY_Q} > 0.3 AS modular",
+        )
+        .orderBy("pair")
+    )

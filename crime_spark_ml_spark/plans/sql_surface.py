@@ -862,3 +862,46 @@ def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ddl in _SQL_UDF_DEFS:
         spark.sql(ddl)
     return _sql(spark, sf_dir, _SQL_UDF_QUERY, ("lineitem",))
+
+
+# named-parameter form runs in Spark via spark.sql(..., args=...);
+# the oracle is the same query with the three literals inlined.
+_PARAM_SPARK = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > :price_floor THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big
+FROM orders
+WHERE o_orderdate >= :date_lo AND o_orderstatus = :status
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+_PARAM_ARGS = {
+    "price_floor": 200000.0,
+    "date_lo": "1996-01-01",
+    "status": "O",
+}
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_ORACLE, tags=("sql", "parameterized"))
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(query, args=...), Spark 3.4+) —
+    the injection-safe API surface a query service exposes: parameter
+    markers (:price_floor, :date_lo, :status) bind as foldable
+    literals, so Catalyst constant-folds them and the pushed-filter
+    shape is IDENTICAL to the literal query (the oracle runs the
+    inlined form — a hash match attests the binding path changes
+    nothing). Dates bind as strings and coerce through the normal
+    TIMESTAMP comparison rules, same as the literal."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_PARAM_SPARK, args=_PARAM_ARGS)

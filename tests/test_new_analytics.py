@@ -1628,3 +1628,23 @@ def test_krippendorff_alpha_handles_missingness(spark):
     assert rows["signal"].reliable and not rows["random"].reliable
     assert rows["signal"].alpha_r > 0.667
     assert abs(rows["random"].alpha_r) < 0.1
+
+
+def test_modularity_scores_true_partition(spark):
+    rows = {r.pair: r for r in _rows(spark, "dp_graph_modularity")}
+    assert set(rows) == {"null", "planted"}
+    # true residue communities: Q ~0.85; hash labels of the SAME
+    # graph: ~0.009 — and the graph (m_edges) is identical
+    assert rows["planted"].modular and not rows["null"].modular
+    assert rows["planted"].q_r > 0.8
+    assert abs(rows["null"].q_r) < 0.1
+    assert rows["planted"].m_edges == rows["null"].m_edges
+    assert rows["planted"].intra_edges > rows["null"].intra_edges
+
+
+def test_sql_parameterized_binds_and_filters(spark):
+    rows = _rows(spark, "sql_parameterized")
+    assert len(rows) == 5  # all five order priorities survive
+    assert all(r.n_orders > 0 for r in rows)
+    # the bound :price_floor actually splits the counts
+    assert any(0 < r.n_big < r.n_orders for r in rows)
