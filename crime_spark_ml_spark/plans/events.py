@@ -9191,3 +9191,134 @@ def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_WT_DF}, 4) AS welch_df_r",
         f"ABS({_WT_T}) > 2.2 AS rejected",
     ).orderBy("pair")
+
+
+# Delta-method variance of a ratio-of-sums metric per arm, from the
+# six integer moments (n, Sx, Sy, Sxx, Syy, Sxy), as fixed-order
+# float expressions over pivoted arm columns. R = Sx/Sy; var(R) ~
+# (var_x - 2R cov + R^2 var_y) / (n * ybar^2).
+def _rm(arm: str) -> dict[str, str]:
+    r = f"(CAST(sx{arm} AS DOUBLE) / sy{arm})"
+    vx = f"((CAST(sxx{arm} AS DOUBLE) - CAST(sx{arm} AS DOUBLE) * sx{arm} / n{arm}) / (n{arm} - 1))"
+    vy = f"((CAST(syy{arm} AS DOUBLE) - CAST(sy{arm} AS DOUBLE) * sy{arm} / n{arm}) / (n{arm} - 1))"
+    cxy = f"((CAST(sxy{arm} AS DOUBLE) - CAST(sx{arm} AS DOUBLE) * sy{arm} / n{arm}) / (n{arm} - 1))"
+    ybar = f"(CAST(sy{arm} AS DOUBLE) / n{arm})"
+    var_r = f"(({vx} - 2.0 * {r} * {cxy} + {r} * {r} * {vy}) / (n{arm} * {ybar} * {ybar}))"
+    return {"r": r, "var": var_r}
+
+
+_RM1, _RM0 = _rm("1"), _rm("0")
+_RM_Z = (
+    f"(({_RM1['r']} - {_RM0['r']})"
+    f" / SQRT({_RM1['var']} + {_RM0['var']}))"
+)
+
+
+@register(
+    "ev_ratio_metric_delta",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(('0x' || substr(md5('rm|' || user_id), 1, 8)) AS BIGINT)
+                 % 2 AS t
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT 'planted' AS pair, t, v,
+             c + t * ((c + 1) // 2) AS c
+      FROM per_user
+      UNION ALL
+      SELECT 'null', t, v, c FROM per_user
+    ),
+    cells AS (
+      SELECT pair,
+             {', '.join(
+                f"CAST(SUM(CASE WHEN t = {a} THEN 1 ELSE 0 END) AS BIGINT) AS n{a}, "
+                f"CAST(SUM(CASE WHEN t = {a} THEN c ELSE 0 END) AS BIGINT) AS sx{a}, "
+                f"CAST(SUM(CASE WHEN t = {a} THEN v ELSE 0 END) AS BIGINT) AS sy{a}, "
+                f"CAST(SUM(CASE WHEN t = {a} THEN c * c ELSE 0 END) AS BIGINT) AS sxx{a}, "
+                f"CAST(SUM(CASE WHEN t = {a} THEN v * v ELSE 0 END) AS BIGINT) AS syy{a}, "
+                f"CAST(SUM(CASE WHEN t = {a} THEN c * v ELSE 0 END) AS BIGINT) AS sxy{a}"
+                for a in (0, 1))}
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair,
+           ROUND({_RM1['r']}, 6) AS ratio_treat_r,
+           ROUND({_RM0['r']}, 6) AS ratio_ctrl_r,
+           ROUND({_RM_Z}, 6) AS z_r,
+           ABS({_RM_Z}) > 1.96 AS rejected
+    FROM cells ORDER BY pair
+    """,
+    tags=("events", "abtest", "ratio-metric", "delta-method"),
+)
+def ev_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric A/B test via the delta method — the classic
+    experimentation pitfall the mean-metric tests (Welch, MW,
+    permutation) don't cover: when users are the randomization unit
+    but the metric is clicks/views, the right statistic is the
+    RATIO OF SUMS with its delta-method variance (naive per-user
+    ratio means are biased toward low-activity users, and treating
+    the ratio as a user-level mean understates variance through the
+    within-user correlation). Per-arm moments (n, clicks, views,
+    their squares, and the cross product) are exact bigints pivoted
+    into fixed columns; R, var(R), and z are one deterministic float
+    expression. The planted pair gives treated users +50%% clicks
+    (integer ceil construction); z rejects at gate scale while the
+    null split stays inside +/-1.96 (vacuity pins).
+
+    Scale: one user-keyed aggregate, one 2-arm conditional pivot —
+    no join, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rm|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    ).withColumn("t", t)
+    pairs = per_user.select(
+        F.lit("planted").alias("pair"),
+        "t",
+        "v",
+        (F.col("c") + F.col("t") * F.floor((F.col("c") + 1) / 2).cast("bigint")).alias("c"),
+    ).unionAll(
+        per_user.select(F.lit("null").alias("pair"), "t", "v", "c")
+    )
+    aggs = []
+    for a in (0, 1):
+        cond = F.col("t") == a
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n{a}"),
+            F.sum(F.when(cond, F.col("c")).otherwise(0)).cast("bigint").alias(f"sx{a}"),
+            F.sum(F.when(cond, F.col("v")).otherwise(0)).cast("bigint").alias(f"sy{a}"),
+            F.sum(F.when(cond, F.col("c") * F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxx{a}"),
+            F.sum(F.when(cond, F.col("v") * F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias(f"syy{a}"),
+            F.sum(F.when(cond, F.col("c") * F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias(f"sxy{a}"),
+        ]
+    cells = pairs.groupBy("pair").agg(*aggs)
+    return cells.selectExpr(
+        "pair",
+        f"ROUND({_RM1['r']}, 6) AS ratio_treat_r",
+        f"ROUND({_RM0['r']}, 6) AS ratio_ctrl_r",
+        f"ROUND({_RM_Z}, 6) AS z_r",
+        f"ABS({_RM_Z}) > 1.96 AS rejected",
+    ).orderBy("pair")

@@ -1648,3 +1648,17 @@ def test_sql_parameterized_binds_and_filters(spark):
     assert all(r.n_orders > 0 for r in rows)
     # the bound :price_floor actually splits the counts
     assert any(0 < r.n_big < r.n_orders for r in rows)
+
+
+def test_ratio_metric_delta_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_ratio_metric_delta")}
+    assert set(rows) == {"null", "planted"}
+    # planted +50% treated clicks: z 2.22 at smoke, 5.1/20.4 at
+    # gate/volume; null split quiet everywhere
+    assert rows["planted"].rejected and not rows["null"].rejected
+    # control ratio identical across pairs (same users, same views)
+    assert rows["planted"].ratio_ctrl_r == rows["null"].ratio_ctrl_r
+    assert rows["planted"].ratio_treat_r > rows["planted"].ratio_ctrl_r
+    r01 = {r.pair: r for r in
+           _Q["ev_ratio_metric_delta"](spark, "/root/testdata/sf0.01").collect()}
+    assert r01["planted"].z_r > 3 and abs(r01["null"].z_r) < 1.96
