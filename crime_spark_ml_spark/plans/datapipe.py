@@ -13438,3 +13438,118 @@ def dp_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+@register(
+    "dp_cost_threshold_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5('ct|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000) / 1000.0 AS score,
+             CASE WHEN CAST(('0x' || substr(md5('cl|' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 1000
+                  < 50 + CAST(FLOOR(500 * ((CAST(('0x' || substr(md5('ct|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)
+                        / 1000.0)) AS BIGINT)
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grid AS (SELECT UNNEST(generate_series(1, 9)) AS g),
+    cells AS (
+      SELECT g, g / 10.0 AS threshold,
+             CAST(SUM(CASE WHEN score >= g / 10.0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN score >= g / 10.0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN score < g / 10.0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM grid, scored GROUP BY g
+    ),
+    costed AS (
+      SELECT CAST(g AS INT) AS g, threshold, tp, fp, fn,
+             CAST(2 * fp + 5 * fn AS BIGINT) AS cost
+      FROM cells
+    ),
+    best AS (SELECT MIN(cost) AS min_cost FROM costed)
+    SELECT g, threshold, tp, fp, fn, cost,
+           cost = (SELECT min_cost FROM best) AS is_optimal
+    FROM costed ORDER BY g
+    """,
+    tags=("datapipe", "eval", "cost-sensitive", "threshold"),
+)
+def dp_cost_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive decision-threshold selection — the step between
+    a calibrated score (dp_calibration_ece) and a deployed filter
+    that accuracy-style metrics (ml_classification_report) skip:
+    with asymmetric costs (FP = 2, FN = 5 — keeping bad data costs
+    more than discarding good data) the optimal threshold is NOT
+    0.5. Scores are hash-uniform with labels drawn at P(y=1) =
+    0.05 + 0.5*score (a
+    genuinely informative, monotone classifier), so the expected
+    cost curve is convex with an interior argmin; all confusion
+    counts and costs are exact integers, the argmin marked by exact
+    integer comparison.
+
+    Scale: a 9-row literal grid fanned over one corpus scan into a
+    per-threshold conditional aggregate — the watermark-grid shape
+    (ev_watermark_tuning), no join, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def h(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    score = (h("ct|") % 1000) / 1000.0
+    scored = docs.select(
+        score.alias("score"),
+        F.when(
+            h("cl|") % 1000 < 50 + F.floor(500 * score).cast("bigint"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("g"))
+    cells = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("g") / 10.0) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("g") / 10.0) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("fp"),
+            F.sum(
+                F.when((F.col("score") < F.col("g") / 10.0) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    costed = cells.select(
+        F.col("g"),
+        (F.col("g") / 10.0).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        (2 * F.col("fp") + 5 * F.col("fn")).cast("bigint").alias("cost"),
+    )
+    best = costed.agg(F.min("cost").alias("min_cost"))
+    return (
+        costed.crossJoin(F.broadcast(best))
+        .select(
+            "g",
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            "cost",
+            (F.col("cost") == F.col("min_cost")).alias("is_optimal"),
+        )
+        .orderBy("g")
+    )

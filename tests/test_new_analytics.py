@@ -1662,3 +1662,19 @@ def test_ratio_metric_delta_discriminates(spark):
     r01 = {r.pair: r for r in
            _Q["ev_ratio_metric_delta"](spark, "/root/testdata/sf0.01").collect()}
     assert r01["planted"].z_r > 3 and abs(r01["null"].z_r) < 1.96
+
+
+def test_cost_threshold_curve_interior_argmin(spark):
+    rows = _rows(spark, "dp_cost_threshold_curve")
+    assert len(rows) == 9
+    opt = [r.g for r in rows if r.is_optimal]
+    # the cost curve is convex with an INTERIOR argmin (measured 0.6
+    # at smoke/gate, 0.5 at volume) — never the grid edge
+    assert len(opt) == 1 and 1 < opt[0] < 9
+    costs = [r.cost for r in rows]
+    assert min(costs) == costs[opt[0] - 1]
+    # confusion counts move monotonically with the threshold
+    tps = [r.tp for r in rows]
+    fns = [r.fn for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert fns == sorted(fns)
