@@ -751,3 +751,83 @@ def fn_arith_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs("x").cast("bigint").alias("mag"),
         F.signum("x").cast("int").alias("sgn"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_xml_extract",
+    oracle="""
+    WITH xml AS (
+      SELECT '<order id="' || o_orderkey || '"><cust>' || o_custkey
+             || '</cust><status>' || o_orderstatus || '</status><total>'
+             || CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             || '</total></order>' AS doc
+      FROM orders WHERE o_orderkey < 200
+    ),
+    parsed AS (
+      SELECT CAST(regexp_extract(doc, 'id="(\\d+)"', 1) AS BIGINT) AS order_id,
+             CAST(regexp_extract(doc, '<cust>(\\d+)</cust>', 1) AS BIGINT)
+                 AS cust_id,
+             regexp_extract(doc, '<status>([^<]+)</status>', 1) AS status,
+             CAST(regexp_extract(doc, '<total>(\\d+)</total>', 1) AS BIGINT)
+                 AS total_cents
+      FROM xml
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+           CAST(MAX(order_id) AS BIGINT) AS max_order_id,
+           CAST(COUNT(DISTINCT cust_id) AS BIGINT) AS n_custs
+    FROM parsed GROUP BY status ORDER BY status
+    """,
+    tags=("functions", "xml", "semi-structured"),
+)
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via from_xml (native in Spark 4.0+, the last
+    semi-structured format the fn_ family lacked after JSON, VARIANT,
+    CSV wire, and map/complex types): order rows are rendered to XML
+    (attribute + nested elements) and parsed back with a typed schema
+    — `_id` captures the attribute per spark-xml convention — then
+    aggregated per status. The DuckDB oracle has no XML parser, so it
+    extracts the same typed fields by anchored regex: a hash match
+    attests Spark's XML path (StaxXmlParser, schema coercion,
+    attribute handling) produces exactly the typed values the literal
+    document encodes. Money stays integer cents end to end.
+
+    Scale: row-local render + parse (one JVM expression each), one
+    bounded-key aggregate; the o_orderkey < 200 filter is pushed to
+    the scan."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    xml = orders.select(
+        F.concat(
+            F.lit('<order id="'),
+            F.col("o_orderkey"),
+            F.lit('"><cust>'),
+            F.col("o_custkey"),
+            F.lit("</cust><status>"),
+            F.col("o_orderstatus"),
+            F.lit("</status><total>"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+            F.lit("</total></order>"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc",
+            "_id BIGINT, cust BIGINT, status STRING, total BIGINT",
+        ).alias("s")
+    ).select(
+        F.col("s._id").alias("order_id"),
+        F.col("s.cust").alias("cust_id"),
+        F.col("s.status").alias("status"),
+        F.col("s.total").alias("total_cents"),
+    )
+    return (
+        parsed.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("sum_cents"),
+            F.max("order_id").cast("bigint").alias("max_order_id"),
+            F.count_distinct("cust_id").cast("bigint").alias("n_custs"),
+        )
+        .orderBy("status")
+    )

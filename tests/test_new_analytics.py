@@ -1678,3 +1678,13 @@ def test_cost_threshold_curve_interior_argmin(spark):
     fns = [r.fn for r in rows]
     assert tps == sorted(tps, reverse=True)
     assert fns == sorted(fns)
+
+
+def test_xml_extract_typed_fields_survive(spark):
+    rows = _rows(spark, "fn_xml_extract")
+    assert len(rows) == 3  # statuses O, F, P all present under key<200
+    assert {r.status for r in rows} <= {"O", "F", "P"}
+    assert all(r.n_orders > 0 and r.sum_cents > 0 for r in rows)
+    # attribute capture (_id) actually parsed: max ids near the filter
+    assert max(r.max_order_id for r in rows) < 200
+    assert all(0 < r.n_custs <= r.n_orders for r in rows)
