@@ -13553,3 +13553,154 @@ def dp_cost_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+def _em_oracle() -> str:
+    """Unrolled 4-iteration 2-component Gaussian EM in DuckDB. Each
+    iteration: row-local responsibilities from the previous 1-row
+    parameter relation (cross join), then one aggregate to the next
+    parameters. Mirrors the Spark driver-side-state loop exactly."""
+    its = []
+    for i in range(1, 5):
+        its.append(f"""resp{i} AS (
+      SELECT x,
+             (pi1 * EXP(-(x - mu1) * (x - mu1) / (2.0 * v1)) / SQRT(v1))
+             / ((1.0 - pi1) * EXP(-(x - mu0) * (x - mu0) / (2.0 * v0))
+                / SQRT(v0)
+                + pi1 * EXP(-(x - mu1) * (x - mu1) / (2.0 * v1)) / SQRT(v1))
+                 AS r1
+      FROM pts, m{i-1}
+    ),
+    m{i} AS (
+      SELECT SUM((1.0 - r1) * x) / SUM(1.0 - r1) AS mu0,
+             SUM(r1 * x) / SUM(r1) AS mu1,
+             GREATEST(SUM((1.0 - r1) * (x - (SELECT SUM((1.0 - r1) * x)
+                 / SUM(1.0 - r1) FROM resp{i})) * (x - (SELECT
+                 SUM((1.0 - r1) * x) / SUM(1.0 - r1) FROM resp{i})))
+                 / SUM(1.0 - r1), 0.01) AS v0,
+             GREATEST(SUM(r1 * (x - (SELECT SUM(r1 * x) / SUM(r1)
+                 FROM resp{i})) * (x - (SELECT SUM(r1 * x) / SUM(r1)
+                 FROM resp{i}))) / SUM(r1), 0.01) AS v1,
+             AVG(r1) AS pi1
+      FROM resp{i}
+    )""")
+    return f"""
+    WITH raw AS (
+      SELECT CAST(('0x' || substr(md5('emc|' || vec_id), 1, 8)) AS BIGINT)
+                 % 2 AS comp,
+             (CAST(('0x' || substr(md5('emn|' || vec_id), 1, 8)) AS BIGINT)
+                 % 1000
+              + CAST(('0x' || substr(md5('emm|' || vec_id), 1, 8)) AS BIGINT)
+                 % 1000) AS noise2k
+      FROM embeddings
+    ),
+    pts AS (
+      SELECT 10.0 * comp + (noise2k - 1000) / 500.0 AS x FROM raw
+    ),
+    bounds AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_pts FROM pts
+    ),
+    m0 AS (
+      SELECT lo + (hi - lo) / 4.0 AS mu0, lo + 3.0 * (hi - lo) / 4.0 AS mu1,
+             (hi - lo) * (hi - lo) / 16.0 AS v0,
+             (hi - lo) * (hi - lo) / 16.0 AS v1,
+             0.5 AS pi1
+      FROM bounds
+    ),
+    {', '.join(its)}
+    SELECT (SELECT n_pts FROM bounds) AS n_pts,
+           ROUND(mu0, 4) AS mu0_r, ROUND(mu1, 4) AS mu1_r,
+           ROUND(pi1, 4) AS pi1_r,
+           ROUND(SQRT(v0), 4) AS sd0_r, ROUND(SQRT(v1), 4) AS sd1_r,
+           mu1 - mu0 > 8.0 AND ABS(pi1 - 0.5) < 0.1 AS components_recovered
+    FROM m4
+    """
+
+
+@register(
+    "dp_gaussian_mixture_em",
+    oracle=_em_oracle(),
+    tags=("datapipe", "ml-primitive", "em", "mixture", "iterative"),
+)
+def dp_gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component Gaussian mixture by 4 fixed EM iterations — the
+    marquee iterative estimator implemented ENGINE-NATIVE (MLlib's
+    GMM exists as ml_gmm_clusters with a rows-only check; this is
+    the oracle-checked twin): a planted bimodal sample (components
+    at 0 and 10, triangular ±2 noise from two md5 uniforms, ~50/50
+    mixing) must be recovered to mu0 ~ 0, mu1 ~ 10, pi1 ~ 0.5 from
+    a symmetric quartile init that knows nothing about the plant.
+
+    Spark shape: the 5-double parameter vector is DRIVER-SIDE
+    BOUNDED STATE (the Weiszfeld/IVF discipline); each iteration is
+    one row-local responsibility expression + one aggregate pass —
+    no data-sized join, corpus-size-independent state. The DuckDB
+    oracle unrolls the same 4 iterations as CTEs over the identical
+    float expressions; outputs round at 4 with O(1-10) magnitudes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def h(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("vec_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    pts = emb.select(
+        (
+            10.0 * (h("emc|") % 2)
+            + ((h("emn|") % 1000 + h("emm|") % 1000) - 1000) / 500.0
+        ).alias("x")
+    ).localCheckpoint(eager=False)
+    lo, hi, n_pts = pts.agg(
+        F.min("x"), F.max("x"), F.count("*")
+    ).first()
+    mu0, mu1 = lo + (hi - lo) / 4.0, lo + 3.0 * (hi - lo) / 4.0
+    v0 = v1 = (hi - lo) * (hi - lo) / 16.0
+    pi1 = 0.5
+    for _ in range(4):
+        p0 = (
+            (1.0 - pi1)
+            * F.exp(-(F.col("x") - mu0) * (F.col("x") - mu0) / (2.0 * v0))
+            / v0 ** 0.5
+        )
+        p1 = (
+            pi1
+            * F.exp(-(F.col("x") - mu1) * (F.col("x") - mu1) / (2.0 * v1))
+            / v1 ** 0.5
+        )
+        resp = pts.select("x", (p1 / (p0 + p1)).alias("r1")).localCheckpoint(
+            eager=False
+        )
+        mu0_n, mu1_n = resp.agg(
+            F.sum((1.0 - F.col("r1")) * F.col("x")) / F.sum(1.0 - F.col("r1")),
+            F.sum(F.col("r1") * F.col("x")) / F.sum("r1"),
+        ).first()
+        v0_n, v1_n, pi1_n = resp.agg(
+            F.sum(
+                (1.0 - F.col("r1"))
+                * (F.col("x") - mu0_n)
+                * (F.col("x") - mu0_n)
+            )
+            / F.sum(1.0 - F.col("r1")),
+            F.sum(F.col("r1") * (F.col("x") - mu1_n) * (F.col("x") - mu1_n))
+            / F.sum("r1"),
+            F.avg("r1"),
+        ).first()
+        mu0, mu1, pi1 = mu0_n, mu1_n, pi1_n
+        v0, v1 = max(v0_n, 0.01), max(v1_n, 0.01)
+    out = spark.createDataFrame(
+        [(int(n_pts), float(mu0), float(mu1), float(pi1), float(v0), float(v1))],
+        "n_pts bigint, mu0 double, mu1 double, pi1 double, v0 double, v1 double",
+    )
+    return out.selectExpr(
+        "n_pts",
+        "ROUND(mu0, 4) AS mu0_r",
+        "ROUND(mu1, 4) AS mu1_r",
+        "ROUND(pi1, 4) AS pi1_r",
+        "ROUND(SQRT(v0), 4) AS sd0_r",
+        "ROUND(SQRT(v1), 4) AS sd1_r",
+        "mu1 - mu0 > 8.0 AND ABS(pi1 - 0.5) < 0.1 AS components_recovered",
+    )

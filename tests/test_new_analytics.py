@@ -1688,3 +1688,16 @@ def test_xml_extract_typed_fields_survive(spark):
     # attribute capture (_id) actually parsed: max ids near the filter
     assert max(r.max_order_id for r in rows) < 200
     assert all(0 < r.n_custs <= r.n_orders for r in rows)
+
+
+def test_em_recovers_planted_mixture(spark):
+    r = _rows(spark, "dp_gaussian_mixture_em")[0]
+    # planted components at 0 and 10 (~50/50): recovered from a
+    # symmetric quartile init in 4 iterations
+    assert r.components_recovered
+    assert abs(r.mu0_r - 0.0) < 0.5
+    assert abs(r.mu1_r - 10.0) < 0.5
+    assert abs(r.pi1_r - 0.5) < 0.05
+    # triangular(+-2) noise has sd ~0.816; both components near it
+    assert 0.6 < r.sd0_r < 1.0 and 0.6 < r.sd1_r < 1.0
+    assert r.n_pts == 500
