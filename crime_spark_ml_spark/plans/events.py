@@ -9322,3 +9322,172 @@ def ev_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_RM_Z}, 6) AS z_r",
         f"ABS({_RM_Z}) > 1.96 AS rejected",
     ).orderBy("pair")
+
+
+# Durbin-Levinson unrolled to lag 3 over r_k = c_k/c_0 (exact-bigint
+# n-scaled autocovariances): phi11 = r1; phi22 and phi33 from the
+# standard recursion, one fixed-order float expression each.
+_PACF_R = {k: f"(CAST(c{k} AS DOUBLE) / c0)" for k in (1, 2, 3)}
+_PACF_P11 = _PACF_R[1]
+_PACF_P22 = (
+    f"(({_PACF_R[2]} - {_PACF_R[1]} * {_PACF_R[1]})"
+    f" / (1.0 - {_PACF_R[1]} * {_PACF_R[1]}))"
+)
+# a1' = r1 * (1 - phi22); v2 = (1 - r1^2) * (1 - phi22^2)
+_PACF_P33 = (
+    f"(({_PACF_R[3]}"
+    f"  - {_PACF_R[1]} * (1.0 - {_PACF_P22}) * {_PACF_R[2]}"
+    f"  - {_PACF_P22} * {_PACF_R[1]})"
+    f" / ((1.0 - {_PACF_R[1]} * {_PACF_R[1]})"
+    f"    * (1.0 - {_PACF_P22} * {_PACF_P22})))"
+)
+# integer geometric kernel ~ 100 * 0.7^j
+_PACF_KERNEL = (100, 70, 49, 34, 24, 17, 12, 8)
+
+
+@register(
+    "ev_pacf_durbin",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    shuf AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('pf|' || d)) AS BIGINT)
+                 AS t,
+             x AS e
+      FROM daily
+    ),
+    kernel AS (
+      SELECT * FROM (VALUES {', '.join(f'({j}, {w})' for j, w in enumerate(_PACF_KERNEL))})
+          AS k(j, w)
+    ),
+    ar AS (
+      SELECT s.t, CAST(SUM(k.w * s2.e) AS BIGINT) AS y
+      FROM shuf s
+      JOIN kernel k ON TRUE
+      JOIN shuf s2 ON s2.t = s.t - k.j
+      WHERE s.t >= 8
+      GROUP BY s.t
+    ),
+    ser AS (
+      SELECT 'planted' AS pair, t, y FROM ar
+      UNION ALL
+      SELECT 'null', t, 100 * e FROM shuf WHERE t >= 8
+    ),
+    moments AS (
+      SELECT pair, CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ser GROUP BY pair
+    ),
+    cent AS (
+      SELECT ser.pair, t, CAST(n * y - s AS BIGINT) AS u, n
+      FROM ser JOIN moments ON ser.pair = moments.pair
+    ),
+    fanned AS (
+      SELECT pair, n, u AS ua, k.j AS k, t + k.j AS tt
+      FROM cent, (SELECT UNNEST(generate_series(0, 3)) AS j) k
+    ),
+    covs AS (
+      SELECT fanned.pair, fanned.n,
+             {', '.join(
+                 f'CAST(SUM(CASE WHEN k = {k} THEN ua * b.u END) AS BIGINT)'
+                 f' AS c{k}' for k in range(4))}
+      FROM fanned JOIN cent b
+        ON fanned.pair = b.pair AND fanned.tt = b.t
+      GROUP BY fanned.pair, fanned.n
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n_obs,
+           ROUND({_PACF_P11}, 6) AS pacf1_r,
+           ROUND({_PACF_P22}, 6) AS pacf2_r,
+           ROUND({_PACF_P33}, 6) AS pacf3_r,
+           {_PACF_P11} > 0.4 AND ABS({_PACF_P22}) < {_PACF_P11}
+               AND ABS({_PACF_P33}) < {_PACF_P11} AS ar1_signature
+    FROM covs ORDER BY pair
+    """,
+    tags=("events", "timeseries", "pacf", "durbin-levinson"),
+)
+def ev_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation via Durbin-Levinson — the AR-order
+    identification tool completing the ACF kit (ev_ljung_box sums
+    the full ACF; PACF separates DIRECT lag effects): an AR(1)-like
+    process shows pacf1 large with pacf2/pacf3 collapsed, while its
+    ACF stays geometric at all lags. The planted series convolves
+    the hash-shuffled daily counts with an integer geometric kernel
+    (100*0.7^j, truncated at 8 — an MA(8) that approximates AR(1) to
+    0.7^8 ~ 6%%); the null series is the same innovations unsmoothed
+    (white). Autocovariances are exact bigints on the n-scaled
+    centered series (the ev_ljung_box discipline, same equi-join lag
+    fan); the D-L recursion to lag 3 is a fixed-order float
+    expression over r1..r3.
+
+    Scale: one date-keyed aggregate; kernel convolution, lags, and
+    the recursion all on the 30-row series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    shuf = daily.select(
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.concat(F.lit("pf|"), F.col("d").cast("string")))))
+        .cast("bigint")
+        .alias("t"),
+        F.col("x").alias("e"),
+    )
+    kernel = spark.createDataFrame(
+        list(enumerate(_PACF_KERNEL)), "j bigint, w bigint"
+    )
+    ar = (
+        shuf.alias("s")
+        .crossJoin(F.broadcast(kernel))
+        .withColumn("t2", F.col("t") - F.col("j"))
+        .join(
+            shuf.select(F.col("t").alias("t2"), F.col("e").alias("e2")), "t2"
+        )
+        .where(F.col("t") >= 8)
+        .groupBy("t")
+        .agg(F.sum(F.col("w") * F.col("e2")).cast("bigint").alias("y"))
+    )
+    ser = ar.select(F.lit("planted").alias("pair"), "t", "y").unionAll(
+        shuf.where(F.col("t") >= 8).select(
+            F.lit("null").alias("pair"), "t", (100 * F.col("e")).alias("y")
+        )
+    )
+    moments = ser.groupBy("pair").agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cent = ser.join(F.broadcast(moments), "pair").select(
+        "pair",
+        "t",
+        (F.col("n") * F.col("y") - F.col("s")).cast("bigint").alias("u"),
+        "n",
+    )
+    fanned = cent.select(
+        "pair",
+        "n",
+        F.col("u").alias("ua"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        F.col("t"),
+    ).withColumn("tt", F.col("t") + F.col("k"))
+    b = cent.select("pair", F.col("t").alias("tt"), F.col("u").alias("ub"))
+    covs = (
+        fanned.join(b, ["pair", "tt"])
+        .groupBy("pair", "n")
+        .agg(
+            *[
+                F.sum(F.when(F.col("k") == k, F.col("ua") * F.col("ub")))
+                .cast("bigint")
+                .alias(f"c{k}")
+                for k in range(4)
+            ],
+        )
+    )
+    return covs.selectExpr(
+        "pair",
+        "CAST(n AS BIGINT) AS n_obs",
+        f"ROUND({_PACF_P11}, 6) AS pacf1_r",
+        f"ROUND({_PACF_P22}, 6) AS pacf2_r",
+        f"ROUND({_PACF_P33}, 6) AS pacf3_r",
+        f"{_PACF_P11} > 0.4 AND ABS({_PACF_P22}) < {_PACF_P11}"
+        f" AND ABS({_PACF_P33}) < {_PACF_P11} AS ar1_signature",
+    ).orderBy("pair")

@@ -1701,3 +1701,16 @@ def test_em_recovers_planted_mixture(spark):
     # triangular(+-2) noise has sd ~0.816; both components near it
     assert 0.6 < r.sd0_r < 1.0 and 0.6 < r.sd1_r < 1.0
     assert r.n_pts == 500
+
+
+def test_pacf_ar1_signature(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_pacf_durbin")}
+    assert set(rows) == {"null", "planted"}
+    # geometric-kernel series: pacf1 0.56-0.80 with higher lags
+    # collapsed; white innovations: pacf1 near 0
+    assert rows["planted"].ar1_signature
+    assert not rows["null"].ar1_signature
+    assert rows["planted"].pacf1_r > 0.4
+    assert abs(rows["null"].pacf1_r) < 0.4
+    assert abs(rows["planted"].pacf2_r) < rows["planted"].pacf1_r
+    assert rows["planted"].n_obs == rows["null"].n_obs == 23

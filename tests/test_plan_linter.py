@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "dp_cost_threshold_curve": "9-row literal threshold grid fanned over the corpus; one-row min-cost scalar fanned back",
     "dp_geometric_median": "two one-row distance scalars crossJoined onto the one-row poison count",
     "ev_ljung_box": "single-row series-mean scalar broadcast over the 30-row daily series",
+    "ev_pacf_durbin": "8-row literal geometric kernel crossJoined over the 30-row daily series",
     "ev_interrupted_time_series": "single-row step-size scalar broadcast over the 30-row daily series",
     "dp_training_data_funnel": "one-row pack-stats aggregate crossJoined onto the one-row counter aggregate",
     "dp_graph_triangles": "one-row (nodes, edges, wedges, triangles) global aggregate fanned over the top-10 node rows",
