@@ -1714,3 +1714,22 @@ def test_pacf_ar1_signature(spark):
     assert abs(rows["null"].pacf1_r) < 0.4
     assert abs(rows["planted"].pacf2_r) < rows["planted"].pacf1_r
     assert rows["planted"].n_obs == rows["null"].n_obs == 23
+
+
+def test_kcore_peel_raises_on_round_cap(spark):
+    """A long path graph peels ~n/2 rounds from the ends; a tight cap
+    must fail LOUDLY instead of returning a half-peeled core."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as _F
+
+    from crime_spark_ml_spark.operators.dedup import kcore_peel
+
+    path = spark.range(0, 29).select(
+        _F.col("id").alias("u"), (_F.col("id") + 1).alias("w")
+    )
+    edges = path.unionAll(
+        path.select(_F.col("w").alias("u"), _F.col("u").alias("w"))
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore_peel(edges, k=2, max_rounds=3)
