@@ -9491,3 +9491,85 @@ def ev_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_PACF_P11} > 0.4 AND ABS({_PACF_P22}) < {_PACF_P11}"
         f" AND ABS({_PACF_P33}) < {_PACF_P11} AS ar1_signature",
     ).orderBy("pair")
+
+
+_TAU = "6.283185307179586"  # 2*pi literal, identical text both engines
+
+
+@register(
+    "ev_circular_rayleigh",
+    oracle=f"""
+    WITH angles AS (
+      SELECT 'planted' AS pair,
+             {_TAU} * (((CAST(('0x' || substr(md5('circ|' || event_id), 1, 8))
+                 AS BIGINT) % 1000) / 1000.0) * 0.15 - 0.075) AS theta
+      FROM events
+      UNION ALL
+      SELECT 'null',
+             {_TAU} * ((CAST(('0x' || substr(md5('circ|' || event_id), 1, 8))
+                 AS BIGINT) % 1000) / 1000.0)
+      FROM events
+    ),
+    sums AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(COS(theta)) AS c, SUM(SIN(theta)) AS s
+      FROM angles GROUP BY pair
+    )
+    SELECT pair, n,
+           ROUND(SQRT(c * c + s * s) / n, 6) AS resultant_r,
+           ROUND(n * (c * c + s * s) / (CAST(n AS DOUBLE) * n), 4)
+               AS rayleigh_z_r,
+           ROUND(24.0 * (CASE WHEN ATAN2(s, c) < 0
+                 THEN ATAN2(s, c) + {_TAU} ELSE ATAN2(s, c) END) / {_TAU}, 4)
+               AS mean_hour_r,
+           n * (c * c + s * s) / (CAST(n AS DOUBLE) * n) > 2.995
+               AS nonuniform
+    FROM sums ORDER BY pair
+    """,
+    tags=("events", "circular-statistics", "rayleigh", "uniformity"),
+)
+def ev_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics with the Rayleigh uniformity test — the
+    time-of-day family every linear statistic gets WRONG (the mean of
+    23h and 1h is 0h, not 12h): direction sums C = sum cos, S = sum
+    sin give the circular mean via atan2 and the resultant length R,
+    and Rayleigh z = n*R^2 tests uniformity against a concentrated
+    alternative. The planted pair maps hash draws onto a 15%% arc
+    around hour 0 (concentrated: R ~ 0.98, mean hour ~ 23.9-0.1);
+    the null pair spreads the same draws over the full circle
+    (z under the 5%% critical value 2.995).
+
+    Trig sums are floats (the AVG-precedent tolerance; libm cos/sin
+    agree to the ulp across engines on these arguments) rounded well
+    above accumulated error. Scale: row-local angle synthesis, one
+    pair-keyed aggregate — no join, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("circ|"), F.col("event_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    ) / 1000.0
+    tau = 6.283185307179586
+    angles = ev.select(
+        F.lit("planted").alias("pair"),
+        (tau * (frac * 0.15 - 0.075)).alias("theta"),
+    ).unionAll(ev.select(F.lit("null").alias("pair"), (tau * frac).alias("theta")))
+    sums = angles.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.cos("theta")).alias("c"),
+        F.sum(F.sin("theta")).alias("s"),
+    )
+    return sums.selectExpr(
+        "pair",
+        "n",
+        "ROUND(SQRT(c * c + s * s) / n, 6) AS resultant_r",
+        "ROUND(n * (c * c + s * s) / (CAST(n AS DOUBLE) * n), 4)"
+        " AS rayleigh_z_r",
+        f"ROUND(24.0 * (CASE WHEN ATAN2(s, c) < 0"
+        f" THEN ATAN2(s, c) + {_TAU} ELSE ATAN2(s, c) END) / {_TAU}, 4)"
+        " AS mean_hour_r",
+        "n * (c * c + s * s) / (CAST(n AS DOUBLE) * n) > 2.995 AS nonuniform",
+    ).orderBy("pair")

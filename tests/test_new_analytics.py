@@ -1733,3 +1733,17 @@ def test_kcore_peel_raises_on_round_cap(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         kcore_peel(edges, k=2, max_rounds=3)
+
+
+def test_circular_rayleigh_discriminates(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_circular_rayleigh")}
+    assert set(rows) == {"null", "planted"}
+    # 15% arc concentration: R 0.96, z 930; full-circle spread of the
+    # SAME hash draws: R 0.02, z 0.6
+    assert rows["planted"].nonuniform and not rows["null"].nonuniform
+    assert rows["planted"].resultant_r > 0.9
+    assert rows["null"].resultant_r < 0.1
+    # circular mean lands at the planted hour-0 center (wraps at 24)
+    mh = rows["planted"].mean_hour_r
+    assert mh > 23.5 or mh < 0.5
+    assert rows["planted"].n == rows["null"].n == 1000
