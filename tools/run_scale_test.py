@@ -818,9 +818,53 @@ def cmd_gmedian(spark, args) -> None:
     _record("gmedian", {"per_size": per})
 
 
+def cmd_newstats(spark, args) -> None:
+    """Volume scaling for the round-5 statistical-test family on the
+    replicated event fixtures (same user-shifted replication as the
+    events phase — growth is in the number of users, the axis an
+    experiment actually grows along). The tests are all
+    one-user-aggregate -> pivoted-moment shapes except the
+    permutation test (a users x 200 explode) and the log-rank test
+    (per-hour risk-set windows) — the two with real volume
+    dependence worth watching."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    specs = load_all_plans()
+    factors = [int(x) for x in args.factors.split(",")]
+    queries = [
+        "ev_anova_oneway",
+        "ev_welch_ttest",
+        "ev_ratio_metric_delta",
+        "ev_mann_whitney",
+        "ev_permutation_test",
+        "ev_logrank_test",
+        "ev_cmh_test",
+    ]
+    per = []
+    for fct in factors:
+        d = f"{args.dir}/events_f{fct}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            raise SystemExit(
+                f"run the events phase first to materialize {d}"
+            )
+        row = {"factor": fct, "event_rows": 100000 * fct}
+        for q in queries:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = specs[q].fn(spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            # the statistic tables are tiny; decisions must stay sane
+            assert 0 < len(out) <= 20
+            row[q] = round(best, 3)
+        per.append(row)
+        print(f"[scale][newstats] {row}")
+    _record("newstats", {"per_factor": per})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "gmedian", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "gmedian", "newstats", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -867,6 +911,8 @@ def main() -> None:
         cmd_kcore(spark, args)
     if args.phase in ("gmedian",):
         cmd_gmedian(spark, args)
+    if args.phase in ("newstats",):
+        cmd_newstats(spark, args)
 
 
 if __name__ == "__main__":
