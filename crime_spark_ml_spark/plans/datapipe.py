@@ -13704,3 +13704,155 @@ def dp_gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(SQRT(v1), 4) AS sd1_r",
         "mu1 - mu0 > 8.0 AND ABS(pi1 - 0.5) < 0.1 AS components_recovered",
     )
+
+
+@register(
+    "dp_heaps_law",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT b.doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY md5('hp|' || CAST(b.doc_id AS
+                 VARCHAR))) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nn,
+             b.text AS nat_text,
+             rep.text AS rep_text
+      FROM base b JOIN base rep ON rep.doc_id = b.doc_id % 10
+    ),
+    corpora AS (
+      SELECT 'natural' AS pair, rk, nn,
+             regexp_split_to_array(trim(nat_text), '\\s+') AS t
+      FROM ranked
+      UNION ALL
+      SELECT 'repetitive', rk, nn,
+             regexp_split_to_array(trim(rep_text), '\\s+')
+      FROM ranked
+    ),
+    grid AS (
+      SELECT * FROM (VALUES (1, 1, 8), (2, 1, 4), (3, 1, 2), (4, 1, 1))
+          AS g(g, num, den)
+    ),
+    prefix AS (
+      SELECT pair, g,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+      FROM corpora, grid, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+      WHERE rk * den <= nn * num
+    ),
+    curve AS (
+      SELECT pair, g,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT sh) AS BIGINT) AS vocab
+      FROM prefix GROUP BY pair, g
+    ),
+    beta AS (
+      SELECT pair,
+             LN(CAST(MAX(CASE WHEN g = 4 THEN vocab END) AS DOUBLE)
+                / MAX(CASE WHEN g = 1 THEN vocab END))
+             / LN(CAST(MAX(CASE WHEN g = 4 THEN n_tokens END) AS DOUBLE)
+                / MAX(CASE WHEN g = 1 THEN n_tokens END)) AS b
+      FROM curve GROUP BY pair
+    )
+    SELECT curve.pair, g, n_tokens, vocab,
+           ROUND(b, 6) AS heaps_beta_r,
+           b > 0.5 AS rich_growth
+    FROM curve JOIN beta ON curve.pair = beta.pair
+    ORDER BY curve.pair, g
+    """,
+    tags=("datapipe", "text", "heaps-law", "vocabulary"),
+)
+def dp_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth curve — the second empirical text
+    law after rank-frequency (dp_zipf_fit): V(N) ~ k*N^beta, the
+    planning number behind vocabulary sizing, dedup-index growth, and
+    'is more data still adding new types'. Types are word 4-grams
+    (the synthetic fixture's unigram vocabulary saturates at ~31
+    words — the 4-gram space is where growth lives, same shingle
+    shape as the dedup stack). Documents enter in hash order, the
+    curve counts tokens and distinct types at 1/8..full prefixes,
+    beta is the log-log two-point slope. The 'repetitive' twin reads
+    every document's text from doc_id %% 10 — ten documents repeated
+    — so its vocabulary saturates after the first prefix and beta
+    collapses (~0) while the natural corpus stays rich (~0.9).
+
+    Scale: prefix membership is an integer rank inequality (no
+    self-join over prefixes); the distinct aggregate is keyed by
+    (pair, g, shingle) — type-space-bounded, the dp_bigram_pmi
+    shuffle shape. The %%10 text join is a broadcast against ten
+    rows. Counts exact integers; beta one float expression."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    rep_src = docs.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("rep_key"), F.col("text").alias("rep_text")
+    )
+    ranked = (
+        docs.join(
+            F.broadcast(rep_src), docs["doc_id"] % 10 == rep_src["rep_key"]
+        )
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.concat(F.lit("hp|"), F.col("doc_id").cast("string")))
+                )
+            )
+            .cast("bigint")
+            .alias("rk"),
+            F.col("text").alias("nat_text"),
+            "rep_text",
+        )
+        .withColumn("nn", F.count("*").over(Window.partitionBy()))
+    )
+    corpora = ranked.select(
+        F.lit("natural").alias("pair"),
+        "rk",
+        "nn",
+        F.split(F.trim(F.col("nat_text")), r"\s+").alias("t"),
+    ).unionAll(
+        ranked.select(
+            F.lit("repetitive").alias("pair"),
+            "rk",
+            "nn",
+            F.split(F.trim(F.col("rep_text")), r"\s+").alias("t"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(1, 1, 8), (2, 1, 4), (3, 1, 2), (4, 1, 1)], "g int, num int, den int"
+    )
+    sh = F.expr(
+        "transform(sequence(1, size(t) - 3),"
+        " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2]))"
+    )
+    prefix = (
+        corpora.crossJoin(F.broadcast(grid))
+        .where(F.col("rk") * F.col("den") <= F.col("nn") * F.col("num"))
+        .select("pair", "g", F.explode(sh).alias("sh"))
+    )
+    curve = prefix.groupBy("pair", "g").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count_distinct("sh").cast("bigint").alias("vocab"),
+    )
+    beta = curve.groupBy("pair").agg(
+        (
+            F.log(
+                F.max(F.when(F.col("g") == 4, F.col("vocab"))).cast("double")
+                / F.max(F.when(F.col("g") == 1, F.col("vocab")))
+            )
+            / F.log(
+                F.max(F.when(F.col("g") == 4, F.col("n_tokens"))).cast("double")
+                / F.max(F.when(F.col("g") == 1, F.col("n_tokens")))
+            )
+        ).alias("b")
+    )
+    return (
+        curve.join(F.broadcast(beta), "pair")
+        .select(
+            "pair",
+            "g",
+            "n_tokens",
+            "vocab",
+            F.round("b", 6).alias("heaps_beta_r"),
+            (F.col("b") > 0.5).alias("rich_growth"),
+        )
+        .orderBy("pair", "g")
+    )

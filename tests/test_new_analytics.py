@@ -1747,3 +1747,20 @@ def test_circular_rayleigh_discriminates(spark):
     mh = rows["planted"].mean_hour_r
     assert mh > 23.5 or mh < 0.5
     assert rows["planted"].n == rows["null"].n == 1000
+
+
+def test_heaps_law_separates_rich_from_saturated(spark):
+    rows = _rows(spark, "dp_heaps_law")
+    assert len(rows) == 8  # 2 corpora x 4 prefix points
+    nat = [r for r in rows if r.pair == "natural"]
+    rep = [r for r in rows if r.pair == "repetitive"]
+    # natural 4-gram vocabulary grows with the corpus (beta ~0.97);
+    # ten-docs-repeated vocabulary saturates (beta 0)
+    assert all(r.rich_growth for r in nat)
+    assert not any(r.rich_growth for r in rep)
+    assert nat[0].heaps_beta_r > 0.8
+    assert rep[0].heaps_beta_r < 0.1
+    # the curve itself is monotone in both tokens and vocab
+    assert [r.n_tokens for r in nat] == sorted(r.n_tokens for r in nat)
+    assert [r.vocab for r in nat] == sorted(r.vocab for r in nat)
+    assert max(r.vocab for r in rep) <= 600
