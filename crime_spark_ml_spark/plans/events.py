@@ -9573,3 +9573,161 @@ def ev_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS mean_hour_r",
         "n * (c * c + s * s) / (CAST(n AS DOUBLE) * n) > 2.995 AS nonuniform",
     ).orderBy("pair")
+
+
+@register(
+    "ev_entropy_rate",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(('0x' || substr(md5('er|' || event_id), 1, 8)) AS BIGINT)
+                 % 5 AS iid_step,
+             CAST(('0x' || substr(md5('er2|' || event_id), 1, 8)) AS BIGINT)
+                 % 2 AS walk_step
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id) AS BIGINT) AS k,
+             iid_step,
+             CAST(SUM(walk_step) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id) % 5 AS BIGINT) AS walk_state
+      FROM base
+    ),
+    paired AS (
+      SELECT 'planted_walk' AS pair, user_id, k, walk_state AS s FROM seq
+      UNION ALL
+      SELECT 'null_iid', user_id, k, iid_step FROM seq
+    ),
+    bigrams AS (
+      SELECT pair, s AS i,
+             LEAD(s) OVER (PARTITION BY pair, user_id ORDER BY k) AS j
+      FROM paired
+    ),
+    cij AS (
+      SELECT pair, i, j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bigrams WHERE j IS NOT NULL GROUP BY pair, i, j
+    ),
+    ci AS (
+      SELECT pair, i, CAST(SUM(c) AS BIGINT) AS ci,
+             CAST(SUM(SUM(c)) OVER (PARTITION BY pair) AS BIGINT) AS n
+      FROM cij GROUP BY pair, i
+    ),
+    terms AS (
+      SELECT cij.pair, cij.i, cij.j,
+             -(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / ci)
+                 / LN(2.0) AS h_term,
+             -(CAST(ci AS DOUBLE) / n) * LN(CAST(ci AS DOUBLE) / n)
+                 / LN(2.0) / COUNT(*) OVER (PARTITION BY cij.pair, cij.i)
+                 AS hm_term
+      FROM cij JOIN ci ON cij.pair = ci.pair AND cij.i = ci.i
+    ),
+    folded AS (
+      SELECT pair,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(h_term ORDER BY i, j)), (a, x) -> a + x) AS h_rate,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(hm_term ORDER BY i, j)), (a, x) -> a + x) AS h_marg
+      FROM terms GROUP BY pair
+    )
+    SELECT pair,
+           ROUND(h_rate, 6) AS entropy_rate_bits_r,
+           ROUND(h_marg, 6) AS marginal_entropy_bits_r,
+           ROUND(1.0 - h_rate / h_marg, 6) AS predictability_gain_r,
+           1.0 - h_rate / h_marg > 0.3 AS sequentially_structured
+    FROM folded ORDER BY pair
+    """,
+    tags=("events", "information-theory", "entropy-rate", "markov"),
+)
+def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate vs marginal entropy of event-type
+    sequences — the sequence-PREDICTABILITY number the info-theory
+    family lacked (dp_char_entropy is memoryless; ev_markov_*
+    estimate the matrix but never its compressibility): H_rate =
+    -sum p(i) P(j|i) log2 P(j|i) against the marginal H. The planted
+    sequence is a lazy random walk on Z5 (next state = current +
+    md5 bit), whose marginal is uniform (~2.32 bits) but whose rate
+    is ~1 bit — a 57%% predictability gain; the null sequence draws
+    iid 5-way states from the same event stream (rate ~ marginal,
+    gain ~0). Bigram and unigram counts are exact integers; the two
+    entropies fold over (i, j)-ordered term lists (the
+    ev_kaplan_meier discipline) so both engines sum identically.
+
+    Scale: one per-user LAG window over the event stream (bounded
+    state), one (pair, i, j)-keyed count — 25 cells per pair — and
+    folds on the cell-sized relation."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def h(salt: str, mod: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("event_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.row_number().over(w_user).cast("bigint").alias("k"),
+        h("er|", 5).alias("iid_step"),
+        (F.sum(h("er2|", 2)).over(w_user) % 5).cast("bigint").alias("walk_state"),
+    )
+    paired = seq.select(
+        F.lit("planted_walk").alias("pair"), "user_id", "k", F.col("walk_state").alias("s")
+    ).unionAll(
+        seq.select(
+            F.lit("null_iid").alias("pair"), "user_id", "k", F.col("iid_step").alias("s")
+        )
+    )
+    w_seq = Window.partitionBy("pair", "user_id").orderBy("k")
+    bigrams = paired.select(
+        "pair", F.col("s").alias("i"), F.lead("s").over(w_seq).alias("j")
+    ).where(F.col("j").isNotNull())
+    cij = bigrams.groupBy("pair", "i", "j").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_pair = Window.partitionBy("pair")
+    ci = (
+        cij.groupBy("pair", "i")
+        .agg(F.sum("c").cast("bigint").alias("ci"))
+        .withColumn("n", F.sum("ci").over(w_pair).cast("bigint"))
+    )
+    w_pi = Window.partitionBy("pair", "i")
+    terms = cij.join(ci, ["pair", "i"]).select(
+        "pair",
+        "i",
+        "j",
+        (
+            -(F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("c").cast("double") / F.col("ci"))
+            / F.log(F.lit(2.0))
+        ).alias("h_term"),
+        (
+            -(F.col("ci").cast("double") / F.col("n"))
+            * F.log(F.col("ci").cast("double") / F.col("n"))
+            / F.log(F.lit(2.0))
+            / F.count("*").over(w_pi)
+        ).alias("hm_term"),
+    )
+    folded = terms.groupBy("pair").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(i, j,"
+            " h_term AS t))), s -> s.t), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("h_rate"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(i, j,"
+            " hm_term AS t))), s -> s.t), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("h_marg"),
+    )
+    return folded.selectExpr(
+        "pair",
+        "ROUND(h_rate, 6) AS entropy_rate_bits_r",
+        "ROUND(h_marg, 6) AS marginal_entropy_bits_r",
+        "ROUND(1.0 - h_rate / h_marg, 6) AS predictability_gain_r",
+        "1.0 - h_rate / h_marg > 0.3 AS sequentially_structured",
+    ).orderBy("pair")

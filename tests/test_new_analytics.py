@@ -1764,3 +1764,16 @@ def test_heaps_law_separates_rich_from_saturated(spark):
     assert [r.n_tokens for r in nat] == sorted(r.n_tokens for r in nat)
     assert [r.vocab for r in nat] == sorted(r.vocab for r in nat)
     assert max(r.vocab for r in rep) <= 600
+
+
+def test_entropy_rate_detects_sequence_structure(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_entropy_rate")}
+    assert set(rows) == {"planted_walk", "null_iid"}
+    w, n = rows["planted_walk"], rows["null_iid"]
+    # lazy Z5 walk: uniform marginal (~2.32 bits) but 1-bit rate —
+    # a 57% predictability gain; iid states: rate ~ marginal
+    assert w.sequentially_structured and not n.sequentially_structured
+    assert abs(w.entropy_rate_bits_r - 1.0) < 0.1
+    assert abs(w.marginal_entropy_bits_r - 2.3219) < 0.05
+    assert abs(n.predictability_gain_r) < 0.05
+    assert w.predictability_gain_r > 0.5
