@@ -9731,3 +9731,105 @@ def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(1.0 - h_rate / h_marg, 6) AS predictability_gain_r",
         "1.0 - h_rate / h_marg > 0.3 AS sequentially_structured",
     ).orderBy("pair")
+
+
+# method-of-moments NB fit from exact n-scaled integer moments:
+# mean m = s/n, variance v = (n*q - s*s)/(n*(n-1)); dispersion v/m;
+# r_hat = m^2/(v - m), p_hat = m/v — fixed-order float expressions.
+_NB_M = "(CAST(s AS DOUBLE) / n)"
+_NB_V = "((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1)))"
+_NB_R = f"(({_NB_M} * {_NB_M}) / ({_NB_V} - {_NB_M}))"
+
+
+@register(
+    "ev_negbin_moments",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('nb1|' || user_id), 1, 8)) AS BIGINT)
+                 % 5 AS h1,
+             CAST(('0x' || substr(md5('nb2|' || user_id), 1, 8)) AS BIGINT)
+                 % 4 AS h2,
+             CAST(('0x' || substr(md5('nb3|' || user_id), 1, 8)) AS BIGINT)
+                 % 256 AS h3
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    pairs AS (
+      SELECT 'overdispersed' AS pair, CAST(h1 * h2 AS BIGINT) AS k
+      FROM per_user
+      UNION ALL
+      SELECT 'binomial', CAST(bit_count(h3) AS BIGINT) FROM per_user
+    ),
+    moments AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS s,
+             CAST(SUM(k * k) AS BIGINT) AS q
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n AS n_users,
+           ROUND({_NB_M}, 6) AS mean_r,
+           ROUND({_NB_V}, 6) AS var_r,
+           ROUND({_NB_V} / {_NB_M}, 6) AS dispersion_index_r,
+           CASE WHEN {_NB_V} > {_NB_M}
+                THEN ROUND({_NB_R}, 4) END AS nb_r_hat_r,
+           CASE WHEN {_NB_V} > {_NB_M}
+                THEN ROUND({_NB_M} / {_NB_V}, 6) END AS nb_p_hat_r,
+           {_NB_V} / {_NB_M} > 1.5 AS overdispersed
+    FROM moments ORDER BY pair
+    """,
+    tags=("events", "count-model", "negative-binomial", "dispersion"),
+)
+def ev_negbin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit — the count-model the
+    family only DETECTS today (ev_overdispersion_check flags var >
+    mean; this one fits r_hat = m^2/(v-m), p_hat = m/v, the
+    parameters a capacity planner or per-user rate model needs). Two
+    synthesized per-user count processes from identical machinery: a
+    product of independent uniforms (genuinely overdispersed,
+    dispersion ~1.9, NB parameters emitted) and a Binomial(8, 1/2)
+    via bit_count (UNDERdispersed, dispersion ~0.5 — the NB fit is
+    correctly refused as NULL, pinning the v > m validity guard
+    rather than emitting a negative r). Moments are exact n-scaled
+    bigints; the fit is one fixed-order float expression.
+
+    Scale: one DISTINCT over users, row-local synthesis, one
+    pair-keyed aggregate — no join, no window."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def h(salt: str, mod: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("user_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    per_user = ev.select("user_id").distinct().select(
+        h("nb1|", 5).alias("h1"), h("nb2|", 4).alias("h2"), h("nb3|", 256).alias("h3")
+    )
+    pairs = per_user.select(
+        F.lit("overdispersed").alias("pair"),
+        (F.col("h1") * F.col("h2")).cast("bigint").alias("k"),
+    ).unionAll(
+        per_user.select(
+            F.lit("binomial").alias("pair"), F.bit_count("h3").cast("bigint").alias("k")
+        )
+    )
+    moments = pairs.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("q"),
+    )
+    return moments.selectExpr(
+        "pair",
+        "n AS n_users",
+        f"ROUND({_NB_M}, 6) AS mean_r",
+        f"ROUND({_NB_V}, 6) AS var_r",
+        f"ROUND({_NB_V} / {_NB_M}, 6) AS dispersion_index_r",
+        f"CASE WHEN {_NB_V} > {_NB_M} THEN ROUND({_NB_R}, 4) END AS nb_r_hat_r",
+        f"CASE WHEN {_NB_V} > {_NB_M} THEN ROUND({_NB_M} / {_NB_V}, 6) END"
+        " AS nb_p_hat_r",
+        f"{_NB_V} / {_NB_M} > 1.5 AS overdispersed",
+    ).orderBy("pair")

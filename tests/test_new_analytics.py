@@ -1777,3 +1777,17 @@ def test_entropy_rate_detects_sequence_structure(spark):
     assert abs(w.marginal_entropy_bits_r - 2.3219) < 0.05
     assert abs(n.predictability_gain_r) < 0.05
     assert w.predictability_gain_r > 0.5
+
+
+def test_negbin_fit_and_validity_guard(spark):
+    rows = {r.pair: r for r in _rows(spark, "ev_negbin_moments")}
+    assert set(rows) == {"overdispersed", "binomial"}
+    o, b = rows["overdispersed"], rows["binomial"]
+    # product-of-uniforms counts: dispersion ~3.5, NB params emitted
+    assert o.overdispersed and o.dispersion_index_r > 1.5
+    assert o.nb_r_hat_r is not None and o.nb_r_hat_r > 0
+    assert o.nb_p_hat_r is not None and 0 < o.nb_p_hat_r < 1
+    # Binomial(8, 1/2): underdispersed — fit correctly REFUSED
+    assert not b.overdispersed and b.dispersion_index_r < 1
+    assert b.nb_r_hat_r is None and b.nb_p_hat_r is None
+    assert abs(b.mean_r - 4.0) < 0.5
