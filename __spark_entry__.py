@@ -13,6 +13,7 @@ implemented operator from SURVEY.md §2 registers a named plan there
 from __future__ import annotations
 
 import glob
+import itertools
 import json
 import os
 import re
@@ -80,14 +81,24 @@ def _rotated(
     last: dict[str, int] | None = None,
     reattest: set[str] | None = None,
 ) -> dict:
-    """Never-attested and contract-changed first, then stalest first.
+    """Contract-changed first (cohort -1), then never-attested, then
+    stalest — with family round-robin inside every cohort.
 
-    Within each staleness cohort, cheap oracle-checked queries come
+    Contract-changed queries get a strictly earlier cohort than
+    never-attested ones so a flagged re-attestation can never be pushed
+    out of the driver's ~50-query window by registry growth (the r05
+    failure mode: ~200 never-attested queries shared cohort 0 and
+    module import order buried the flagged query).
+
+    Within each (cohort, heavy) block, queries are interleaved
+    round-robin by family prefix (``ev_``, ``dp_``, ``j_``, ...) so one
+    large module cannot monopolize a window — each round's attestation
+    samples across families. Cheap oracle-checked queries still come
     before the expensive rows-only ML trainers (if the driver's cap is
     time-based rather than count-based, this still attests the most
     queries — and deferring ml_* costs least since they carry the
-    weaker rows-only check anyway). Registry order breaks ties, keeping
-    the sequence deterministic across runs.
+    weaker rows-only check anyway). First-appearance order breaks ties,
+    keeping the sequence deterministic across runs.
     """
     last = last if last is not None else _attestation_rounds()
     reattest = reattest if reattest is not None else _REATTEST
@@ -97,14 +108,31 @@ def _rotated(
     def cohort(k: str) -> int:
         rnd = last.get(k, 0)
         if k in reattest and rnd < _REATTEST_AS_OF:
-            return 0  # old attestation predates the contract change
+            return -1  # strictly ahead of even never-attested queries
         return rnd
 
     def is_heavy(k: str) -> bool:
         return k.startswith("ml_") or k in heavy
 
+    def family(k: str) -> str:
+        return k.split("_", 1)[0]
+
     pos = {k: i for i, k in enumerate(d)}
-    ordered = sorted(d, key=lambda k: (cohort(k), is_heavy(k), pos[k]))
+    base = sorted(d, key=lambda k: (cohort(k), is_heavy(k), pos[k]))
+    ordered: list[str] = []
+    for _, grp in itertools.groupby(base, key=lambda k: (cohort(k), is_heavy(k))):
+        queues: dict[str, list[str]] = {}
+        fams: list[str] = []
+        for k in grp:
+            f = family(k)
+            if f not in queues:
+                queues[f] = []
+                fams.append(f)
+            queues[f].append(k)
+        while any(queues.values()):
+            for f in fams:
+                if queues[f]:
+                    ordered.append(queues[f].pop(0))
     return {k: d[k] for k in ordered}
 
 
@@ -128,5 +156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return _rotated(all_oracles())
+    """DuckDB-equivalent SQL for every SQL-expressible query.
+
+    Ordered by position in ``queries()`` (not rotated independently:
+    the oracle set is a subset, and round-robin interleave over a
+    subset would otherwise produce a different ordering).
+    """
+    qpos = {k: i for i, k in enumerate(_rotated(all_queries()))}
+    o = all_oracles()
+    return {k: o[k] for k in sorted(o, key=qpos.__getitem__)}

@@ -35,15 +35,36 @@ def test_rotated_orders_by_staleness_then_defers_heavy():
     d = {k: k for k in ["q_new", "ml_new", "q_r1", "ml_r1", "q_r2", "dp_dedup_pipeline"]}
     last = {"q_r1": 1, "ml_r1": 1, "q_r2": 2, "dp_dedup_pipeline": 1}
     got = list(entry._rotated(d, last=last, reattest={"dp_dedup_pipeline"}))
-    # cohort 0: never-attested plus dp_dedup_pipeline (contract-changed
-    # with a pre-change attestation), cheap before heavy; then r1; r2
-    assert got == ["q_new", "ml_new", "dp_dedup_pipeline", "q_r1", "ml_r1", "q_r2"]
+    # cohort -1: dp_dedup_pipeline (contract-changed with a pre-change
+    # attestation) STRICTLY before the never-attested cohort 0 — the
+    # r05 failure mode was re-attests sharing cohort 0 with ~200
+    # never-attested queries; then cohort 0 cheap-before-heavy; r1; r2
+    assert got == ["dp_dedup_pipeline", "q_new", "ml_new", "q_r1", "ml_r1", "q_r2"]
 
 
 def test_rotated_ties_break_by_registry_order():
     d = {k: k for k in ["z_first", "a_second", "m_third"]}
     got = list(entry._rotated(d, last={}))
     assert got == ["z_first", "a_second", "m_third"]
+
+
+def test_rotated_round_robins_families_within_cohort():
+    """One large module cannot monopolize the driver's ~50-query
+    window: within a cohort, families interleave round-robin (r05: 41
+    straight ev_* queries led the window and pushed the flagged
+    dp_embedding_near_dups re-attest to position 43)."""
+    d = {k: k for k in ["ev_a", "ev_b", "ev_c", "dp_a", "dp_b", "j_a"]}
+    got = list(entry._rotated(d, last={}))
+    assert got == ["ev_a", "dp_a", "j_a", "ev_b", "dp_b", "ev_c"]
+
+
+def test_rotated_round_robin_respects_cohort_and_heavy_blocks():
+    """Round-robin happens inside each (cohort, heavy) block — it never
+    pulls a stale or heavy query ahead of a fresher/cheaper cohort."""
+    d = {k: k for k in ["ev_new", "dp_new", "ml_new", "ev_r1", "dp_r1"]}
+    last = {"ev_r1": 1, "dp_r1": 1}
+    got = list(entry._rotated(d, last=last))
+    assert got == ["ev_new", "dp_new", "ml_new", "ev_r1", "dp_r1"]
 
 
 def test_rotated_preserves_membership():
@@ -74,6 +95,21 @@ def test_rotated_reattests_contract_changed_queries():
         )
     )
     assert got == ["ml_kmeans_clusters", "plain_old", "ml_logreg_accuracy"]
+
+
+def test_flagged_reattest_fronts_the_production_window():
+    """The production registry must surface every un-drained _REATTEST
+    entry inside the first len(_REATTEST) positions — the guarantee the
+    r05 rotation lacked."""
+    if not entry._REATTEST:
+        return
+    q = list(entry.queries())
+    front = set(q[: len(entry._REATTEST)])
+    last = entry._attestation_rounds()
+    pending = {
+        n for n in entry._REATTEST if last.get(n, 0) < entry._REATTEST_AS_OF
+    }
+    assert pending <= front
 
 
 def test_production_reattest_set_has_no_stale_entries():
