@@ -19,38 +19,20 @@ shuffle-join back depending on dictionary size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from crime_spark_ml_spark.operators.rank import global_row_number
 
 
 def label_dictionary(df: DataFrame, col: str) -> DataFrame:
     """Distinct values of ``col`` with dense codes 0..n-1 in ascending
-    order — distributed ranking, no single-partition global sort."""
+    order — distributed ranking, no single-partition global sort (the
+    shared ``rank.global_row_number`` prefix-sum helper)."""
     distinct = df.select(col).where(F.col(col).isNotNull()).distinct()
-    ranged = distinct.repartitionByRange(F.col(col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid").orderBy(F.col(col))
-    ranked = ranged.withColumn("__r", F.row_number().over(w))
-    # per-partition sizes → prefix-sum offsets (≤ #partitions rows on the driver)
-    sizes = sorted(
-        (r["__pid"], r["n"])
-        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, n in sizes:
-        offsets[pid] = acc
-        acc += n
-    spark = df.sparkSession
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-    )
-    return (
-        ranked.join(F.broadcast(offset_df), "__pid")
-        .select(
-            col,
-            (F.col("__off") + F.col("__r") - 1).cast("int").alias(f"{col}_code"),
-        )
+    ranked, _ = global_row_number(distinct, [col], out_col="__g")
+    return ranked.select(
+        col, (F.col("__g") - 1).cast("int").alias(f"{col}_code")
     )
 
 

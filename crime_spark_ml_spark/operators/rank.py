@@ -1,0 +1,58 @@
+"""Distributed exact global ranking — no single-partition window.
+
+A bare ``row_number() OVER (ORDER BY ...)`` funnels the whole relation
+through one task; at 100 TB that is the canonical scale-killer. This
+module holds the shared range-partitioned alternative used by label
+encoding (SURVEY.md §2.4 E1, reference crime.py:38-39), WoE binning,
+Gini ranking, and the group-sequential look assignment:
+
+    repartitionByRange on the total order (ascending key ranges land in
+    ascending partition ids) -> row_number within each partition in
+    parallel -> driver-side prefix sum of the <=#partitions partition
+    sizes -> broadcast the offsets back.
+
+The only collect is #partitions ints, so the pattern survives any
+corpus size; the order columns must form a deterministic TOTAL order
+(include a unique tie-break key), which every caller needs anyway for
+engine-parity determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, out_col: str = "__g"
+) -> tuple[DataFrame, int]:
+    """Append an exact 1-based global row number over ``order_cols``.
+
+    Returns ``(df + out_col, n_rows)`` — the total count falls out of
+    the prefix sum for free, saving callers a second pass. Internal
+    ``__pid``/``__r``/``__off`` columns are dropped from the result.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = ranged.withColumn("__r", F.row_number().over(w))
+    # per-partition sizes → prefix-sum offsets (≤ #partitions rows on the driver)
+    sizes = sorted(
+        (r["__pid"], r["n"])
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    out = (
+        ranked.join(F.broadcast(offset_df), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__r"))
+        .drop("__pid", "__r", "__off")
+    )
+    return out, acc

@@ -31,6 +31,7 @@ from ..operators.shard import epoch_order_key, shard_manifest
 from ..operators.linkage import prefix_filter_jaccard_join, snm_edit_pairs
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
+from ..operators.rank import global_row_number
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..sources.catalog import load_table
 from .registry import register
@@ -3246,19 +3247,34 @@ def dp_equidepth_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     says the two dimensions are redundant for layout; a spread one
     says multi-dimensional clustering pays.
 
-    The fixture-honest caveat: global ntile is a total sort — fine for
-    a report, but the LAYOUT path computes the same bins from
-    approxQuantile boundaries without one (layout.py), which is the
-    100 TB form."""
-    from pyspark.sql import Window
-
+    Scale shape: the oracle keeps ntile (DuckDB sorts single-node
+    anyway), but the Spark plan computes the IDENTICAL tile ids
+    without a global sort: two passes of the shared range-partitioned
+    prefix-sum rank (operators/rank.py) give each doc its exact global
+    rank per dimension, and ntile's closed form over (rank, n, k) —
+    the first n%k tiles hold ceil(n/k) rows, the rest floor(n/k) —
+    reproduces the window function bit-for-bit in integer arithmetic.
+    (The approximate-boundary form lives in operators/layout.py for
+    the layout path; this report stays exact.)"""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t = docs.select(
         "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    binned = t.select(
-        F.ntile(8).over(Window.orderBy("n_chars", "doc_id")).alias("bx"),
-        F.ntile(8).over(Window.orderBy("n_tokens", "doc_id")).alias("by"),
+    rx, n = global_row_number(t, ["n_chars", "doc_id"], out_col="gx")
+    rxy, _ = global_row_number(rx, ["n_tokens", "doc_id"], out_col="gy")
+
+    def ntile_expr(rank_col: str, n: int, k: int = 8) -> str:
+        big, small, m = n // k + 1, n // k, n % k
+        return (
+            f"CAST(CASE WHEN {rank_col} <= {m * big}"
+            f" THEN ({rank_col} - 1) DIV {big} + 1"
+            f" ELSE {m} + ({rank_col} - {m * big} - 1) DIV {small} + 1"
+            f" END AS INT)"
+        )
+
+    binned = rxy.select(
+        F.expr(ntile_expr("gx", n)).alias("bx"),
+        F.expr(ntile_expr("gy", n)).alias("by"),
     )
     return (
         binned.groupBy("bx", "by")
@@ -5895,29 +5911,11 @@ def dp_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
         ).otherwise(0).alias("is_urgent"),
     )
-    ranged = base.repartitionByRange(
-        F.col("o_totalprice"), F.col("o_orderkey")
-    ).withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")
-    ranked = ranged.withColumn("__r", F.row_number().over(w))
-    sizes = sorted(
-        (r["__pid"], r["n"])
-        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    ranked, n_total = global_row_number(
+        base, ["o_totalprice", "o_orderkey"], out_col="__g1"
     )
-    offsets, acc = {}, 0
-    for pid, cnt in sizes:
-        offsets[pid] = acc
-        acc += cnt
-    n_total = acc
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-    )
-    binned = (
-        ranked.join(F.broadcast(offset_df), "__pid")
-        .withColumn("__g", F.col("__off") + F.col("__r") - F.lit(1))
-        .withColumn(
-            "bin", F.expr(f"CAST((__g * 10) div {n_total} AS INT)")
-        )
+    binned = ranked.withColumn(
+        "bin", F.expr(f"CAST(((__g1 - 1) * 10) div {n_total} AS INT)")
     )
     agg = binned.groupBy("bin").agg(
         F.count("*").alias("n_rows"),
@@ -6475,27 +6473,12 @@ def dp_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    ranged = rev.repartitionByRange(
-        F.col("rev_cents"), F.col("o_custkey")
-    ).withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy("rev_cents", "o_custkey")
-    ranked = ranged.withColumn("__r", F.row_number().over(w))
-    sizes = sorted(
-        (r["__pid"], r["n"])
-        for r in ranked.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    ranked, n = global_row_number(
+        rev, ["rev_cents", "o_custkey"], out_col="i"
     )
-    offsets, acc = {}, 0
-    for pid, cnt in sizes:
-        offsets[pid] = acc
-        acc += cnt
-    n = acc
     top_cut = n - (n + 99) // 100
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-    )
     agg = (
-        ranked.join(F.broadcast(offset_df), "__pid")
-        .withColumn("i", F.col("__off") + F.col("__r"))
+        ranked
         .agg(
             F.sum(
                 F.expr("CAST(i AS DECIMAL(38,0)) * rev_cents")
@@ -10302,20 +10285,17 @@ def dp_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac"),
         )
     )
+    top = scored.orderBy(F.col("jac").desc(), "x", "y").limit(20)
     w_rk = Window.orderBy(F.col("jac").desc(), "x", "y")
-    return (
-        scored.select(
-            F.row_number().over(w_rk).cast("int").alias("rk"),
-            F.col("x").cast("bigint").alias("item_a"),
-            F.col("y").cast("bigint").alias("item_b"),
-            F.col("common").cast("bigint").alias("n_common"),
-            F.col("deg_x").cast("bigint").alias("deg_a"),
-            F.col("deg_y").cast("bigint").alias("deg_b"),
-            F.round("jac", 6).alias("jaccard_r"),
-        )
-        .where(F.col("rk") <= 20)
-        .orderBy("rk")
-    )
+    return top.select(
+        F.row_number().over(w_rk).cast("int").alias("rk"),
+        F.col("x").cast("bigint").alias("item_a"),
+        F.col("y").cast("bigint").alias("item_b"),
+        F.col("common").cast("bigint").alias("n_common"),
+        F.col("deg_x").cast("bigint").alias("deg_a"),
+        F.col("deg_y").cast("bigint").alias("deg_b"),
+        F.round("jac", 6).alias("jaccard_r"),
+    ).orderBy("rk")
 
 
 @register(
@@ -11614,18 +11594,15 @@ def dp_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = dots.groupBy("vec_id").agg(
         F.sum("best").cast("bigint").alias("maxsim_q")
     )
-    return (
-        scored.select(
-            "vec_id",
-            "maxsim_q",
-            F.row_number()
-            .over(Window.orderBy(F.desc("maxsim_q"), "vec_id"))
-            .cast("bigint")
-            .alias("rank"),
-        )
-        .orderBy(F.desc("maxsim_q"), "vec_id")
-        .limit(10)
-    )
+    top = scored.orderBy(F.desc("maxsim_q"), "vec_id").limit(10)
+    return top.select(
+        "vec_id",
+        "maxsim_q",
+        F.row_number()
+        .over(Window.orderBy(F.desc("maxsim_q"), "vec_id"))
+        .cast("bigint")
+        .alias("rank"),
+    ).orderBy("rank")
 
 
 # unicode-hygiene patterns (the invisible codepoints are embedded as

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
+from ..operators.rank import global_row_number
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -4421,8 +4422,10 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     users land near the exponential-gap CV of ~1.
 
     Scale shape: one per-user LAG window (bounded state) -> per-user
-    moment groupBy (the only data-sized shuffle) -> top-10 rank over
-    the user-sized relation."""
+    moment groupBy (the only data-sized shuffle) -> orderBy().limit(10)
+    (TakeOrderedAndProject: per-partition top-10 then a 10-row merge,
+    never a global sort) -> rank assigned over the 10-row result (the
+    dp_bm25_rank post-limit pattern)."""
     ev = load_table(spark, sf_dir, "events")
     t0 = int(ev.agg(F.min("ts_us")).first()[0])
     real_ev = ev.select("user_id", "ts_us", "event_id")
@@ -4456,13 +4459,13 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(s AS DOUBLE) / n)"
         ).alias("cv"),
     )
+    top = scored.orderBy("cv", "user_id").limit(10)
     w_rk = Window.orderBy("cv", "user_id")
     return (
-        scored.select(
+        top.select(
             "user_id", "n", "cv",
             F.row_number().over(w_rk).cast("int").alias("rk"),
         )
-        .where(F.col("rk") <= 10)
         .select(
             "user_id",
             F.col("n").cast("bigint").alias("n_gaps"),
@@ -5830,14 +5833,18 @@ def ev_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: outcomes are exact integer cents; the per-match
     treated-minus-control difference is quantized to BIGINT micro-
     dollars before summing, so no float accumulates across rows.
-    Nearest control lookup is the union-frame as-of trick: one ASC
-    and one DESC cumulative window with last_value(... IGNORE NULLS)
-    over (covariate, control-first) order — ties at distance 0 pick
-    the co-located control, equidistant ties break toward the lower
-    covariate. Scale: the frame is USER-cardinality (already
-    aggregated); the two global sorts would range-partition by the
-    matching score at 100 TB exactly like e1_label_encode's
-    distributed rank."""
+    Nearest control lookup exploits the caliper: only controls with
+    |x - mx| <= 2 can survive, so each treated user joins its 5
+    candidate covariate values against the per-covariate control
+    aggregate and min_by picks the nearest (equidistant ties toward
+    the lower covariate — the oracle's prev-on-tie rule, which also
+    resolves distance 0 to the co-located control). Scale: a x5
+    row-local explode + one hash join keyed on the covariate — no
+    global sort or single-partition window at any corpus size. The
+    ORACLE keeps the equivalent union-frame as-of form (ASC+DESC
+    cumulative last_value IGNORE NULLS) because DuckDB sorts
+    single-node anyway; within the caliper the two formulations are
+    provably identical."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("x"),
@@ -5873,47 +5880,30 @@ def ev_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y_cents").cast("bigint").alias("sum_c"),
         )
     )
-    frame = ctrl.select(
-        "x",
-        F.lit(1).alias("is_ctrl"),
-        F.lit(None).cast("bigint").alias("user_id"),
-        F.lit(None).cast("bigint").alias("y_cents"),
-    ).unionAll(
-        labeled.where(F.col("treated") == 1).select(
-            "x", F.lit(0).alias("is_ctrl"), "user_id", "y_cents"
-        )
-    )
-    ctrl_x = F.when(F.col("is_ctrl") == 1, F.col("x"))
-    w_asc = Window.orderBy(
-        F.col("x").asc(), F.col("is_ctrl").desc(), F.col("user_id").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_desc = Window.orderBy(
-        F.col("x").desc(), F.col("is_ctrl").desc(), F.col("user_id").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    nn = frame.select(
-        "x",
-        "is_ctrl",
-        "user_id",
-        "y_cents",
-        F.last(ctrl_x, ignorenulls=True).over(w_asc).alias("prev_x"),
-        F.last(ctrl_x, ignorenulls=True).over(w_desc).alias("next_x"),
-    )
-    m = nn.where(F.col("is_ctrl") == 0).select(
+    # caliper-2 nearest-control lookup WITHOUT a global as-of window:
+    # every surviving match satisfies |x - mx| <= 2, so each treated
+    # user has at most 5 candidate covariate values {x-2..x+2}; explode
+    # them (x5 row-local), join the per-covariate control aggregate,
+    # and keep the nearest (ties toward the LOWER covariate — exactly
+    # the oracle's prev-on-equidistance rule). Treated users whose
+    # nearest control is outside the caliper get no surviving
+    # candidate and drop out, identical to the oracle's post-filter.
+    cand = labeled.where(F.col("treated") == 1).select(
         "user_id",
         "x",
         "y_cents",
-        F.when(F.col("prev_x").isNull() & F.col("next_x").isNull(), None)
-        .when(F.col("next_x").isNull(), F.col("prev_x"))
-        .when(F.col("prev_x").isNull(), F.col("next_x"))
-        .when(
-            (F.col("x") - F.col("prev_x")) <= (F.col("next_x") - F.col("x")),
-            F.col("prev_x"),
-        )
-        .otherwise(F.col("next_x"))
-        .alias("mx"),
+        F.explode(F.expr("sequence(x - 2, x + 2)")).alias("mx"),
     )
-    mm = m.join(ctrl.withColumnRenamed("x", "mx"), "mx").where(
-        F.abs(F.col("x") - F.col("mx")) <= 2
+    mm = (
+        cand.join(ctrl.withColumnRenamed("x", "mx"), "mx")
+        .groupBy("user_id", "x", "y_cents")
+        .agg(
+            F.min_by(
+                F.struct("mx", "n_c", "sum_c"),
+                F.struct(F.abs(F.col("x") - F.col("mx")), F.col("mx")),
+            ).alias("m")
+        )
+        .select("user_id", "x", "y_cents", "m.n_c", "m.sum_c")
     )
     att = mm.agg(
         F.count("*").cast("bigint").alias("n_matched"),
@@ -6160,10 +6150,16 @@ def ev_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: everything up to the final ratios is BIGINT. Tie
     rows in the sweep order (t, delta) contribute zero-width
     intervals, so the integral is invariant to engine tie-breaking.
-    Scale: sessionization shards by user; the sweep line is one
-    ordered pass over session BOUNDARIES (two rows per session, not
-    per event) — at 100 TB that is the day-partitioned timeline merge
-    ev_peak_concurrency already documents."""
+    Scale: sessionization shards by user; the sweep line is DAY-
+    SEGMENTED — boundaries cumulate within their UTC day in parallel
+    (partitioned windows), each day reduces to one (partial integral,
+    net delta, first/last timestamp) row, and the only global-order
+    window runs over that bounded days-grain relation (#calendar-days
+    rows) to chain the cross-day concurrency offsets and bridge the
+    inter-day gaps: integral_d = ps_d + off0_d*(last-first) +
+    off0_d*(first - prev_last). Exactly the oracle's single sweep
+    regrouped by day — same BIGINT sum, no unbounded single-partition
+    pass."""
     ev = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -6177,14 +6173,33 @@ def ev_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
-    )
-    w_sweep = Window.orderBy("t", "delta")
-    sweep = changes.select(
+    ).withColumn("day", F.expr("t DIV 86400000000"))
+    w_day = Window.partitionBy("day").orderBy("t", "delta")
+    w_day_cum = w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = changes.select(
+        "day",
         "t",
-        F.sum("delta")
-        .over(w_sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("conc"),
-        F.lead("t").over(w_sweep).alias("nxt"),
+        "delta",
+        F.sum("delta").over(w_day_cum).alias("cl"),
+        F.lead("t").over(w_day).alias("nxt"),
+    )
+    per_day = local.groupBy("day").agg(
+        F.sum(F.expr("cl * (COALESCE(nxt, t) - t)")).alias("ps"),
+        F.sum("delta").alias("net"),
+        F.min("t").alias("first_t"),
+        F.max("t").alias("last_t"),
+    )
+    # bounded days-grain relation (#calendar-days rows) — the one
+    # global-order window, over a relation that cannot outgrow the
+    # corpus' calendar span
+    w_days = Window.orderBy("day")
+    w_days_cum = w_days.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days = per_day.select(
+        "ps",
+        "first_t",
+        "last_t",
+        (F.sum("net").over(w_days_cum) - F.col("net")).alias("off0"),
+        F.lag("last_t").over(w_days).alias("prev_last"),
     )
     tot = iv.agg(
         F.count("*").cast("bigint").alias("n_sessions"),
@@ -6192,8 +6207,15 @@ def ev_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_us").cast("bigint").alias("t0"),
         F.max("e_us").cast("bigint").alias("t1"),
     )
-    integ = sweep.agg(
-        F.sum(F.col("conc") * (F.coalesce("nxt", "t") - F.col("t")))
+    integ = days.agg(
+        F.sum(
+            F.col("ps")
+            + F.col("off0") * (F.col("last_t") - F.col("first_t"))
+            + F.coalesce(
+                F.col("off0") * (F.col("first_t") - F.col("prev_last")),
+                F.lit(0),
+            )
+        )
         .cast("bigint")
         .alias("sweep_us")
     )
@@ -6600,8 +6622,11 @@ def ev_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one look-indexed aggregate + a 5-row prefix window; the z
     statistic uses only divisions and SQRT (IEEE correctly-rounded,
     unlike libm ln/pow), so both engines compute identical doubles.
-    Scale: one corpus pass computes each event's first-look index;
-    everything after is a 10-row relation."""
+    Scale: the look index needs each event's exact global rank, which
+    the shared range-partitioned prefix-sum helper (operators/rank.py)
+    computes with parallel per-partition row_numbers and a
+    #partitions-sized driver prefix sum — no single-partition global
+    sort; everything after is a 10-row relation."""
     ev = load_table(spark, sf_dir, "events")
     arm = (
         F.conv(F.substring(F.md5(F.concat(F.lit("gst-arm|"), F.col("event_id"))), 1, 8), 16, 10)
@@ -6612,14 +6637,17 @@ def ev_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long") % 10
         == 0
     ).cast("int")
-    w_rn = Window.orderBy("ts_us", "event_id")
-    ranked = ev.select(
+    base = ev.select(
         "event_id",
+        "ts_us",
         arm.alias("arm"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("base_succ"),
         lift.alias("lift"),
-        F.row_number().over(w_rn).alias("rn"),
-    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+    # exact global event rank WITHOUT a single-partition sort: the
+    # shared range-partitioned prefix-sum helper (operators/rank.py);
+    # the corpus count n falls out of the same pass as a literal
+    ranked, n = global_row_number(base, ["ts_us", "event_id"], out_col="rn")
     experiments = spark.createDataFrame(
         [("null",), ("planted",)], "experiment string"
     )
@@ -6632,7 +6660,7 @@ def ev_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("base_succ"))
         .alias("succ"),
-        F.expr("CAST((rn * 5 + n - 1) DIV n AS INT)").alias("l"),
+        F.expr(f"CAST((rn * 5 + {n} - 1) DIV {n} AS INT)").alias("l"),
     )
     inc = tagged.groupBy("experiment", "l").agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na_i"),
