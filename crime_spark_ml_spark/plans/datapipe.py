@@ -13715,7 +13715,7 @@ def dp_gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT pair, g,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
       FROM corpora, grid, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
-      WHERE rk * den <= nn * num
+      WHERE rk * den <= nn * num AND len(t) >= 4
     ),
     curve AS (
       SELECT pair, g,
@@ -13762,23 +13762,24 @@ def dp_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_src = docs.where(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("rep_key"), F.col("text").alias("rep_text")
     )
-    ranked = (
-        docs.join(
-            F.broadcast(rep_src), docs["doc_id"] % 10 == rep_src["rep_key"]
-        )
-        .select(
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.md5(F.concat(F.lit("hp|"), F.col("doc_id").cast("string")))
-                )
-            )
-            .cast("bigint")
-            .alias("rk"),
-            F.col("text").alias("nat_text"),
-            "rep_text",
-        )
-        .withColumn("nn", F.count("*").over(Window.partitionBy()))
+    joined = docs.join(
+        F.broadcast(rep_src), docs["doc_id"] % 10 == rep_src["rep_key"]
+    ).select(
+        F.md5(F.concat(F.lit("hp|"), F.col("doc_id").cast("string"))).alias(
+            "__hp"
+        ),
+        F.col("text").alias("nat_text"),
+        "rep_text",
+    )
+    # exact hash-order rank via the shared distributed prefix-sum
+    # helper (operators/rank.py) — no single-partition window; the
+    # corpus count nn falls out of the same pass
+    ranked_g, nn = global_row_number(joined, ["__hp"], out_col="rk")
+    ranked = ranked_g.select(
+        F.col("rk").cast("bigint").alias("rk"),
+        F.lit(nn).cast("bigint").alias("nn"),
+        "nat_text",
+        "rep_text",
     )
     corpora = ranked.select(
         F.lit("natural").alias("pair"),
@@ -13796,12 +13797,18 @@ def dp_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         [(1, 1, 8), (2, 1, 4), (3, 1, 2), (4, 1, 1)], "g int, num int, den int"
     )
+    # guard the shingle bound: for a <4-token doc Spark's
+    # sequence(1, size-3) would default to step -1 (descending) and
+    # yield junk indexes, while DuckDB's generate_series is empty —
+    # filter size(t) >= 4 in BOTH engines (a <4-token doc contributes
+    # zero shingles either way, so results are unchanged)
     sh = F.expr(
         "transform(sequence(1, size(t) - 3),"
         " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2]))"
     )
     prefix = (
-        corpora.crossJoin(F.broadcast(grid))
+        corpora.where(F.size("t") >= 4)
+        .crossJoin(F.broadcast(grid))
         .where(F.col("rk") * F.col("den") <= F.col("nn") * F.col("num"))
         .select("pair", "g", F.explode(sh).alias("sh"))
     )

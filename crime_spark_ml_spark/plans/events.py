@@ -8456,9 +8456,9 @@ def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmp AS (
       SELECT perms.pair,
              CAST(SUM(CASE WHEN
-               CAST(ABS(s1b * n0b - s0b * n1b) AS HUGEINT)
+               ABS(CAST(s1b AS HUGEINT) * n0b - CAST(s0b AS HUGEINT) * n1b)
                    * (CAST(n1o AS HUGEINT) * n0o)
-               >= CAST(ABS(s1o * n0o - s0o * n1o) AS HUGEINT)
+               >= ABS(CAST(s1o AS HUGEINT) * n0o - CAST(s0o AS HUGEINT) * n1o)
                    * (CAST(n1b AS HUGEINT) * n0b)
                THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
       FROM perms JOIN obs ON perms.pair = obs.pair
@@ -8580,9 +8580,11 @@ def ev_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.expr(
-                        "CAST(ABS(s1b * n0b - s0b * n1b) AS DECIMAL(38,0))"
+                        "ABS(CAST(s1b AS DECIMAL(38,0)) * n0b"
+                        " - CAST(s0b AS DECIMAL(38,0)) * n1b)"
                         " * (CAST(n1o AS DECIMAL(38,0)) * n0o)"
-                        " >= CAST(ABS(s1o * n0o - s0o * n1o) AS DECIMAL(38,0))"
+                        " >= ABS(CAST(s1o AS DECIMAL(38,0)) * n0o"
+                        " - CAST(s0o AS DECIMAL(38,0)) * n1o)"
                         " * (CAST(n1b AS DECIMAL(38,0)) * n0b)"
                     ),
                     1,
@@ -9151,7 +9153,7 @@ _WT_DF = (
                  6) AS mean_diff_dollars_r,
            ROUND({_WT_T}, 6) AS t_r,
            ROUND({_WT_DF}, 4) AS welch_df_r,
-           ABS({_WT_T}) > 2.2 AS rejected
+           ABS({_WT_T}) > 2.201 AS rejected
     FROM cells ORDER BY pair
     """,
     tags=("events", "abtest", "welch-t", "parametric-test"),
@@ -9164,8 +9166,9 @@ def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumption, Welch-Satterthwaite df reported. Per-arm moments
     (n, sum, sum of squares in integer cents) are exact bigints;
     variances, t, and df are one fixed-order float expression over
-    the pivoted arm columns. The critical value 2.2 is conservative
-    for df >= 11 (every scale here); a planted +$250 treated shift
+    the pivoted arm columns. The critical value 2.201 is conservative
+    for df >= 11 (two-sided 5% t at df=11 is ~2.20099; every scale
+    here clears df 11); a planted +$250 treated shift
     rejects at gate scale while the null split stays inside the band
     (vacuity pins; smoke is underpowered and pins ordering only).
 
@@ -9217,7 +9220,7 @@ def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS mean_diff_dollars_r",
         f"ROUND({_WT_T}, 6) AS t_r",
         f"ROUND({_WT_DF}, 4) AS welch_df_r",
-        f"ABS({_WT_T}) > 2.2 AS rejected",
+        f"ABS({_WT_T}) > 2.201 AS rejected",
     ).orderBy("pair")
 
 

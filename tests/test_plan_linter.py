@@ -19,6 +19,16 @@ scale-killer node types:
   are enumerated in ``BNLJ_ALLOWED`` with the tiny side named; any
   other query growing a BNLJ fails the lint until it is either
   rewritten or explicitly justified here.
+- **Unpartitioned ``Window`` over unbounded input** (round 6) — a
+  window with an empty partition spec funnels its whole input through
+  one task (the ``WindowExec: No Partition Defined`` warning). A
+  window whose direct input chain ends in a limit
+  (``TakeOrderedAndProject``/``GlobalLimit``/``CollectLimit``) is
+  auto-allowed — the post-limit rank pattern is bounded by
+  construction, as is an unpartitioned ``WindowGroupLimit`` (its
+  Final step sees at most k rows per upstream partition). Anything
+  else must be enumerated in ``WINDOW_ALLOWED`` with its bounded
+  grain named, mirroring ``BNLJ_ALLOWED``.
 
 Plans are linted at sf0.001 — node types don't depend on fixture
 scale (AQE can only *downgrade* a shuffle join to broadcast-hash,
@@ -26,6 +36,8 @@ never introduce one of the forbidden nodes at larger scale).
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -149,6 +161,70 @@ CARTESIAN_ALLOWED = {
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# query name -> the bounded grain that makes an unpartitioned Window
+# acceptable (post-limit windows are auto-detected and need no entry)
+WINDOW_ALLOWED: dict[str, str] = {
+    "ev_littles_law": "days-grain offset chain (#calendar-days rows, "
+    "one row per day of corpus span)",
+}
+
+# unary nodes a window's input chain may pass through while we search
+# for the bounding limit underneath
+_CHAIN_NODES = ("Sort", "Exchange", "Project", "Filter", "Coalesce",
+                "ColumnarToRow", "InputAdapter", "WholeStageCodegen")
+_LIMIT_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+_TREE_PREFIX = re.compile(r"^[\s:+|-]*(\*\(\d+\)\s*)?")
+
+
+def _node_name(line: str) -> str:
+    """Physical-plan node name with tree-drawing/codegen prefixes
+    stripped: '   +- *(3) Project [...]' -> 'Project'."""
+    s = _TREE_PREFIX.sub("", line)
+    return s.split(" ", 1)[0].split("(", 1)[0]
+
+
+def _top_level_groups(s: str) -> list[str]:
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def unpartitioned_unbounded_windows(plan: str) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose input chain does
+    not end in a limit. A partitioned Window prints three top-level
+    bracket groups ([exprs], [partition], [order]); an unpartitioned
+    one prints two. The input walk follows the unary chain below the
+    node and accepts it only if a limit bounds it."""
+    lines = plan.splitlines()
+    offenders = []
+    for i, line in enumerate(lines):
+        name = _node_name(line)
+        if name not in ("Window", "WindowInPandas"):
+            continue
+        body = _TREE_PREFIX.sub("", line)[len(name) + 1 :]
+        if len(_top_level_groups(body)) != 2:
+            continue  # has a partition spec
+        bounded = False
+        for child in lines[i + 1 :]:
+            cname = _node_name(child)
+            if cname in _LIMIT_NODES:
+                bounded = True
+                break
+            if cname not in _CHAIN_NODES:
+                break
+        if not bounded:
+            offenders.append(line.strip())
+    return offenders
+
+
 _SPECS = load_all_plans()
 
 
@@ -166,10 +242,51 @@ def test_no_scale_killer_nodes(spark, name):
             "broadcast a tiny side deliberately and justify it in "
             "BNLJ_ALLOWED, or rewrite the join"
         )
+    offenders = unpartitioned_unbounded_windows(plan)
+    if offenders and name not in WINDOW_ALLOWED:
+        raise AssertionError(
+            f"{name}: unpartitioned Window over unbounded input — "
+            "partition it, rewrite as orderBy().limit(k) + post-limit "
+            "rank, use operators/rank.global_row_number, or justify "
+            f"the bounded grain in WINDOW_ALLOWED: {offenders}"
+        )
 
 
 def test_bnlj_allowlist_is_tight():
     """Every allow-list entry names a registered query, so renames/
     deletions can't leave stale justifications behind."""
-    unknown = (set(BNLJ_ALLOWED) | set(CARTESIAN_ALLOWED)) - set(_SPECS)
+    unknown = (
+        set(BNLJ_ALLOWED) | set(CARTESIAN_ALLOWED) | set(WINDOW_ALLOWED)
+    ) - set(_SPECS)
     assert not unknown, f"allow-list entries for unregistered queries: {unknown}"
+
+
+def test_window_detector_flags_regression(spark):
+    """The detector itself: a global row_number over an unbounded scan
+    must flag; a partitioned window and the post-limit rank pattern
+    must not."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select("id", (F.col("id") % 5).alias("k"))
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert unpartitioned_unbounded_windows(plan(bad)), (
+        "deliberately-regressed global window not flagged"
+    )
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert not unpartitioned_unbounded_windows(plan(good))
+    postlimit = (
+        df.orderBy("id")
+        .limit(5)
+        .withColumn("r", F.row_number().over(Window.orderBy("id")))
+    )
+    assert not unpartitioned_unbounded_windows(plan(postlimit))
+    # a limit BELOW a join/agg does not bound the window input
+    joined = bad.join(df.limit(5).withColumnRenamed("id", "id2"), "k")
+    assert unpartitioned_unbounded_windows(plan(joined))
