@@ -56,3 +56,51 @@ def global_row_number(
         .drop("__pid", "__r", "__off")
     )
     return out, acc
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    out_col: str = "__g",
+) -> DataFrame:
+    """Exact 1-based row number over ``order_cols`` WITHIN each group —
+    the grouped twin of :func:`global_row_number`, for when the groups
+    themselves are data-sized (a plain ``partitionBy(group)`` window
+    would funnel each whole group through one task).
+
+    Range-partition on (group, order) so each partition holds
+    contiguous runs; row_number within (partition, group) in parallel;
+    collect the per-(partition, group) sizes (≤ #partitions × #groups
+    rows — callers should have FEW groups, e.g. a model/arm column)
+    and broadcast per-group prefix offsets back.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+    ranked = ranged.withColumn("__r", F.row_number().over(w))
+    sizes = (
+        ranked.groupBy("__pid", *gcols)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(sizes, key=lambda r: (tuple(str(r[c]) for c in group_cols), r["__pid"])):
+        key = tuple(r[c] for c in group_cols)
+        rows.append((r["__pid"], *key, acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + r["n"]
+    schema_groups = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    offset_df = df.sparkSession.createDataFrame(
+        rows, f"__pid int, {schema_groups}, __off long"
+    )
+    return (
+        ranked.join(F.broadcast(offset_df), ["__pid", *group_cols])
+        .withColumn(out_col, F.col("__off") + F.col("__r"))
+        .drop("__pid", "__r", "__off")
+    )

@@ -6904,14 +6904,11 @@ def dp_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf_score"),
         )
     )
+    top = fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
     w_f = Window.orderBy(F.desc("rrf_score"), "doc_id")
-    return (
-        fused.withColumn(
-            "fused_rank", F.row_number().over(w_f).cast("int")
-        )
-        .orderBy("fused_rank")
-        .limit(10)
-    )
+    return top.withColumn(
+        "fused_rank", F.row_number().over(w_f).cast("int")
+    ).orderBy("fused_rank")
 
 
 @register(
@@ -11071,8 +11068,9 @@ def dp_label_noise_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-row mean — both engines rank the identical margin table
     (ties broken by vec_id). Scale: one label-keyed aggregate builds
     the 5-row prototype table (broadcast), scoring is row-local, and
-    the audit cut is a global rank — at scale a TakeOrdered top-k by
-    margin, exactly the ANN top-k shape."""
+    the audit cut's exact global rank comes from the distributed
+    range-partitioned prefix-sum helper (operators/rank.py) — no
+    single-partition sort at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -11120,9 +11118,14 @@ def dp_label_noise_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("margin_q"),
     )
     np_ = margins.agg(F.sum("flipped").cast("bigint").alias("n_planted"))
-    ranked = margins.withColumn(
-        "rn", F.row_number().over(Window.orderBy("margin_q", "vec_id"))
-    ).crossJoin(F.broadcast(np_))
+    # the audit cut ranks ALL vectors by margin and keeps rn <=
+    # n_planted (a data-sized threshold, not a fixed top-k), so the
+    # exact rank comes from the shared distributed prefix-sum helper
+    # (operators/rank.py) instead of a single-partition window
+    ranked_m, _ = global_row_number(
+        margins, ["margin_q", "vec_id"], out_col="rn"
+    )
+    ranked = ranked_m.crossJoin(F.broadcast(np_))
     caught = F.sum(
         F.when((F.col("rn") <= F.col("n_planted")) & (F.col("flipped") == 1), 1)
         .otherwise(0)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
-from ..operators.rank import global_row_number
+from ..operators.rank import global_row_number, grouped_row_number
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -5388,12 +5388,33 @@ def ev_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "treated", "conv",
         )
     )
-    w_nt = Window.partitionBy("model").orderBy(
-        F.col("score").desc(), "user_id"
+    # the per-model decile is NTILE(10) over USER-cardinality input —
+    # partitionBy(model) has only 2 values, so a window would funnel
+    # half the corpus through each of two tasks. Instead: exact
+    # per-model rank from the grouped distributed prefix-sum helper
+    # (operators/rank.py), then ntile's closed form (first n%10 tiles
+    # hold ceil(n/10) rows) — bit-identical to the oracle's window.
+    nmod = both_m.groupBy("model").agg(F.count("*").alias("nm"))
+    g = grouped_row_number(
+        both_m,
+        ["model"],
+        [F.col("score").desc(), F.col("user_id")],
+        out_col="grn",
     )
-    ranked = both_m.select(
-        "model", "treated", "conv",
-        F.ntile(10).over(w_nt).alias("decile"),
+    ranked = (
+        g.join(F.broadcast(nmod), "model")
+        .withColumn("m10", F.expr("nm % 10"))
+        .withColumn("big", F.expr("nm DIV 10 + 1"))
+        .withColumn("small", F.expr("nm DIV 10"))
+        .select(
+            "model", "treated", "conv",
+            F.expr(
+                "CAST(CASE WHEN grn <= m10 * big"
+                " THEN (grn - 1) DIV big + 1"
+                " ELSE m10 + (grn - m10 * big - 1) DIV small + 1"
+                " END AS INT)"
+            ).alias("decile"),
+        )
     )
     dec = ranked.groupBy("model", "decile").agg(
         F.sum(F.expr("CASE WHEN treated THEN conv ELSE 0 END")).alias("ct"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
+from ..operators.rank import global_row_number
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -882,23 +883,40 @@ def j_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate in DECIMAL so the ranking never depends on float
     summation order (the q1_pricing_summary discipline).
 
-    The three ntiles are GLOBAL windows — fine at any customer count
-    that fits a sort (ntile needs a total order by definition), and
-    the input is the per-customer rollup (|customers| rows), not the
-    orders table; at 100 TB you'd quintile via approx quantile cuts
-    instead, trading exactness for a scan — the exact form here IS
-    the oracle-checkable contract."""
+    The oracle keeps the three ntile windows (DuckDB sorts
+    single-node by definition), but the Spark plan computes the
+    IDENTICAL tile ids without any single-partition sort: three passes
+    of the shared range-partitioned prefix-sum rank
+    (operators/rank.py) give each customer its exact global rank per
+    dimension, and ntile's closed form over (rank, n, 5) — the first
+    n%5 tiles hold ceil(n/5) rows, the rest floor(n/5) — reproduces
+    the window function bit-for-bit in integer arithmetic (the
+    dp_equidepth_hist2d technique)."""
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         dec_sum("o_totalprice", 4).alias("monetary"),
     )
-    scored = rfm.select(
+    g1, n = global_row_number(rfm, ["last_order", "o_custkey"], out_col="gr")
+    g2, _ = global_row_number(g1, ["frequency", "o_custkey"], out_col="gf")
+    g3, _ = global_row_number(g2, ["monetary", "o_custkey"], out_col="gm")
+
+    def ntile5(rank_col: str) -> str:
+        k = 5
+        big, small, m = n // k + 1, n // k, n % k
+        return (
+            f"CASE WHEN {rank_col} <= {m * big}"
+            f" THEN ({rank_col} - 1) DIV {big} + 1"
+            f" ELSE {m} + ({rank_col} - {m * big} - 1) DIV {small} + 1"
+            f" END"
+        )
+
+    scored = g3.select(
         "o_custkey",
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
-        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
+        F.expr(ntile5("gr")).cast("int").alias("r_q"),
+        F.expr(ntile5("gf")).cast("int").alias("f_q"),
+        F.expr(ntile5("gm")).cast("int").alias("m_q"),
     )
     return (
         scored.groupBy("r_q", "f_q", "m_q")

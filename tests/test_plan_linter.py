@@ -166,6 +166,38 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 WINDOW_ALLOWED: dict[str, str] = {
     "ev_littles_law": "days-grain offset chain (#calendar-days rows, "
     "one row per day of corpus span)",
+    "dp_skyline_pareto": "distinct-price relation (price-domain-"
+    "bounded: ~100k cent values max, independent of row count)",
+    "dp_vocab_coverage_curve": "vocabulary-sized ranked term relation "
+    "(type-space-bounded, same grain its BNLJ entry names)",
+    "ev_allen_intervals": "13-row Allen-relation aggregate (fixed "
+    "relation taxonomy)",
+    "ev_changepoint_cusum": "daily series (#calendar-days rows)",
+    "ev_cumulative_distinct_users": "daily first-seen series "
+    "(#calendar-days rows)",
+    "ev_fdr_bh": "20-row ranked z-score grid (fixed hypothesis count)",
+    "ev_meta_analysis": "per-experiment effect relation "
+    "(#experiments rows, exp_id-domain-bounded)",
+    "ev_metric_decomposition": "5-row per-segment cell table "
+    "(the grain its BNLJ entry names)",
+    "ev_forecast_backtest": "daily series (#calendar-days rows)",
+    "ev_granger_causality": "daily series (#calendar-days rows)",
+    "ev_interrupted_time_series": "daily series (#calendar-days rows)",
+    "ev_kaplan_meier": "per-hour survival factors (hours-grain, "
+    "#distinct-hours rows)",
+    "ev_ljung_box": "daily series (#calendar-days rows)",
+    "ev_pacf_durbin": "daily series (#calendar-days rows)",
+    "ev_seasonal_decompose": "daily series (#calendar-days rows)",
+    "ev_theil_sen_trend": "day-pair slope relation (#days^2 rows, "
+    "calendar-span-bounded)",
+    "fn_approx_top_k": "exploded approx_top_k sketch result "
+    "(<= k=100 rows)",
+    "j_hierarchy_share": "(region, nation) rollup (<= 25 rows, "
+    "dimension-domain-bounded)",
+    "ml_bradley_terry": "model-count-sized strength relation "
+    "(6 models)",
+    "w_dense_rank_nations": "25-row nation aggregate "
+    "(nationkey domain)",
 }
 
 # unary nodes a window's input chain may pass through while we search
@@ -197,12 +229,19 @@ def _top_level_groups(s: str) -> list[str]:
     return groups
 
 
+_ORDER_MARK = re.compile(r"\b(ASC|DESC) NULLS")
+
+
 def unpartitioned_unbounded_windows(plan: str) -> list[str]:
     """Window nodes with an EMPTY partition spec whose input chain does
-    not end in a limit. A partitioned Window prints three top-level
-    bracket groups ([exprs], [partition], [order]); an unpartitioned
-    one prints two. The input walk follows the unary chain below the
-    node and accepts it only if a limit bounds it."""
+    not end in a limit. Print formats: a fully-specified Window shows
+    three top-level bracket groups ([exprs], [partition], [order]);
+    ``over(partitionBy(k))`` shows two with NO sort markers in the
+    last ([exprs], [partition]); ``over(orderBy(x))`` shows two WITH
+    sort markers ([exprs], [order]); bare ``over()`` shows one. Only
+    the last two forms are single-partition. The input walk follows
+    the unary chain below the node and accepts it only if a limit
+    bounds it."""
     lines = plan.splitlines()
     offenders = []
     for i, line in enumerate(lines):
@@ -210,8 +249,11 @@ def unpartitioned_unbounded_windows(plan: str) -> list[str]:
         if name not in ("Window", "WindowInPandas"):
             continue
         body = _TREE_PREFIX.sub("", line)[len(name) + 1 :]
-        if len(_top_level_groups(body)) != 2:
-            continue  # has a partition spec
+        groups = _top_level_groups(body)
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order]
+        if len(groups) == 2 and not _ORDER_MARK.search(groups[-1]):
+            continue  # [exprs], [partition] — partitioned, unordered
         bounded = False
         for child in lines[i + 1 :]:
             cname = _node_name(child)
@@ -287,6 +329,14 @@ def test_window_detector_flags_regression(spark):
         .withColumn("r", F.row_number().over(Window.orderBy("id")))
     )
     assert not unpartitioned_unbounded_windows(plan(postlimit))
+    # partitioned-but-unordered prints only two bracket groups — must
+    # NOT flag; bare over() prints one group — MUST flag
+    part_noorder = df.withColumn(
+        "n", F.count("*").over(Window.partitionBy("k"))
+    )
+    assert not unpartitioned_unbounded_windows(plan(part_noorder))
+    bare = df.withColumn("n", F.count("*").over(Window.partitionBy()))
+    assert unpartitioned_unbounded_windows(plan(bare))
     # a limit BELOW a join/agg does not bound the window input
     joined = bad.join(df.limit(5).withColumnRenamed("id", "id2"), "k")
     assert unpartitioned_unbounded_windows(plan(joined))
