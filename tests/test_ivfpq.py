@@ -364,3 +364,83 @@ def test_split_refuses_partial_corpus(spark, tmp_path):
     full = corpus.unionByName(shifted)
     report = split_oversized_cells(spark, path, full, max_rows=30, seed=0)
     assert report["split"]
+
+
+def test_maintenance_loop_end_to_end(spark, tmp_path):
+    """The full production maintenance loop in one test — the story
+    the individual lifecycle pieces (append_ivfpq, needs_retrain,
+    split_oversized_cells) exist for: ingest batches append with no
+    index-wide work; the staleness trigger eventually trips; the
+    operator retrains over the system of record (base + appended) and
+    swaps; the rebuilt index resets staleness AND keeps probe quality
+    (every query's top-1 still comes from its planted cluster, and
+    appended twins remain findable); a post-retrain split pass then
+    enforces the cell-size cap without losing probe parity."""
+    from crime_spark_ml_spark.ml.ivfpq import cell_sizes, split_oversized_cells
+
+    base = _planted_corpus(spark).cache()
+    index = build_ivfpq(base, k_cells=8, m=4, k=8, seed=0)
+    path = str(tmp_path / "liveidx")
+    persist_ivfpq(index, path)
+    queries = base.where(F.col("vec_id") < 4).cache()
+
+    # ingest loop: twin batches of 5 until the 25% trigger trips.
+    # 40 base rows -> trips strictly after the 3rd batch (15/40).
+    corpus = base
+    trip_round = None
+    for i in range(1, 5):
+        batch = base.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100 * i).alias("vec_id"), "embedding"
+        )
+        st = append_ivfpq(spark, path, batch)
+        corpus = corpus.unionByName(batch)
+        assert st["n_appended"] == 5 * i
+        # appended twins are probe-visible immediately, pre-retrain
+        got = {
+            (r.query_id, r.cand_id)
+            for r in probe_ivfpq(spark, path, queries, k=6, nprobe=8).collect()
+        }
+        assert (0, 100 * i) in got, f"batch {i} twin not probe-visible"
+        if needs_retrain(spark, path, max_staleness=0.25):
+            trip_round = i
+            break
+    assert trip_round == 3, "25% trigger must trip at 15/40 appended"
+
+    # retrain over the system of record, swap in place (persist
+    # overwrites), staleness resets, trigger clears
+    rebuilt = build_ivfpq(corpus, k_cells=8, m=4, k=8, seed=0)
+    persist_ivfpq(rebuilt, path)
+    st = ivfpq_staleness(spark, path)
+    assert (st["n_base"], st["n_appended"], st["staleness"]) == (55, 0, 0.0)
+    assert not needs_retrain(spark, path, max_staleness=0.25)
+
+    # probe quality after the swap: planted-cluster top-1 for every
+    # query (the recall floor the build tests pin) and the appended
+    # twin ids are still in the store
+    after = {
+        (r.query_id, r.rank): r.cand_id
+        for r in probe_ivfpq(spark, path, queries, k=6, nprobe=8).collect()
+    }
+    for q in range(4):
+        assert after[(q, 1)] % 100 // 5 == q // 5 or after[(q, 1)] == q
+    cands = {cid for (_, _), cid in after.items()}
+    assert any(c >= 100 for c in cands), "appended twins lost by retrain"
+
+    # maintenance pass: enforce a cell cap on the rebuilt store; mass
+    # conserved, every surviving cell under the cap, probes stay sane
+    sizes = cell_sizes(spark, path)
+    cap = max(sizes.values()) - 1
+    report = split_oversized_cells(spark, path, corpus, max_rows=cap, seed=0)
+    assert report["split"], "cap below max cell size must split"
+    after_sizes = cell_sizes(spark, path)
+    assert sum(after_sizes.values()) == 55
+    assert all(n <= cap for n in after_sizes.values())
+    final = {
+        (r.query_id, r.rank): r.cand_id
+        for r in probe_ivfpq(
+            spark, path, queries, k=6, nprobe=report["k_cells"]
+        ).collect()
+    }
+    for q in range(4):
+        top1 = final[(q, 1)]
+        assert top1 % 100 // 5 == q // 5 or top1 == q
