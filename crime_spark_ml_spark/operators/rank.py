@@ -104,3 +104,62 @@ def grouped_row_number(
         .withColumn(out_col, F.col("__off") + F.col("__r"))
         .drop("__pid", "__r", "__off")
     )
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    sums: dict[str, str],
+) -> DataFrame:
+    """Exact running totals over ``order_cols`` within each group,
+    without funneling a group through one task — the prefix-SUM twin
+    of :func:`grouped_row_number`, for sequential-walk statistics
+    (SPRT log-likelihood paths, CUSUM) whose groups are data-sized.
+
+    ``sums`` maps value column -> output running-total column (pass a
+    literal-1 column for a running count). Same machinery: range-
+    partition on (group, order), cumulative sums within each
+    (partition, group) in parallel, collect the per-(partition, group)
+    TOTALS (≤ #partitions × #groups tiny rows), prefix them per group
+    on the driver, broadcast the offsets back.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid", *gcols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged
+    for vcol, out in sums.items():
+        cum = cum.withColumn(out, F.sum(vcol).over(w))
+    totals = (
+        cum.groupBy("__pid", *gcols)
+        .agg(*[F.sum(v).alias(f"__t_{o}") for v, o in sums.items()])
+        .collect()
+    )
+    acc: dict[tuple, list[int]] = {}
+    rows = []
+    outs = list(sums.values())
+    for r in sorted(
+        totals, key=lambda r: (tuple(str(r[c]) for c in group_cols), r["__pid"])
+    ):
+        key = tuple(r[c] for c in group_cols)
+        offs = acc.get(key, [0] * len(outs))
+        rows.append((r["__pid"], *key, *offs))
+        acc[key] = [o + (r[f"__t_{out}"] or 0) for o, out in zip(offs, outs)]
+    schema_groups = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in group_cols)
+    schema_offs = ", ".join(f"__off_{o} long" for o in outs)
+    offset_df = df.sparkSession.createDataFrame(
+        rows, f"__pid int, {schema_groups}, {schema_offs}"
+    )
+    out_df = cum.join(F.broadcast(offset_df), ["__pid", *group_cols])
+    for o in outs:
+        out_df = out_df.withColumn(o, F.col(o) + F.col(f"__off_{o}")).drop(
+            f"__off_{o}"
+        )
+    return out_df.drop("__pid")

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
-from ..operators.rank import global_row_number, grouped_row_number
+from ..operators.rank import (
+    global_row_number,
+    grouped_prefix_sums,
+    grouped_row_number,
+)
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -5704,11 +5708,13 @@ def ev_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     failures) pair from ONE cumulative window; the LLR is
     reconstituted row-locally as s*L1 + f*L0, so no float ever
     accumulates across rows and the crossing trial is
-    engine-identical. Scale shape: sequential tests are inherently
-    per-experiment ordered scans — the window partitions by arm
-    (experiments/arms are the parallel unit, the same layout the
-    per-user sessionizers use), and everything after the walk is a
-    2-row aggregate."""
+    engine-identical. Scale shape: with only 2 arms a partitionBy(arm)
+    window would push HALF the corpus through each of two tasks, so
+    the walk state (running trial count rn and running success count
+    s) comes from the grouped distributed prefix-sum helper
+    (operators/rank.py::grouped_prefix_sums — range-partitioned
+    per-(partition, arm) cumsums plus a tiny per-arm offset chain);
+    everything after the walk is a 2-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
     arm_hash = (
         F.conv(F.substring(F.md5(F.concat(F.lit("sprt-arm|"), F.col("event_id"))), 1, 8), 16, 10)
@@ -5729,14 +5735,20 @@ def ev_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("succ"),
     )
-    w = Window.partitionBy("arm").orderBy("ts", "event_id")
-    walk = trials.select(
-        "arm",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.sum("succ").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("s"),
-    ).withColumn("f", F.col("rn") - F.col("s"))
+    walk = (
+        grouped_prefix_sums(
+            trials.withColumn("one", F.lit(1)),
+            ["arm"],
+            ["ts", "event_id"],
+            {"one": "rn", "succ": "s"},
+        )
+        .select(
+            "arm",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.col("s").cast("bigint").alias("s"),
+        )
+        .withColumn("f", F.col("rn") - F.col("s"))
+    )
     summary = walk.groupBy("arm").agg(
         F.max("rn").cast("bigint").alias("n_trials"),
         F.max("s").cast("bigint").alias("n_succ"),
