@@ -47,7 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from crime_spark_ml_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_JSON = os.path.join(REPO, "SCALE_r05.json")
+OUT_JSON = os.path.join(REPO, "SCALE_r06.json")
 
 DIM = 64
 N_CLUSTERS = 64
@@ -862,9 +862,95 @@ def cmd_newstats(spark, args) -> None:
     _record("newstats", {"per_factor": per})
 
 
+def cmd_rewrites(spark, args) -> None:
+    """Volume scaling for the round-6 window rewrites — the 13 plans
+    the r5 verdict flagged as single-partition global windows, each
+    rewritten onto the distributed-rank / post-limit / broadcast-
+    boundary patterns (operators/rank.py, commits 519098c/24f6eca/
+    829bf17/2a6a91d). The OLD plans were correct-but-single-task: a
+    bare ``OVER (ORDER BY ...)`` funnels the whole relation through
+    one task, so wall time would grow linearly-with-volume *through
+    one core* regardless of cluster width. The rewrites must instead
+    scale like their data-sized shuffles: roughly flat where output
+    is top-k/bounded-grain, mildly linear where the statistic really
+    touches every row — never a one-task sort wall.
+
+    Fixtures replicate sf0.1 by key-shifted union so per-key work
+    stays constant and growth is in the number of keys (users /
+    docs / vectors / customers / graph nodes) — the axis a 100 TB
+    store actually grows along."""
+    import functools
+
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    specs = load_all_plans()
+    src_dir = "/root/testdata/sf0.1"
+    factors = [int(x) for x in args.factors.split(",")]
+    # query -> tables it reads (all via load_table(spark, sf_dir, t))
+    queries = {
+        "ev_bot_regularity": ("events",),
+        "ev_group_sequential_obf": ("events",),
+        "ev_propensity_matching": ("events",),
+        "ev_littles_law": ("events",),
+        "ev_uplift_qini": ("events",),
+        "ev_sprt_sequential": ("events",),
+        "dp_maxsim_late_interaction": ("embeddings",),
+        "dp_label_noise_centroid": ("embeddings",),
+        "dp_rank_fusion_rrf": ("embeddings",),
+        "dp_equidepth_hist2d": ("documents",),
+        "dp_heaps_law": ("documents",),
+        "dp_link_prediction": ("lineitem",),
+        "j_rfm_segmentation": ("orders",),
+    }
+    # key-shift replication per table: per-key work constant, #keys grows
+    shifts = {
+        "events": {"user_id": 15_000, "event_id": 10_000_000},
+        "documents": {"doc_id": 10_000_000},
+        "embeddings": {"vec_id": 10_000_000},
+        "orders": {"o_orderkey": 10_000_000, "o_custkey": 15_000},
+        "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000},
+    }
+    base_rows = {
+        "events": 100_000,
+        "documents": 5_000,
+        "embeddings": 2_000,
+        "orders": 150_000,
+        "lineitem": 600_000,
+    }
+    per = []
+    for fct in factors:
+        d = f"{args.dir}/rw_f{fct}"
+        for t, shift in shifts.items():
+            if os.path.exists(f"{d}/{t}.parquet"):
+                continue
+            src = spark.read.parquet(f"{src_dir}/{t}.parquet")
+            parts = []
+            for i in range(fct):
+                p = src
+                for c, step in shift.items():
+                    p = p.withColumn(c, F.col(c) + F.lit(i * step))
+                parts.append(p)
+            functools.reduce(lambda a, b: a.unionByName(b), parts).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/{t}.parquet")
+        row = {"factor": fct}
+        for t, n in base_rows.items():
+            row[f"{t}_rows"] = n * fct
+        for q in queries:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            row[q] = round(best, 3)
+        per.append(row)
+        print(f"[scale][rewrites] {row}")
+    _record("rewrites", {"per_factor": per})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "gmedian", "newstats", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "gmedian", "newstats", "rewrites", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -913,6 +999,8 @@ def main() -> None:
         cmd_gmedian(spark, args)
     if args.phase in ("newstats",):
         cmd_newstats(spark, args)
+    if args.phase in ("rewrites",):
+        cmd_rewrites(spark, args)
 
 
 if __name__ == "__main__":
