@@ -19,8 +19,49 @@ engine-parity determinism.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _offset_join(
+    ranked: DataFrame, offset_df: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join per-(partition, group) offsets back NULL-safely.
+
+    A plain name-list equi-join is null-rejecting, so a NULL group key
+    would silently DROP its rows — window ``partitionBy`` semantics
+    (which these helpers advertise replacing) treat NULL as its own
+    partition instead. eqNullSafe on every group column keeps them.
+    """
+    off = offset_df
+    renames = {c: f"__k_{c}" for c in ["__pid", *group_cols]}
+    for c, r in renames.items():
+        off = off.withColumnRenamed(c, r)
+    cond = functools.reduce(
+        operator.and_,
+        [ranked[c].eqNullSafe(off[r]) for c, r in renames.items()],
+    )
+    return ranked.join(F.broadcast(off), cond).drop(*renames.values())
+
+
+def _sum_result_type(input_type: str) -> str:
+    """The Spark SQL type ``F.sum`` yields for a column of ``input_type``
+    — the offset columns must carry the SAME type or the broadcast
+    offsets would truncate (a double total stored as long shifts every
+    later partition's running sum)."""
+    t = input_type.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "bigint"
+    if t in ("float", "double"):
+        return "double"
+    if t.startswith("decimal"):
+        # sum over decimal(p,s) widens precision; 38 is the ceiling
+        scale = t.rstrip(")").split(",")[1] if "," in t else "0"
+        return f"decimal(38,{scale})"
+    raise ValueError(f"unsupported running-sum input type: {input_type}")
 
 
 def global_row_number(
@@ -37,7 +78,14 @@ def global_row_number(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    ranked = ranged.withColumn("__r", F.row_number().over(w))
+    # persist: the ranked frame is consumed TWICE (sizes collect, then
+    # the offset join the caller's action evaluates) and shuffle
+    # outputs are not reused across separate query executions — without
+    # the cache every call re-runs the input lineage end-to-end, and a
+    # caller chaining k rankings (j_rfm_segmentation) would recompute
+    # its rollup k+1 times. The sizes collect materializes the cache;
+    # eviction is LRU so batch runners need no explicit unpersist.
+    ranked = ranged.withColumn("__r", F.row_number().over(w)).persist()
     # per-partition sizes → prefix-sum offsets (≤ #partitions rows on the driver)
     sizes = sorted(
         (r["__pid"], r["n"])
@@ -56,6 +104,29 @@ def global_row_number(
         .drop("__pid", "__r", "__off")
     )
     return out, acc
+
+
+def ntile_sql(rank: str, n: int | str, k: int) -> str:
+    """SQL expression for the exact ``NTILE(k)`` tile id of a 1-based
+    rank — the closed form of the window function, shared by every
+    plan that replaces an ntile window with a distributed rank
+    (j_rfm_segmentation, dp_equidepth_hist2d, ev_uplift_qini): the
+    first ``n % k`` tiles hold ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)``. ``rank``/``n`` may be integer literals or SQL
+    expressions (e.g. a column name); all arithmetic is integer DIV,
+    bit-identical to the window function. When ``n < k`` the ELSE
+    branch would divide by small = 0, but ``m * big = n`` then covers
+    every rank so CASE short-circuits past it (per-row lazy branches).
+    """
+    m = f"({n} % {k})"
+    big = f"(({n} DIV {k}) + 1)"
+    small = f"({n} DIV {k})"
+    return (
+        f"CAST(CASE WHEN {rank} <= {m} * {big}"
+        f" THEN ({rank} - 1) DIV {big} + 1"
+        f" ELSE {m} + ({rank} - {m} * {big} - 1) DIV {small} + 1"
+        f" END AS INT)"
+    )
 
 
 def grouped_row_number(
@@ -81,7 +152,8 @@ def grouped_row_number(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
-    ranked = ranged.withColumn("__r", F.row_number().over(w))
+    # persist: double consumption, same rationale as global_row_number
+    ranked = ranged.withColumn("__r", F.row_number().over(w)).persist()
     sizes = (
         ranked.groupBy("__pid", *gcols)
         .agg(F.count("*").alias("n"))
@@ -100,7 +172,7 @@ def grouped_row_number(
         rows, f"__pid int, {schema_groups}, __off long"
     )
     return (
-        ranked.join(F.broadcast(offset_df), ["__pid", *group_cols])
+        _offset_join(ranked, offset_df, group_cols)
         .withColumn(out_col, F.col("__off") + F.col("__r"))
         .drop("__pid", "__r", "__off")
     )
@@ -137,27 +209,48 @@ def grouped_prefix_sums(
     cum = ranged
     for vcol, out in sums.items():
         cum = cum.withColumn(out, F.sum(vcol).over(w))
+    # persist: double consumption, same rationale as global_row_number
+    cum = cum.persist()
     totals = (
         cum.groupBy("__pid", *gcols)
         .agg(*[F.sum(v).alias(f"__t_{o}") for v, o in sums.items()])
         .collect()
     )
-    acc: dict[tuple, list[int]] = {}
-    rows = []
+    dtypes = dict(df.dtypes)
     outs = list(sums.values())
+    # zero of the sum's own Python type — createDataFrame will not
+    # coerce int 0 into a double/decimal offset field
+    import decimal
+
+    def zero(vcol: str):
+        t = _sum_result_type(dtypes[vcol])
+        if t == "double":
+            return 0.0
+        if t.startswith("decimal"):
+            return decimal.Decimal(0)
+        return 0
+
+    zeros = [zero(v) for v in sums]
+    acc: dict[tuple, list] = {}
+    rows = []
     for r in sorted(
         totals, key=lambda r: (tuple(str(r[c]) for c in group_cols), r["__pid"])
     ):
         key = tuple(r[c] for c in group_cols)
-        offs = acc.get(key, [0] * len(outs))
+        offs = acc.get(key, zeros)
         rows.append((r["__pid"], *key, *offs))
-        acc[key] = [o + (r[f"__t_{out}"] or 0) for o, out in zip(offs, outs)]
-    schema_groups = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in group_cols)
-    schema_offs = ", ".join(f"__off_{o} long" for o in outs)
+        acc[key] = [
+            o + (r[f"__t_{out}"] if r[f"__t_{out}"] is not None else z)
+            for o, out, z in zip(offs, outs, zeros)
+        ]
+    schema_groups = ", ".join(f"{c} {dtypes[c]}" for c in group_cols)
+    schema_offs = ", ".join(
+        f"__off_{o} {_sum_result_type(dtypes[v])}" for v, o in sums.items()
+    )
     offset_df = df.sparkSession.createDataFrame(
         rows, f"__pid int, {schema_groups}, {schema_offs}"
     )
-    out_df = cum.join(F.broadcast(offset_df), ["__pid", *group_cols])
+    out_df = _offset_join(cum, offset_df, group_cols)
     for o in outs:
         out_df = out_df.withColumn(o, F.col(o) + F.col(f"__off_{o}")).drop(
             f"__off_{o}"

@@ -31,7 +31,7 @@ from ..operators.shard import epoch_order_key, shard_manifest
 from ..operators.linkage import prefix_filter_jaccard_join, snm_edit_pairs
 from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates, simhash_signatures
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
-from ..operators.rank import global_row_number
+from ..operators.rank import global_row_number, ntile_sql
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..sources.catalog import load_table
 from .registry import register
@@ -3262,19 +3262,9 @@ def dp_equidepth_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rx, n = global_row_number(t, ["n_chars", "doc_id"], out_col="gx")
     rxy, _ = global_row_number(rx, ["n_tokens", "doc_id"], out_col="gy")
-
-    def ntile_expr(rank_col: str, n: int, k: int = 8) -> str:
-        big, small, m = n // k + 1, n // k, n % k
-        return (
-            f"CAST(CASE WHEN {rank_col} <= {m * big}"
-            f" THEN ({rank_col} - 1) DIV {big} + 1"
-            f" ELSE {m} + ({rank_col} - {m * big} - 1) DIV {small} + 1"
-            f" END AS INT)"
-        )
-
     binned = rxy.select(
-        F.expr(ntile_expr("gx", n)).alias("bx"),
-        F.expr(ntile_expr("gy", n)).alias("by"),
+        F.expr(ntile_sql("gx", n, 8)).alias("bx"),
+        F.expr(ntile_sql("gy", n, 8)).alias("by"),
     )
     return (
         binned.groupBy("bx", "by")

@@ -22,6 +22,7 @@ from ..operators.rank import (
     global_row_number,
     grouped_prefix_sums,
     grouped_row_number,
+    ntile_sql,
 )
 from ..sources.catalog import load_table
 from .registry import register
@@ -5405,20 +5406,9 @@ def ev_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("score").desc(), F.col("user_id")],
         out_col="grn",
     )
-    ranked = (
-        g.join(F.broadcast(nmod), "model")
-        .withColumn("m10", F.expr("nm % 10"))
-        .withColumn("big", F.expr("nm DIV 10 + 1"))
-        .withColumn("small", F.expr("nm DIV 10"))
-        .select(
-            "model", "treated", "conv",
-            F.expr(
-                "CAST(CASE WHEN grn <= m10 * big"
-                " THEN (grn - 1) DIV big + 1"
-                " ELSE m10 + (grn - m10 * big - 1) DIV small + 1"
-                " END AS INT)"
-            ).alias("decile"),
-        )
+    ranked = g.join(F.broadcast(nmod), "model").select(
+        "model", "treated", "conv",
+        F.expr(ntile_sql("grn", "nm", 10)).alias("decile"),
     )
     dec = ranked.groupBy("model", "decile").agg(
         F.sum(F.expr("CASE WHEN treated THEN conv ELSE 0 END")).alias("ct"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
-from ..operators.rank import global_row_number
+from ..operators.rank import global_row_number, ntile_sql
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -901,22 +901,11 @@ def j_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g1, n = global_row_number(rfm, ["last_order", "o_custkey"], out_col="gr")
     g2, _ = global_row_number(g1, ["frequency", "o_custkey"], out_col="gf")
     g3, _ = global_row_number(g2, ["monetary", "o_custkey"], out_col="gm")
-
-    def ntile5(rank_col: str) -> str:
-        k = 5
-        big, small, m = n // k + 1, n // k, n % k
-        return (
-            f"CASE WHEN {rank_col} <= {m * big}"
-            f" THEN ({rank_col} - 1) DIV {big} + 1"
-            f" ELSE {m} + ({rank_col} - {m * big} - 1) DIV {small} + 1"
-            f" END"
-        )
-
     scored = g3.select(
         "o_custkey",
-        F.expr(ntile5("gr")).cast("int").alias("r_q"),
-        F.expr(ntile5("gf")).cast("int").alias("f_q"),
-        F.expr(ntile5("gm")).cast("int").alias("m_q"),
+        F.expr(ntile_sql("gr", n, 5)).alias("r_q"),
+        F.expr(ntile_sql("gf", n, 5)).alias("f_q"),
+        F.expr(ntile_sql("gm", n, 5)).alias("m_q"),
     )
     return (
         scored.groupBy("r_q", "f_q", "m_q")

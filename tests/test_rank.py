@@ -98,3 +98,72 @@ def test_no_single_partition_window_in_helper_plans(spark):
     )
     plan = gg._jdf.queryExecution().executedPlan().toString()
     assert not unpartitioned_unbounded_windows(plan)
+
+
+def test_grouped_helpers_keep_null_group_rows(spark):
+    """NULL group keys form their own partition under window
+    semantics — the offset join must be null-safe, not null-rejecting
+    (a plain name equi-join silently DROPS every NULL-group row)."""
+    df = _scrambled(spark, 300).withColumn(
+        "g", F.when(F.col("id") % 4 == 0, None).otherwise(F.col("g"))
+    )
+    got = grouped_row_number(df, ["g"], ["v", "id"], out_col="r")
+    truth = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("v", "id"))
+    )
+    assert got.count() == 300
+    assert sorted((r.id, r.r) for r in got.collect()) == sorted(
+        (r.id, r.r) for r in truth.collect()
+    )
+    sums = grouped_prefix_sums(
+        df.withColumn("one", F.lit(1)), ["g"], ["v", "id"], {"one": "rn"}
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    truth2 = df.withColumn("one", F.lit(1)).withColumn(
+        "rn", F.sum("one").over(w)
+    )
+    assert sorted((r.id, r.rn) for r in sums.collect()) == sorted(
+        (r.id, r.rn) for r in truth2.collect()
+    )
+
+
+def test_grouped_prefix_sums_double_values(spark):
+    """Running totals over a DOUBLE column: the broadcast offsets must
+    carry the sum's type — a long-typed offset would truncate the
+    fractional part and shift every later partition's cumulative sum."""
+    df = _scrambled(spark, 400).withColumn(
+        "dx", F.col("x").cast("double") + F.lit(0.25)
+    )
+    got = grouped_prefix_sums(df, ["g"], ["v", "id"], {"dx": "sdx"})
+    assert dict(got.dtypes)["sdx"] == "double"
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    truth = df.withColumn("sdx", F.sum("dx").over(w))
+    got_m = {r.id: r.sdx for r in got.collect()}
+    for r in truth.collect():
+        assert abs(got_m[r.id] - r.sdx) < 1e-9, r.id
+
+
+def test_ntile_sql_matches_window_ntile(spark):
+    """The shared closed form must be bit-identical to NTILE(k) at the
+    n % k == 0, n % k != 0, and n < k edges."""
+    from crime_spark_ml_spark.operators.rank import ntile_sql
+
+    for n, k in ((40, 5), (43, 5), (3, 8), (1, 4), (97, 10)):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+        got = df.select(
+            "rk", F.expr(ntile_sql("rk", n, k)).alias("t")
+        )
+        truth = df.select(
+            "rk", F.ntile(k).over(Window.orderBy("rk")).alias("t")
+        )
+        assert sorted((r.rk, r.t) for r in got.collect()) == sorted(
+            (r.rk, r.t) for r in truth.collect()
+        ), (n, k)

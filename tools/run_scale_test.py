@@ -886,22 +886,23 @@ def cmd_rewrites(spark, args) -> None:
     specs = load_all_plans()
     src_dir = "/root/testdata/sf0.1"
     factors = [int(x) for x in args.factors.split(",")]
-    # query -> tables it reads (all via load_table(spark, sf_dir, t))
-    queries = {
-        "ev_bot_regularity": ("events",),
-        "ev_group_sequential_obf": ("events",),
-        "ev_propensity_matching": ("events",),
-        "ev_littles_law": ("events",),
-        "ev_uplift_qini": ("events",),
-        "ev_sprt_sequential": ("events",),
-        "dp_maxsim_late_interaction": ("embeddings",),
-        "dp_label_noise_centroid": ("embeddings",),
-        "dp_rank_fusion_rrf": ("embeddings",),
-        "dp_equidepth_hist2d": ("documents",),
-        "dp_heaps_law": ("documents",),
-        "dp_link_prediction": ("lineitem",),
-        "j_rfm_segmentation": ("orders",),
-    }
+    # every table in `shifts` is replicated for every factor dir —
+    # queries just name which plans to time against those fixtures
+    queries = (
+        "ev_bot_regularity",
+        "ev_group_sequential_obf",
+        "ev_propensity_matching",
+        "ev_littles_law",
+        "ev_uplift_qini",
+        "ev_sprt_sequential",
+        "dp_maxsim_late_interaction",
+        "dp_label_noise_centroid",
+        "dp_rank_fusion_rrf",
+        "dp_equidepth_hist2d",
+        "dp_heaps_law",
+        "dp_link_prediction",
+        "j_rfm_segmentation",
+    )
     # key-shift replication per table: per-key work constant, #keys grows
     shifts = {
         "events": {"user_id": 15_000, "event_id": 10_000_000},
