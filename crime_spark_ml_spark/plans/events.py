@@ -4440,7 +4440,6 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("id")).cast("long").alias("event_id"),
     )
     allev = real_ev.unionByName(bot)
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gaps = allev.select(
         "user_id",
         F.expr(
@@ -5351,8 +5350,13 @@ def ev_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE over a fully tie-broken order is engine-identical; counts
     are exact integers; the AUUC folds decile-ordered.
 
-    Scale shape: one distinct-user rollup -> per-model rank windows
-    -> 20-cell aggregate -> decile-sized windows and folds."""
+    Scale shape: one distinct-user rollup -> exact per-model rank via
+    the grouped distributed prefix-sum helper (operators/rank.py; a
+    partitionBy(model) window has only 2 values and would funnel half
+    the corpus through each of two tasks) -> ntile closed form ->
+    20-cell aggregate -> decile-sized windows and folds. The
+    per-model counts come off the helper's cached ranked frame, not a
+    second corpus pass."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
     hashes = {
@@ -5399,13 +5403,16 @@ def ev_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-model rank from the grouped distributed prefix-sum helper
     # (operators/rank.py), then ntile's closed form (first n%10 tiles
     # hold ceil(n/10) rows) — bit-identical to the oracle's window.
-    nmod = both_m.groupBy("model").agg(F.count("*").alias("nm"))
     g = grouped_row_number(
         both_m,
         ["model"],
         [F.col("score").desc(), F.col("user_id")],
         out_col="grn",
     )
+    # per-model sizes from the helper's persisted ranked frame — a
+    # groupBy on both_m here would re-run the whole distinct+union
+    # lineage as a second corpus pass
+    nmod = g.groupBy("model").agg(F.count("*").alias("nm"))
     ranked = g.join(F.broadcast(nmod), "model").select(
         "model", "treated", "conv",
         F.expr(ntile_sql("grn", "nm", 10)).alias("decile"),
@@ -8509,14 +8516,19 @@ def ev_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     |T_b| >= |T_obs|}) / (B + 1), the add-one form that keeps the MC
     p-value valid.
 
-    Every |T_b| >= |T_obs| comparison is EXACT 128-bit integer
-    arithmetic (cross-multiplied sums, HUGEINT in DuckDB /
+    Every |T_b| >= |T_obs| comparison is EXACT wide-integer
+    arithmetic (cross-multiplied sums: HUGEINT in DuckDB,
     DECIMAL(38,0) in Spark), so no float tie at the acceptance
     boundary can flip a count between engines; only the reported
-    dollar statistic and p are float-rounded. A planted +$300
-    treated shift is significant (p at the 1/201 floor at gate
-    scale) while the null relabeling of the same users is not
-    (vacuity pins).
+    dollar statistic and p are float-rounded. Validity bound: the
+    cross-multiplied product is ~|Δ|·n² (≲ 38 digits up to roughly
+    1e8–1e9 users at fixture-like spends); past it BOTH engines fail
+    LOUDLY rather than silently biasing the count — DuckDB's HUGEINT
+    raises on overflow, and the Spark comparison maps an overflow
+    NULL to a NULL n_ge (never to 0, which would deflate p toward
+    false significance). A planted +$300 treated shift is
+    significant (p at the 1/201 floor at gate scale) while the null
+    relabeling of the same users is not (vacuity pins).
 
     Scale: one user-keyed aggregate, then a users x 200 explode into
     a (pair, b)-keyed partial aggregation — 400 cells out, fully
@@ -8595,26 +8607,38 @@ def ev_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("arm").cast("bigint").alias("n1b"),
         F.sum(1 - F.col("arm")).cast("bigint").alias("n0b"),
     )
+    # NULL-loud overflow guard: Spark's non-ANSI decimal multiply
+    # yields NULL past 38 digits, a NULL >= comparison is NULL, and
+    # SUM(CASE WHEN NULL THEN 1 ELSE 0) / SUM skipping NULLs would
+    # both silently DEFLATE n_ge (biasing p toward false
+    # significance). Instead: flag any b whose comparison evaluated
+    # to NULL and poison n_ge to NULL for that pair — the engine twin
+    # of DuckDB's HUGEINT overflow error (loud, never biased).
+    _CMP = (
+        "ABS(CAST(s1b AS DECIMAL(38,0)) * n0b"
+        " - CAST(s0b AS DECIMAL(38,0)) * n1b)"
+        " * (CAST(n1o AS DECIMAL(38,0)) * n0o)"
+        " >= ABS(CAST(s1o AS DECIMAL(38,0)) * n0o"
+        " - CAST(s0o AS DECIMAL(38,0)) * n1o)"
+        " * (CAST(n1b AS DECIMAL(38,0)) * n0b)"
+    )
     cmp = (
         perms.join(F.broadcast(obs), "pair")
         .where((F.col("n1b") > 0) & (F.col("n0b") > 0))
         .groupBy("pair")
         .agg(
-            F.sum(
-                F.when(
-                    F.expr(
-                        "ABS(CAST(s1b AS DECIMAL(38,0)) * n0b"
-                        " - CAST(s0b AS DECIMAL(38,0)) * n1b)"
-                        " * (CAST(n1o AS DECIMAL(38,0)) * n0o)"
-                        " >= ABS(CAST(s1o AS DECIMAL(38,0)) * n0o"
-                        " - CAST(s0o AS DECIMAL(38,0)) * n1o)"
-                        " * (CAST(n1b AS DECIMAL(38,0)) * n0b)"
-                    ),
-                    1,
-                ).otherwise(0)
-            )
+            F.sum(F.expr(f"CASE WHEN {_CMP} THEN 1 ELSE 0 END"))
             .cast("bigint")
-            .alias("n_ge")
+            .alias("__ge_raw"),
+            F.max(
+                F.expr(f"CASE WHEN ({_CMP}) IS NULL THEN 1 ELSE 0 END")
+            ).alias("__overflowed"),
+        )
+        .select(
+            "pair",
+            F.expr(
+                "CASE WHEN __overflowed = 1 THEN NULL ELSE __ge_raw END"
+            ).alias("n_ge"),
         )
     )
     return (
