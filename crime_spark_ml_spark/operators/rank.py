@@ -64,6 +64,21 @@ def _sum_result_type(input_type: str) -> str:
     raise ValueError(f"unsupported running-sum input type: {input_type}")
 
 
+def _pid_ranked(df: DataFrame, order_cols: list, group_cols: list = ()) -> DataFrame:
+    """The LAZY per-partition ranked frame both row-number helpers
+    checkpoint: range-partition on (group, order), then row_number
+    within each (partition, group) in parallel. Exposed separately so
+    tests can lint the pre-checkpoint plan (after ``localCheckpoint``
+    the Window node no longer appears in the returned frame's plan)."""
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+    return ranged.withColumn("__r", F.row_number().over(w))
+
+
 def global_row_number(
     df: DataFrame, order_cols: list, out_col: str = "__g"
 ) -> tuple[DataFrame, int]:
@@ -73,19 +88,21 @@ def global_row_number(
     the prefix sum for free, saving callers a second pass. Internal
     ``__pid``/``__r``/``__off`` columns are dropped from the result.
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    # persist: the ranked frame is consumed TWICE (sizes collect, then
-    # the offset join the caller's action evaluates) and shuffle
-    # outputs are not reused across separate query executions — without
-    # the cache every call re-runs the input lineage end-to-end, and a
-    # caller chaining k rankings (j_rfm_segmentation) would recompute
-    # its rollup k+1 times. The sizes collect materializes the cache;
-    # eviction is LRU so batch runners need no explicit unpersist.
-    ranked = ranged.withColumn("__r", F.row_number().over(w)).persist()
+    # localCheckpoint: the ranked frame is consumed TWICE (sizes
+    # collect, then the offset join the caller's action evaluates) and
+    # shuffle outputs are not reused across separate query executions —
+    # without materialization every call re-runs the input lineage
+    # end-to-end, and a caller chaining k rankings (j_rfm_segmentation)
+    # would recompute its rollup k+1 times. Checkpoint, NOT persist():
+    # persist pins the plan in the session CacheManager until an
+    # explicit unpersist (which a helper returning a lazy frame cannot
+    # issue), so a long-lived session running many registry queries
+    # accumulates pinned corpus-sized caches; checkpointed blocks are
+    # instead freed by the ContextCleaner once the caller drops the
+    # returned frame. Trade-off (same as dedup.py's CC loop): blocks
+    # are not fault-tolerant to executor loss — a lost executor fails
+    # the job, which re-runs deterministically.
+    ranked = _pid_ranked(df, order_cols).localCheckpoint(eager=True)
     # per-partition sizes → prefix-sum offsets (≤ #partitions rows on the driver)
     sizes = sorted(
         (r["__pid"], r["n"])
@@ -146,16 +163,10 @@ def grouped_row_number(
     rows — callers should have FEW groups, e.g. a model/arm column)
     and broadcast per-group prefix offsets back.
     """
-    gcols = [F.col(c) for c in group_cols]
-    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*gcols, *ocols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
-    # persist: double consumption, same rationale as global_row_number
-    ranked = ranged.withColumn("__r", F.row_number().over(w)).persist()
+    # checkpoint: double consumption, same rationale as global_row_number
+    ranked = _pid_ranked(df, order_cols, group_cols).localCheckpoint(eager=True)
     sizes = (
-        ranked.groupBy("__pid", *gcols)
+        ranked.groupBy("__pid", *group_cols)
         .agg(F.count("*").alias("n"))
         .collect()
     )
@@ -178,6 +189,27 @@ def grouped_row_number(
     )
 
 
+def _pid_cumsums(
+    df: DataFrame, group_cols: list[str], order_cols: list, sums: dict[str, str]
+) -> DataFrame:
+    """The LAZY per-partition cumulative-sum frame ``grouped_prefix_sums``
+    checkpoints — exposed for plan-lint tests like :func:`_pid_ranked`."""
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid", *gcols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged
+    for vcol, out in sums.items():
+        cum = cum.withColumn(out, F.sum(vcol).over(w))
+    return cum
+
+
 def grouped_prefix_sums(
     df: DataFrame,
     group_cols: list[str],
@@ -195,24 +227,21 @@ def grouped_prefix_sums(
     (partition, group) in parallel, collect the per-(partition, group)
     TOTALS (≤ #partitions × #groups tiny rows), prefix them per group
     on the driver, broadcast the offsets back.
+
+    Exactness contract: bit-identical to a ``partitionBy(group)``
+    cumulative window for INTEGER and DECIMAL value columns (the
+    engine's oracle-parity grade). For float/double columns the
+    per-partition-total addition order differs from the row-ordered
+    window sum, so results agree only to FP tolerance — a caller
+    needing hash-parity on a floating column must rescale to
+    integer/decimal first (every current caller is integer-valued).
     """
-    gcols = [F.col(c) for c in group_cols]
-    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*gcols, *ocols).withColumn(
-        "__pid", F.spark_partition_id()
+    # checkpoint: double consumption, same rationale as global_row_number
+    cum = _pid_cumsums(df, group_cols, order_cols, sums).localCheckpoint(
+        eager=True
     )
-    w = (
-        Window.partitionBy("__pid", *gcols)
-        .orderBy(*ocols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = ranged
-    for vcol, out in sums.items():
-        cum = cum.withColumn(out, F.sum(vcol).over(w))
-    # persist: double consumption, same rationale as global_row_number
-    cum = cum.persist()
     totals = (
-        cum.groupBy("__pid", *gcols)
+        cum.groupBy("__pid", *group_cols)
         .agg(*[F.sum(v).alias(f"__t_{o}") for v, o in sums.items()])
         .collect()
     )

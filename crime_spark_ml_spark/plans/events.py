@@ -8622,16 +8622,21 @@ def ev_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(s0o AS DECIMAL(38,0)) * n1o)"
         " * (CAST(n1b AS DECIMAL(38,0)) * n0b)"
     )
+    # project the wide-decimal comparison ONCE per (pair, b) row — the
+    # two aggregates below both consume it, and distinct agg functions
+    # are not reliably subexpression-eliminated, so inlining _CMP in
+    # each would evaluate the four DECIMAL(38,0) products twice per row
     cmp = (
         perms.join(F.broadcast(obs), "pair")
         .where((F.col("n1b") > 0) & (F.col("n0b") > 0))
+        .withColumn("__cmp", F.expr(_CMP))
         .groupBy("pair")
         .agg(
-            F.sum(F.expr(f"CASE WHEN {_CMP} THEN 1 ELSE 0 END"))
+            F.sum(F.expr("CASE WHEN __cmp THEN 1 ELSE 0 END"))
             .cast("bigint")
             .alias("__ge_raw"),
             F.max(
-                F.expr(f"CASE WHEN ({_CMP}) IS NULL THEN 1 ELSE 0 END")
+                F.expr("CASE WHEN __cmp IS NULL THEN 1 ELSE 0 END")
             ).alias("__overflowed"),
         )
         .select(

@@ -83,21 +83,25 @@ def test_grouped_prefix_sums_matches_window(spark):
 
 def test_no_single_partition_window_in_helper_plans(spark):
     """The helpers must never themselves emit the node they exist to
-    avoid."""
+    avoid. Linted on the LAZY pre-checkpoint builders — after
+    ``localCheckpoint`` the returned frame's plan is an ExistingRDD
+    scan with no Window node at all, so linting the public helpers'
+    output would pass vacuously."""
     import sys, os
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from crime_spark_ml_spark.operators.rank import _pid_cumsums, _pid_ranked
     from test_plan_linter import unpartitioned_unbounded_windows
 
     df = _scrambled(spark, 100)
-    g, _ = global_row_number(df, ["v", "id"])
-    plan = g._jdf.queryExecution().executedPlan().toString()
-    assert not unpartitioned_unbounded_windows(plan)
-    gg = grouped_prefix_sums(
-        df.withColumn("one", F.lit(1)), ["g"], ["v", "id"], {"one": "rn"}
-    )
-    plan = gg._jdf.queryExecution().executedPlan().toString()
-    assert not unpartitioned_unbounded_windows(plan)
+    for lazy in (
+        _pid_ranked(df, ["v", "id"]),
+        _pid_ranked(df, ["v", "id"], ["g"]),
+        _pid_cumsums(df.withColumn("one", F.lit(1)), ["g"], ["v", "id"], {"one": "rn"}),
+    ):
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan  # the lint below must have a subject
+        assert not unpartitioned_unbounded_windows(plan)
 
 
 def test_grouped_helpers_keep_null_group_rows(spark):

@@ -34,6 +34,7 @@ is resumable phase by phase.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import shutil
@@ -48,6 +49,21 @@ from crime_spark_ml_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_JSON = os.path.join(REPO, "SCALE_r06.json")
+
+def _replicate(df, shifts: dict[str, int], factor: int):
+    """``factor``× volume by key-shifted union: each replica adds
+    ``i * step`` to every key column in ``shifts``, so per-key work
+    stays constant while the key population grows — the shape every
+    scale phase wants (volume growth without skew growth). One shared
+    definition; the per-phase copies drifted before extraction."""
+    parts = []
+    for i in range(factor):
+        p = df
+        for col, step in shifts.items():
+            p = p.withColumn(col, F.col(col) + F.lit(i * step))
+        parts.append(p)
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
 
 DIM = 64
 N_CLUSTERS = 64
@@ -372,27 +388,15 @@ def cmd_tpch(spark, args) -> None:
             li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
             o = spark.read.parquet(f"{src_dir}/orders.parquet")
             c = spark.read.parquet(f"{src_dir}/customer.parquet")
-            reps = list(range(fct))
-            import functools
-
-            def shifted(df, shifts):
-                parts = []
-                for i in reps:
-                    p = df
-                    for col, stride in shifts:
-                        p = p.withColumn(col, F.col(col) + F.lit(i * stride))
-                    parts.append(p)
-                return functools.reduce(lambda a, b: a.unionByName(b), parts)
-
-            shifted(li, [("l_orderkey", 150000)]).write.mode("overwrite").parquet(
-                f"{d}/lineitem.parquet"
-            )
-            shifted(
-                o, [("o_orderkey", 150000), ("o_custkey", 15000)]
+            _replicate(li, {"l_orderkey": 150000}, fct).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/lineitem.parquet")
+            _replicate(
+                o, {"o_orderkey": 150000, "o_custkey": 15000}, fct
             ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
-            shifted(c, [("c_custkey", 15000)]).write.mode("overwrite").parquet(
-                f"{d}/customer.parquet"
-            )
+            _replicate(c, {"c_custkey": 15000}, fct).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/customer.parquet")
             for t in ("supplier", "part", "nation", "region"):
                 spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
                     "overwrite"
@@ -445,21 +449,10 @@ def cmd_events(spark, args) -> None:
         if not os.path.exists(f"{d}/events.parquet"):
             ev = spark.read.parquet(f"{src_dir}/events.parquet")
             cu = spark.read.parquet(f"{src_dir}/customer.parquet")
-            import functools
-
-            parts = [
-                ev.withColumn("user_id", F.col("user_id") + F.lit(i * 15000))
-                .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
-                for i in range(fct)
-            ]
-            functools.reduce(lambda a, b: a.unionByName(b), parts).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/events.parquet")
-            cparts = [
-                cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 15000))
-                for i in range(fct)
-            ]
-            functools.reduce(lambda a, b: a.unionByName(b), cparts).write.mode(
+            _replicate(
+                ev, {"user_id": 15000, "event_id": 10_000_000}, fct
+            ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+            _replicate(cu, {"c_custkey": 15000}, fct).write.mode(
                 "overwrite"
             ).parquet(f"{d}/customer.parquet")
             for t in ("orders", "nation", "region"):
@@ -502,13 +495,7 @@ def cmd_text(spark, args) -> None:
         d = f"{args.dir}/text_f{fct}"
         if not os.path.exists(f"{d}/documents.parquet"):
             docs = spark.read.parquet(f"{src_dir}/documents.parquet")
-            import functools
-
-            parts = [
-                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-                for i in range(fct)
-            ]
-            functools.reduce(lambda a, b: a.unionByName(b), parts).write.mode(
+            _replicate(docs, {"doc_id": 10_000_000}, fct).write.mode(
                 "overwrite"
             ).parquet(f"{d}/documents.parquet")
         specs["dp_token_stats"].fn(spark, d).write.format("noop").mode(
@@ -879,8 +866,6 @@ def cmd_rewrites(spark, args) -> None:
     stays constant and growth is in the number of keys (users /
     docs / vectors / customers / graph nodes) — the axis a 100 TB
     store actually grows along."""
-    import functools
-
     from crime_spark_ml_spark.plans.registry import load_all_plans
 
     specs = load_all_plans()
@@ -925,15 +910,9 @@ def cmd_rewrites(spark, args) -> None:
             if os.path.exists(f"{d}/{t}.parquet"):
                 continue
             src = spark.read.parquet(f"{src_dir}/{t}.parquet")
-            parts = []
-            for i in range(fct):
-                p = src
-                for c, step in shift.items():
-                    p = p.withColumn(c, F.col(c) + F.lit(i * step))
-                parts.append(p)
-            functools.reduce(lambda a, b: a.unionByName(b), parts).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/{t}.parquet")
+            _replicate(src, shift, fct).write.mode("overwrite").parquet(
+                f"{d}/{t}.parquet"
+            )
         row = {"factor": fct}
         for t, n in base_rows.items():
             row[f"{t}_rows"] = n * fct
