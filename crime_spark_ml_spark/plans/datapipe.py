@@ -2852,6 +2852,7 @@ def dp_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi AS (
       SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c2
       FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)
+      WHERE len(t) >= 2
       GROUP BY 1, 2
     )
     SELECT w1, w2, CAST(c2 AS BIGINT) AS n_pair,
@@ -2883,8 +2884,14 @@ def dp_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c1")
     )
     tot = uni.agg(F.sum("c1").alias("n"))
+    # size(t) >= 2 guard in BOTH engines: a 1-token doc would make
+    # sequence(1, size(t)-1) = sequence(1, 0) default to step -1 and
+    # yield index 0, which element_at rejects outright (SQL array
+    # indices start at 1) — the unguarded-shingle-bound class fixed
+    # for dp_heaps_law in r6.
     bi = (
-        toks.select(
+        toks.where(F.size("t") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(t)-1),"
@@ -2998,7 +3005,7 @@ def dp_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ch AS (
       SELECT doc_id, substring(text, i, 1) AS c
       FROM documents, UNNEST(generate_series(1, len(text))) AS u(i)
-      WHERE text IS NOT NULL
+      WHERE text IS NOT NULL AND len(text) >= 1
     ), freq AS (
       SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
     ), tot AS (
@@ -3022,7 +3029,14 @@ def dp_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split-on-empty-regex differs between them), frequencies in one
     (doc, char) groupBy whose map-side combine bounds the shuffle at
     alphabet × docs rows, and the entropy sum re-aggregates per doc."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # length(text) >= 1 guard in BOTH engines: an empty-text doc would
+    # make sequence(1, 0) default to step -1 and yield [1, 0] — two ''
+    # char rows in Spark while DuckDB's generate_series(1, 0) is empty,
+    # a silent parity break (the unguarded-shingle-bound class fixed
+    # for dp_heaps_law in r6).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
     ch = docs.select(
         "doc_id",
         F.explode(
@@ -7105,10 +7119,10 @@ def dp_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dsq AS (
         SELECT comparison,
-               SUM(CAST(sa * (SELECT nb FROM scal)
-                        - sb * (SELECT na FROM scal) AS DECIMAL(38,0))
-                   * CAST(sa * (SELECT nb FROM scal)
-                          - sb * (SELECT na FROM scal) AS DECIMAL(38,0)))
+               SUM((CAST(sa AS HUGEINT) * (SELECT nb FROM scal)
+                    - CAST(sb AS HUGEINT) * (SELECT na FROM scal))
+                   * (CAST(sa AS HUGEINT) * (SELECT nb FROM scal)
+                      - CAST(sb AS HUGEINT) * (SELECT na FROM scal)))
                    AS d2
         FROM cases GROUP BY comparison
     )
@@ -7191,10 +7205,17 @@ def dp_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_case.unionByName(shifted)
         .groupBy("comparison", "na", "nb", "n", "ssq")
         .agg(
+            # operand cast BEFORE each product: sa*nb in raw BIGINT
+            # wraps silently in Spark (non-ANSI) past ~1e7 vectors
+            # (sa ~ N*1e6 quantized units, nb ~ N/128) while DuckDB
+            # raises — the ev_permutation_test overflow class, same
+            # fix pattern as dp_gini_concentration's s_ix
             F.sum(
                 F.expr(
-                    "CAST(sa * nb - sb * na AS DECIMAL(38,0))"
-                    " * CAST(sa * nb - sb * na AS DECIMAL(38,0))"
+                    "(CAST(sa AS DECIMAL(38,0)) * nb"
+                    " - CAST(sb AS DECIMAL(38,0)) * na)"
+                    " * (CAST(sa AS DECIMAL(38,0)) * nb"
+                    " - CAST(sb AS DECIMAL(38,0)) * na)"
                 )
             ).alias("d2")
         )
