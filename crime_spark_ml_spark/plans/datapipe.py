@@ -947,7 +947,7 @@ def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT lang, SUM(o) AS col_tot FROM obs GROUP BY lang),
     n AS (SELECT SUM(o) AS n FROM obs),
     cells AS (
-      SELECT obs.o, rt.row_tot * ct.col_tot * 1.0 / n.n AS e
+      SELECT obs.o, rt.row_tot * 1.0 * ct.col_tot / n.n AS e
       FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n)
     SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
            CAST((SELECT COUNT(DISTINCT source) - 1 FROM obs)
@@ -983,7 +983,10 @@ def dp_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "lang")
         .crossJoin(F.broadcast(n))
     )
-    e = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    # widen BEFORE the marginal product: row_tot*col_tot approaches n^2
+    # in BIGINT (silent wrap in Spark, raise in DuckDB at ~1e10 docs);
+    # *1.0 first makes both engines take the identical double tree
+    e = F.col("row_tot") * 1.0 * F.col("col_tot") / F.col("n")
     return cells.groupBy().agg(
         F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
         (F.first("r1") * F.first("c1")).cast("bigint").alias("dof"),
@@ -2856,7 +2859,8 @@ def dp_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT w1, w2, CAST(c2 AS BIGINT) AS n_pair,
-           ROUND(ln((c2 * (SELECT n FROM tot)) * 1.0 / (ua.c1 * ub.c1)), 6)
+           ROUND(ln((CAST(c2 AS DOUBLE) * (SELECT n FROM tot))
+                    / (CAST(ua.c1 AS DOUBLE) * ub.c1)), 6)
              AS pmi
     FROM bi JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2
     WHERE c2 >= 5
@@ -2915,9 +2919,15 @@ def dp_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("c2").cast("bigint").alias("n_pair"),
+            # products in DOUBLE, not BIGINT: c2*n for a stopword pair
+            # approaches n^2 (~1e26 at web-corpus token counts), which
+            # wraps silently in Spark and raises in DuckDB; the log
+            # only needs relative precision, and identical double
+            # expression trees keep the engines bit-equal
             F.round(
                 F.log(
-                    (F.col("c2") * F.col("n")) / (F.col("ca") * F.col("cb"))
+                    (F.col("c2").cast("double") * F.col("n"))
+                    / (F.col("ca").cast("double") * F.col("cb"))
                 ),
                 6,
             ).alias("pmi"),
@@ -13099,7 +13109,10 @@ def dp_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubled coincidence mass is exact — alpha = 1 - (n-1)*off2 /
 # (2*(n^2 - t0^2 - t1^2 - t2^2)), one float division at the end.
 _KRIPP_ALPHA = (
-    "(1.0 - CAST((n - 1) * off2 AS DOUBLE)"
+    # widen BEFORE the (n-1)*off2 product — off2 is O(n) doubled mass,
+    # so the BIGINT product is O(n^2): silent wrap in Spark, raise in
+    # DuckDB; identical double trees keep the engines bit-equal
+    "(1.0 - CAST(n - 1 AS DOUBLE) * off2"
     " / (2.0 * (CAST(n AS DOUBLE) * n - CAST(t0 AS DOUBLE) * t0"
     "           - CAST(t1 AS DOUBLE) * t1 - CAST(t2 AS DOUBLE) * t2)))"
 )

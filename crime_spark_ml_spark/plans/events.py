@@ -7839,14 +7839,14 @@ _MW_Z = (
     ),
     sums AS (
       SELECT pair,
-             CAST(SUM(cnt_a * (2 * cnt_less + cnt + 1)) AS BIGINT) AS r2a,
+             SUM(CAST(cnt_a AS HUGEINT) * (2 * cnt_less + cnt + 1)) AS r2a,
              CAST(SUM(cnt_a) AS BIGINT) AS na,
              CAST(SUM(cnt - cnt_a) AS BIGINT) AS nb
       FROM ranked GROUP BY pair
     ),
     stats AS (
       SELECT pair, na, nb,
-             CAST(r2a - na * (na + 1) AS BIGINT) AS u2
+             r2a - CAST(na AS HUGEINT) * (na + 1) AS u2
       FROM sums
     )
     SELECT pair, na, nb,
@@ -7910,10 +7910,14 @@ def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = vals.withColumn(
         "cnt_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
     )
+    # rank sums in 128-bit (DECIMAL(38,0) here, HUGEINT in the oracle):
+    # r2a is O(n^2) doubled average ranks, past BIGINT at ~3e9 users —
+    # Spark would wrap silently where DuckDB raises (the
+    # ev_permutation_test overflow class); operand cast before multiply
     sums = ranked.groupBy("pair").agg(
-        F.sum(F.col("cnt_a") * (2 * F.col("cnt_less") + F.col("cnt") + 1))
-        .cast("bigint")
-        .alias("r2a"),
+        F.sum(
+            F.expr("CAST(cnt_a AS DECIMAL(38,0)) * (2 * cnt_less + cnt + 1)")
+        ).alias("r2a"),
         F.sum("cnt_a").cast("bigint").alias("na"),
         F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("nb"),
     )
@@ -7921,7 +7925,7 @@ def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair",
         "na",
         "nb",
-        (F.col("r2a") - F.col("na") * (F.col("na") + 1)).cast("bigint").alias("u2"),
+        F.expr("r2a - CAST(na AS DECIMAL(38,0)) * (na + 1)").alias("u2"),
     )
     return stats.selectExpr(
         "pair",
