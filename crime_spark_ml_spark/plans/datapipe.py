@@ -7683,12 +7683,15 @@ def dp_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = assigned.where(F.col("b") < 60)
     cal = assigned.where((F.col("b") >= 60) & (F.col("b") < 80))
     te = assigned.where(F.col("b") >= 80)
+    # x*y accumulates in DECIMAL(38,0) (operand cast) before the
+    # double boundary: DuckDB's SUM(BIGINT) is HUGEINT-exact, so a
+    # BIGINT-wrapped Spark sum would silently diverge at ~1e18 total
     m = tr.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -8776,7 +8779,8 @@ def dp_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2*rank + ties − 1, the doubled-rank trick), values quantize to
     micro-ints, and both correlations expand from the integer-moment
     formula (n*Sxy − Sx*Sy) / (...)  in one fixed operation order —
-    no float accumulation hazard anywhere.  Complements
+    no float accumulation hazard anywhere. Moments ride DECIMAL(38,0)
+    / HUGEINT: Σ(r2a*r2b) ~ 4n^3 blows BIGINT at ~1.3e6 rows.  Complements
     a6_corr_matrix / ml_corr_matrix_full (Pearson only).  Scale shape:
     one explode (4n rows), per-feature rank windows (4 independent
     sorts — at 100 TB Spearman is approximated by quantile-bucketed
@@ -8836,17 +8840,22 @@ def dp_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("name_a", "name_b")
         .agg(
+            # moments in DECIMAL(38,0) (operand cast): r2 is a DOUBLED
+            # rank ~2n, so Σ(r2a*r2b) ~ 4n^3 — past BIGINT at ~1.3e6
+            # rows, by far the earliest wrap in the repo — and Σr2 ~ n^2
+            # goes at ~2e9; DuckDB's SUM(BIGINT) is HUGEINT-exact so a
+            # wrapped Spark side would silently diverge from the oracle
             F.count("*").alias("n"),
-            F.sum("vqa").alias("sxa"),
-            F.sum("vqb").alias("sxb"),
-            F.sum(F.col("vqa") * F.col("vqb")).alias("sab"),
-            F.sum(F.col("vqa") * F.col("vqa")).alias("saa"),
-            F.sum(F.col("vqb") * F.col("vqb")).alias("sbb"),
-            F.sum("r2a").alias("ra"),
-            F.sum("r2b").alias("rb"),
-            F.sum(F.col("r2a") * F.col("r2b")).alias("rab"),
-            F.sum(F.col("r2a") * F.col("r2a")).alias("raa"),
-            F.sum(F.col("r2b") * F.col("r2b")).alias("rbb"),
+            F.sum(F.expr("CAST(vqa AS DECIMAL(38,0))")).alias("sxa"),
+            F.sum(F.expr("CAST(vqb AS DECIMAL(38,0))")).alias("sxb"),
+            F.sum(F.expr("CAST(vqa AS DECIMAL(38,0)) * vqb")).alias("sab"),
+            F.sum(F.expr("CAST(vqa AS DECIMAL(38,0)) * vqa")).alias("saa"),
+            F.sum(F.expr("CAST(vqb AS DECIMAL(38,0)) * vqb")).alias("sbb"),
+            F.sum(F.expr("CAST(r2a AS DECIMAL(38,0))")).alias("ra"),
+            F.sum(F.expr("CAST(r2b AS DECIMAL(38,0))")).alias("rb"),
+            F.sum(F.expr("CAST(r2a AS DECIMAL(38,0)) * r2b")).alias("rab"),
+            F.sum(F.expr("CAST(r2a AS DECIMAL(38,0)) * r2a")).alias("raa"),
+            F.sum(F.expr("CAST(r2b AS DECIMAL(38,0)) * r2b")).alias("rbb"),
         )
     )
 
@@ -11216,7 +11225,7 @@ _EB_SPARSE = (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
              CAST(SUM(CASE WHEN k >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_sparse,
              CAST(SUM(r_q) AS BIGINT) AS sum_r,
-             CAST(SUM(r_q * r_q) AS BIGINT) AS sum_r2
+             SUM(CAST(r_q AS HUGEINT) * r_q) AS sum_r2
       FROM items
     ),
     prior AS (
@@ -11300,7 +11309,10 @@ def dp_empirical_bayes_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sparse"),
         F.sum("r_q").cast("bigint").alias("sum_r"),
-        F.sum(F.col("r_q") * F.col("r_q")).cast("bigint").alias("sum_r2"),
+        # operand cast: r_q is a micro-scaled rate (~1e6), so r_q^2 ~
+        # 1e12/item wraps a BIGINT sum at ~1e7 items; DuckDB's HUGEINT
+        # SUM stays exact
+        F.sum(F.expr("CAST(r_q AS DECIMAL(38,0)) * r_q")).alias("sum_r2"),
     )
     m = "CAST(sum_r AS DOUBLE) / n_items / 1000000.0"
     mq = "CAST(sum_r AS DOUBLE) / n_items"  # quantized-scale mean
@@ -11420,7 +11432,7 @@ def _rake_oracle() -> str:
     ess AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
              CAST(SUM(w) AS BIGINT) AS sw,
-             CAST(SUM(w * w) AS BIGINT) AS sww
+             SUM(CAST(w AS HUGEINT) * w) AS sww
       FROM {final}
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_pop,
@@ -11506,7 +11518,9 @@ def dp_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ess = cur.agg(
         F.count("*").cast("bigint").alias("n_sample"),
         F.sum("w").cast("bigint").alias("sw"),
-        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+        # operand cast: w is micro-scaled (~1e6), so w^2 ~ 1e12/row
+        # wraps a BIGINT sum at ~1e7 sampled rows
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("sww"),
     )
     n_pop = docs.agg(F.count("*").cast("bigint").alias("n_pop"))
     le = errs["lang"].withColumnRenamed("e", "le")
@@ -13318,7 +13332,12 @@ def dp_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sum_c e_c = intra edge count, d_c = degree mass per community) —
 # every term an exact bigint, one float division at the end.
 _MODULARITY_Q = (
-    "(CAST(4 * m * intra - dsq AS DOUBLE) / (CAST(4 AS DOUBLE) * m * m))"
+    # operand widened BEFORE 4*m*intra (~4m^2, past BIGINT at ~1.5e9
+    # edges — silent wrap in Spark, raise in DuckDB); dsq arrives as
+    # DECIMAL(38,0)/HUGEINT from the accumulators, so the numerator
+    # stays exact 128-bit, then one cast to double
+    "(CAST(4 * CAST(m AS DECIMAL(38,0)) * intra - dsq AS DOUBLE)"
+    " / (CAST(4 AS DOUBLE) * m * m))"
 )
 
 
@@ -13357,7 +13376,7 @@ _MODULARITY_Q = (
       ) GROUP BY pair, lab
     ),
     dsqs AS (
-      SELECT pair, CAST(SUM(d * d) AS BIGINT) AS dsq FROM degs GROUP BY pair
+      SELECT pair, SUM(CAST(d AS HUGEINT) * d) AS dsq FROM degs GROUP BY pair
     )
     SELECT tot.pair, m AS m_edges, intra AS intra_edges,
            ROUND({_MODULARITY_Q}, 6) AS q_r,
@@ -13428,8 +13447,11 @@ def dp_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair", "lab")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
+    # operand cast: a community's degree mass d ~ m/#labels, so d*d
+    # ~ m^2 wraps BIGINT at ~3e9 edges; DECIMAL(38,0)/HUGEINT matches
+    # the widened _MODULARITY_Q numerator in both engines
     dsqs = degs.groupBy("pair").agg(
-        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("dsq")
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("dsq")
     )
     return (
         tot.join(dsqs, "pair")

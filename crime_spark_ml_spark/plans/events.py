@@ -1851,19 +1851,26 @@ def ev_lagged_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, F.col("db") == F.col("da") + F.col("l"))
         .select("l", "x", "y")
     )
+    # moments in DECIMAL(38,0): sx*sy reaches ~(total events)^2 and
+    # x*x*days ~ (daily count)^2*365 — both past BIGINT well before
+    # 100 TB; DuckDB's SUM(BIGINT) is already HUGEINT-exact, so a
+    # silently-wrapped Spark side would diverge where the oracle stays
+    # right. Operand cast BEFORE every product keeps the claim that
+    # everything up to the two sqrt/divides is exact integers.
+    dec = "decimal(38,0)"
     mom = pairs.groupBy("l").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
     )
     return mom.select(
         F.col("l").cast("bigint").alias("lag_days"),
         "n",
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / (
                 F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
                 * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
@@ -2036,7 +2043,10 @@ def ev_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("c").alias("s1"),
-            F.sum(F.expr("c * c")).alias("s2"),
+            # operand cast: c is a per-(type,user,day) count — bot
+            # traffic makes c^2 ~ 1e12/unit, wrapping the BIGINT sum
+            # at ~1e7 units while DuckDB's HUGEINT SUM stays exact
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
         )
     )
     return moments.select(
@@ -3094,23 +3104,28 @@ def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("variant"),
         )
     )
+    # accumulate in DECIMAL(38,0) (operand cast before each product):
+    # DuckDB's SUM(BIGINT) is HUGEINT-exact, so BIGINT-wrapped Spark
+    # moments (x*x ~ per-user-count^2, summed over all users) would
+    # silently diverge from the oracle at scale; the shared _CUPED_*
+    # fragments stay exact-integer in both engines either way
     pooled = per_user.agg(
         F.count("*").alias("pn"),
-        F.sum("x").alias("psx"),
-        F.sum("y").alias("psy"),
-        F.sum(F.expr("x * x")).alias("psxx"),
-        F.sum(F.expr("x * y")).alias("psxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("psx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("psy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("psxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("psxy"),
     ).select(
         F.expr(_CUPED_THETA).alias("th"),
         F.expr("CAST(psx AS DOUBLE) / pn").alias("mxp"),
     )
     vm = per_user.groupBy("variant").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.expr("x * x")).alias("sxx"),
-        F.sum(F.expr("y * y")).alias("syy"),
-        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
     )
     return (
         vm.crossJoin(F.broadcast(pooled))
@@ -3656,10 +3671,18 @@ def ev_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_pairs"),
         )
     )
+    # numerator moments in DECIMAL(38,0): SUM(y) is the full event
+    # count and SUM(x*y) ~ days * daily-total — their products sit
+    # ~10x under BIGINT at 1e13 events and wrap silently past it,
+    # while DuckDB's SUM(BIGINT) is HUGEINT-exact (the denominator is
+    # day-index-bounded, safe in 64-bit at any corpus size)
     ols = daily.agg(
         F.count("*").cast("bigint").alias("n_days"),
         F.expr(
-            "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)"
+            "CAST(CAST(COUNT(*) AS DECIMAL(38,0))"
+            " * SUM(CAST(x AS DECIMAL(38,0)) * y)"
+            " - SUM(CAST(x AS DECIMAL(38,0)))"
+            " * SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)"
             " / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
         ).alias("ols_slope"),
     )
@@ -4453,7 +4476,10 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("g").alias("n"),
             F.sum("g").alias("s"),
-            F.sum(F.expr("g * g")).alias("ss"),
+            # operand cast: a sparse user's gap spans seasons (~1e7 s),
+            # so g*g ~ 1e14 and the per-user BIGINT sum wraps within a
+            # few thousand gaps — DuckDB's HUGEINT SUM stays exact
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("ss"),
         )
     )
     scored = stats.where((F.col("n") >= 9) & (F.col("s") > 0)).select(
@@ -6010,22 +6036,22 @@ _ICC_0 = _icc_expr("a_0", "s_0", "sq_0", "n_units", "n_clusters", "sn2")
     cl AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_j,
              CAST(SUM(yp) AS BIGINT) AS sp, CAST(SUM(y0) AS BIGINT) AS s0,
-             CAST(SUM(yp * yp) AS BIGINT) AS sqp,
-             CAST(SUM(y0 * y0) AS BIGINT) AS sq0
+             SUM(CAST(yp AS HUGEINT) * yp) AS sqp,
+             SUM(CAST(y0 AS HUGEINT) * y0) AS sq0
       FROM units GROUP BY user_id
     ),
     tot AS (
       SELECT CAST(SUM(n_j) AS BIGINT) AS n_units,
              CAST(COUNT(*) AS BIGINT) AS n_clusters,
-             CAST(SUM(n_j * n_j) AS BIGINT) AS sn2,
+             SUM(CAST(n_j AS HUGEINT) * n_j) AS sn2,
              CAST(SUM(sp) AS BIGINT) AS s_p,
              CAST(SUM(s0) AS BIGINT) AS s_0,
-             CAST(SUM(sqp) AS BIGINT) AS sq_p,
-             CAST(SUM(sq0) AS BIGINT) AS sq_0,
-             CAST(SUM(CAST(ROUND(CAST(sp AS DOUBLE) * sp / n_j, 0) AS BIGINT))
-                  AS BIGINT) AS a_p,
-             CAST(SUM(CAST(ROUND(CAST(s0 AS DOUBLE) * s0 / n_j, 0) AS BIGINT))
-                  AS BIGINT) AS a_0
+             SUM(sqp) AS sq_p,
+             SUM(sq0) AS sq_0,
+             SUM(CAST(ROUND(CAST(sp AS DOUBLE) * sp / n_j, 0) AS HUGEINT))
+                 AS a_p,
+             SUM(CAST(ROUND(CAST(s0 AS DOUBLE) * s0 / n_j, 0) AS HUGEINT))
+                 AS a_0
       FROM cl
     )
     SELECT n_units, n_clusters,
@@ -6074,27 +6100,34 @@ def ev_cluster_randomized_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_j"),
         F.sum("yp").cast("bigint").alias("sp"),
         F.sum("y0").cast("bigint").alias("s0"),
-        F.sum(F.col("yp") * F.col("yp")).cast("bigint").alias("sqp"),
-        F.sum(F.col("y0") * F.col("y0")).cast("bigint").alias("sq0"),
+        # squared-cents moments in DECIMAL(38,0)/HUGEINT with operand
+        # casts: yp^2 ~ 2e10 per event, so the corpus-level sums blow
+        # past BIGINT at ~1e8 events — Spark would wrap silently where
+        # DuckDB stays exact (same for sn2 = sum of squared cluster
+        # sizes and the quantized between-cluster masses a_p/a_0)
+        F.sum(F.expr("CAST(yp AS DECIMAL(38,0)) * yp")).alias("sqp"),
+        F.sum(F.expr("CAST(y0 AS DECIMAL(38,0)) * y0")).alias("sq0"),
     )
     tot = cl.agg(
         F.sum("n_j").cast("bigint").alias("n_units"),
         F.count("*").cast("bigint").alias("n_clusters"),
-        F.sum(F.col("n_j") * F.col("n_j")).cast("bigint").alias("sn2"),
+        F.sum(F.expr("CAST(n_j AS DECIMAL(38,0)) * n_j")).alias("sn2"),
         F.sum("sp").cast("bigint").alias("s_p"),
         F.sum("s0").cast("bigint").alias("s_0"),
-        F.sum("sqp").cast("bigint").alias("sq_p"),
-        F.sum("sq0").cast("bigint").alias("sq_0"),
+        F.sum("sqp").alias("sq_p"),
+        F.sum("sq0").alias("sq_0"),
         F.sum(
-            F.expr("CAST(ROUND(CAST(sp AS DOUBLE) * sp / n_j, 0) AS BIGINT)")
-        )
-        .cast("bigint")
-        .alias("a_p"),
+            F.expr(
+                "CAST(ROUND(CAST(sp AS DOUBLE) * sp / n_j, 0)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("a_p"),
         F.sum(
-            F.expr("CAST(ROUND(CAST(s0 AS DOUBLE) * s0 / n_j, 0) AS BIGINT)")
-        )
-        .cast("bigint")
-        .alias("a_0"),
+            F.expr(
+                "CAST(ROUND(CAST(s0 AS DOUBLE) * s0 / n_j, 0)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("a_0"),
     )
     return tot.select(
         "n_units",
@@ -8890,22 +8923,22 @@ _GC_F = f"((n - 3) * ({_GC_RSSR} - {_GC_RSSU}) / {_GC_RSSU})"
              CAST(SUM(yv) AS BIGINT) AS sy,
              CAST(SUM(y1) AS BIGINT) AS sy1,
              CAST(SUM(x1) AS BIGINT) AS sx1,
-             CAST(SUM(yv * yv) AS BIGINT) AS syy,
-             CAST(SUM(y1 * y1) AS BIGINT) AS sy1y1,
-             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
-             CAST(SUM(yv * y1) AS BIGINT) AS syy1,
-             CAST(SUM(yv * x1) AS BIGINT) AS syx1,
-             CAST(SUM(y1 * x1) AS BIGINT) AS sy1x1
+             SUM(CAST(yv AS HUGEINT) * yv) AS syy,
+             SUM(CAST(y1 AS HUGEINT) * y1) AS sy1y1,
+             SUM(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+             SUM(CAST(yv AS HUGEINT) * y1) AS syy1,
+             SUM(CAST(yv AS HUGEINT) * x1) AS syx1,
+             SUM(CAST(y1 AS HUGEINT) * x1) AS sy1x1
       FROM reg GROUP BY pair
     ),
     cc AS (
       SELECT pair, n,
-             n * syy - sy * sy AS cyy,
-             n * sy1y1 - sy1 * sy1 AS cy1y1,
-             n * sx1x1 - sx1 * sx1 AS cx1x1,
-             n * syy1 - sy * sy1 AS cyy1,
-             n * syx1 - sy * sx1 AS cyx1,
-             n * sy1x1 - sy1 * sx1 AS cy1x1
+             n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+             n * sy1y1 - CAST(sy1 AS HUGEINT) * sy1 AS cy1y1,
+             n * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS cx1x1,
+             n * syy1 - CAST(sy AS HUGEINT) * sy1 AS cyy1,
+             n * syx1 - CAST(sy AS HUGEINT) * sx1 AS cyx1,
+             n * sy1x1 - CAST(sy1 AS HUGEINT) * sx1 AS cy1x1
       FROM sums
     )
     SELECT pair, n AS n_obs,
@@ -8929,7 +8962,9 @@ def ev_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     their real seasonality.
 
     All 9 regression sums and the centered cross products C_ab =
-    n*S_ab - S_a*S_b are exact bigints; both RSS terms and F come
+    n*S_ab - S_a*S_b are exact 128-bit integers (DECIMAL(38,0) /
+    HUGEINT — syy and sy*sy are O(total^2), past BIGINT at 100 TB
+    volumes); both RSS terms and F come
     from one fixed-order float expression (Cramer's rule on the 2x2
     normal equations). Planted F clears the F(1,25) 5%% critical
     value 4.2417; the shuffled null stays under it (vacuity pins).
@@ -8977,27 +9012,33 @@ def ev_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
     )
     reg = rows_p.where(F.col("t") >= 3).unionAll(rows_n.where(F.col("t") >= 3))
+    # 128-bit moments (DECIMAL(38,0) here, HUGEINT in the oracle):
+    # yv is a daily count, so syy ~ days*(daily)^2 and sy*sy ~
+    # (total)^2 — both past BIGINT at 100 TB event volumes; operand
+    # cast before every product, and the _GC_* float fragments are
+    # unchanged (they CAST to DOUBLE at the boundary either way)
+    dec = "CAST(%s AS DECIMAL(38,0))"
     sums = reg.groupBy("pair").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("yv").cast("bigint").alias("sy"),
         F.sum("y1").cast("bigint").alias("sy1"),
         F.sum("x1").cast("bigint").alias("sx1"),
-        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("syy"),
-        F.sum(F.col("y1") * F.col("y1")).cast("bigint").alias("sy1y1"),
-        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
-        F.sum(F.col("yv") * F.col("y1")).cast("bigint").alias("syy1"),
-        F.sum(F.col("yv") * F.col("x1")).cast("bigint").alias("syx1"),
-        F.sum(F.col("y1") * F.col("x1")).cast("bigint").alias("sy1x1"),
+        F.sum(F.expr(dec % "yv" + " * yv")).alias("syy"),
+        F.sum(F.expr(dec % "y1" + " * y1")).alias("sy1y1"),
+        F.sum(F.expr(dec % "x1" + " * x1")).alias("sx1x1"),
+        F.sum(F.expr(dec % "yv" + " * y1")).alias("syy1"),
+        F.sum(F.expr(dec % "yv" + " * x1")).alias("syx1"),
+        F.sum(F.expr(dec % "y1" + " * x1")).alias("sy1x1"),
     )
     cc = sums.selectExpr(
         "pair",
         "n",
-        "n * syy - sy * sy AS cyy",
-        "n * sy1y1 - sy1 * sy1 AS cy1y1",
-        "n * sx1x1 - sx1 * sx1 AS cx1x1",
-        "n * syy1 - sy * sy1 AS cyy1",
-        "n * syx1 - sy * sx1 AS cyx1",
-        "n * sy1x1 - sy1 * sx1 AS cy1x1",
+        "n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS cyy",
+        "n * sy1y1 - CAST(sy1 AS DECIMAL(38,0)) * sy1 AS cy1y1",
+        "n * sx1x1 - CAST(sx1 AS DECIMAL(38,0)) * sx1 AS cx1x1",
+        "n * syy1 - CAST(sy AS DECIMAL(38,0)) * sy1 AS cyy1",
+        "n * syx1 - CAST(sy AS DECIMAL(38,0)) * sx1 AS cyx1",
+        "n * sy1x1 - CAST(sy1 AS DECIMAL(38,0)) * sx1 AS cy1x1",
     )
     return cc.selectExpr(
         "pair",
@@ -9049,22 +9090,22 @@ _ITS_CHAT = (
              CAST(SUM(yv) AS BIGINT) AS sy,
              CAST(SUM(y1) AS BIGINT) AS sy1,
              CAST(SUM(x1) AS BIGINT) AS sx1,
-             CAST(SUM(yv * yv) AS BIGINT) AS syy,
-             CAST(SUM(y1 * y1) AS BIGINT) AS sy1y1,
-             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
-             CAST(SUM(yv * y1) AS BIGINT) AS syy1,
-             CAST(SUM(yv * x1) AS BIGINT) AS syx1,
-             CAST(SUM(y1 * x1) AS BIGINT) AS sy1x1
+             SUM(CAST(yv AS HUGEINT) * yv) AS syy,
+             SUM(CAST(y1 AS HUGEINT) * y1) AS sy1y1,
+             SUM(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+             SUM(CAST(yv AS HUGEINT) * y1) AS syy1,
+             SUM(CAST(yv AS HUGEINT) * x1) AS syx1,
+             SUM(CAST(y1 AS HUGEINT) * x1) AS sy1x1
       FROM ser GROUP BY pair
     ),
     cc AS (
       SELECT pair, n,
-             n * syy - sy * sy AS cyy,
-             n * sy1y1 - sy1 * sy1 AS cy1y1,
-             n * sx1x1 - sx1 * sx1 AS cx1x1,
-             n * syy1 - sy * sy1 AS cyy1,
-             n * syx1 - sy * sx1 AS cyx1,
-             n * sy1x1 - sy1 * sx1 AS cy1x1
+             n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+             n * sy1y1 - CAST(sy1 AS HUGEINT) * sy1 AS cy1y1,
+             n * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS cx1x1,
+             n * syy1 - CAST(sy AS HUGEINT) * sy1 AS cyy1,
+             n * syx1 - CAST(sy AS HUGEINT) * sx1 AS cyx1,
+             n * sy1x1 - CAST(sy1 AS HUGEINT) * sx1 AS cy1x1
       FROM sums
     )
     SELECT pair, n AS n_days,
@@ -9131,24 +9172,26 @@ def ev_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("yv").cast("bigint").alias("sy"),
         F.sum("y1").cast("bigint").alias("sy1"),
         F.sum("x1").cast("bigint").alias("sx1"),
-        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("syy"),
-        F.sum(F.col("y1") * F.col("y1")).cast("bigint").alias("sy1y1"),
-        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
-        F.sum(F.col("yv") * F.col("y1")).cast("bigint").alias("syy1"),
-        F.sum(F.col("yv") * F.col("x1")).cast("bigint").alias("syx1"),
-        F.sum(F.col("y1") * F.col("x1")).cast("bigint").alias("sy1x1"),
+        # 128-bit moments, same rationale as ev_granger_causality:
+        # yv is a daily count, so syy and sy*sy are O(total^2)
+        F.sum(F.expr("CAST(yv AS DECIMAL(38,0)) * yv")).alias("syy"),
+        F.sum(F.expr("CAST(y1 AS DECIMAL(38,0)) * y1")).alias("sy1y1"),
+        F.sum(F.expr("CAST(x1 AS DECIMAL(38,0)) * x1")).alias("sx1x1"),
+        F.sum(F.expr("CAST(yv AS DECIMAL(38,0)) * y1")).alias("syy1"),
+        F.sum(F.expr("CAST(yv AS DECIMAL(38,0)) * x1")).alias("syx1"),
+        F.sum(F.expr("CAST(y1 AS DECIMAL(38,0)) * x1")).alias("sy1x1"),
         F.min("step").cast("bigint").alias("planted_step"),
     )
     cc = sums.selectExpr(
         "pair",
         "n",
         "planted_step",
-        "n * syy - sy * sy AS cyy",
-        "n * sy1y1 - sy1 * sy1 AS cy1y1",
-        "n * sx1x1 - sx1 * sx1 AS cx1x1",
-        "n * syy1 - sy * sy1 AS cyy1",
-        "n * syx1 - sy * sx1 AS cyx1",
-        "n * sy1x1 - sy1 * sx1 AS cy1x1",
+        "n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS cyy",
+        "n * sy1y1 - CAST(sy1 AS DECIMAL(38,0)) * sy1 AS cy1y1",
+        "n * sx1x1 - CAST(sx1 AS DECIMAL(38,0)) * sx1 AS cx1x1",
+        "n * syy1 - CAST(sy AS DECIMAL(38,0)) * sy1 AS cyy1",
+        "n * syx1 - CAST(sy AS DECIMAL(38,0)) * sx1 AS cyx1",
+        "n * sy1x1 - CAST(sy1 AS DECIMAL(38,0)) * sx1 AS cy1x1",
     )
     return cc.selectExpr(
         "pair",
@@ -9327,9 +9370,9 @@ _RM_Z = (
                 f"CAST(SUM(CASE WHEN t = {a} THEN 1 ELSE 0 END) AS BIGINT) AS n{a}, "
                 f"CAST(SUM(CASE WHEN t = {a} THEN c ELSE 0 END) AS BIGINT) AS sx{a}, "
                 f"CAST(SUM(CASE WHEN t = {a} THEN v ELSE 0 END) AS BIGINT) AS sy{a}, "
-                f"CAST(SUM(CASE WHEN t = {a} THEN c * c ELSE 0 END) AS BIGINT) AS sxx{a}, "
-                f"CAST(SUM(CASE WHEN t = {a} THEN v * v ELSE 0 END) AS BIGINT) AS syy{a}, "
-                f"CAST(SUM(CASE WHEN t = {a} THEN c * v ELSE 0 END) AS BIGINT) AS sxy{a}"
+                f"SUM(CASE WHEN t = {a} THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS sxx{a}, "
+                f"SUM(CASE WHEN t = {a} THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS syy{a}, "
+                f"SUM(CASE WHEN t = {a} THEN CAST(c AS HUGEINT) * v ELSE 0 END) AS sxy{a}"
                 for a in (0, 1))}
       FROM pairs GROUP BY pair
     )
@@ -9351,7 +9394,9 @@ def ev_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio means are biased toward low-activity users, and treating
     the ratio as a user-level mean understates variance through the
     within-user correlation). Per-arm moments (n, clicks, views,
-    their squares, and the cross product) are exact bigints pivoted
+    their squares, and the cross product) are exact integers — the
+    squared/cross sums in DECIMAL(38,0)/HUGEINT, since c*c for a
+    heavy user wraps an arm-level BIGINT sum at ~1e7 users — pivoted
     into fixed columns; R, var(R), and z are one deterministic float
     expression. The planted pair gives treated users +50%% clicks
     (integer ceil construction); z rejects at gate scale while the
@@ -9391,15 +9436,18 @@ def ev_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n{a}"),
             F.sum(F.when(cond, F.col("c")).otherwise(0)).cast("bigint").alias(f"sx{a}"),
             F.sum(F.when(cond, F.col("v")).otherwise(0)).cast("bigint").alias(f"sy{a}"),
-            F.sum(F.when(cond, F.col("c") * F.col("c")).otherwise(0))
-            .cast("bigint")
-            .alias(f"sxx{a}"),
-            F.sum(F.when(cond, F.col("v") * F.col("v")).otherwise(0))
-            .cast("bigint")
-            .alias(f"syy{a}"),
-            F.sum(F.when(cond, F.col("c") * F.col("v")).otherwise(0))
-            .cast("bigint")
-            .alias(f"sxy{a}"),
+            # squared per-user counts in DECIMAL(38,0)/HUGEINT: c*c
+            # ~ 1e12 for a heavy user, so the arm-level BIGINT sum
+            # wraps at ~1e7 users while DuckDB stays exact
+            F.sum(
+                F.when(cond, F.expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(0)
+            ).alias(f"sxx{a}"),
+            F.sum(
+                F.when(cond, F.expr("CAST(v AS DECIMAL(38,0)) * v")).otherwise(0)
+            ).alias(f"syy{a}"),
+            F.sum(
+                F.when(cond, F.expr("CAST(c AS DECIMAL(38,0)) * v")).otherwise(0)
+            ).alias(f"sxy{a}"),
         ]
     cells = pairs.groupBy("pair").agg(*aggs)
     return cells.selectExpr(
