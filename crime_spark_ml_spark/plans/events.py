@@ -3012,7 +3012,8 @@ _CUPED_THETA = (
       FROM base GROUP BY user_id),
     pooled AS (
       SELECT COUNT(*) AS pn, SUM(x) AS psx, SUM(y) AS psy,
-             SUM(x * x) AS psxx, SUM(x * y) AS psxy
+             SUM(CAST(x AS HUGEINT) * x) AS psxx,
+             SUM(CAST(x AS HUGEINT) * y) AS psxy
       FROM per_user),
     theta AS (
       SELECT {_CUPED_THETA} AS th,
@@ -3020,7 +3021,9 @@ _CUPED_THETA = (
       FROM pooled),
     vm AS (
       SELECT variant, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
       FROM per_user GROUP BY variant)
     SELECT variant,
            CAST(n AS BIGINT) AS n_users,
@@ -8330,7 +8333,7 @@ def ev_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Ljung-Box Q over lags 1..7 as ONE fixed-order float expression on the
-# pivoted per-lag autocovariances (c0..c7 are exact bigints; n is the
+# pivoted per-lag autocovariances (c0..c7 are exact 128-bit ints; n is the
 # series length) — same determinism discipline as _ANOVA_F.
 _LB_Q = (
     "(CAST(n AS DOUBLE) * (n + 2) * ("
@@ -8374,11 +8377,12 @@ _LB_Q = (
     ),
     covs AS (
       SELECT a.pair, a.n,
-             CAST(SUM(CASE WHEN b.t = a.t THEN a.u * b.u END) AS BIGINT)
-                 AS c0,
+             SUM(CASE WHEN b.t = a.t
+                 THEN CAST(a.u AS HUGEINT) * b.u END) AS c0,
              {', '.join(
-                 f'CAST(SUM(CASE WHEN b.t = a.t + {k} THEN a.u * b.u END)'
-                 f' AS BIGINT) AS c{k}' for k in range(1, 8))}
+                 f'SUM(CASE WHEN b.t = a.t + {k}'
+                 f' THEN CAST(a.u AS HUGEINT) * b.u END)'
+                 f' AS c{k}' for k in range(1, 8))}
       FROM cent a JOIN cent b ON a.pair = b.pair AND b.t >= a.t
       GROUP BY a.pair, a.n
     )
@@ -8464,10 +8468,16 @@ def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanned.join(b, ["pair", "tt"])
         .groupBy("pair", "n")
         .agg(
+            # operand cast: u = n*x - s is n-scaled, so ua*ub wraps
+            # 64-bit per ROW at large daily volumes — Spark silently,
+            # DuckDB with a raise (same class as ev_pacf_durbin)
             *[
-                F.sum(F.when(F.col("k") == k, F.col("ua") * F.col("ub")))
-                .cast("bigint")
-                .alias(f"c{k}")
+                F.sum(
+                    F.when(
+                        F.col("k") == k,
+                        F.expr("CAST(ua AS DECIMAL(38,0)) * ub"),
+                    )
+                ).alias(f"c{k}")
                 for k in range(0, 8)
             ],
         )
@@ -9525,7 +9535,8 @@ _PACF_KERNEL = (100, 70, 49, 34, 24, 17, 12, 8)
     covs AS (
       SELECT fanned.pair, fanned.n,
              {', '.join(
-                 f'CAST(SUM(CASE WHEN k = {k} THEN ua * b.u END) AS BIGINT)'
+                 f'SUM(CASE WHEN k = {k}'
+                 f' THEN CAST(ua AS HUGEINT) * b.u END)'
                  f' AS c{k}' for k in range(4))}
       FROM fanned JOIN cent b
         ON fanned.pair = b.pair AND fanned.tt = b.t
@@ -9609,10 +9620,16 @@ def ev_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanned.join(b, ["pair", "tt"])
         .groupBy("pair", "n")
         .agg(
+            # operand cast: u = n*y - s is n-scaled (~n * daily count),
+            # so ua*ub wraps 64-bit per ROW at large daily volumes —
+            # Spark silently, DuckDB with a raise
             *[
-                F.sum(F.when(F.col("k") == k, F.col("ua") * F.col("ub")))
-                .cast("bigint")
-                .alias(f"c{k}")
+                F.sum(
+                    F.when(
+                        F.col("k") == k,
+                        F.expr("CAST(ua AS DECIMAL(38,0)) * ub"),
+                    )
+                ).alias(f"c{k}")
                 for k in range(4)
             ],
         )
