@@ -27,9 +27,15 @@ def shingles_expr(text_col: str, n: int = 3) -> str:
     identical — without it, same-vocabulary corpora collapse into a
     few giant buckets and the candidate join goes quadratic."""
     words = f"split({text_col}, ' ')"
+    # NULL text yields an EMPTY shingle set, not ['']: without the
+    # guard, slice(NULL, ...) is NULL and concat_ws swallows it to ''
+    # (concat_ws never returns NULL), so a NULL-text doc would grow a
+    # phantom '' shingle that survives explode — while SQL engines
+    # (and the DuckDB oracles) drop the row via UNNEST(NULL)
     return (
-        f"array_distinct(transform(sequence(0, greatest(size({words}) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))))"
+        f"CASE WHEN {text_col} IS NULL THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, greatest(size({words}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n})))) END"
     )
 
 

@@ -80,8 +80,14 @@ def fingerprint(text_col: str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set (the canonical 'fingerprint method' for fuzzy
     dedup preprocessing)."""
+    # explicit NULL propagation: concat_ws treats a NULL array as ''
+    # (it never returns NULL), which would fingerprint NULL text as
+    # md5('') while SQL string semantics — and the DuckDB oracle —
+    # yield NULL
     return F.expr(
-        f"substring(md5(concat_ws(' ', array_sort(array_distinct(split({text_col}, ' '))))), 1, 16)"
+        f"CASE WHEN {text_col} IS NULL THEN NULL"
+        f" ELSE substring(md5(concat_ws(' ',"
+        f" array_sort(array_distinct(split({text_col}, ' '))))), 1, 16) END"
     )
 
 

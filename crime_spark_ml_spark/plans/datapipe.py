@@ -947,7 +947,7 @@ def dp_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT lang, SUM(o) AS col_tot FROM obs GROUP BY lang),
     n AS (SELECT SUM(o) AS n FROM obs),
     cells AS (
-      SELECT obs.o, rt.row_tot * 1.0 * ct.col_tot / n.n AS e
+      SELECT obs.o, CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.n AS e
       FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n)
     SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
            CAST((SELECT COUNT(DISTINCT source) - 1 FROM obs)
@@ -984,9 +984,11 @@ def dp_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
     )
     # widen BEFORE the marginal product: row_tot*col_tot approaches n^2
-    # in BIGINT (silent wrap in Spark, raise in DuckDB at ~1e10 docs);
-    # *1.0 first makes both engines take the identical double tree
-    e = F.col("row_tot") * 1.0 * F.col("col_tot") / F.col("n")
+    # in BIGINT (silent wrap in Spark, raise in DuckDB at ~1e10 docs).
+    # Explicit CAST AS DOUBLE, not "* 1.0" — DuckDB types the literal
+    # 1.0 as DECIMAL(2,1), which would keep ITS product exact while
+    # Spark's is rounded to double, an ulp-level tree divergence
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
     return cells.groupBy().agg(
         F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
         (F.first("r1") * F.first("c1")).cast("bigint").alias("dof"),
@@ -1313,7 +1315,8 @@ def dp_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT doc_id, source, md5(text) AS fp,
              CAST(ROW_NUMBER() OVER (PARTITION BY source
-                                     ORDER BY md5(text), doc_id) AS INTEGER) AS rk
+                                     ORDER BY md5(text) NULLS LAST, doc_id)
+                  AS INTEGER) AS rk
       FROM documents)
     SELECT doc_id, source, fp, rk FROM ranked WHERE rk <= 5
     ORDER BY source, rk
@@ -1329,7 +1332,12 @@ def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("fp", "doc_id")
+    # explicit NULLS LAST: Spark's ASC default is NULLS FIRST while
+    # DuckDB's is NULLS LAST, so a NULL-text doc would win rank 1 in
+    # one engine and lose it in the other — divergent sample picks
+    w = Window.partitionBy("source").orderBy(
+        F.col("fp").asc_nulls_last(), "doc_id"
+    )
     return (
         docs.withColumn("fp", F.md5("text"))
         .withColumn("rk", F.row_number().over(w).cast("int"))
@@ -1979,7 +1987,8 @@ _BPE_SQL = BPE_PATTERN.replace("'", "''")
            CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
            CAST(len(regexp_extract_all(wire, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_wire,
            ROUND(CAST(n_chars AS DOUBLE)
-                 / len(regexp_extract_all(text, '{_BPE_SQL}')), 6) AS chars_per_token
+                 / NULLIF(len(regexp_extract_all(text, '{_BPE_SQL}')), 0), 6)
+               AS chars_per_token
     FROM lines ORDER BY doc_id
     """,
     tags=("text", "tokens", "llm"),
@@ -1996,16 +2005,27 @@ def dp_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; ``n_bpe_wire`` tokenizes the metadata-decorated line
     (``source:doc_id text`` — punctuation + digits) where the BPE arm
     diverges from whitespace, keeping the check non-vacuous."""
+    # wire NULL-propagates like the oracle's || chain: concat_ws would
+    # silently render NULL text as "source:id" instead of NULL
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "wire", F.concat_ws(" ", F.concat_ws(":", "source", "doc_id"), "text")
+        "wire",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat_ws(" ", F.concat_ws(":", "source", "doc_id"), "text"),
+        ),
     )
     return docs.select(
         "doc_id",
         n_tokens("text").alias("n_ws_tokens"),
         n_bpe_tokens("text").alias("n_bpe_tokens"),
         n_bpe_tokens("wire").alias("n_bpe_wire"),
+        # NULLIF: an empty/punct-free-empty doc has 0 BPE tokens —
+        # bare division raises under ANSI in Spark while DuckDB
+        # yields NULL; both engines now agree on NULL
         F.round(
-            F.col("n_chars").cast("double") / n_bpe_tokens("text"), 6
+            F.col("n_chars").cast("double")
+            / F.nullif(n_bpe_tokens("text"), F.lit(0)),
+            6,
         ).alias("chars_per_token"),
     ).orderBy("doc_id")
 

@@ -299,8 +299,13 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ).alias("total_chars"),
-        F.concat_ws(
-            ",", F.transform(F.slice(words, 1, 3), lambda x: F.upper(x))
+        # explicit NULL propagation: concat_ws turns a NULL array into
+        # '' (never NULL), while DuckDB's array_to_string(NULL) is NULL
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat_ws(
+                ",", F.transform(F.slice(words, 1, 3), lambda x: F.upper(x))
+            ),
         ).alias("first3_upper"),
     ).orderBy("doc_id")
 
@@ -314,7 +319,8 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 15),
     pos AS (
       SELECT doc_id, arr,
-             UNNEST(CASE WHEN len(arr) = 0 THEN [NULL]::BIGINT[]
+             UNNEST(CASE WHEN arr IS NULL OR len(arr) = 0
+                         THEN [NULL]::BIGINT[]
                          ELSE range(1, len(arr) + 1) END) AS i
       FROM toks)
     SELECT doc_id,

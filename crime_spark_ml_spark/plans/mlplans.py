@@ -1203,9 +1203,12 @@ def ml_word2vec_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent either way)."""
     from pyspark.ml.feature import Word2Vec
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.split("text", " ").alias("toks")
-    )
+    # NULL-text filter: split(NULL) hands Word2Vec a NULL token
+    # array, which dies deep in the fit with an opaque Scala NPE
+    # (vocab is unaffected — NULL text contributes no tokens)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select(F.split("text", " ").alias("toks"))
     model = Word2Vec(
         vectorSize=16,
         minCount=5,
@@ -1435,7 +1438,7 @@ def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(string_split(text, ' ')) AS term FROM documents
     )
     SELECT CAST((SELECT COUNT(DISTINCT term) FROM toks) AS BIGINT) AS vocab_size,
-           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(text) FROM documents) AS BIGINT) AS n_docs,
            3 AS k_topics,
            TRUE AS topics_nonnegative,
            TRUE AS doc_mixtures_are_distributions,
@@ -1466,9 +1469,12 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import CountVectorizer
     from pyspark.ml.functions import vector_to_array
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
+    # NULL-text filter (oracle anchors n_docs with COUNT(text) to
+    # match): split(NULL) hands CountVectorizer a NULL token array,
+    # which dies deep in the fit with an opaque Scala NPE
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", F.split("text", " ").alias("toks"))
     cv = CountVectorizer(inputCol="toks", outputCol="features", minDF=1.0)
     cv_model = cv.fit(docs)
     vec = cv_model.transform(docs)

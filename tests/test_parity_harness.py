@@ -99,9 +99,15 @@ def test_harness_surfaces_oracle_errors_loudly(spark, sf_dir):
 def _degenerate_docs_dir(spark, tmp_path) -> str:
     """A tiny sf-dir clone whose documents table includes the
     degenerate texts the real fixtures never contain (min 47 chars):
-    empty string, lone whitespace, a 1-token doc, NULL text. Other
-    tables symlink to sf0.001 so the DuckDB view registration binds."""
+    empty string, lone whitespace, a 1-token doc, NULL text — plus
+    ten normal multi-token docs with doc_id < 10 so invariant oracles
+    that plant duplicates for ids < 10 (dp_minhash_estimate_selfcheck)
+    stay non-vacuous. Other tables symlink to sf0.001 so the DuckDB
+    view registration binds."""
     import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from conftest import SF_SMOKE
 
@@ -110,17 +116,23 @@ def _degenerate_docs_dir(spark, tmp_path) -> str:
     for f in os.listdir(SF_SMOKE):
         if f != "documents.parquet" and f.endswith(".parquet"):
             os.symlink(os.path.join(SF_SMOKE, f), str(d / f))
-    rows = [
-        (1, "", "en", "web", 0),
-        (2, " ", "en", "web", 1),
-        (3, "solo", "en", "web", 4),
-        (4, None, "en", "web", None),
-        (5, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
-        (6, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+    words = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
     ]
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    rows = [
+        (i, " ".join(words[i:i + 6] + words[:3]) + f" tail{i} end{i}")
+        for i in range(10)
+    ]
+    rows = [(i, t, "en", "web", len(t)) for (i, t) in rows]
+    rows += [
+        (10, "", "en", "web", 0),
+        (11, " ", "en", "web", 1),
+        (12, "solo", "en", "web", 4),
+        (13, None, "en", "web", None),
+        (14, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+        (15, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+    ]
     cols = list(zip(*rows))
     table = pa.table(
         {
@@ -136,16 +148,77 @@ def _degenerate_docs_dir(spark, tmp_path) -> str:
     return str(d)
 
 
+# Queries whose contract makes the degenerate fixture inapplicable —
+# each exclusion names its documented reason; everything else that
+# tokenizes documents.text MUST stay engine/oracle-identical here.
+DEGENERATE_EXCLUDED = {
+    # NULL text raises loudly BY CONTRACT (chunk.py: "NULL text raises
+    # loudly") — asserted separately in test_null_text_raises_loudly
+    "dp_chunk_documents",
+    "dp_pack_sequences",
+    # findSynonyms('spark') anchors on the real fixtures' vocabulary;
+    # the synthetic corpus has no 'spark' token (its NULL-text crash
+    # is fixed and covered by ml_lda_topics below, same tokenizer)
+    "ml_word2vec_synonyms",
+}
+
+
+def _documents_text_queries():
+    """Every registered oracle query whose SQL tokenizes documents
+    text — discovered, not curated, so a future text kernel is pinned
+    automatically."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    specs = load_all_plans()
+    return sorted(
+        n
+        for n, s in specs.items()
+        if s.oracle
+        and "documents" in s.oracle
+        and "text" in s.oracle
+        and n not in DEGENERATE_EXCLUDED
+    )
+
+
 def test_text_kernels_survive_degenerate_docs(spark, tmp_path):
     """Unguarded sequence(1, size-k) bounds default to step -1 on
-    short docs — Spark yields index 0 (element_at error) or phantom
-    '' chars while DuckDB's generate_series is empty (the r5-advisor
-    dp_heaps_law class). Pins that every text kernel over documents
-    stays engine/oracle-identical when such docs exist."""
-    from crime_spark_ml_spark.plans.registry import all_queries, all_oracles
+    short docs (the r5-advisor dp_heaps_law class); concat_ws turns
+    NULL arrays into '' where SQL yields NULL; Spark sorts ASC NULLS
+    FIRST where DuckDB sorts NULLS LAST; ANSI division raises on the
+    0-token denominator DuckDB NULLs. Pins that EVERY discovered
+    documents-text kernel stays engine/oracle-identical when
+    empty/whitespace/1-token/NULL docs exist — the degenerate inputs
+    a real 100 TB corpus always contains and the driver fixtures
+    never do."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
 
     sf = _degenerate_docs_dir(spark, tmp_path)
-    queries, oracles = all_queries(), all_oracles()
-    for name in ("dp_bigram_pmi", "dp_char_entropy", "dp_heaps_law"):
-        r = _compare(spark, sf, queries[name], oracles[name])
-        assert r.ok, f"{name}: {r.status} {r.detail}"
+    specs = load_all_plans()
+    con = _duckdb_conn(sf)
+    failures = []
+    try:
+        for name in _documents_text_queries():
+            try:
+                r = compare_query(name, specs[name], spark, con, sf)
+                if not r.ok:
+                    failures.append(f"{name}: {r.status} {r.detail}")
+            except Exception as e:  # noqa: BLE001 — collect, then fail once
+                failures.append(f"{name}: EXC {type(e).__name__}: {e}")
+    finally:
+        con.close()
+    assert not failures, "\n".join(failures)
+
+
+def test_null_text_raises_loudly(spark, tmp_path):
+    """The two CDC-chunking plans contractually REFUSE NULL text
+    (silently dropping or imputing a document before chunking would
+    corrupt the reassembly invariant) — pin that the refusal is loud
+    and names the column."""
+    import pytest
+
+    from crime_spark_ml_spark.plans.registry import all_queries
+
+    sf = _degenerate_docs_dir(spark, tmp_path)
+    for name in ("dp_chunk_documents", "dp_pack_sequences"):
+        with pytest.raises(Exception, match="NULL 'text'"):
+            all_queries()[name](spark, sf).collect()
