@@ -5489,11 +5489,18 @@ def dp_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak = kept.join(F.broadcast(forget), "user_id", "left_semi").count()
     totals = ev.groupBy("event_type").agg(F.count("*").alias("n_all"))
     removed_t = removed.groupBy("event_type").agg(F.count("*").alias("n_removed"))
+    # null-safe joins (<=>): a NULL event_type is still a real group
+    # the erasure reconciliation must cover — a plain equi-join would
+    # silently drop it from the verification (compliance applies to
+    # malformed events too)
+    pt = per_type.alias("pt")
+    tt = totals.alias("tt")
+    rt = removed_t.alias("rt")
     recon = (
-        per_type.join(totals, "event_type")
-        .join(removed_t, "event_type", "left")
+        pt.join(tt, F.expr("pt.event_type <=> tt.event_type"))
+        .join(rt, F.expr("pt.event_type <=> rt.event_type"), "left")
         .select(
-            "event_type",
+            F.col("pt.event_type").alias("event_type"),
             "n_events_kept",
             "n_users_kept",
             F.lit(leak == 0).alias("no_forgotten_user_remains"),
@@ -11222,7 +11229,8 @@ _EB_SPARSE = (
     oracle="""
     WITH imp AS (
       SELECT event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS click
       FROM events
       WHERE event_type IN ('view', 'click')

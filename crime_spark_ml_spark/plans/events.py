@@ -24,7 +24,7 @@ from ..operators.rank import (
     grouped_row_number,
     ntile_sql,
 )
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, well_formed_events
 from .registry import register
 
 
@@ -35,7 +35,7 @@ from .registry import register
            event_type,
            COUNT(*) AS cnt,
            {dec_sum_sql('value', 6)} AS sum_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -45,7 +45,7 @@ def ev_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed counts per event type — the batch form
     of the streaming consumer's windowed aggregation (the reference's
     5 s micro-batch cadence generalized to event-time windows)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"), dec_sum("value", 6).alias("sum_value"))
@@ -66,11 +66,11 @@ def ev_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000)
                AS window_start, event_id
       FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
       UNION ALL
       SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000
                             - 1800000000) AS window_start, event_id
-      FROM events
-    )
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL)
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS cnt
     FROM buckets GROUP BY 1 ORDER BY 1
@@ -80,7 +80,7 @@ def ev_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h length, 30 min slide): each event lands in
     two windows. Spark expands the window set row-locally (no join)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count("*").alias("cnt"))
@@ -96,7 +96,7 @@ def ev_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_sessionize",
     oracle="""
     WITH base AS (
-      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     gaps AS (
       SELECT user_id, ts_us, event_id,
              CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -124,7 +124,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 10-minute inactivity gap — gaps-and-islands
     on epoch nanos, state sharded by user_id (the batch twin of
     Structured Streaming's session_window, streaming/windows.py)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     # same (ts_us, event_id) order as the lag window — a ts tie must not
     # let the running sum see the rows in a different order
@@ -153,7 +153,9 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_json_extract",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(CASE WHEN json_valid(props)
+                          THEN json_extract_string(props, '$.k') END
+                     AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS cnt
     FROM events
     GROUP BY event_type
@@ -261,10 +263,12 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_json_full_schema",
     oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
-    ORDER BY event_id
+    WITH p AS (
+      SELECT event_id,
+             CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
+      FROM events)
+    SELECT event_id, k FROM p WHERE k >= 95 ORDER BY event_id
     """,
     tags=("events", "json", "T2"),
 )
@@ -545,12 +549,16 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_variant_extract",
     oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+      FROM events)
     SELECT event_type,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-           ROUND(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
-                 / COUNT(*), 6) AS avg_k
-    FROM events GROUP BY event_type ORDER BY event_type
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           ROUND(SUM(k) * 1.0 / COUNT(*), 6) AS avg_k
+    FROM p GROUP BY event_type ORDER BY event_type
     """,
     tags=("events", "json", "variant"),
 )
@@ -563,7 +571,12 @@ def ev_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer SUM / COUNT so both engines divide identical
     numbers."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("CAST(variant_get(parse_json(props), '$.k', 'long') AS BIGINT)")
+    # try_parse_json: parse_json RAISES on malformed/empty props —
+    # real event streams always contain some; NULL matches the
+    # oracle's json_valid guard
+    k = F.expr(
+        "CAST(variant_get(try_parse_json(props), '$.k', 'long') AS BIGINT)"
+    )
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -582,8 +595,7 @@ def ev_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, value,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-      FROM events
-    ), seg AS (
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL), seg AS (
       SELECT user_id, value, ts_us,
              LEAD(value) OVER (PARTITION BY user_id
                                ORDER BY ts_us, event_id) AS v_next,
@@ -617,7 +629,7 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp — orders of magnitude above the double-sum reorder noise."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = well_formed_events(load_table(spark, sf_dir, "events")).select(
         "user_id", "event_id", "value", "ts_us"
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -715,8 +727,7 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH days AS (
       SELECT user_id,
              CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
-      FROM events
-    ), dau AS (
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL), dau AS (
       SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day
     ), firsts AS (
       SELECT min(day) AS first_day FROM days GROUP BY user_id
@@ -746,7 +757,7 @@ def ev_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = well_formed_events(load_table(spark, sf_dir, "events")).select(
         "user_id", F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
     )
     dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
@@ -961,7 +972,7 @@ def ev_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts_us DESC, event_id DESC) AS rk
@@ -995,7 +1006,7 @@ def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: rolling statistics over the crime frame
     (crime.py's pandas groupby/agg family); this is the recursive
     variant pandas computes with ewm().mean()."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
     lastn = ev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 32)
     return (
@@ -1140,11 +1151,12 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
              CAST(COUNT(*) AS DOUBLE) AS y
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(y ORDER BY d) AS ys,
              CAST(count(*) AS BIGINT) AS n_days
-      FROM daily GROUP BY event_type),
+      FROM daily GROUP BY event_type
+      HAVING count(*) >= 2),
     fitted AS (
       SELECT event_type, n_days,
              list_reduce(
@@ -1188,17 +1200,20 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     elements don't clobber. The new-level subexpression is
     deliberately INLINED twice in the trend formula, identically in
     both engines, to keep the float op sequence equal."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     day = (F.col("ts_us") / 86_400_000_000).cast("long")
     daily = ev.groupBy("event_type", day.alias("d")).agg(
         F.count("*").cast("double").alias("y")
     )
+    # n_days >= 2 in BOTH engines: Holt's init needs ys[1] and ys[2],
+    # and slice(ys, 3, size-2) raises on a 1-point series in Spark —
+    # a stray event type with a single day is undefined, not an error
     series = daily.groupBy("event_type").agg(
         F.transform(F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s.y).alias(
             "ys"
         ),
         F.count("*").cast("bigint").alias("n_days"),
-    )
+    ).where(F.col("n_days") >= 2)
     fitted = series.withColumn(
         "st",
         F.expr(
@@ -1338,7 +1353,7 @@ def ev_busy_time_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT user_id, event_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     seq AS (
       SELECT event_type AS to_type,
              LAG(event_type) OVER (PARTITION BY user_id
@@ -1367,7 +1382,7 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization costs nothing at any corpus scale. The integer
     count divides once into a double; ROUND(…, 6) compares identical
     IEEE results."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = ev.select(
         F.col("event_type").alias("to_type"),
@@ -1439,7 +1454,7 @@ def ev_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
              COUNT(*) AS x
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
     tot AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx
             FROM daily GROUP BY 1),
     dev AS (
@@ -1479,7 +1494,7 @@ def ev_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     excess of μ/4·n days) — non-vacuous at every fixture scale
     (max s / threshold: 2.8× at sf0.001, 0.63 vs 0.25 at sf0.01).
     Windows partition by event_type: bounded state, one shuffle."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     day = (F.col("ts_us") / 86_400_000_000).cast("long")
     daily = ev.groupBy("event_type", day.alias("d")).agg(F.count("*").alias("x"))
     tot = daily.groupBy("event_type").agg(
@@ -1971,12 +1986,18 @@ def ev_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISP_EXPRS = {
     "mean_count": "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+    # NULLIF guards (identical text both engines): a single-unit group
+    # has undefined sample variance (n-1 = 0) and a zero-count group an
+    # undefined ratio — NULL in both engines instead of an ANSI raise
     "var_count": (
         "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
-        " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / NULLIF(CAST(n - 1 AS DOUBLE), 0.0)"
     ),
 }
-_DISP_RATIO = f"({_DISP_EXPRS['var_count']}) / ({_DISP_EXPRS['mean_count']})"
+_DISP_RATIO = (
+    f"({_DISP_EXPRS['var_count']})"
+    f" / NULLIF(({_DISP_EXPRS['mean_count']}), 0.0)"
+)
 
 @register(
     "ev_overdispersion_check",
@@ -2347,7 +2368,7 @@ def _mm_cte(a: str, out: str) -> str:
     WITH base AS (
         SELECT user_id, event_id, event_type,
                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-        FROM events),
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     seq AS (
         SELECT event_type AS to_type,
                LAG(event_type) OVER (PARTITION BY user_id
@@ -2400,7 +2421,7 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-user LAG pass + aggregate; every squaring is a join over
     a 25-row relation. The per-user windows bound state; nothing
     downstream depends on corpus size."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = ev.select(
         F.col("event_type").alias("to_type"),
@@ -2618,7 +2639,7 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
     ),
     preds AS (
         SELECT d, n,
@@ -2669,7 +2690,7 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors and win counts are integer sums; MAE is one final
     division. The LAG windows run over the DAY GRID (calendar-
     bounded), not over events."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     daily = (
         ev.select(F.expr("ts_us DIV 86400000000").cast("bigint").alias("d"))
         .groupBy("d")
@@ -2978,16 +2999,30 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUPED shared formula fragments — used verbatim in both the Spark
 # F.expr side and the DuckDB oracle so the float arithmetic runs the
 # identical expression tree on identical exact-integer moments.
-_CUPED_VAR_Y = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)"
-_CUPED_COV = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)"
-_CUPED_VAR_X = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)"
+_CUPED_VAR_Y = (
+    "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+    " / NULLIF(n - 1, 0)"
+)
+_CUPED_COV = (
+    "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+    " / NULLIF(n - 1, 0)"
+)
+_CUPED_VAR_X = (
+    "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+    " / NULLIF(n - 1, 0)"
+)
 _CUPED_VAR_ADJ = (
     f"({_CUPED_VAR_Y}) - 2 * th * ({_CUPED_COV}) + th * th * ({_CUPED_VAR_X})"
 )
-_CUPED_REDUCTION = f"1.0 - ({_CUPED_VAR_ADJ}) / ({_CUPED_VAR_Y})"
+# NULLIF guards (identical text both engines): a zero-variance arm or
+# covariate makes the reduction/theta undefined — NULL, not an ANSI
+# raise in Spark while DuckDB sails on
+_CUPED_REDUCTION = (
+    f"1.0 - ({_CUPED_VAR_ADJ}) / NULLIF(({_CUPED_VAR_Y}), 0.0)"
+)
 _CUPED_THETA = (
     "CAST(pn * psxy - psx * psy AS DOUBLE)"
-    " / CAST(pn * psxx - psx * psx AS DOUBLE)"
+    " / NULLIF(CAST(pn * psxx - psx * psx AS DOUBLE), 0.0)"
 )
 
 
@@ -3156,7 +3191,7 @@ def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     bounds AS (
       SELECT MIN(day) + 7 * (MAX(day) - MIN(day)) // 10 AS plant_day
       FROM base),
@@ -3238,7 +3273,7 @@ def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the union doubles nothing structurally) -> windows and
     argmax over the day-count-sized relation (~30 rows), then three
     one-row relations crossJoin-broadcast into the summary row."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     base = ev.select(
         "event_id", F.expr("ts_us DIV 86400000000").alias("day")
     )
@@ -3488,7 +3523,7 @@ _HW_AMPL = (
       SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
              CAST(COUNT(*) AS DOUBLE) AS y
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(y ORDER BY d) AS ys,
              CAST(count(*) AS BIGINT) AS n_days
@@ -3534,7 +3569,7 @@ def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each fold runs over a <=#days array per event type (30 here),
     bounded state, linear time, embarrassingly parallel across
     series."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     day = (F.col("ts_us") / 86_400_000_000).cast("long")
     daily = ev.groupBy("event_type", day.alias("d")).agg(
         F.count("*").cast("double").alias("y")
@@ -3832,7 +3867,7 @@ def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     gaps AS (
       SELECT user_id,
              (LEAD(ts_us) OVER (PARTITION BY user_id
@@ -3899,7 +3934,7 @@ def ev_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (the only data-sized shuffle, cardinality = distinct
     gap hours, ~100) -> everything after runs on the hour-sized
     relation; the 5-point grid join fans over it broadcast-style."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     we = int(ev.agg(F.max("ts_us").alias("m")).first()["m"])
     gaps = ev.select(
@@ -4096,7 +4131,9 @@ _COEC_CLICK = f"CASE WHEN (event_id % 10) + 1 > {_COEC_POS} THEN 1 ELSE 0 END"
     "ev_position_bias_coec",
     oracle=f"""
     WITH imp AS (
-      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, event_id
+      SELECT CAST(CASE WHEN json_valid(props)
+                  THEN json_extract(props, '$.k') END AS BIGINT) AS k,
+             event_id
       FROM events WHERE event_type = 'view'),
     placed AS (
       SELECT k % 15 AS item, {_COEC_POS} AS pos, {_COEC_CLICK} AS clicked
@@ -4773,8 +4810,8 @@ def _split_select_list(cols: str) -> list[str]:
       SELECT DISTINCT user_id,
              (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
               - (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))
-                            // 86400000000) FROM events)) // 7 AS w
-      FROM events),
+                            // 86400000000) FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL)) // 7 AS w
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     flagged AS (
       SELECT user_id, w,
              MIN(w) OVER (PARTITION BY user_id) AS first_w,
@@ -4835,7 +4872,7 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct (user, week) rollup (the only data-sized
     shuffle) -> per-user LAG/LEAD windows (bounded state) -> week-
     sized aggregates."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     min_day = int(
         ev.agg(F.min(F.expr("ts_us DIV 86400000000"))).first()[0]
     )
@@ -4850,19 +4887,33 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("w").over(w_user).alias("prev_w"),
         F.lead("w").over(w_user).alias("next_w"),
     )
-    weekly = flagged.groupBy("w").agg(
-        F.sum(F.expr("CASE WHEN w = first_w THEN 1 ELSE 0 END")).alias(
-            "n_new"
+    # churn-week sentinels (w+1 rows with zero contribution) mirror the
+    # oracle's UNION ALL: a week that only LOSES users — possible when
+    # the activity calendar has gaps — must still appear as a row
+    contrib = flagged.select(
+        "w",
+        F.expr("CASE WHEN w = first_w THEN 1 ELSE 0 END").alias("is_new"),
+        F.expr("CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END").alias(
+            "is_retained"
         ),
-        F.sum(F.expr("CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END")).alias(
-            "n_retained"
-        ),
-        F.sum(
-            F.expr(
-                "CASE WHEN w > first_w AND (prev_w IS NULL OR prev_w < w - 1)"
-                " THEN 1 ELSE 0 END"
-            )
-        ).alias("n_resurrected"),
+        F.expr(
+            "CASE WHEN w > first_w AND (prev_w IS NULL OR prev_w < w - 1)"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_resurrected"),
+    ).unionAll(
+        flagged.where(
+            F.col("next_w").isNull() | (F.col("next_w") > F.col("w") + 1)
+        ).select(
+            (F.col("w") + 1).alias("w"),
+            F.lit(0).alias("is_new"),
+            F.lit(0).alias("is_retained"),
+            F.lit(0).alias("is_resurrected"),
+        )
+    )
+    weekly = contrib.groupBy("w").agg(
+        F.sum("is_new").alias("n_new"),
+        F.sum("is_retained").alias("n_retained"),
+        F.sum("is_resurrected").alias("n_resurrected"),
     )
     churn = (
         flagged.where(
@@ -5683,8 +5734,7 @@ _SPRT_CROSS = f"({_SPRT_LLR} >= LN(19.0) OR {_SPRT_LLR} <= -LN(19.0))"
                    AND CAST(('0x' || substr(md5('sprt-lift|' || event_id), 1, 8))
                        AS BIGINT) % 10 = 0 THEN 1
                   ELSE 0 END AS succ
-      FROM events
-    ),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     walk AS (
       SELECT arm, succ,
              CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
@@ -5741,7 +5791,7 @@ def ev_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rank.py::grouped_prefix_sums — range-partitioned
     per-(partition, arm) cumsums plus a tiny per-arm offset chain);
     everything after the walk is a 2-row aggregate."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     arm_hash = (
         F.conv(F.substring(F.md5(F.concat(F.lit("sprt-arm|"), F.col("event_id"))), 1, 8), 16, 10)
         .cast("long")
@@ -6150,8 +6200,7 @@ def ev_cluster_randomized_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-      FROM events
-    ),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     gaps AS (
       SELECT user_id, ts_us, event_id,
              CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
@@ -6226,7 +6275,7 @@ def ev_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     off0_d*(first - prev_last). Exactly the oracle's single sweep
     regrouped by day — same BIGINT sum, no unbounded single-partition
     pass."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts_us").over(w_order)
@@ -6623,8 +6672,7 @@ _OBF_Z = (
                   THEN 1 ELSE 0 END AS lift,
              ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
              COUNT(*) OVER () AS n
-      FROM events
-    ),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     tagged AS (
       SELECT e.experiment, r.arm,
              CASE WHEN e.experiment = 'planted' AND r.arm = 1
@@ -6693,7 +6741,7 @@ def ev_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes with parallel per-partition row_numbers and a
     #partitions-sized driver prefix sum — no single-partition global
     sort; everything after is a 10-row relation."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     arm = (
         F.conv(F.substring(F.md5(F.concat(F.lit("gst-arm|"), F.col("event_id"))), 1, 8), 16, 10)
         .cast("long") % 2
@@ -7854,7 +7902,7 @@ _MW_Z = (
                   AS BIGINT) AS base,
              CAST(('0x' || substr(md5('mw|' || user_id), 1, 8)) AS BIGINT) % 2
                  AS t
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY user_id
     ),
     pairs AS (
       SELECT 'planted' AS pair, t, base + 15000 * t AS y FROM per_user
@@ -7909,7 +7957,7 @@ def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one user-keyed aggregate, one (pair, value)-keyed count,
     and a window over the DISTINCT-VALUE relation — the W1 shape."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     h = (
         F.conv(F.substring(F.md5(F.concat(F.lit("mw|"), F.col("user_id"))), 1, 8), 16, 10)
         .cast("long") % 2
@@ -8139,7 +8187,7 @@ _LR_V = (
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
              CAST(('0x' || substr(md5('lr2|' || user_id), 1, 8)) AS BIGINT) % 2
                  AS arm
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     gaps AS (
       SELECT arm,
              (LEAD(ts_us) OVER (PARTITION BY user_id
@@ -8223,7 +8271,7 @@ def ev_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-user LEAD window (bounded state) -> per-(pair,
     hour) groupBy (the only data-sized shuffle, cardinality ~2x
     distinct hours) -> windows and folds on the hour-sized relation."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     arm = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("lr2|"), F.col("user_id"))), 1, 8),
@@ -8351,7 +8399,7 @@ _LB_Q = (
     oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
     ),
     shuf AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('lb|' || d)) AS BIGINT)
@@ -8417,7 +8465,7 @@ def ev_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one date-keyed count aggregate (the only data-sized
     shuffle); everything downstream runs on the 30-row series, and
     the lag join is a self-join on that tiny relation."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count("*").cast("bigint").alias("x")
     )
@@ -8893,7 +8941,7 @@ _GC_F = f"((n - 3) * ({_GC_RSSR} - {_GC_RSSU}) / {_GC_RSSU})"
                   AS BIGINT) AS x,
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS y
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
     ),
     idx AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t, x, y
@@ -8981,7 +9029,7 @@ def ev_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one date-keyed aggregate is the only data-sized shuffle;
     lags, regression rows, and sums all live on the 30-row series."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("bigint")
@@ -9074,7 +9122,7 @@ _ITS_CHAT = (
     oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
     ),
     tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s FROM daily),
     shuf AS (
@@ -9144,7 +9192,7 @@ def ev_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_granger_causality (y1 := t, x1 := step), one extra Cramer
     column for the coefficient. Scale: one date-keyed aggregate,
     everything else on the 30-row series."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count("*").cast("bigint").alias("x")
     )
@@ -9495,7 +9543,7 @@ _PACF_KERNEL = (100, 70, 49, 34, 24, 17, 12, 8)
     oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
     ),
     shuf AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('pf|' || d)) AS BIGINT)
@@ -9568,7 +9616,7 @@ def ev_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one date-keyed aggregate; kernel convolution, lags, and
     the recursion all on the 30-row series."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count("*").cast("bigint").alias("x")
     )
@@ -9737,8 +9785,7 @@ def ev_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  % 5 AS iid_step,
              CAST(('0x' || substr(md5('er2|' || event_id), 1, 8)) AS BIGINT)
                  % 2 AS walk_step
-      FROM events
-    ),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     seq AS (
       SELECT user_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY user_id
@@ -9810,7 +9857,7 @@ def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one per-user LAG window over the event stream (bounded
     state), one (pair, i, j)-keyed count — 25 cells per pair — and
     folds on the cell-sized relation."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
 
     def h(salt: str, mod: int) -> F.Column:
         return (

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, well_formed_events
 from .registry import register
 
 
@@ -502,7 +502,7 @@ def fn_ordered_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
            CAST(row_number() OVER (ORDER BY count(*) DESC, event_type)
                 AS INTEGER) AS rk
-    FROM events GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY event_type
     ORDER BY rk
     """,
     tags=("functions", "sketch", "topk"),
@@ -517,7 +517,7 @@ def fn_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded list is re-ranked count-desc/value-asc on both sides so a
     count tie cannot flip the hash.  One mergeable sketch aggregate:
     constant-size state per partition regardless of row volume."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     top = ev.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
     items = top.select(F.explode("tk").alias("x")).select(
         F.col("x.item").alias("event_type"), F.col("x.count").cast("bigint").alias("cnt")

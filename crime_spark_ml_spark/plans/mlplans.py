@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, well_formed_events
 from .registry import register
 
 
@@ -1257,7 +1257,7 @@ def ml_word2vec_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS fe_us,
              MIN(CASE WHEN event_type = 'purchase'
                       THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp_us
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY user_id
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(CASE WHEN fp_us IS NULL
@@ -1294,7 +1294,7 @@ def ml_aft_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import AFTSurvivalRegression
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     xp = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("aft-v1|"), F.col("user_id"))), 1, 8),
@@ -1360,8 +1360,7 @@ def ml_aft_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
-      FROM events
-    ),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     first5 AS (SELECT user_id, event_type, rn FROM ranked WHERE rn <= 5),
     singles AS (
       SELECT event_type AS pattern,
@@ -1405,7 +1404,7 @@ def ml_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib's distributed projected-database algorithm."""
     from pyspark.ml.fpm import PrefixSpan
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     first5 = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")

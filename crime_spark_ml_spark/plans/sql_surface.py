@@ -736,7 +736,9 @@ WITH payload AS (
   FROM events
 ),
 shred AS (
-  SELECT event_type, parse_json(j) AS v FROM payload
+  -- try_parse_json: raw props can be malformed/empty in real event
+  -- streams; parse_json would fail the whole query
+  SELECT event_type, try_parse_json(j) AS v FROM payload
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -770,7 +772,9 @@ ORDER BY event_type
              END AS j
       FROM events
     ),
-    shred AS (SELECT event_type, j::JSON AS v FROM payload)
+    shred AS (SELECT event_type,
+                     CASE WHEN json_valid(j) THEN j::JSON END AS v
+              FROM payload)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CASE WHEN MIN(json_type(v)) = 'ARRAY' THEN 'ARRAY'

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
-from ..sources.catalog import load_table, normalize_events, raw_events_schema
+from ..sources.catalog import (
+    load_table,
+    normalize_events,
+    raw_events_schema,
+    well_formed_events,
+)
 from ..streaming.consumer import parquet_stream, run_available_now, windowed_counts
 from ..streaming.wire import feature_struct, parse_tabular
 from .registry import register
@@ -51,6 +56,7 @@ def events_stream(spark: SparkSession, sf_dir: str, staged: str | None = None) -
            COUNT(*) AS cnt,
            {dec_sum_sql('value', 6)} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -62,7 +68,7 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the batch oracle. Complete output mode + no watermark
     so every window emits (the watermarked/append path is covered in
     tests/test_streaming.py)."""
-    events = events_stream(spark, sf_dir)
+    events = well_formed_events(events_stream(spark, sf_dir))
     agg = windowed_counts(events, ts_col="ts", window="1 hour", watermark=None)
     name = f"stream_parity_{next(_COUNTER)}"
     return run_available_now(agg, name, output_mode="complete").orderBy(
@@ -394,6 +400,7 @@ def stream_static_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS total_events
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -417,7 +424,7 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
     stage = tempfile.mkdtemp(prefix="stream_state_")
     shutil.copyfile(f"{sf_dir}/events.parquet", f"{stage}/copy_a.parquet")
     shutil.copyfile(f"{sf_dir}/events.parquet", f"{stage}/copy_b.parquet")
-    raw = events_stream(spark, sf_dir, staged=stage)
+    raw = well_formed_events(events_stream(spark, sf_dir, staged=stage))
     totals = running_totals_stateful(raw)
     name = f"stream_state_{next(_COUNTER)}"
     try:
@@ -682,9 +689,9 @@ def stream_incremental_rollup(
     "stream_left_outer_join",
     oracle="""
     WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-               FROM events WHERE event_type = 'click'),
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND event_type = 'click'),
     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-          FROM events WHERE event_type = 'purchase'),
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND event_type = 'purchase'),
     wm AS (SELECT least((SELECT max(ts_us) FROM c),
                         (SELECT max(ts_us) FROM p)) - 3600000000 AS w),
     pairs AS (
@@ -732,7 +739,7 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, independent of total volume."""
 
     def side(event_type: str, alias: str) -> DataFrame:
-        ev = events_stream(spark, sf_dir)
+        ev = well_formed_events(events_stream(spark, sf_dir))
         return (
             ev.where(F.col("event_type") == event_type)
             .select(
@@ -769,9 +776,9 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_full_outer_join",
     oracle="""
     WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-               FROM events WHERE event_type = 'click'),
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND event_type = 'click'),
     p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-          FROM events WHERE event_type = 'purchase'),
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND event_type = 'purchase'),
     wm AS (SELECT least((SELECT max(ts_us) FROM c),
                         (SELECT max(ts_us) FROM p)) - 3600000000 AS w),
     matched AS (
@@ -817,7 +824,7 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1 like stream_left_outer_join."""
 
     def side(event_type: str, alias: str) -> DataFrame:
-        ev = events_stream(spark, sf_dir)
+        ev = well_formed_events(events_stream(spark, sf_dir))
         return (
             ev.where(F.col("event_type") == event_type)
             .select(
@@ -860,7 +867,7 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts_us DESC, event_id DESC) AS rk
@@ -908,7 +915,7 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = t.num_rows // 2
     papq.write_table(t.slice(0, half), f"{stage}/part_a.parquet")
     papq.write_table(t.slice(half), f"{stage}/part_b.parquet")
-    raw = events_stream(spark, sf_dir, staged=stage)
+    raw = well_formed_events(events_stream(spark, sf_dir, staged=stage))
     folded = ewma_last_n_stateful(raw, alpha=0.2, last_n=32)
     name = f"stream_ewma_{next(_COUNTER)}"
     try:

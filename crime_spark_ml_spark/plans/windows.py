@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, well_formed_events
 from .registry import register
 
 
@@ -262,6 +262,7 @@ def w_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
                  6) AS mavg7
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
     ORDER BY user_id, epoch_us(CAST(ts AS TIMESTAMP)), event_id
     """,
     tags=("windows", "frame", "rows"),
@@ -276,7 +277,7 @@ def w_moving_avg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = well_formed_events(load_table(spark, sf_dir, "events")).select(
         "user_id", "event_id", "value", "ts_us"
     )
     w = (
@@ -481,7 +482,7 @@ def j_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
     gaps AS (
       SELECT user_id, ts_us,
              CASE WHEN ts_us - LAG(ts_us) OVER
@@ -532,7 +533,7 @@ def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: session_window is a single user-keyed shuffle with
     bounded per-key state (Spark's own operator); the histogram is a
     second bounded groupBy."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = well_formed_events(load_table(spark, sf_dir, "events"))
     per_sess = ev.groupBy(
         "user_id", F.session_window("ts", "10 minutes").alias("w")
     ).agg(F.count("*").alias("n_events"))

@@ -215,6 +215,30 @@ def normalize_events(df: DataFrame) -> DataFrame:
     )
 
 
+# Canonical well-formed-event predicate for the ANALYTICS family: an
+# event without a timestamp has no place on a timeline, one without a
+# user cannot be attributed, one without a type cannot be classified —
+# and, concretely, NULL keys ORDER differently in Spark (ASC NULLS
+# FIRST) than in DuckDB (NULLS LAST), silently shifting every
+# ROW_NUMBER/LAG/rank chain built on them. Analytical event plans
+# filter on this IN BOTH ENGINES (the SQL text below is the oracle
+# twin); ingest-hygiene plans (cleaning funnels, profiling) stay raw
+# by design. value and props remain nullable — they are legitimately
+# optional fields and every consumer coalesces or NULL-guards them.
+EVENTS_WELL_FORMED_SQL = (
+    "ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
+)
+
+
+def well_formed_events(df: DataFrame) -> DataFrame:
+    """Spark twin of EVENTS_WELL_FORMED_SQL (see rationale above)."""
+    return df.where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalized to the declared schema."""
     if name == "events":
