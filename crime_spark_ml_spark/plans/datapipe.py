@@ -33,7 +33,7 @@ from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
 from ..operators.rank import global_row_number, ntile_sql
 from ..operators.similarity import brute_force_topk, lsh_topk
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, well_formed_embeddings
 from .registry import register
 
 
@@ -128,11 +128,11 @@ def dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dp_ann_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND vec_id < 5),
     scored AS (
       SELECT q.query_id, e.vec_id AS cand_id,
              ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS cos
-      FROM embeddings e CROSS JOIN q
+      FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) e CROSS JOIN q
       WHERE e.vec_id <> q.query_id),
     ranked AS (
       SELECT query_id, cand_id, cos,
@@ -148,7 +148,7 @@ def dp_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 5 vectors: broadcast
     queries × corpus scan, JVM-side double dot product (bit-matched
     to the oracle), per-query window top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy(
         "query_id", "rank"
     )
@@ -354,7 +354,7 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> pow(trunc(CAST(x AS DOUBLE) * 20000), 2))) / len(embedding)),
                  6) AS rms
     FROM embeddings
-    WHERE len(embedding) > 0
+    WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND len(embedding) > 0
     ORDER BY vec_id
     """,
     tags=("multimodal", "audio", "binary"),
@@ -369,7 +369,7 @@ def dp_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio.py)."""
     from ..operators.audio import clip_features, encode_pcm16
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     feats = clip_features(encode_pcm16(emb))
     return (
         feats.where(F.col("n_samples") > 0)
@@ -389,7 +389,7 @@ def dp_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(list_sum(list_transform(list_slice(embedding, 1, 64),
                 x -> pow(trunc(CAST(x AS DOUBLE) * 20000), 2))), 0) AS BIGINT)
                AS energy
-    FROM embeddings WHERE len(embedding) >= 64
+    FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND len(embedding) >= 64
     ORDER BY vec_id
     """,
     tags=("multimodal", "audio", "fft", "binary"),
@@ -407,7 +407,7 @@ def dp_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_audio.py."""
     from ..operators.audio import encode_pcm16, spectral_features
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     spec = spectral_features(encode_pcm16(emb), n_fft=64, bands=4)
     return spec.select(
         F.col("media_id").alias("vec_id"),
@@ -424,7 +424,7 @@ def dp_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                             x -> trunc(CAST(x AS DOUBLE) * 20000)) AS sm
       FROM embeddings
-      WHERE len(embedding) >= 16
+      WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND len(embedding) >= 16
     ),
     fr AS (
       SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
@@ -457,7 +457,7 @@ def dp_audio_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as a DuckDB lambda over adjacent index pairs."""
     from ..operators.audio import encode_pcm16, frame_features
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return frame_features(encode_pcm16(emb), frame=16, hop=8).orderBy(
         "media_id", "frame_idx"
     )
@@ -528,7 +528,7 @@ def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
            5 AS n_queries, 5 AS k, 8 AS expand,
            TRUE AS refined_ge_base, TRUE AS refined_recall_ok
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("similarity", "ann", "refine", "invariant"),
 )
@@ -546,7 +546,7 @@ def dp_ann_refine_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.ivfpq import build_ivfpq, ivfpq_topk, ivfpq_topk_refined
     from ..operators.similarity import brute_force_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings")).cache()
     n_corpus = emb.count()
     queries = emb.where(F.col("vec_id") < 5)
     exact = {
@@ -581,7 +581,7 @@ def dp_ann_refine_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
            5 AS n_queries, 5 AS k,
            TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
            TRUE AS pq_recall_ok, TRUE AS ivfpq_recall_ok
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("similarity", "ann", "invariant"),
 )
@@ -603,7 +603,7 @@ def dp_ann_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.pq import pq_encode, pq_topk, train_pq
     from ..operators.similarity import brute_force_topk, lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings")).cache()
     n_corpus = emb.count()
     queries = emb.where(F.col("vec_id") < 5)
     exact = {
@@ -644,12 +644,12 @@ def dp_ann_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dp_embedding_near_dups",
     oracle="""
     WITH corpus AS (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, embedding FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
              list_transform(embedding,
                             x -> CAST(x * CAST(1.0001 AS FLOAT) AS FLOAT)) AS embedding
-      FROM embeddings WHERE vec_id < 10
+      FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND vec_id < 10
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
@@ -682,7 +682,7 @@ def dp_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark vs float64 DuckDB round identically with huge margin)."""
     from ..operators.similarity import embedding_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     planted = emb.where(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias(
@@ -1643,7 +1643,7 @@ def dp_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS l2
-      FROM embeddings)
+      FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END)
     SELECT vec_id,
            ROUND(l2, 6) AS l2_norm,
            ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1662,7 +1662,7 @@ def dp_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every row (vacuity-proof that the division really happened)."""
     from ..functions.vectors import norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     with_norm = emb.withColumn("l2", norm("embedding"))
     unit = F.expr(
         "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) / l2), "
@@ -2337,7 +2337,7 @@ def dp_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+      FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
     ), dims AS (
       SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim
     ), codes AS (
@@ -2380,7 +2380,7 @@ def dp_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, not n·d; pass 2 re-scans, broadcast-joins the d-row
     bounds table, and aggregates codes with the same partial-agg
     collapse. No Python, no window, two scans, two tiny shuffles."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     ex = emb.select(
         "vec_id",
         "label",
@@ -2503,11 +2503,11 @@ def dp_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe, label AS ql
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND vec_id < 8
     ), scored AS (
       SELECT q.query_id, e.vec_id AS cand_id,
              ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS cos
-      FROM embeddings e JOIN q ON e.label = q.ql
+      FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) e JOIN q ON e.label = q.ql
       WHERE e.vec_id <> q.query_id
     ), ranked AS (
       SELECT query_id, cand_id, cos,
@@ -2531,7 +2531,7 @@ def dp_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — on a label-partitioned 100 TB corpus that is a partition-
     pruned scan of only the queried labels, not a full scan plus
     discard."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return brute_force_topk(
         emb, emb.where(F.col("vec_id") < 8), k=5, match_cols=("label",)
     ).orderBy("query_id", "rank")
@@ -3901,12 +3901,12 @@ def dp_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dp_semdedup",
     oracle="""
     WITH corpus AS (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, embedding FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
              list_transform(embedding,
                             x -> CAST(x * CAST(1.0001 AS FLOAT) AS FLOAT)) AS embedding
-      FROM embeddings WHERE vec_id < 20
+      FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND vec_id < 20
     ),
     pairs AS (
       SELECT a.vec_id AS ka, b.vec_id AS kb,
@@ -3946,7 +3946,7 @@ def dp_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine, norm
     from ..ml.ivf import build_ivf
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     planted = emb.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias(
@@ -6865,11 +6865,11 @@ def dp_training_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
                  AS rk_bm25
       FROM bm_top),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND vec_id = 0),
     cos_scored AS (
       SELECT e.vec_id AS doc_id,
              ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS cos
-      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) e CROSS JOIN q WHERE e.vec_id <> 0),
     cos_top AS (
       SELECT doc_id, cos FROM cos_scored ORDER BY cos DESC, doc_id LIMIT 15),
     cs AS (
@@ -6915,7 +6915,7 @@ def dp_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         dp_bm25_rank(spark, sf_dir)
         .select("doc_id", F.col("rk").alias("rk_bm25"))
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
@@ -7130,7 +7130,7 @@ def dp_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH expl AS (
         SELECT vec_id, u.dim - 1 AS dim,
                CAST(round(embedding[u.dim] * 1000000) AS BIGINT) AS v
-        FROM embeddings,
+        FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) embeddings,
              UNNEST(range(1, len(embedding) + 1)) AS u(dim)
     ),
     scal AS (
@@ -7204,7 +7204,7 @@ def dp_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus collapses to 64 per-dimension integer
     sums plus one scalar-moment row in partial-aggregated passes;
     everything after is dimension-sized."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     expl = emb.select(
         "vec_id",
         F.expr(
@@ -8148,11 +8148,11 @@ def dp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe
-      FROM embeddings WHERE vec_id < 5),
+      FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND vec_id < 5),
     scored AS (
       SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS ce,
              ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS rel
-      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) e CROSS JOIN q WHERE e.vec_id <> q.query_id),
     cand AS (
       SELECT * FROM (
         SELECT query_id, cand_id, ce, rel,
@@ -8224,7 +8224,7 @@ def dp_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups (nq*400 rows); the fold costs O(k^2 * n_cand) per query
     inside codegen.  Measured at admission: 19/25 output rows have
     mmr_rank != rel_rank — diversification visibly reorders."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -8352,7 +8352,7 @@ def _ddot(a: str, b: str) -> str:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
              list_transform({_JL_SQL_LIT}::DOUBLE[][], r ->
                list_dot_product(CAST(embedding AS DOUBLE[]), r) / 4.0) AS y
-      FROM embeddings),
+      FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END),
     pairs AS (
       SELECT a.vec_id AS ia,
              sqrt({_ddot('a.x', 'a.x')} - 2.0*{_ddot('a.x', 'b.x')}
@@ -8394,7 +8394,7 @@ def dp_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides an exact micro-int sum, immune to float accumulation order.
     Scale shape: one row-local projection scan; the audit pair join is
     an equi-join on consecutive ids over a 10% sample."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     proj = emb.select(
         "vec_id",
         F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("x"),
@@ -8761,7 +8761,7 @@ def dp_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
                * CAST(embedding[1] AS DOUBLE) AS y,
              CAST(embedding[2] AS DOUBLE) AS z,
              CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS w
-      FROM embeddings),
+      FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END),
     long AS (
       SELECT vec_id, f.name, f.v
       FROM feats, UNNEST([struct_pack(name := 'f1_x', v := x),
@@ -8813,7 +8813,7 @@ def dp_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts — at 100 TB Spearman is approximated by quantile-bucketed
     ranks, the documented knob), one vec_id-keyed pair join, one
     6-group aggregate."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     px = F.expr("CAST(element_at(embedding, 1) AS DOUBLE)")
     pz = F.expr("CAST(element_at(embedding, 2) AS DOUBLE)")
     feats = emb.select(
@@ -9339,8 +9339,11 @@ def _kcenter_oracle(k: int) -> str:
     bit-matched list_dot_product twin."""
     cos = cosine_sql("e.embedding", "s.embedding")
     ctes = [
-        "sel1 AS (SELECT vec_id, embedding FROM embeddings"
-        " WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))"
+        # well-formed filter once, then every round reads the CTE
+        "emb_wf AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END)",
+        "sel1 AS (SELECT vec_id, embedding FROM emb_wf"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM emb_wf))"
     ]
     picks = [
         "SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS maxmin_dist_r"
@@ -9350,13 +9353,13 @@ def _kcenter_oracle(k: int) -> str:
         ctes.append(
             f"""mind{r} AS (
       SELECT e.vec_id, MIN(1.0 - {cos}) AS md
-      FROM embeddings e CROSS JOIN sel{r} s GROUP BY e.vec_id),
+      FROM emb_wf e CROSS JOIN sel{r} s GROUP BY e.vec_id),
     best{r} AS (
       SELECT vec_id, md FROM mind{r} ORDER BY md DESC, vec_id LIMIT 1),
     sel{r + 1} AS (
       SELECT vec_id, embedding FROM sel{r}
       UNION ALL
-      SELECT e.vec_id, e.embedding FROM embeddings e
+      SELECT e.vec_id, e.embedding FROM emb_wf e
       WHERE e.vec_id = (SELECT vec_id FROM best{r}))"""
         )
         picks.append(
@@ -9398,7 +9401,7 @@ def dp_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     also asserts structurally."""
     from ..operators.similarity import kcenter_select
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return kcenter_select(emb.select("vec_id", "embedding"), k=5)
 
 
@@ -11055,8 +11058,7 @@ _LN_ARGMAX = (
                  "CAST(ROUND(CAST(embedding[" + str(d + 1) + "] AS DOUBLE)"
                  " * 1000000.0, 0) AS BIGINT) AS x" + str(d)
                  for d in range(5))}
-      FROM embeddings
-    ),
+      FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END),
     lab AS (
       SELECT *, {_LN_ARGMAX} AS t,
              CASE WHEN CAST(('0x' || substr(md5('ln-v1|' ||
@@ -11128,7 +11130,7 @@ def dp_label_noise_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit cut's exact global rank comes from the distributed
     range-partitioned prefix-sum helper (operators/rank.py) — no
     single-partition sort at any corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     q = emb.select(
         "vec_id",
         *[
@@ -11586,7 +11588,7 @@ _MAXSIM_DOT = " + ".join(f"q.q{k} * d.d{k}" for k in range(8))
                  "CAST(ROUND(CAST(embedding[CAST(t * 8 + " + str(k + 1)
                  + " AS INT)] AS DOUBLE) * 1000.0, 0) AS BIGINT) AS d" + str(k)
                  for k in range(8))}
-      FROM embeddings, UNNEST(range(0, 8)) u(t)
+      FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) embeddings, UNNEST(range(0, 8)) u(t)
     ),
     q AS (
       SELECT t AS qt,
@@ -11631,7 +11633,7 @@ def dp_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. At 100 TB this is exactly the PLAID/
     ColBERT scoring pass over a candidate set (the ANN family
     provides the candidates)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     toks = emb.select(
         "vec_id",
         F.explode(F.expr("sequence(0, 7)")).alias("t"),
@@ -12030,19 +12032,23 @@ def dp_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dp_learning_curve",
     oracle="""
-    WITH q AS (
+    WITH emb_wf AS (
+      -- filter level SEPARATE from the projection: DuckDB evaluates
+      -- same-SELECT projections on the scan batch, so the NaN cast
+      -- would still raise with the WHERE inline
+      SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END),
+    q AS (
       SELECT vec_id,
-             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x0,
-             CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x1,
-             CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x2,
-             CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x3,
-             CAST(ROUND(CAST(embedding[5] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x4,
+             TRY_CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x0,
+             TRY_CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x1,
+             TRY_CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x2,
+             TRY_CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x3,
+             TRY_CAST(ROUND(CAST(embedding[5] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x4,
              CAST(('0x' || substr(md5('lc-split|' || CAST(vec_id AS VARCHAR)),
                    1, 8)) AS BIGINT) % 5 AS split,
              CAST(('0x' || substr(md5('lc-sub|' || CAST(vec_id AS VARCHAR)),
                    1, 8)) AS BIGINT) % 100 AS sub
-      FROM embeddings
-    ),
+      FROM emb_wf),
     lab AS (SELECT *, CASE WHEN x0 + x1 > 0 THEN 1 ELSE 0 END AS t FROM q),
     cents AS (
       SELECT f.frac, t,
@@ -12102,7 +12108,7 @@ def dp_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (budget, class)-keyed aggregate over the training pool (the 4-
     budget fan is a literal explode), the 8-row model broadcast over
     the test split."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
 
     def h(salt: str, mod: int):
         return (

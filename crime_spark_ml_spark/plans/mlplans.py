@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggs import dec_sum, dec_sum_sql
-from ..sources.catalog import load_table, well_formed_events
+from ..sources.catalog import (
+    load_table,
+    well_formed_embeddings,
+    well_formed_events,
+)
 from .registry import register
 
 
@@ -35,7 +39,7 @@ def _vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
            COUNT(*) AS n_points,
            TRUE AS n_clusters_bounded,
            TRUE AS sizes_positive
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "M2", "invariant"),
 )
@@ -49,7 +53,7 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted distributionally in tests/test_ml.py instead."""
     from pyspark.ml.clustering import KMeans
 
-    emb = _vectors(load_table(spark, sf_dir, "embeddings")).cache()
+    emb = _vectors(well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))).cache()
     model = KMeans(k=10, seed=0, featuresCol="features").fit(emb)
     sizes = (
         model.transform(emb)
@@ -71,7 +75,7 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT TRUE AS acc_in_range,
            COUNT(DISTINCT label) AS n_classes,
            TRUE AS split_covers_all
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "M3", "M4", "M5", "M6", "invariant"),
 )
@@ -87,7 +91,7 @@ def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
-    emb = _vectors(load_table(spark, sf_dir, "embeddings")).withColumn(
+    emb = _vectors(well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))).withColumn(
         "label", F.col("label").cast("double")
     )
     train, test = emb.randomSplit([0.7, 0.3], seed=0)
@@ -113,7 +117,7 @@ def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS ratios_sorted_desc,
            TRUE AS ratios_positive,
            TRUE AS ratios_sum_le_one
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "M6", "PCA", "invariant"),
 )
@@ -128,7 +132,7 @@ def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ml.py instead of hashed."""
     from pyspark.ml.feature import PCA
 
-    emb = _vectors(load_table(spark, sf_dir, "embeddings"))
+    emb = _vectors(well_formed_embeddings(load_table(spark, sf_dir, "embeddings")))
     model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
     ev = [float(x) for x in model.explainedVariance]
     return spark.createDataFrame(
@@ -246,7 +250,7 @@ def ml_crime_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT TRUE AS auc_in_range,
            COUNT(DISTINCT label % 2) AS n_label_values,
            10 AS n_trees
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "M6", "GBT", "invariant"),
 )
@@ -261,7 +265,7 @@ def ml_gbt_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    emb = _vectors(load_table(spark, sf_dir, "embeddings")).withColumn(
+    emb = _vectors(well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))).withColumn(
         "label", (F.col("label") % 2).cast("double")
     )
     train, test = emb.randomSplit([0.7, 0.3], seed=0)
@@ -285,7 +289,7 @@ def ml_gbt_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT label) AS n_classes,
            TRUE AS one_model_per_class,
            TRUE AS predicted_classes_bounded
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "M3", "GBT", "multiclass", "invariant"),
 )
@@ -301,7 +305,7 @@ def ml_gbt_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import GBTClassifier, OneVsRest
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
-    emb = _vectors(load_table(spark, sf_dir, "embeddings")).withColumn(
+    emb = _vectors(well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))).withColumn(
         "label", F.col("label").cast("double")
     )
     train, test = emb.randomSplit([0.7, 0.3], seed=0)
@@ -569,7 +573,7 @@ def ml_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_points,
            TRUE AS cost_monotone_nonincreasing,
            TRUE AS all_costs_positive
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "kmeans", "invariant"),
 )
@@ -584,7 +588,7 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     count as the data anchor (pattern: ml_kmeans_clusters)."""
     from pyspark.ml.clustering import KMeans
 
-    emb = _vectors(load_table(spark, sf_dir, "embeddings")).cache()
+    emb = _vectors(well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))).cache()
     n_points = emb.count()
     costs = []
     for k in (2, 4, 8):
@@ -829,7 +833,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS weights_sum_to_one,
            TRUE AS weights_positive,
            TRUE AS every_point_assigned
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "gmm", "invariant"),
 )
@@ -849,7 +853,7 @@ def ml_gmm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mixture runs on the first 8 dims — the invariants under test
     # (weight simplex, full assignment) are dimension-independent
     emb = _vectors(
-        load_table(spark, sf_dir, "embeddings").withColumn(
+        well_formed_embeddings(load_table(spark, sf_dir, "embeddings")).withColumn(
             "embedding", F.slice("embedding", 1, 8)
         )
     ).cache()
@@ -1519,7 +1523,7 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS informative_dims_top2,
            TRUE AS accuracy_beats_chance,
            TRUE AS importances_normalized
-    FROM embeddings
+    FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     """,
     tags=("ml", "interpretability", "feature-importance", "invariant"),
 )
@@ -1541,7 +1545,7 @@ def ml_feature_importance_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         *[F.col("embedding")[d].cast("double").alias(f"x{d}") for d in range(8)],
         F.when(

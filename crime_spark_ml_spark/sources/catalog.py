@@ -239,6 +239,45 @@ def well_formed_events(df: DataFrame) -> DataFrame:
     )
 
 
+# Canonical well-formed-embedding predicate, the vector twin of
+# EVENTS_WELL_FORMED_SQL: a NULL / empty / wrong-dimension / non-finite
+# / zero-norm vector breaks every kernel differently — DuckDB's
+# list_inner_product RAISES on dim mismatch while Spark's zip_with
+# silently NULL-pads, NaN poisons centroids and quantizers, zero norm
+# divides cosine by zero, and MLlib fits die on NULL feature arrays.
+# EMB_DIM pins the fixture contract (64 at every SF); a production
+# deployment parameterizes it per collection. The SQL twin uses CASE
+# (ordered evaluation) because AND does not guarantee short-circuit.
+EMB_DIM = 64
+# every branch is an elementwise list_filter: DuckDB evaluates CASE
+# branches VECTORIZED (no row-level short-circuit), so a function that
+# raises on bad input (list_inner_product on a NULL element) cannot
+# appear anywhere in the predicate — the zero-norm test is expressed
+# as "no nonzero component" instead
+EMBEDDING_WELL_FORMED_SQL = (
+    "CASE WHEN embedding IS NULL THEN FALSE"
+    f" WHEN len(embedding) <> {EMB_DIM} THEN FALSE"
+    " WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE"
+    " WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE"
+    " WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE"
+    " ELSE TRUE END"
+)
+
+
+def well_formed_embeddings(df: DataFrame) -> DataFrame:
+    """Spark twin of EMBEDDING_WELL_FORMED_SQL (see rationale above)."""
+    return df.where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
+        & F.expr("size(filter(embedding, x -> x IS NULL)) = 0")
+        & F.expr(
+            "size(filter(embedding, x -> isnan(x)"
+            " OR abs(x) = CAST('Infinity' AS DOUBLE))) = 0"
+        )
+        & F.expr("size(filter(embedding, x -> x <> CAST(0 AS FLOAT))) > 0")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalized to the declared schema."""
     if name == "events":

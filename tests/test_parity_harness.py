@@ -331,3 +331,83 @@ def test_event_kernels_survive_degenerate_events(spark, tmp_path):
     finally:
         con.close()
     assert not failures, "\n".join(failures)
+
+
+def _degenerate_embeddings_dir(spark, tmp_path) -> str:
+    """sf-dir clone whose embeddings table appends the degenerate
+    vectors a real corpus always contains and the fixtures never do:
+    NULL vector, empty array, all-NaN, all-zero (zero norm), and a
+    wrong-dimension row."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import SF_SMOKE
+
+    d = tmp_path / "sf_degenerate_embeddings"
+    d.mkdir()
+    for f in os.listdir(SF_SMOKE):
+        if f != "embeddings.parquet" and f.endswith(".parquet"):
+            os.symlink(os.path.join(SF_SMOKE, f), str(d / f))
+    orig = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    extra = pa.table(
+        {
+            "vec_id": pa.array(
+                [800001, 800002, 800003, 800004, 800005], pa.int64()
+            ),
+            "embedding": pa.array(
+                [
+                    None,
+                    [],
+                    [float("nan")] * 64,
+                    [0.0] * 64,
+                    [0.5] * 16,
+                ],
+                orig.schema.field("embedding").type,
+            ),
+            "label": pa.array([None, 1, 2, 3, 4], pa.int32()),
+        }
+    ).cast(orig.schema)
+    pq.write_table(
+        pa.concat_tables([orig, extra]), str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+def _embeddings_oracle_queries():
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    specs = load_all_plans()
+    return sorted(
+        n for n, s in specs.items() if s.oracle and "embeddings" in s.oracle
+    )
+
+
+def test_vector_kernels_survive_degenerate_embeddings(spark, tmp_path):
+    """The embeddings twin of the documents/events sweeps. Classes
+    this pins: DuckDB's list_inner_product RAISES on dim mismatch or
+    NULL elements while Spark's zip_with silently NULL-pads; NaN
+    poisons centroids/quantizers and raises on ANSI casts; zero norm
+    divides cosine by zero; MLlib fits die on NULL feature arrays.
+    The canonical well-formed-embedding predicate
+    (sources/catalog.py: EMBEDDING_WELL_FORMED_SQL, elementwise-only
+    because DuckDB evaluates CASE branches vectorized) is applied in
+    BOTH engines by every vector-consuming plan."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    sf = _degenerate_embeddings_dir(spark, tmp_path)
+    specs = load_all_plans()
+    con = _duckdb_conn(sf)
+    failures = []
+    try:
+        for name in _embeddings_oracle_queries():
+            try:
+                r = compare_query(name, specs[name], spark, con, sf)
+                if not r.ok:
+                    failures.append(f"{name}: {r.status} {r.detail}")
+            except Exception as e:  # noqa: BLE001 — collect, then fail once
+                failures.append(f"{name}: EXC {type(e).__name__}: {e}")
+    finally:
+        con.close()
+    assert not failures, "\n".join(failures)
