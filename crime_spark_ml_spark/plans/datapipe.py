@@ -159,7 +159,7 @@ def dp_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-LSH (4 planes × 8 tables) + exact
     re-rank of candidates — the 100 TB scale path. Recall vs brute
     force pinned in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy("query_id", "rank")
 
 
@@ -336,7 +336,9 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force pinned in tests. See ml/ivf.py."""
     from ..ml.ivf import build_ivf, ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb = well_formed_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).cache()
     index = build_ivf(emb, k=16, seed=0)
     result = ivf_topk(index, emb.where(F.col("vec_id") < 5), k=5, nprobe=4).orderBy(
         "query_id", "rank"
@@ -479,7 +481,9 @@ def dp_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-proportional training cost."""
     from ..ml.pq import pq_encode, pq_topk, train_pq
 
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb = well_formed_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).cache()
     frac = _train_fraction(emb.count())
     model = train_pq(emb, m=8, k=16, seed=0, sample_fraction=frac)
     codes = pq_encode(emb, model)
@@ -504,7 +508,9 @@ def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ml.ivfpq import build_ivfpq, persist_ivfpq, probe_ivfpq
 
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb = well_formed_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).cache()
     frac = _train_fraction(emb.count())
     index = build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac)
     path = tempfile.mkdtemp(prefix="ivfpq_")
@@ -2836,7 +2842,7 @@ def dp_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, i - 1 AS dim,
            ROUND(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
            CAST(count(*) AS BIGINT) AS n_vecs
-    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    FROM (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
     GROUP BY label, i ORDER BY label, dim
     """,
     tags=("datapipe", "embeddings", "centroids"),
@@ -2849,7 +2855,7 @@ def dp_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the posexplode feeds a partial+final hash aggregate whose shuffle
     carries labels×dims rows per partition — constant in corpus size,
     like the scalar-quantizer bounds pass (dp_scalar_quantize_int8)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     ex = emb.select(
         "label", F.posexplode("embedding").alias("dim", "xf")
     ).select("label", "dim", F.col("xf").cast("double").alias("x"))
@@ -3327,7 +3333,7 @@ def dp_equidepth_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                        CAST(e.embedding AS DOUBLE[]))), 6)
              AS emb_norm
-    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    FROM documents d JOIN (SELECT * FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) e ON d.doc_id = e.vec_id
     WHERE d.text IS NOT NULL
     ORDER BY d.doc_id
     """,
@@ -3343,7 +3349,7 @@ def dp_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sequential-double arithmetic as the cosine kernel, so it
     hash-matches DuckDB's list_dot_product."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     norm_sq = F.expr(
         "aggregate(embedding, CAST(0.0 AS DOUBLE),"
         " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
@@ -12580,7 +12586,7 @@ def _gm_oracle() -> str:
       SELECT vec_id, embedding,
              CAST(('0x' || substr(md5('gm|' || vec_id), 1, 8)) AS BIGINT)
                  % 10 = 0 AS poisoned
-      FROM embeddings
+      FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     ),
     long AS (
       SELECT vec_id, d,
@@ -12635,7 +12641,7 @@ def dp_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 5 iterations as long-form CTEs. Float sums differ only
     in last-bit order; outputs round at 4 with O(1-40) magnitudes.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     poisoned = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("gm|"), F.col("vec_id"))), 1, 8),
@@ -12728,7 +12734,7 @@ def dp_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  % 8 AS lab,
              CAST(('0x' || substr(md5('sr|' || vec_id), 1, 8)) AS BIGINT)
                  % 8 AS rnd
-      FROM embeddings
+      FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     ),
     paired AS (
       SELECT 'planted' AS pair, vec_id, lab AS cl, lab, embedding FROM pts
@@ -12781,7 +12787,7 @@ def dp_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
     point's dim over k=8 centroids, a bounded k*dims blowup, then
     one (vec, centroid) aggregate and one per-pair mean. No
     all-pairs anywhere; state is centroid-sized."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
 
     def h(salt: str) -> F.Column:
         return (
@@ -13652,7 +13658,7 @@ def _em_oracle() -> str:
                  % 1000
               + CAST(('0x' || substr(md5('emm|' || vec_id), 1, 8)) AS BIGINT)
                  % 1000) AS noise2k
-      FROM embeddings
+      FROM embeddings WHERE CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END
     ),
     pts AS (
       SELECT 10.0 * comp + (noise2k - 1000) / 500.0 AS x FROM raw
@@ -13699,7 +13705,7 @@ def dp_gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same 4 iterations as CTEs over the identical
     float expressions; outputs round at 4 with O(1-10) magnitudes.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
 
     def h(salt: str) -> F.Column:
         return F.conv(

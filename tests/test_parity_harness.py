@@ -411,3 +411,38 @@ def test_vector_kernels_survive_degenerate_embeddings(spark, tmp_path):
     finally:
         con.close()
     assert not failures, "\n".join(failures)
+
+
+def test_rows_only_queries_survive_degenerate_inputs(spark, tmp_path):
+    """The nine rows-only queries (no SQL oracle by contract) get the
+    weaker check the sweeps can't give them: they must still RUN and
+    return rows on the degenerate fixtures — the ANN index builders
+    previously died in quantizer training iterating a NULL vector."""
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    ddoc = _degenerate_docs_dir(spark, tmp_path)
+    demb = _degenerate_embeddings_dir(spark, tmp_path)
+    targets = {
+        "dp_minhash_candidates": ddoc,
+        "dp_simhash": ddoc,
+        "dp_simhash_near_dups": ddoc,
+        "dp_dup_clusters": ddoc,
+        "stream_wire_roundtrip": ddoc,
+        "dp_ann_lsh": demb,
+        "dp_ann_ivf": demb,
+        "dp_ann_pq": demb,
+        "dp_ann_ivfpq": demb,
+    }
+    specs = load_all_plans()
+    rows_only = {n for n, s in specs.items() if not s.oracle}
+    assert rows_only == set(targets), (
+        "rows-only registry changed — extend the degenerate targets: "
+        f"{sorted(rows_only ^ set(targets))}"
+    )
+    failures = []
+    for name, d in targets.items():
+        try:
+            assert specs[name].fn(spark, d).count() > 0
+        except Exception as e:  # noqa: BLE001 — collect, then fail once
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
