@@ -356,7 +356,7 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> pow(trunc(CAST(x AS DOUBLE) * 20000), 2))) / len(embedding)),
                  6) AS rms
     FROM embeddings
-    WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND len(embedding) > 0
+    WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END)
     ORDER BY vec_id
     """,
     tags=("multimodal", "audio", "binary"),
@@ -373,8 +373,11 @@ def dp_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     feats = clip_features(encode_pcm16(emb))
+    # no n_samples guard: the well-formed filter already pins exactly
+    # EMB_DIM samples per clip (the oracle twin dropped its matching
+    # residual length guard too)
     return (
-        feats.where(F.col("n_samples") > 0)
+        feats
         .select(
             F.col("media_id").alias("vec_id"),
             "n_samples",
@@ -391,7 +394,7 @@ def dp_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(list_sum(list_transform(list_slice(embedding, 1, 64),
                 x -> pow(trunc(CAST(x AS DOUBLE) * 20000), 2))), 0) AS BIGINT)
                AS energy
-    FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND len(embedding) >= 64
+    FROM embeddings WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END)
     ORDER BY vec_id
     """,
     tags=("multimodal", "audio", "fft", "binary"),
@@ -426,7 +429,7 @@ def dp_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                             x -> trunc(CAST(x AS DOUBLE) * 20000)) AS sm
       FROM embeddings
-      WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END) AND len(embedding) >= 16
+      WHERE (CASE WHEN embedding IS NULL THEN FALSE WHEN len(embedding) <> 64 THEN FALSE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN FALSE WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN FALSE ELSE TRUE END)
     ),
     fr AS (
       SELECT media_id, CAST(i AS INTEGER) AS frame_idx,

@@ -446,3 +446,47 @@ def test_rows_only_queries_survive_degenerate_inputs(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collect, then fail once
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_inline_wellformed_predicates_match_canonical():
+    """The well-formed predicates are hand-inlined into ~80 oracle
+    strings (most are plain strings, not f-strings). Pin every inline
+    copy to the canonical constants so a future edit to
+    sources/catalog.py cannot silently leave oracles on the old text
+    while the Spark-side helpers move on — the exact drift that would
+    make Spark filter one row set and DuckDB another."""
+    import glob
+    import os
+    import re
+
+    from crime_spark_ml_spark.sources.catalog import (
+        EMBEDDING_WELL_FORMED_SQL,
+        EVENTS_WELL_FORMED_SQL,
+    )
+
+    plans = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "crime_spark_ml_spark",
+        "plans",
+    )
+    emb_starts = ev_count = 0
+    for path in glob.glob(os.path.join(plans, "*.py")):
+        src = open(path).read()
+        # every CASE WHEN embedding... occurrence must be the FULL
+        # canonical predicate, not a stale or truncated variant
+        for m in re.finditer(r"CASE WHEN embedding IS NULL", src):
+            emb_starts += 1
+            assert src[m.start() : m.start() + len(EMBEDDING_WELL_FORMED_SQL)] == (
+                EMBEDDING_WELL_FORMED_SQL
+            ), f"stale embedding predicate copy in {path} at {m.start()}"
+        ev_count += src.count(EVENTS_WELL_FORMED_SQL)
+        # no partial events predicate: ts+user without event_type etc.
+        partial = re.findall(
+            r"ts IS NOT NULL AND user_id IS NOT NULL(?! AND event_type IS NOT NULL)",
+            src,
+        )
+        assert not partial, f"partial events predicate in {path}"
+    # the campaign inlined dozens of copies — if these counts collapse,
+    # the predicates were renamed/retired without updating this pin
+    assert emb_starts >= 30, emb_starts
+    assert ev_count >= 30, ev_count

@@ -880,14 +880,18 @@ def cmd_hygiene(spark, args) -> None:
     curve = []
     for n in sizes:
         sub = emb.where(F.col("vec_id") < n)
-        for _ in range(1):  # warm the input cache path
-            sub.agg(F.sum(F.expr(norm))).collect()
-        t0 = time.perf_counter()
+        # warm BOTH plans (codegen + file cache) so neither side pays
+        # first-run compilation inside its timed window; then best-of-2
         sub.agg(F.sum(F.expr(norm))).collect()
-        base_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
         well_formed_embeddings(sub).agg(F.sum(F.expr(norm))).collect()
-        filt_s = time.perf_counter() - t0
+        base_s = filt_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sub.agg(F.sum(F.expr(norm))).collect()
+            base_s = min(base_s, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            well_formed_embeddings(sub).agg(F.sum(F.expr(norm))).collect()
+            filt_s = min(filt_s, time.perf_counter() - t0)
         curve.append(
             {
                 "rows": n,
@@ -897,17 +901,22 @@ def cmd_hygiene(spark, args) -> None:
             }
         )
         print(f"[hygiene] n={n} base={base_s:.3f}s filtered={filt_s:.3f}s")
-    # events predicate: prove the IsNotNull conjuncts reach the scan
+    # events predicate: prove the IsNotNull conjuncts reach the scan.
+    # Skippable data dependency — record None rather than crash after
+    # the (slow) embeddings curve on a machine without the fixture.
     ev_path = "/root/testdata/sf0.1/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(ev_path)
-    filtered = raw.where(
-        F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("event_type").isNotNull()
-    )
-    plan = filtered._jdf.queryExecution().executedPlan().toString()
-    pushed = "PushedFilters: [IsNotNull" in plan
+    if os.path.exists(ev_path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(ev_path)
+        filtered = raw.where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        pushed = "PushedFilters: [IsNotNull" in plan
+    else:
+        pushed = None
     _record(
         "hygiene",
         {
