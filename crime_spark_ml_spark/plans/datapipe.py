@@ -33,7 +33,12 @@ from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates
 from ..operators.multimodal import frame_sample, resize_plan, synthetic_media
 from ..operators.rank import global_row_number, ntile_sql
 from ..operators.similarity import brute_force_topk, lsh_topk
-from ..sources.catalog import load_table, well_formed_embeddings
+from ..sources.catalog import (
+    EMBEDDING_WELL_FORMED_SQL,
+    EVENTS_WELL_FORMED_SQL,
+    load_table,
+    well_formed_embeddings,
+)
 from .registry import register
 
 
@@ -2963,6 +2968,84 @@ def dp_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
+    )
+
+
+@register(
+    "dp_wellformed_audit",
+    oracle=f"""
+    SELECT 'documents' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(CASE WHEN text IS NOT NULL
+                            AND len(trim(text)) > 0 THEN 1 END)
+                AS BIGINT) AS n_well_formed,
+           ROUND(1.0 - COUNT(CASE WHEN text IS NOT NULL
+                                   AND len(trim(text)) > 0 THEN 1 END)
+                       * 1.0 / COUNT(*), 6) AS reject_rate
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN {EMBEDDING_WELL_FORMED_SQL} THEN 1 END) AS BIGINT),
+           ROUND(1.0 - COUNT(CASE WHEN {EMBEDDING_WELL_FORMED_SQL} THEN 1 END)
+                       * 1.0 / COUNT(*), 6)
+    FROM embeddings
+    UNION ALL
+    SELECT 'events',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN {EVENTS_WELL_FORMED_SQL} THEN 1 END) AS BIGINT),
+           ROUND(1.0 - COUNT(CASE WHEN {EVENTS_WELL_FORMED_SQL} THEN 1 END)
+                       * 1.0 / COUNT(*), 6)
+    FROM events
+    ORDER BY tbl
+    """,
+    tags=("datapipe", "profiling", "hygiene", "quality"),
+)
+def dp_wellformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row audit — the ingest hygiene report that
+    productizes the round-6 canonical predicates: raw vs well-formed
+    row counts and the reject rate for each of the three analytics
+    tables (documents: non-NULL non-blank text; events/embeddings:
+    the shared well-formed predicates from sources/catalog.py, so
+    this query driver-attests the Spark/DuckDB equivalence of the
+    predicates themselves on real data). On the shipped fixtures all
+    reject rates are exactly 0 — the true answer for null-free
+    fixtures — and the three degenerate-fixture sweeps in
+    tests/test_parity_harness.py exercise the nonzero path, since
+    this query reads all three tables.
+
+    Scale: three independent single-pass aggregates (the predicates
+    are scan-local: IsNotNull pushes to parquet for events; O(dim)
+    elementwise lambdas for embeddings), no joins, 3-row output."""
+    from ..sources.catalog import well_formed_events
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def audit(tbl: str, raw: DataFrame, wf: DataFrame) -> DataFrame:
+        n_raw = raw.agg(F.count("*").alias("n_raw"))
+        n_wf = wf.agg(F.count("*").alias("n_well_formed"))
+        return (
+            n_raw.crossJoin(n_wf)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.col("n_raw").cast("bigint").alias("n_raw"),
+                F.col("n_well_formed").cast("bigint").alias("n_well_formed"),
+                F.round(
+                    1.0 - F.col("n_well_formed") * 1.0 / F.col("n_raw"), 6
+                ).alias("reject_rate"),
+            )
+        )
+
+    wf_docs = docs.where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    return (
+        audit("documents", docs, wf_docs)
+        .unionByName(audit("embeddings", emb, well_formed_embeddings(emb)))
+        .unionByName(audit("events", ev, well_formed_events(ev)))
+        .orderBy("tbl")
     )
 
 
