@@ -69,9 +69,9 @@ def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
 # its oracle or output schema changes SEMANTICALLY; prune entries once
 # the new contract has a hash-matched row in a CORRECTNESS_r*.json. The
 # 16 round-4 rows-only→value-oracle conversions all re-attested green
-# in CORRECTNESS_r04. Round 5 adds one: dp_embedding_near_dups went
-# rows-only → exact brute-force-cosine value oracle (cos re-rounded to
-# 2 decimals), so its r0x rows-only green attests a different contract.
+# in CORRECTNESS_r04. Round 5 added dp_embedding_near_dups (rows-only
+# → exact brute-force-cosine value oracle); its new contract earned a
+# hash-green row in CORRECTNESS_r06, so the entry is pruned (round 7).
 #
 # Explicitly NOT flagged (round 6): the degenerate-input hygiene
 # campaign added identical guards to BOTH engines of ~90 queries (NULL
@@ -82,7 +82,7 @@ def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
 # existing green rows still attest exactly what the driver would
 # re-measure; re-flagging 41 of them would displace the never-attested
 # backlog (the r5 verdict's top item) for zero new information.
-_REATTEST: set[str] = {"dp_embedding_near_dups"}
+_REATTEST: set[str] = set()
 _REATTEST_AS_OF = 5  # attestations from this round on clear the flag
 
 
