@@ -271,28 +271,65 @@ def unpartitioned_unbounded_windows(plan: str) -> list[str]:
 _SPECS = load_all_plans()
 
 
+def lint_plan(
+    name: str,
+    plan: str,
+    bnlj: dict = BNLJ_ALLOWED,
+    cartesian: dict = CARTESIAN_ALLOWED,
+    windows: dict = WINDOW_ALLOWED,
+) -> list[str]:
+    """All lint violations for one query's physical plan — both
+    directions: a forbidden node without a justification AND a stale
+    justification whose node no longer occurs (an allow-list entry must
+    stay LOAD-BEARING, otherwise a rewrite that removes the node leaves
+    a standing exemption a future regression could silently hide
+    under)."""
+    problems = []
+    for node in FORBIDDEN:
+        if node == "CartesianProduct" and name in cartesian:
+            continue
+        if node in plan:
+            problems.append(f"forbidden {node} in physical plan")
+    if name in cartesian and "CartesianProduct" not in plan:
+        problems.append(
+            "stale CARTESIAN_ALLOWED entry — plan no longer builds a "
+            "CartesianProduct; delete the justification"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        if name not in bnlj:
+            problems.append(
+                "BroadcastNestedLoopJoin not in the allow-list — "
+                "broadcast a tiny side deliberately and justify it in "
+                "BNLJ_ALLOWED, or rewrite the join"
+            )
+    elif name in bnlj:
+        problems.append(
+            "stale BNLJ_ALLOWED entry — plan no longer builds a "
+            "BroadcastNestedLoopJoin; delete the justification"
+        )
+    offenders = unpartitioned_unbounded_windows(plan)
+    if offenders:
+        if name not in windows:
+            problems.append(
+                "unpartitioned Window over unbounded input — partition "
+                "it, rewrite as orderBy().limit(k) + post-limit rank, "
+                "use operators/rank.global_row_number, or justify the "
+                f"bounded grain in WINDOW_ALLOWED: {offenders}"
+            )
+    elif name in windows:
+        problems.append(
+            "stale WINDOW_ALLOWED entry — plan no longer builds an "
+            "unpartitioned unbounded Window; delete the justification"
+        )
+    return problems
+
+
 @pytest.mark.parametrize("name", sorted(_SPECS))
 def test_no_scale_killer_nodes(spark, name):
     df = _SPECS[name].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for node in FORBIDDEN:
-        if node == "CartesianProduct" and name in CARTESIAN_ALLOWED:
-            continue
-        assert node not in plan, f"{name}: forbidden {node} in physical plan"
-    if "BroadcastNestedLoopJoin" in plan:
-        assert name in BNLJ_ALLOWED, (
-            f"{name}: BroadcastNestedLoopJoin not in the allow-list — "
-            "broadcast a tiny side deliberately and justify it in "
-            "BNLJ_ALLOWED, or rewrite the join"
-        )
-    offenders = unpartitioned_unbounded_windows(plan)
-    if offenders and name not in WINDOW_ALLOWED:
-        raise AssertionError(
-            f"{name}: unpartitioned Window over unbounded input — "
-            "partition it, rewrite as orderBy().limit(k) + post-limit "
-            "rank, use operators/rank.global_row_number, or justify "
-            f"the bounded grain in WINDOW_ALLOWED: {offenders}"
-        )
+    problems = lint_plan(name, plan)
+    assert not problems, f"{name}: " + "; ".join(problems)
 
 
 def test_bnlj_allowlist_is_tight():
@@ -302,6 +339,33 @@ def test_bnlj_allowlist_is_tight():
         set(BNLJ_ALLOWED) | set(CARTESIAN_ALLOWED) | set(WINDOW_ALLOWED)
     ) - set(_SPECS)
     assert not unknown, f"allow-list entries for unregistered queries: {unknown}"
+
+
+def test_lint_flags_fabricated_stale_entries(spark):
+    """An allow-list entry whose node no longer occurs must FAIL the
+    lint (load-bearing check), and a justified plan must pass — pinned
+    on fabricated plans so the direction of every branch is tested."""
+    from pyspark.sql import functions as F
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    plain = plan(spark.range(10).select((F.col("id") + 1).alias("v")))
+    assert "BroadcastNestedLoopJoin" not in plain
+    # stale entries of every kind flag on a node-free plan
+    probs = lint_plan(
+        "fake", plain,
+        bnlj={"fake": "reason"}, cartesian={"fake": "reason"},
+        windows={"fake": "reason"},
+    )
+    assert len(probs) == 3 and all("stale" in p for p in probs), probs
+    # a real BNLJ plan: justified passes, unjustified flags
+    tiny = spark.range(1).select(F.lit(7).alias("k"))
+    bnlj_plan = plan(spark.range(50).crossJoin(F.broadcast(tiny)))
+    assert "BroadcastNestedLoopJoin" in bnlj_plan
+    assert not lint_plan("fake", bnlj_plan, bnlj={"fake": "reason"},
+                         cartesian={}, windows={})
+    assert lint_plan("fake", bnlj_plan, bnlj={}, cartesian={}, windows={})
 
 
 def test_window_detector_flags_regression(spark):
