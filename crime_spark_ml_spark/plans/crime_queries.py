@@ -209,8 +209,12 @@ def p_project_filter_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e3_split_datetime",
     oracle="""
     SELECT o_orderkey,
-           split_part(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ' ', 1) AS date_part,
-           split_part(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ' ', 2) AS time_part
+           CASE WHEN o_orderdate IS NULL THEN NULL ELSE
+           split_part(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ' ', 1)
+           END AS date_part,
+           CASE WHEN o_orderdate IS NULL THEN NULL ELSE
+           split_part(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ' ', 2)
+           END AS time_part
     FROM orders ORDER BY o_orderkey
     """,
     tags=("E3",),
@@ -296,7 +300,9 @@ def e6_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e1_label_encode",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS c_mktsegment_code
+           CASE WHEN c_mktsegment IS NULL THEN NULL ELSE
+           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER)
+           END AS c_mktsegment_code
     FROM customer ORDER BY c_custkey
     """,
     tags=("E1",),
@@ -315,8 +321,12 @@ def e1_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e2_label_encode_multi",
     oracle="""
     SELECT o_orderkey,
-           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS o_orderpriority_code,
-           CAST(DENSE_RANK() OVER (ORDER BY o_orderstatus) - 1 AS INTEGER) AS o_orderstatus_code
+           CASE WHEN o_orderpriority IS NULL THEN NULL ELSE
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER)
+           END AS o_orderpriority_code,
+           CASE WHEN o_orderstatus IS NULL THEN NULL ELSE
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderstatus) - 1 AS INTEGER)
+           END AS o_orderstatus_code
     FROM orders ORDER BY o_orderkey
     """,
     tags=("E2",),

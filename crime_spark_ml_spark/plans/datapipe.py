@@ -5414,7 +5414,9 @@ def dp_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("sum_qty").alias("d_sum"),
     )
     return (
-        incremental.join(direct, incremental.status == direct.d_status)
+        # null-safe: a NULL-status group must compare against itself,
+        # not silently drop out of the incremental-vs-direct equality
+        incremental.join(direct, incremental.status.eqNullSafe(direct.d_status))
         .select(
             "status",
             F.col("n_rows").cast("bigint").alias("n_rows"),
@@ -5991,8 +5993,12 @@ _WOE_EXPR = (
         FROM orders
     ),
     ranked AS (
+        -- NULLS FIRST pins the engine's rank order: the Spark side
+        -- range-partitions ascending (Spark ASC = NULLS FIRST), so an
+        -- unpriced order ranks lowest in BOTH engines
         SELECT is_urgent,
-               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS g
+               ROW_NUMBER() OVER (ORDER BY o_totalprice NULLS FIRST,
+                                  o_orderkey) - 1 AS g
         FROM base
     ),
     binned AS (
@@ -8553,7 +8559,8 @@ def dp_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              p_retailprice AS price,
              CAST(p_size AS BIGINT) AS size
       FROM part p
-      WHERE NOT EXISTS (
+      WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        AND NOT EXISTS (
         SELECT 1 FROM part q
         WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
            OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)))
@@ -8584,7 +8591,14 @@ def dp_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     points here), so the anchors (n_skyline, n_total) ride every
     row."""
     part = load_table(spark, sf_dir, "part")
-    per_price = part.groupBy("p_retailprice").agg(
+    # a point with a NULL dimension is incomparable under Pareto
+    # dominance — excluded identically in the oracle's NOT EXISTS
+    # (where it would otherwise survive vacuously: NULL compares are
+    # never TRUE) and here (where the price equi-join would drop it)
+    comparable = part.where(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
+    per_price = comparable.groupBy("p_retailprice").agg(
         F.max("p_size").alias("grp_max")
     )
     w_run = Window.orderBy("p_retailprice").rowsBetween(
@@ -8594,7 +8608,7 @@ def dp_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = per_price.withColumn("run_max", F.max("grp_max").over(w_run)).withColumn(
         "cheaper_max", F.lag("run_max").over(w_ord)
     )
-    joined = part.join(stats, "p_retailprice")
+    joined = comparable.join(stats, "p_retailprice")
     sky = joined.where(
         (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
         & (F.col("grp_max") <= F.col("p_size"))
@@ -13196,7 +13210,8 @@ _FD_GRID = (
            CAST(COUNT(DISTINCT (lhs, rhs)) - COUNT(DISTINCT lhs) AS BIGINT)
                AS violating_groups,
            COUNT(DISTINCT lhs) = COUNT(DISTINCT (lhs, rhs)) AS holds
-    FROM stacked GROUP BY fd ORDER BY fd
+    FROM stacked WHERE lhs IS NOT NULL AND rhs IS NOT NULL
+    GROUP BY fd ORDER BY fd
     """,
     tags=("datapipe", "profiling", "functional-dependency", "data-quality"),
 )
@@ -13222,6 +13237,11 @@ def dp_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"'{name}' AS fd", f"{lhs} AS lhs", f"{rhs} AS rhs"
         )
         stacked = part if stacked is None else stacked.unionAll(part)
+    # FD semantics are defined over COMPLETE rows: a NULL on either
+    # side is a missing observation, not a value (and Spark's
+    # multi-arg count_distinct skips NULL-containing pairs where
+    # DuckDB's row-value counts them — the filter aligns both engines)
+    stacked = stacked.where(F.col("lhs").isNotNull() & F.col("rhs").isNotNull())
     return (
         stacked.groupBy("fd")
         .agg(

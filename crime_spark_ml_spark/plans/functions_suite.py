@@ -25,7 +25,7 @@ from .registry import register
            replace(p_type, ' ', '_') AS rep,
            length(p_name) AS len,
            CAST(strpos(p_name, 'a') AS INTEGER) AS pos,
-           trim(concat(' ', p_brand, ' ')) AS trimmed,
+           trim(' ' || p_brand || ' ') AS trimmed,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
            (p_name LIKE '%green%') AS has_green,
            reverse(p_brand) AS rev
@@ -232,12 +232,15 @@ def a8_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "n_rows",
-            (F.abs(F.col("am") - F.col("em")) <= 0.01 * F.col("em")).alias(
-                "median_in_band"
-            ),
-            (F.abs(F.col("a9") - F.col("e9")) <= 0.01 * F.col("e9")).alias(
-                "p90_in_band"
-            ),
+            # vacuously TRUE for a group with no non-null prices (the
+            # percentile is NULL, there is no guarantee to check);
+            # abs(em) keeps the band sane on negative-price groups
+            F.when(F.col("em").isNull(), F.lit(True))
+            .otherwise(F.abs(F.col("am") - F.col("em")) <= 0.01 * F.abs("em"))
+            .alias("median_in_band"),
+            F.when(F.col("e9").isNull(), F.lit(True))
+            .otherwise(F.abs(F.col("a9") - F.col("e9")) <= 0.01 * F.abs("e9"))
+            .alias("p90_in_band"),
         )
         .orderBy("l_returnflag")
     )
@@ -413,7 +416,7 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((m4r - 4*m1*m3r + 6*m1*m1*m2r - 3*pow(m1, 4))
                  / pow(m2r - m1*m1, 2) - 3, 4) AS ku,
            md.md AS md
-    FROM m JOIN md ON m.l_returnflag = md.l_returnflag
+    FROM m JOIN md ON m.l_returnflag IS NOT DISTINCT FROM md.l_returnflag
     ORDER BY m.l_returnflag
     """,
     tags=("functions", "stats_agg"),
@@ -462,7 +465,9 @@ def fn_stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_regionkey,
            CAST(count(*) AS BIGINT) AS n,
            string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
-           array_to_string(list_sort(list(n_name)), '|') AS names_sorted,
+           COALESCE(array_to_string(list_sort(
+               list(n_name) FILTER (WHERE n_name IS NOT NULL)), '|'), '')
+             AS names_sorted,
            min(n_name) AS first_name,
            max(n_name) AS last_name
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey

@@ -95,7 +95,9 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_complex_types",
     oracle="""
     SELECT c_nationkey,
-           array_to_string(list_sort(list(c_mktsegment)), ',') AS segments,
+           COALESCE(array_to_string(list_sort(
+               list(c_mktsegment) FILTER (WHERE c_mktsegment IS NOT NULL)), ','), '')
+             AS segments,
            COUNT(*) AS n
     FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
     GROUP BY c_nationkey
@@ -218,7 +220,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                           e -> e.key || ':' || CAST(e.value AS VARCHAR)),
                           'string_agg', ',') AS seg_counts
     FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
-          FROM customer GROUP BY c_nationkey, c_mktsegment)
+          FROM customer WHERE c_mktsegment IS NOT NULL
+          GROUP BY c_nationkey, c_mktsegment)
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     tags=("functions", "map"),
@@ -230,7 +233,13 @@ def fn_map_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ between engines (DuckDB's client yields a dict-of-lists),
     so the map itself is not hash-comparable."""
     c = load_table(spark, sf_dir, "customer")
-    per = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("cnt"))
+    # NULL map keys are contractually dropped (Spark raises NULL_MAP_KEY,
+    # DuckDB would sort them opaquely) — filtered identically in the oracle
+    per = (
+        c.where(F.col("c_mktsegment").isNotNull())
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
     entries = F.sort_array(
         F.collect_list(
             F.struct(F.col("c_mktsegment").alias("key"), F.col("cnt").alias("value"))
@@ -636,7 +645,7 @@ ci AS (
   FROM parts),
 grp AS (
   SELECT lower(p_type) AS t, CAST(COUNT(*) AS BIGINT) AS n
-  FROM parts GROUP BY 1 ORDER BY t LIMIT 5)
+  FROM parts GROUP BY 1 ORDER BY t NULLS LAST LIMIT 5)
 SELECT ci.n_types_ci, ci.n_types_cs, ci.n_brands_ci,
        g.t AS type_lc, g.n
 FROM ci CROSS JOIN grp g
@@ -683,7 +692,7 @@ def sql_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM parts),
         grp AS (
           SELECT lower(t_ci) AS t, CAST(COUNT(*) AS BIGINT) AS n
-          FROM parts GROUP BY t_ci ORDER BY t LIMIT 5)
+          FROM parts GROUP BY t_ci ORDER BY t NULLS LAST LIMIT 5)
         SELECT ci.n_types_ci, ci.n_types_cs, ci.n_brands_ci,
                g.t AS type_lc, g.n
         FROM ci CROSS JOIN grp g

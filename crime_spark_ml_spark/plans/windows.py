@@ -55,7 +55,8 @@ def w_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+                      ORDER BY o_orderdate NULLS LAST, o_orderkey) AS DOUBLE)
+             AS running_spend
     FROM orders
     WHERE o_custkey < 100
     ORDER BY o_custkey, o_orderkey
@@ -64,11 +65,14 @@ def w_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative spend per customer over order time (decimal
-    accumulation → frame-order-independent exactness)."""
+    accumulation → frame-order-independent exactness). NULL order
+    dates sort NULLS LAST explicitly on BOTH sides — Spark's ASC
+    default is NULLS FIRST, DuckDB's NULLS LAST, which would silently
+    shift every cumulative frame on a corpus with undated orders."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -298,9 +302,9 @@ def w_moving_avg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey)
+                                  ORDER BY o_orderdate NULLS LAST, o_orderkey)
                - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
-                                    ORDER BY o_orderdate, o_orderkey)
+                                    ORDER BY o_orderdate NULLS LAST, o_orderkey)
                    AS island_id
         FROM orders
     ),
@@ -313,7 +317,7 @@ def w_moving_avg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey, status, valid_from,
            LEAD(valid_from) OVER (PARTITION BY o_custkey
-                                  ORDER BY valid_from, min_key) AS valid_to,
+                                  ORDER BY valid_from NULLS LAST, min_key) AS valid_to,
            n_orders
     FROM islands
     ORDER BY o_custkey, valid_from, min_key
@@ -340,9 +344,11 @@ def w_gaps_islands_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist at sf0.01 — measured) cannot tie. NTZ date rendering keeps
     the strings timezone-free."""
     orders = load_table(spark, sf_dir, "orders")
-    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
-        "o_orderdate", "o_orderkey"
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
     )
     seq = orders.select(
         "o_custkey",
@@ -360,7 +366,9 @@ def w_gaps_islands_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
-    w_lead = Window.partitionBy("o_custkey").orderBy("valid_from", "min_key")
+    w_lead = Window.partitionBy("o_custkey").orderBy(
+        F.col("valid_from").asc_nulls_last(), "min_key"
+    )
     return (
         islands.select(
             "o_custkey",
@@ -379,9 +387,9 @@ def w_gaps_islands_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey)
+                                  ORDER BY o_orderdate NULLS LAST, o_orderkey)
                - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
-                                    ORDER BY o_orderdate, o_orderkey)
+                                    ORDER BY o_orderdate NULLS LAST, o_orderkey)
                    AS island_id
         FROM orders
     ),
@@ -393,7 +401,7 @@ def w_gaps_islands_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim AS (
         SELECT o_custkey, status, vf,
                LEAD(vf) OVER (PARTITION BY o_custkey
-                              ORDER BY vf, min_key) AS vt
+                              ORDER BY vf NULLS LAST, min_key) AS vt
         FROM islands
     ),
     facts AS (
@@ -429,9 +437,11 @@ def j_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's intervals are few and its partition is self-contained.
     All date arithmetic is NTZ wall-clock (tz-free)."""
     orders = load_table(spark, sf_dir, "orders")
-    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
-        "o_orderdate", "o_orderkey"
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
     )
     seq = orders.select(
         "o_custkey",
@@ -448,7 +458,7 @@ def j_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("vf"),
         F.min("o_orderkey").alias("min_key"),
     )
-    w_lead = Window.partitionBy("o_custkey").orderBy("vf", "min_key")
+    w_lead = Window.partitionBy("o_custkey").orderBy(F.col("vf").asc_nulls_last(), "min_key")
     dim = islands.select(
         F.col("o_custkey").alias("d_custkey"),
         "status",
