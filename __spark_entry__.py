@@ -85,14 +85,48 @@ def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
 _REATTEST: set[str] = set()
 _REATTEST_AS_OF = 5  # attestations from this round on clear the flag
 
+# Queries whose PLAN was materially rewritten after their last driver
+# attestation with the contract UNCHANGED (value-preserving — verified
+# hash-identical on the clean fixtures at sf0.001/0.01 before landing).
+# Unlike _REATTEST these carry no urgency: the old green row still
+# attests the same contract, so they queue BEHIND every never-attested
+# query (cohort 0.5) but AHEAD of untouched attested rows — the
+# freshness policy the r06 verdict asked for. Value maps query ->
+# round of the rewrite; prune an entry once a CORRECTNESS_r*.json of
+# that round or later carries its green row (test-enforced, the
+# _REATTEST self-cleanup pattern).
+_REWRITTEN: dict[str, int] = {
+    # r6: shared distributed-rank rewrite after its r05 attestation
+    "j_rfm_segmentation": 6,
+    # r7: relational degenerate-input campaign (NULL-ordering pins,
+    # NULL-safe joins, complete-case ML contracts) on attested plans
+    "w_running_sum": 7,
+    "w_gaps_islands_scd2": 7,
+    "j_scd2_temporal_join": 7,
+    "e1_label_encode": 7,
+    "e2_label_encode_multi": 7,
+    "e3_split_datetime": 7,
+    "a8_percentiles_approx": 7,
+    "fn_string_suite": 7,
+    "fn_complex_types": 7,
+    "fn_map_types": 7,
+    "fn_stats_agg_suite": 7,
+    "fn_ordered_agg_suite": 7,
+    "sql_collation_suite": 7,
+    "ml_corr_matrix_full": 7,
+    "ml_linreg_coefs": 7,
+}
+
 
 def _rotated(
     d: dict,
     last: dict[str, int] | None = None,
     reattest: set[str] | None = None,
+    rewritten: dict[str, int] | None = None,
 ) -> dict:
-    """Contract-changed first (cohort -1), then never-attested, then
-    stalest — with family round-robin inside every cohort.
+    """Contract-changed first (cohort -1), then never-attested (0),
+    then rewritten-since-attestation (0.5), then stalest — with family
+    round-robin inside every cohort.
 
     Contract-changed queries get a strictly earlier cohort than
     never-attested ones so a flagged re-attestation can never be pushed
@@ -112,13 +146,16 @@ def _rotated(
     """
     last = last if last is not None else _attestation_rounds()
     reattest = reattest if reattest is not None else _REATTEST
+    rewritten = rewritten if rewritten is not None else _REWRITTEN
     # multi-round iterative / multi-model jobs, tens of seconds each
     heavy = {"dp_dedup_pipeline", "dp_ann_selfcheck"}
 
-    def cohort(k: str) -> int:
+    def cohort(k: str) -> float:
         rnd = last.get(k, 0)
         if k in reattest and rnd < _REATTEST_AS_OF:
             return -1  # strictly ahead of even never-attested queries
+        if 0 < rnd < rewritten.get(k, 0):
+            return 0.5  # attested, but the plan moved on since
         return rnd
 
     def is_heavy(k: str) -> bool:

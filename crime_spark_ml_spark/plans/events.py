@@ -4495,11 +4495,15 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort) -> rank assigned over the 10-row result (the
     dp_bm25_rank post-limit pattern)."""
     ev = load_table(spark, sf_dir, "events")
-    t0 = int(ev.agg(F.min("ts_us")).first()[0])
     real_ev = ev.select("user_id", "ts_us", "event_id")
-    bot = spark.range(1, 61).select(
+    # the corpus start anchors the synthetic bot's clock as a
+    # broadcast one-row aggregate INSIDE the plan — no plan-build-time
+    # scalar action (r06 verdict nit: the old .first() cost one extra
+    # full scan per query at scale)
+    t0 = ev.agg(F.min("ts_us").alias("__t0"))
+    bot = spark.range(1, 61).crossJoin(F.broadcast(t0)).select(
         F.lit(-1).cast("long").alias("user_id"),
-        (F.lit(t0) + F.col("id") * 60_000_000).alias("ts_us"),
+        (F.col("__t0") + F.col("id") * 60_000_000).alias("ts_us"),
         (-F.col("id")).cast("long").alias("event_id"),
     )
     allev = real_ev.unionByName(bot)

@@ -343,6 +343,8 @@ def ml_gbt_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_instances,
            TRUE AS intercept_finite
     FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      AND o_custkey IS NOT NULL
     """,
     tags=("ml", "M6", "ridge", "lasso", "invariant"),
 )
@@ -358,10 +360,17 @@ def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("label"),
-        F.year("o_orderdate").cast("double").alias("yr"),
-        (F.col("o_custkey") % 100).cast("double").alias("custmod"),
+    # complete-case training set (VectorAssembler raises on NULL
+    # features, LinearRegression on NULL labels) — the oracle's
+    # instance anchor filters identically
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_totalprice").alias("label"),
+            F.year("o_orderdate").cast("double").alias("yr"),
+            (F.col("o_custkey") % 100).cast("double").alias("custmod"),
+        )
+        .na.drop()
     )
     feats = VectorAssembler(inputCols=["yr", "custmod"], outputCol="features").transform(o).cache()
     model = LinearRegression(
@@ -384,23 +393,33 @@ def ml_linreg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_corr_matrix_full",
     oracle="""
+    WITH cc AS (
+      -- LISTWISE deletion: the matrix is defined over complete rows
+      -- (MLlib's Gram-matrix pass admits no NULLs; DuckDB's CORR
+      -- would delete pairwise, silently computing each cell on a
+      -- different sample)
+      SELECT l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    )
     SELECT 'l_quantity' AS c1, 'l_extendedprice' AS c2,
-           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM cc
     UNION ALL
     SELECT 'l_quantity', 'l_discount',
-           ROUND(CORR(l_quantity, l_discount), 6) FROM lineitem
+           ROUND(CORR(l_quantity, l_discount), 6) FROM cc
     UNION ALL
     SELECT 'l_quantity', 'l_tax',
-           ROUND(CORR(l_quantity, l_tax), 6) FROM lineitem
+           ROUND(CORR(l_quantity, l_tax), 6) FROM cc
     UNION ALL
     SELECT 'l_extendedprice', 'l_discount',
-           ROUND(CORR(l_extendedprice, l_discount), 6) FROM lineitem
+           ROUND(CORR(l_extendedprice, l_discount), 6) FROM cc
     UNION ALL
     SELECT 'l_extendedprice', 'l_tax',
-           ROUND(CORR(l_extendedprice, l_tax), 6) FROM lineitem
+           ROUND(CORR(l_extendedprice, l_tax), 6) FROM cc
     UNION ALL
     SELECT 'l_discount', 'l_tax',
-           ROUND(CORR(l_discount, l_tax), 6) FROM lineitem
+           ROUND(CORR(l_discount, l_tax), 6) FROM cc
     ORDER BY c1, c2
     """,
     tags=("ml", "A6", "correlation"),
@@ -414,7 +433,8 @@ def ml_corr_matrix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.stat import Correlation
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    # listwise complete-case sample, mirrored in the oracle's cc CTE
+    li = load_table(spark, sf_dir, "lineitem").select(*cols).na.drop()
     assembled = VectorAssembler(inputCols=cols, outputCol="__v").transform(li)
     mat = Correlation.corr(assembled, "__v", "pearson").head()[0].toArray()
     rows = [
@@ -612,10 +632,15 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_als_implicit",
     oracle="""
     WITH ratings AS (
+      -- complete interactions only: ALS contractually refuses NULL
+      -- ids, and a NULL strength (all quantities missing) carries no
+      -- signal — filtered identically on the Spark side
       SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
              SUM(l.l_quantity) AS strength
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      GROUP BY 1, 2)
+      WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+      GROUP BY 1, 2
+      HAVING SUM(l.l_quantity) IS NOT NULL)
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(COUNT(DISTINCT user_id) * 5 AS BIGINT) AS n_recs,
            TRUE AS five_recs_per_user,
@@ -646,11 +671,13 @@ def ml_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ratings = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
         .groupBy(
             F.col("o_custkey").cast("int").alias("user_id"),
             F.col("l_partkey").cast("int").alias("item_id"),
         )
         .agg(F.sum("l_quantity").cast("float").alias("strength"))
+        .where(F.col("strength").isNotNull())
         .cache()
     )
     als = ALS(
@@ -742,7 +769,13 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     n_baskets = baskets.count()
-    fp = FPGrowth(itemsCol="items", minSupport=3.0 / n_baskets, minConfidence=0.5)
+    # absolute-3 support, float-robustly: frequencies are integers, so
+    # any threshold in (2, 3] selects freq >= 3 — but 3.0/n scaled
+    # back by n inside FPGrowth can land at 3.0000000000000004 for
+    # non-dyadic n and silently drop every freq-exactly-3 itemset
+    # (observed: 633 -> 262 itemsets when the basket count moved off a
+    # friendly value). 2.5/n keeps the round-trip safely inside (2, 3].
+    fp = FPGrowth(itemsCol="items", minSupport=2.5 / n_baskets, minConfidence=0.5)
     model = fp.fit(baskets)
     out = (
         model.freqItemsets.where(F.size("items") <= 2)
@@ -765,7 +798,8 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
            TRUE AS predictions_monotone,
            TRUE AS predictions_within_label_range
-    FROM orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
     """,
     tags=("ml", "isotonic", "invariant"),
 )
@@ -791,12 +825,15 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # complete-case calibration pairs (PAVA refuses NULL labels); the
+    # oracle's n_points anchor applies the SAME join + filters
     data = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             F.col("c_acctbal").cast("double").alias("feat"),
             F.col("o_totalprice").cast("double").alias("label"),
         )
+        .na.drop()
         .cache()
     )
     assembled = VectorAssembler(inputCols=["feat"], outputCol="features").transform(data)

@@ -112,6 +112,37 @@ def test_flagged_reattest_fronts_the_production_window():
     assert pending <= front
 
 
+def test_rotated_prefers_rewritten_since_attestation():
+    """A value-preserving rewrite after attestation queues the query in
+    cohort 0.5: behind every never-attested query (its old green row is
+    still valid — no urgency) but ahead of untouched attested rows (a
+    rewrite is where a fresh regression would hide). A query re-attested
+    at/after its rewrite round leaves the cohort; a never-attested query
+    is NOT demoted by a rewrite entry."""
+    d = {k: k for k in ["q_new", "q_rewritten", "q_reattested", "q_stale"]}
+    last = {"q_rewritten": 3, "q_reattested": 6, "q_stale": 1}
+    rewritten = {"q_rewritten": 6, "q_reattested": 6, "q_new": 6}
+    got = list(entry._rotated(d, last=last, reattest=set(), rewritten=rewritten))
+    assert got == ["q_new", "q_rewritten", "q_stale", "q_reattested"]
+
+
+def test_production_rewritten_set_has_no_stale_entries():
+    """Housekeeping twin of the _REATTEST pin: every _REWRITTEN entry
+    must name a registered query and still lack a green row at/after
+    its rewrite round — once the driver re-attests the rewritten plan,
+    the entry must be pruned."""
+    from crime_spark_ml_spark.plans.registry import all_queries
+
+    registered = set(all_queries())
+    last = entry._attestation_rounds()
+    for name, rnd in entry._REWRITTEN.items():
+        assert name in registered, f"_REWRITTEN names unregistered query {name}"
+        assert last.get(name, 0) < rnd, (
+            f"{name} re-attested in r{last[name]} >= its r{rnd} rewrite; "
+            "prune it from _REWRITTEN"
+        )
+
+
 def test_production_reattest_set_has_no_stale_entries():
     """Housekeeping invariant (replaces the r04 'drained' pin, which a
     legitimate r05 contract change re-populated): every _REATTEST entry

@@ -413,6 +413,59 @@ def test_vector_kernels_survive_degenerate_embeddings(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+# Relational queries whose contract makes the degenerate fixture
+# inapplicable — each names its documented reason.
+DEGENERATE_RELATIONAL_EXCLUDED: set[str] = set()
+
+
+def test_relational_kernels_survive_degenerate_tables(spark, tmp_path):
+    """The relational twin of the documents/events/embeddings sweeps —
+    every oracle query reading region/nation/customer/supplier/part/
+    orders/lineitem runs against a clone with NULL keys, NULL
+    measures, NULL dates, empty strings, dangling FKs, zero/negative
+    amounts, and out-of-domain enum values (the dirt the driver
+    fixtures never contain). Classes this pinned when first run (21
+    divergences, all fixed in BOTH engines): Spark ASC sorts NULLS
+    FIRST vs DuckDB NULLS LAST (cumulative windows, SCD2 islands,
+    LIMIT-after-ORDER, equal-frequency ranks); DuckDB concat /
+    split_part treat NULL as '' where Spark propagates NULL; DuckDB
+    list()/array_to_string yield NULL where collect_list/concat_ws
+    yield ''; Spark's multi-arg count_distinct skips NULL-containing
+    tuples where DuckDB's row-value counts them; equi-joins silently
+    drop NULL-key groups (null-safe joins); NULL map keys raise in
+    Spark and sort opaquely in DuckDB; NULL-dimension points survive
+    NOT EXISTS dominance vacuously; MLlib fits refuse NULL
+    labels/features (complete-case contracts, mirrored in the oracle
+    anchors); FPGrowth's relative minSupport round-trip drops
+    freq-exactly-threshold itemsets for unfriendly basket counts."""
+    from tools.sweep_relational import (
+        build_degenerate_relational_dir,
+        relational_oracle_queries,
+    )
+
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    from conftest import SF_SMOKE
+
+    sf = build_degenerate_relational_dir(SF_SMOKE, str(tmp_path / "sf_degen_rel"))
+    specs = load_all_plans()
+    con = _duckdb_conn(sf)
+    failures = []
+    try:
+        for name in relational_oracle_queries(specs):
+            if name in DEGENERATE_RELATIONAL_EXCLUDED:
+                continue
+            try:
+                r = compare_query(name, specs[name], spark, con, sf)
+                if not r.ok:
+                    failures.append(f"{name}: {r.status} {r.detail}")
+            except Exception as e:  # noqa: BLE001 — collect, then fail once
+                failures.append(f"{name}: EXC {type(e).__name__}: {e}")
+    finally:
+        con.close()
+    assert not failures, "\n".join(failures)
+
+
 def test_rows_only_queries_survive_degenerate_inputs(spark, tmp_path):
     """The nine rows-only queries (no SQL oracle by contract) get the
     weaker check the sweeps can't give them: they must still RUN and

@@ -151,6 +151,8 @@ BNLJ_ALLOWED = {
     "test split",
     "ev_fdr_bh": "one-row step-up kmax scalar fanned over the 20-row "
     "ranked z table",
+    "ev_bot_regularity": "one-row corpus-start min(ts_us) scalar fanned "
+    "over the 60-row synthetic bot grid",
 }
 
 # query name -> the library-internal blocked cross-product that makes
