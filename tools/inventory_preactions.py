@@ -4,58 +4,85 @@ A registered plan function should normally return a lazy DataFrame; any
 collect/first/count/take/toPandas it runs while BUILDING the plan is an
 extra job per query at scale (the r06 verdict nit). This tool
 intercepts the Python-level DataFrame action methods during every
-plan-build at sf0.001 and prints which plans run which actions — the
-data behind tests/test_plan_linter.py's pre-action allow-list.
+plan-build at sf0.001 and prints which plans run which actions FROM
+WHERE — the data behind tests/test_plan_linter.py's pre-action
+allow-list.
 
 Usage: python tools/inventory_preactions.py
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ACTIONS = ("collect", "first", "head", "count", "take", "toPandas", "toLocalIterator")
 
 
-def inventory(spark, sf_dir: str, specs: dict) -> dict[str, list[str]]:
-    """{plan name: sorted action methods it invoked during build}.
-    Errors surface as an '<ERROR: …>' pseudo-action so a broken build
-    cannot masquerade as action-free."""
-    from pyspark.sql import DataFrame
+@contextlib.contextmanager
+def action_recorder():
+    """Context manager intercepting DataFrame actions; yields a set of
+    '<method>@<file>:<function>' strings attributing each OUTERMOST
+    action to the first non-pyspark caller frame. Patches the CONCRETE
+    class (Spark 4: pyspark.sql.DataFrame is the abstract facade;
+    classic.dataframe.DataFrame overrides every action, and first ->
+    head -> take -> collect chain internally, so only the outermost
+    call is recorded)."""
+    from pyspark.sql.classic.dataframe import DataFrame
 
-    recorded: dict[str, set[str]] = {}
+    recorded: set[str] = set()
     orig = {m: getattr(DataFrame, m) for m in ACTIONS}
-    current: list[str | None] = [None]
+    depth = [0]
+
+    def caller() -> str:
+        for frame in reversed(traceback.extract_stack()[:-2]):
+            f = frame.filename
+            if "pyspark" in f or f.endswith("inventory_preactions.py"):
+                continue
+            return f"{os.path.basename(f)}:{frame.name}"
+        return "<unknown>"
 
     def wrap(m):
         f = orig[m]
 
         def inner(self, *a, **k):
-            if current[0] is not None:
-                recorded.setdefault(current[0], set()).add(m)
-            return f(self, *a, **k)
+            if depth[0] == 0:
+                recorded.add(f"{m}@{caller()}")
+            depth[0] += 1
+            try:
+                return f(self, *a, **k)
+            finally:
+                depth[0] -= 1
 
         return inner
 
     try:
         for m in ACTIONS:
             setattr(DataFrame, m, wrap(m))
-        for name in sorted(specs):
-            current[0] = name
+        yield recorded
+    finally:
+        for m, f in orig.items():
+            setattr(DataFrame, m, f)
+
+
+def inventory(spark, sf_dir: str, specs: dict) -> dict[str, list[str]]:
+    """{plan name: sorted 'method@caller' strings during build}.
+    Errors surface as an '<ERROR: …>' pseudo-action so a broken build
+    cannot masquerade as action-free."""
+    out: dict[str, list[str]] = {}
+    for name in sorted(specs):
+        with action_recorder() as rec:
             try:
                 specs[name].fn(spark, sf_dir)
             except Exception as e:  # noqa: BLE001 — inventory must complete
-                recorded.setdefault(name, set()).add(
-                    f"<ERROR: {type(e).__name__}: {e}>"
-                )
-    finally:
-        current[0] = None
-        for m, f in orig.items():
-            setattr(DataFrame, m, f)
-    return {n: sorted(ms) for n, ms in sorted(recorded.items())}
+                rec.add(f"<ERROR: {type(e).__name__}: {e}>")
+        if rec:
+            out[name] = sorted(rec)
+    return out
 
 
 def main() -> None:
@@ -65,7 +92,7 @@ def main() -> None:
     spark = get_spark("preaction-inventory", cpus=8, shuffle_partitions=8)
     got = inventory(spark, "/root/testdata/sf0.001", load_all_plans())
     for name, methods in got.items():
-        print(f"{name}: {', '.join(methods)}")
+        print(f"{name}: {'; '.join(methods)}")
     print(f"\n{len(got)} plans run build-time actions")
 
 
