@@ -115,6 +115,7 @@ _REWRITTEN: dict[str, int] = {
     "sql_collation_suite": 7,
     "ml_corr_matrix_full": 7,
     "ml_linreg_coefs": 7,
+    "dp_bpe_token_count": 7,
 }
 
 

@@ -2020,11 +2020,12 @@ def dp_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``source:doc_id text`` — punctuation + digits) where the BPE arm
     diverges from whitespace, keeping the check non-vacuous."""
     # wire NULL-propagates like the oracle's || chain: concat_ws would
-    # silently render NULL text as "source:id" instead of NULL
+    # silently render NULL text as "source:id" instead of NULL, and a
+    # NULL source as "id text" — guard every nullable operand
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "wire",
         F.when(
-            F.col("text").isNotNull(),
+            F.col("text").isNotNull() & F.col("source").isNotNull(),
             F.concat_ws(" ", F.concat_ws(":", "source", "doc_id"), "text"),
         ),
     )
@@ -4236,9 +4237,16 @@ def dp_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the WRITER also trims by default — both trim switches are
             # write-side options too, and shipping "  x  " as "x" is
             # silent corruption the hash below would catch
+            # explicit NULL sentinel: bare CSV cannot distinguish a
+            # NULL field from an empty string (both serialize to
+            # nothing), so a NULL-source and an ''-source group would
+            # silently merge on read-back — the sentinel (plus the
+            # default quoted "" for genuine empties) makes the
+            # round-trip lossless for both
             .options(
                 header=True,
                 compression="gzip",
+                nullValue="\\N",
                 ignoreLeadingWhiteSpace=False,
                 ignoreTrailingWhiteSpace=False,
             )
@@ -4257,6 +4265,7 @@ def dp_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             header=True,
             mode="FAILFAST",
             multiLine=False,
+            nullValue="\\N",
             ignoreLeadingWhiteSpace=False,
             ignoreTrailingWhiteSpace=False,
         ).csv(path)

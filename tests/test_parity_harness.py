@@ -132,6 +132,11 @@ def _degenerate_docs_dir(spark, tmp_path) -> str:
         (13, None, "en", "web", None),
         (14, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
         (15, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+        # r7: NULL / empty metadata — every per-lang / per-source
+        # grouping, join, and rate denominator sees a NULL group
+        (16, "metadata free text alpha bravo charlie delta", None, "web", 44),
+        (17, "metadata free text echo foxtrot golf hotel", "en", None, 42),
+        (18, "metadata free text india juliet kilo lima", "", "", 41),
     ]
     cols = list(zip(*rows))
     table = pa.table(

@@ -312,9 +312,14 @@ _IO = (
     "(store/compaction/footer/evolved schema) is the operator"
 )
 _ANCHOR = (
-    "bounded scalar anchor(s) collected to size a literal grid/"
-    "threshold the plan is built around (grid extent must be known "
-    "at plan-build; result is one row / a handful of scalars)"
+    "bounded scalar anchor(s) — one row / a handful of values — "
+    "collected to derive a literal threshold or grid the plan is "
+    "built around. Grid-sizing anchors (spark.range extents) must be "
+    "driver-side; filter-threshold anchors COULD fold into the plan "
+    "as a broadcast one-row aggregate (the ev_bot_regularity "
+    "pattern), trading one scheduler round-trip for a BNLJ — "
+    "deliberately retained where the anchor yields a simpler plan "
+    "and the extra job is a scalar-sized aggregate scan"
 )
 PREACTION_ALLOWED = {
     **dict.fromkeys(
