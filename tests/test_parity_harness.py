@@ -471,6 +471,73 @@ def test_relational_kernels_survive_degenerate_tables(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_cross_table_kernels_survive_fully_degenerate_clone(spark, tmp_path):
+    """The four sweeps each degenerate ONE table group, so a query
+    joining ACROSS groups (degenerate documents x degenerate
+    embeddings, degenerate events x degenerate dimensions) never sees
+    dirt on both sides at once. This composes all four degenerate
+    builders into one clone and runs every multi-group oracle query
+    (discovered by scanning each oracle's table references) against
+    it."""
+    import re
+
+    from tools.sweep_relational import (
+        REL_TABLES,
+        build_degenerate_relational_dir,
+    )
+
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    from conftest import SF_SMOKE
+
+    sources = {
+        "documents.parquet": _degenerate_docs_dir(spark, tmp_path),
+        "events.parquet": _degenerate_events_dir(spark, tmp_path),
+        "embeddings.parquet": _degenerate_embeddings_dir(spark, tmp_path),
+    }
+    rel = build_degenerate_relational_dir(SF_SMOKE, str(tmp_path / "sf_rel_part"))
+    for t in REL_TABLES:
+        sources[f"{t}.parquet"] = rel
+    combined = tmp_path / "sf_degen_all"
+    combined.mkdir()
+    import os
+
+    for fname, d in sources.items():
+        os.symlink(os.path.join(d, fname), str(combined / fname))
+
+    groups = {
+        "rel": REL_TABLES,
+        "ev": ("events",),
+        "doc": ("documents",),
+        "emb": ("embeddings",),
+    }
+    specs = load_all_plans()
+    multi = [
+        n
+        for n, s in sorted(specs.items())
+        if s.oracle
+        and len({
+            g
+            for g, ts in groups.items()
+            if any(re.search(r"\b" + t + r"\b", s.oracle) for t in ts)
+        }) > 1
+    ]
+    assert len(multi) >= 5, multi  # discovery must stay non-vacuous
+    con = _duckdb_conn(str(combined))
+    failures = []
+    try:
+        for name in multi:
+            try:
+                r = compare_query(name, specs[name], spark, con, str(combined))
+                if not r.ok:
+                    failures.append(f"{name}: {r.status} {r.detail}")
+            except Exception as e:  # noqa: BLE001 — collect, then fail once
+                failures.append(f"{name}: EXC {type(e).__name__}: {e}")
+    finally:
+        con.close()
+    assert not failures, "\n".join(failures)
+
+
 def test_rows_only_queries_survive_degenerate_inputs(spark, tmp_path):
     """The nine rows-only queries (no SQL oracle by contract) get the
     weaker check the sweeps can't give them: they must still RUN and
