@@ -36,6 +36,8 @@ from ..operators.similarity import brute_force_topk, lsh_topk
 from ..sources.catalog import (
     EMBEDDING_WELL_FORMED_SQL,
     EVENTS_WELL_FORMED_SQL,
+    LINEITEM_WELL_FORMED_SQL,
+    ORDERS_WELL_FORMED_SQL,
     load_table,
     well_formed_embeddings,
 )
@@ -2998,6 +3000,20 @@ def dp_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(1.0 - COUNT(CASE WHEN {EVENTS_WELL_FORMED_SQL} THEN 1 END)
                        * 1.0 / COUNT(*), 6)
     FROM events
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN {LINEITEM_WELL_FORMED_SQL} THEN 1 END) AS BIGINT),
+           ROUND(1.0 - COUNT(CASE WHEN {LINEITEM_WELL_FORMED_SQL} THEN 1 END)
+                       * 1.0 / COUNT(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN {ORDERS_WELL_FORMED_SQL} THEN 1 END) AS BIGINT),
+           ROUND(1.0 - COUNT(CASE WHEN {ORDERS_WELL_FORMED_SQL} THEN 1 END)
+                       * 1.0 / COUNT(*), 6)
+    FROM orders
     ORDER BY tbl
     """,
     tags=("datapipe", "profiling", "hygiene", "quality"),
@@ -3015,14 +3031,28 @@ def dp_wellformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_parity_harness.py exercise the nonzero path, since
     this query reads all three tables.
 
-    Scale: three independent single-pass aggregates (the predicates
+    Round 7 adds the two relational FACT tables under the new
+    finite-measure predicates (sources/catalog.py: ORDERS/LINEITEM_
+    WELL_FORMED_SQL) — the NaN/Inf exploration showed a non-finite
+    money value poisons every decimal-exact aggregate differently per
+    engine (DuckDB raises casting NaN to DECIMAL, Spark's cast yields
+    NULL silently), so the audit measures that dirt at ingest ahead
+    of the analytics-family adoption campaign.
+
+    Scale: five independent single-pass aggregates (the predicates
     are scan-local: IsNotNull pushes to parquet for events; O(dim)
-    elementwise lambdas for embeddings), no joins, 3-row output."""
-    from ..sources.catalog import well_formed_events
+    elementwise lambdas for embeddings), no joins, 5-row output."""
+    from ..sources.catalog import (
+        well_formed_events,
+        well_formed_lineitem,
+        well_formed_orders,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     ev = load_table(spark, sf_dir, "events")
     emb = load_table(spark, sf_dir, "embeddings")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
 
     def audit(tbl: str, raw: DataFrame, wf: DataFrame) -> DataFrame:
         n_raw = raw.agg(F.count("*").alias("n_raw"))
@@ -3046,6 +3076,8 @@ def dp_wellformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit("documents", docs, wf_docs)
         .unionByName(audit("embeddings", emb, well_formed_embeddings(emb)))
         .unionByName(audit("events", ev, well_formed_events(ev)))
+        .unionByName(audit("lineitem", li, well_formed_lineitem(li)))
+        .unionByName(audit("orders", orders, well_formed_orders(orders)))
         .orderBy("tbl")
     )
 

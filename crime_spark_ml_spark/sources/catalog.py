@@ -278,6 +278,51 @@ def well_formed_embeddings(df: DataFrame) -> DataFrame:
     )
 
 
+# Canonical well-formed predicates for the RELATIONAL fact tables —
+# the ingest-gate contract the r7 NaN/Inf exploration motivated: an
+# order without a customer/date cannot be attributed or placed on a
+# timeline, and a non-finite money/measure value poisons every
+# decimal-exact aggregate differently per engine (DuckDB RAISES
+# casting NaN into DECIMAL, Spark's cast yields NULL silently, double
+# sums turn NaN and stay NaN). Ingest-hygiene plans (dp_wellformed_
+# audit) COUNT against these raw; the analytics family adopts them as
+# the round-8 campaign lands. isfinite() is DuckDB's; the Spark twins
+# spell it NOT isnan AND |x| != Inf.
+ORDERS_WELL_FORMED_SQL = (
+    "o_custkey IS NOT NULL AND o_orderdate IS NOT NULL"
+    " AND o_totalprice IS NOT NULL AND isfinite(o_totalprice)"
+)
+LINEITEM_WELL_FORMED_SQL = (
+    "l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL"
+    " AND l_quantity IS NOT NULL AND isfinite(l_quantity)"
+    " AND l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)"
+    " AND l_discount IS NOT NULL AND isfinite(l_discount)"
+    " AND l_tax IS NOT NULL AND isfinite(l_tax)"
+)
+
+
+def _finite(c: F.Column) -> F.Column:
+    return ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def well_formed_orders(df: DataFrame) -> DataFrame:
+    """Spark twin of ORDERS_WELL_FORMED_SQL (see rationale above)."""
+    return df.where(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & _finite(F.col("o_totalprice"))
+    )
+
+
+def well_formed_lineitem(df: DataFrame) -> DataFrame:
+    """Spark twin of LINEITEM_WELL_FORMED_SQL (see rationale above)."""
+    cond = F.col("l_orderkey").isNotNull() & F.col("l_shipdate").isNotNull()
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        cond = cond & F.col(c).isNotNull() & _finite(F.col(c))
+    return df.where(cond)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalized to the declared schema."""
     if name == "events":

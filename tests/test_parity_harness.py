@@ -471,6 +471,42 @@ def test_relational_kernels_survive_degenerate_tables(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_wellformed_audit_counts_nonfinite_measures(spark, tmp_path):
+    """The ingest gate's finite-measure arm: on a clone whose
+    orders/lineitem carry NaN/±Inf money values (keys 910001+, the
+    `nonfinite=True` builder extension) the audit must stay
+    engine/oracle-identical AND actually count the dirt — DuckDB
+    raises casting NaN into DECIMAL where Spark's cast silently
+    yields NULL, so any analytics plan consuming these columns needs
+    the canonical ORDERS/LINEITEM_WELL_FORMED predicates; the audit
+    is what tells an operator the corpus needs them."""
+    from tools.sweep_relational import build_degenerate_relational_dir
+
+    from crime_spark_ml_spark.plans.registry import load_all_plans
+
+    from conftest import SF_SMOKE
+
+    sf = build_degenerate_relational_dir(
+        SF_SMOKE, str(tmp_path / "sf_degen_nonfinite"), nonfinite=True
+    )
+    specs = load_all_plans()
+    con = _duckdb_conn(sf)
+    try:
+        r = compare_query(
+            "dp_wellformed_audit", specs["dp_wellformed_audit"], spark, con, sf
+        )
+    finally:
+        con.close()
+    assert r.ok, f"{r.status} {r.detail}"
+    rows = {
+        row["tbl"]: row.asDict()
+        for row in specs["dp_wellformed_audit"].fn(spark, sf).collect()
+    }
+    # 3 NaN/Inf rows + the NULL-class rows must all be rejected
+    assert rows["orders"]["n_raw"] - rows["orders"]["n_well_formed"] >= 3 + 3
+    assert rows["lineitem"]["n_raw"] - rows["lineitem"]["n_well_formed"] >= 3 + 3
+
+
 def test_cross_table_kernels_survive_fully_degenerate_clone(spark, tmp_path):
     """The four sweeps each degenerate ONE table group, so a query
     joining ACROSS groups (degenerate documents x degenerate

@@ -23,10 +23,20 @@ SF_SMOKE = "/root/testdata/sf0.001"
 REL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
 
-def build_degenerate_relational_dir(base_dir: str, out_dir: str) -> str:
+def build_degenerate_relational_dir(
+    base_dir: str, out_dir: str, nonfinite: bool = False
+) -> str:
     """Clone base_dir, appending degenerate rows to every relational
     table. Non-relational tables symlink through unchanged. Key ranges
     start at 900001/990001/... so they never collide with fixture keys.
+
+    ``nonfinite=True`` additionally appends NaN/±Inf measure rows
+    (keys 910001+) — kept OUT of the default clone because the
+    analytics family's finite-measure adoption is a separate campaign
+    (exploration found 29 engine/oracle divergences, dominated by
+    DuckDB raising on NaN→DECIMAL where Spark's cast silently NULLs);
+    today only the ingest gate (dp_wellformed_audit) contracts to
+    count them.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -87,6 +97,18 @@ def build_degenerate_relational_dir(base_dir: str, out_dir: str) -> str:
             (92, ""),
         ],
     }
+    if nonfinite:
+        nan, inf = float("nan"), float("inf")
+        extras["orders"] += [
+            (910001, 1, "F", nan, d(1995, 5, 5), "1-URGENT"),
+            (910002, 1, "O", inf, d(1995, 5, 6), "5-LOW"),
+            (910003, 1, "O", -inf, d(1995, 5, 7), "5-LOW"),
+        ]
+        extras["lineitem"] += [
+            (910001, 1, 1, 1, nan, nan, 0.05, 0.01, "N", "O", d(1995, 5, 5)),
+            (910002, 1, 1, 1, inf, inf, 0.05, 0.01, "N", "O", d(1995, 5, 6)),
+            (910003, 1, 1, 1, 5.0, 100.0, nan, inf, "R", "F", d(1995, 5, 7)),
+        ]
     for t in REL_TABLES:
         orig = pq.read_table(os.path.join(base_dir, f"{t}.parquet"))
         cols = list(zip(*extras[t]))
