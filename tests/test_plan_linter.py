@@ -63,7 +63,7 @@ BNLJ_ALLOWED = {
     "j_spatial_hotspots": "one-row total-count scalar fanned over the <=432 grid cells",
     "dp_psi_drift": "one-row (ref, cur) totals fanned over the <=10 PSI bins",
     "dp_benford_screen": "single-row digit-total scalar broadcast over 9 digit rows",
-    "dp_wellformed_audit": "three 1-row x 1-row count crossJoins (raw vs well-formed totals per table)",
+    "dp_wellformed_audit": "five 1-row x 1-row count crossJoins (raw vs well-formed totals per table)",
     "dp_heaps_law": "4-row literal prefix grid and 10-row repeat-source text broadcast over documents; 2-row beta fanned back",
     "dp_cost_threshold_curve": "9-row literal threshold grid fanned over the corpus; one-row min-cost scalar fanned back",
     "dp_geometric_median": "two one-row distance scalars crossJoined onto the one-row poison count",
