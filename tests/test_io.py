@@ -223,3 +223,45 @@ def test_csv_multiline_roundtrip(spark, tmp_path):
     )
     got = sorted((r.id, r.text) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_normalize_events_negative_nanos_floor(spark):
+    """Pre-1970 epoch-nanos must floor (not truncate toward zero) into
+    wall-clock and micros — the _NTZ_FROM_NANOS pmod arithmetic in
+    sources/catalog.py that matches DuckDB's floor-style nanos→micros
+    truncation. -1 ns lives in microsecond -1 and renders as
+    1969-12-31 23:59:59.999999; a clean negative second renders
+    exactly; positive values are unaffected."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crime_spark_ml_spark.sources.catalog import normalize_events
+
+    rows = [
+        (1, -1, 10, "click", 0.0, None),            # -1 ns
+        (2, -1_000_000_000, 10, "click", 0.0, None),  # -1 s exactly
+        (3, -1_500_000_000, 10, "click", 0.0, None),  # -1.5 s
+        (4, 1_500, 10, "click", 0.0, None),           # +1.5 us
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos layout
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    out = normalize_events(spark.createDataFrame(rows, schema)).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("wall"),
+        "ts_us",
+    )
+    got = {r.event_id: (r.wall, r.ts_us) for r in out.collect()}
+    assert got == {
+        1: ("1969-12-31 23:59:59.999999", -1),
+        2: ("1969-12-31 23:59:59.000000", -1_000_000),
+        3: ("1969-12-31 23:59:58.500000", -1_500_000),
+        4: ("1970-01-01 00:00:00.000001", 1),
+    }
