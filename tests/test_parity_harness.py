@@ -623,6 +623,8 @@ def test_inline_wellformed_predicates_match_canonical():
     from crime_spark_ml_spark.sources.catalog import (
         EMBEDDING_WELL_FORMED_SQL,
         EVENTS_WELL_FORMED_SQL,
+        LINEITEM_WELL_FORMED_SQL,
+        ORDERS_WELL_FORMED_SQL,
     )
 
     plans = os.path.join(
@@ -647,6 +649,17 @@ def test_inline_wellformed_predicates_match_canonical():
             src,
         )
         assert not partial, f"partial events predicate in {path}"
+        # r7 fact-table predicates: any inline copy (none yet — today
+        # they reach oracles only via f-string injection) must be the
+        # FULL canonical text, same rule as the embedding predicate
+        for anchor, full in (
+            (r"o_custkey IS NOT NULL AND o_orderdate IS NOT NULL", ORDERS_WELL_FORMED_SQL),
+            (r"l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL", LINEITEM_WELL_FORMED_SQL),
+        ):
+            for m in re.finditer(anchor, src):
+                assert src[m.start() : m.start() + len(full)] == full, (
+                    f"stale fact-table predicate copy in {path} at {m.start()}"
+                )
     # the campaign inlined dozens of copies — if these counts collapse,
     # the predicates were renamed/retired without updating this pin
     assert emb_starts >= 30, emb_starts
