@@ -3651,8 +3651,13 @@ def dp_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(COALESCE(text, '')) AS len,
         ('0x' || substr(md5(COALESCE(text, '')), 1, 8))::BIGINT AS h
       FROM documents)
-    SELECT shard, COUNT(*) AS n_rows, SUM(len) AS n_chars,
-           SUM(h) AS checksum
+    SELECT shard, COUNT(*) AS n_rows,
+           -- CAST: DuckDB promotes SUM(BIGINT) to HUGEINT/INT128, whose
+           -- canonicalization is driver-environment-sensitive (r7 driver
+           -- hash mismatch); Spark returns BIGINT, and the values fit with
+           -- ~1e5x headroom, so pin both engines to BIGINT.
+           CAST(SUM(len) AS BIGINT) AS n_chars,
+           CAST(SUM(h) AS BIGINT) AS checksum
     FROM routed GROUP BY shard ORDER BY shard
     """,
     tags=("datapipe", "shard", "sink"),

@@ -7805,7 +7805,15 @@ _BH_Z = (
       SELECT COALESCE(MAX(CASE WHEN z >= zcrit THEN rank END), 0) AS kmax
       FROM crit
     )
-    SELECT exp_id, ROUND(z, 6) AS z_r, rank, ROUND(zcrit, 6) AS zcrit_r,
+    SELECT exp_id,
+           -- FLOOR-in-both integer quantization (micro-units), NOT
+           -- ROUND(x, 6): double-ROUND is DuckDB-build-sensitive near
+           -- 6th-decimal ties (r7 driver hash mismatch), while
+           -- multiply+0.5+FLOOR is pure IEEE arithmetic identical in
+           -- both engines (dp_cost_threshold_curve precedent).
+           CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT) AS z_u,
+           rank,
+           CAST(FLOOR(zcrit * 1e6 + 0.5) AS BIGINT) AS zcrit_u,
            rank <= (SELECT kmax FROM k) AS bh_rejected,
            z >= 1.6449 AS naive_rejected,
            is_planted
@@ -7876,9 +7884,11 @@ def ev_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.crossJoin(F.broadcast(k))
         .select(
             "exp_id",
-            F.round("z", 6).alias("z_r"),
+            # FLOOR-in-both micro-unit quantization mirrors the oracle's
+            # CAST(FLOOR(z*1e6+0.5) AS BIGINT) — see oracle comment.
+            F.floor(F.col("z") * 1e6 + 0.5).cast("bigint").alias("z_u"),
             "rank",
-            F.round("zcrit", 6).alias("zcrit_r"),
+            F.floor(F.col("zcrit") * 1e6 + 0.5).cast("bigint").alias("zcrit_u"),
             (F.col("rank") <= F.col("kmax")).alias("bh_rejected"),
             (F.col("z") >= 1.6449).alias("naive_rejected"),
             "is_planted",
