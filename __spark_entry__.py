@@ -91,6 +91,10 @@ _REATTEST: set[str] = {
     # (z_r/zcrit_r -> z_u/zcrit_u BIGINT columns).
     "dp_shard_manifest",
     "ev_fdr_bh",
+    # r8: tools/sweep_oracle_types.py flagged its bound_r column as
+    # DECIMAL(7,6) in both engines; now CAST AS DOUBLE (output schema
+    # change, values numerically identical).
+    "ev_group_sequential_obf",
 }
 _REATTEST_AS_OF = 8  # attestations from this round on clear the flag
 

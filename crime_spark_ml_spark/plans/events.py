@@ -2493,7 +2493,10 @@ _POWER_VAR = (
                    * CAST(round(value * 100) AS BIGINT)) AS s2
         FROM events WHERE event_type = 'purchase'
     ),
-    grid AS (SELECT UNNEST([0.5, 1.0, 2.0, 5.0, 10.0]) AS delta)
+    -- CAST AS DOUBLE: a bare decimal list types delta as DECIMAL(3,1)
+    -- in DuckDB (env-fragile canonicalization; the Spark grid is
+    -- DOUBLE) — all values are exact halves, so value-preserving.
+    grid AS (SELECT CAST(UNNEST([0.5, 1.0, 2.0, 5.0, 10.0]) AS DOUBLE) AS delta)
     SELECT g.delta,
            CAST(m.n AS BIGINT) AS n_observed,
            ROUND({_POWER_VAR}, 6) AS metric_var,
@@ -6648,9 +6651,14 @@ def _split_agg_exprs(groups: str) -> list[str]:
 # O'Brien-Fleming two-sided boundaries for K=5 looks, alpha=0.05:
 # z_k = C * sqrt(K/k) with C chosen so total type-I error is 5%.
 # Classic tabulated values, shared as literals by both engines.
+# CAST AS DOUBLE: bare decimal literals type the CASE as DECIMAL(7,6)
+# in BOTH engines, an env-fragile canonicalization surface (the r7
+# driver-mismatch class); both parsers bind the literal to the same
+# IEEE double, so the cast is value-preserving.
 _OBF_BOUND = (
-    "CASE look WHEN 1 THEN 4.561748 WHEN 2 THEN 3.225665"
+    "CAST(CASE look WHEN 1 THEN 4.561748 WHEN 2 THEN 3.225665"
     " WHEN 3 THEN 2.633717 WHEN 4 THEN 2.280874 ELSE 2.040068 END"
+    " AS DOUBLE)"
 )
 # z for a two-sample proportion test from exact cumulative counts.
 # sqrt is IEEE-correctly-rounded, so both engines agree bit-for-bit.
@@ -6706,7 +6714,7 @@ _OBF_Z = (
     zed AS (
       SELECT experiment, look, na, nb, sa, sb,
              ROUND({_OBF_Z}, 6) AS z_r,
-             ROUND({_OBF_BOUND}, 6) AS bound_r,
+             {_OBF_BOUND} AS bound_r,
              ABS({_OBF_Z}) >= {_OBF_BOUND} AS crossed
       FROM looks
     ),
@@ -6807,7 +6815,7 @@ def ev_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sa",
         "sb",
         F.expr(f"ROUND({_OBF_Z}, 6)").alias("z_r"),
-        F.expr(f"ROUND({_OBF_BOUND}, 6)").alias("bound_r"),
+        F.expr(_OBF_BOUND).alias("bound_r"),
         F.expr(f"ABS({_OBF_Z}) >= {_OBF_BOUND}").alias("crossed"),
     )
     decided = zed.groupBy("experiment").agg(
