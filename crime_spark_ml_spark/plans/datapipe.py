@@ -3604,8 +3604,13 @@ def _cdc_chunk_ctes(carry_cols: str) -> str:
     SELECT source,
            COUNT(*) AS n_chunks,
            COUNT(DISTINCT md5(chunk)) AS n_distinct,
-           ROUND(AVG(length(chunk)), 6) AS avg_len,
-           ROUND(1 - CAST(COUNT(DISTINCT md5(chunk)) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+           -- FLOOR-in-both, not ROUND: dup_frac is a ratio of small
+           -- integers and lands exactly on a 6th-decimal tie at sf0.01
+           -- (10/256 = .0390625), where ROUND-on-double is DuckDB-
+           -- build-sensitive; same idiom on avg_len for consistency
+           FLOOR(AVG(length(chunk)) * 1e6 + 0.5) / 1e6 AS avg_len,
+           FLOOR((1 - CAST(COUNT(DISTINCT md5(chunk)) AS DOUBLE) / COUNT(*))
+                 * 1e6 + 0.5) / 1e6 AS dup_frac
     FROM c GROUP BY source ORDER BY source
     """,
     tags=("dedup", "cdc", "chunk"),
@@ -3627,15 +3632,21 @@ def dp_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = chunks.groupBy("source").agg(
         F.count("*").alias("n_chunks"),
         F.count_distinct(F.md5("chunk_text")).alias("n_distinct"),
-        F.round(F.avg(F.length("chunk_text")), 6).alias("avg_len"),
+        # FLOOR-in-both micro-unit quantization — see oracle comment
+        (F.floor(F.avg(F.length("chunk_text")) * 1e6 + 0.5) / 1e6).alias("avg_len"),
     )
     return agg.select(
         "source",
         "n_chunks",
         "n_distinct",
         "avg_len",
-        F.round(
-            F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_chunks"), 6
+        (
+            F.floor(
+                (F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_chunks"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
         ).alias("dup_frac"),
     ).orderBy("source")
 
@@ -11399,8 +11410,8 @@ _EB_SPARSE = (
     items AS (
       SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k,
              CAST(SUM(click) AS BIGINT) AS c_k,
-             CAST(ROUND(CAST(SUM(click) AS DOUBLE) / COUNT(*) * 1000000.0, 0)
-                  AS BIGINT) AS r_q
+             CAST(FLOOR(CAST(SUM(click) AS DOUBLE) / COUNT(*) * 1000000.0
+                        + 0.5) AS BIGINT) AS r_q
       FROM kept GROUP BY k
     ),
     mom AS (
@@ -11427,22 +11438,26 @@ _EB_SPARSE = (
     shrunk AS (
       SELECT i.k, i.n_k, i.c_k, i.r_q, ab.m, ab.alpha, ab.beta, ab.n_items,
              ab.n_sparse,
-             CAST(ROUND((i.c_k + ab.alpha) / (i.n_k + ab.alpha + ab.beta)
-                        * 1000000.0, 0) AS BIGINT) AS s_q
+             CAST(FLOOR((i.c_k + ab.alpha) / (i.n_k + ab.alpha + ab.beta)
+                        * 1000000.0 + 0.5) AS BIGINT) AS s_q
       FROM items i, ab
     )
+    -- FLOOR-in-both everywhere, not ROUND: the quantized per-item
+    -- rates are ratios of small integers that land exactly on .5 ties
+    -- (a tie in r_q perturbs the fitted prior downstream), and
+    -- ROUND-on-double is DuckDB-build-sensitive at ties
     SELECT MAX(n_items) AS n_items, MAX(n_sparse) AS n_sparse,
-           ROUND(MAX(alpha), 6) AS alpha_r,
-           ROUND(MAX(beta), 6) AS beta_r,
-           ROUND(MAX(m), 6) AS mean_ctr_r,
-           CAST(SUM(CASE WHEN NOT ((s_q BETWEEN r_q AND CAST(ROUND(m * 1000000.0, 0) AS BIGINT))
-                              OR (s_q BETWEEN CAST(ROUND(m * 1000000.0, 0) AS BIGINT) AND r_q))
+           FLOOR(MAX(alpha) * 1e6 + 0.5) / 1e6 AS alpha_r,
+           FLOOR(MAX(beta) * 1e6 + 0.5) / 1e6 AS beta_r,
+           FLOOR(MAX(m) * 1e6 + 0.5) / 1e6 AS mean_ctr_r,
+           CAST(SUM(CASE WHEN NOT ((s_q BETWEEN r_q AND CAST(FLOOR(m * 1000000.0 + 0.5) AS BIGINT))
+                              OR (s_q BETWEEN CAST(FLOOR(m * 1000000.0 + 0.5) AS BIGINT) AND r_q))
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-           ROUND(CAST(SUM(CASE WHEN k >= 80 THEN ABS(s_q - r_q) END) AS DOUBLE)
-                 / SUM(CASE WHEN k >= 80 THEN 1 END) / 1000000.0, 6)
+           FLOOR(CAST(SUM(CASE WHEN k >= 80 THEN ABS(s_q - r_q) END) AS DOUBLE)
+                 / SUM(CASE WHEN k >= 80 THEN 1 END) / 1000000.0 * 1e6 + 0.5) / 1e6
                AS sparse_move_r,
-           ROUND(CAST(SUM(CASE WHEN k < 80 THEN ABS(s_q - r_q) END) AS DOUBLE)
-                 / SUM(CASE WHEN k < 80 THEN 1 END) / 1000000.0, 6)
+           FLOOR(CAST(SUM(CASE WHEN k < 80 THEN ABS(s_q - r_q) END) AS DOUBLE)
+                 / SUM(CASE WHEN k < 80 THEN 1 END) / 1000000.0 * 1e6 + 0.5) / 1e6
                AS dense_move_r
     FROM shrunk
     """,
@@ -11481,8 +11496,8 @@ def dp_empirical_bayes_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_k"),
         F.sum("click").cast("bigint").alias("c_k"),
         F.expr(
-            "CAST(ROUND(CAST(SUM(click) AS DOUBLE) / COUNT(*) * 1000000.0, 0)"
-            " AS BIGINT)"
+            "CAST(FLOOR(CAST(SUM(click) AS DOUBLE) / COUNT(*) * 1000000.0"
+            " + 0.5) AS BIGINT)"
         ).alias("r_q"),
     )
     mom = items.agg(
@@ -11512,17 +11527,18 @@ def dp_empirical_bayes_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrunk = items.crossJoin(F.broadcast(ab)).withColumn(
         "s_q",
         F.expr(
-            "CAST(ROUND((c_k + alpha) / (n_k + alpha + beta) * 1000000.0, 0)"
-            " AS BIGINT)"
+            "CAST(FLOOR((c_k + alpha) / (n_k + alpha + beta) * 1000000.0"
+            " + 0.5) AS BIGINT)"
         ),
     )
-    m_q = "CAST(ROUND(m * 1000000.0, 0) AS BIGINT)"
+    m_q = "CAST(FLOOR(m * 1000000.0 + 0.5) AS BIGINT)"
     return shrunk.agg(
         F.max("n_items").alias("n_items"),
         F.max("n_sparse").alias("n_sparse"),
-        F.round(F.max("alpha"), 6).alias("alpha_r"),
-        F.round(F.max("beta"), 6).alias("beta_r"),
-        F.round(F.max("m"), 6).alias("mean_ctr_r"),
+        # FLOOR-in-both micro-unit quantization — see oracle comment
+        (F.floor(F.max("alpha") * 1e6 + 0.5) / 1e6).alias("alpha_r"),
+        (F.floor(F.max("beta") * 1e6 + 0.5) / 1e6).alias("beta_r"),
+        (F.floor(F.max("m") * 1e6 + 0.5) / 1e6).alias("mean_ctr_r"),
         F.sum(
             F.expr(
                 f"CASE WHEN NOT ((s_q BETWEEN r_q AND {m_q})"
@@ -11532,12 +11548,12 @@ def dp_empirical_bayes_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_violations"),
         F.expr(
-            "ROUND(CAST(SUM(CASE WHEN k >= 80 THEN ABS(s_q - r_q) END) AS DOUBLE)"
-            " / SUM(CASE WHEN k >= 80 THEN 1 END) / 1000000.0, 6)"
+            "FLOOR(CAST(SUM(CASE WHEN k >= 80 THEN ABS(s_q - r_q) END) AS DOUBLE)"
+            " / SUM(CASE WHEN k >= 80 THEN 1 END) / 1000000.0 * 1e6 + 0.5) / 1e6"
         ).alias("sparse_move_r"),
         F.expr(
-            "ROUND(CAST(SUM(CASE WHEN k < 80 THEN ABS(s_q - r_q) END) AS DOUBLE)"
-            " / SUM(CASE WHEN k < 80 THEN 1 END) / 1000000.0, 6)"
+            "FLOOR(CAST(SUM(CASE WHEN k < 80 THEN ABS(s_q - r_q) END) AS DOUBLE)"
+            " / SUM(CASE WHEN k < 80 THEN 1 END) / 1000000.0 * 1e6 + 0.5) / 1e6"
         ).alias("dense_move_r"),
     )
 

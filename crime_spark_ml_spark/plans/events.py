@@ -410,7 +410,11 @@ def ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(p.day AS BIGINT) AS day,
            CAST(p.active AS BIGINT) AS active_users,
            CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained_users,
-           ROUND(CAST(COALESCE(r.retained, 0) AS DOUBLE) / p.active, 6) AS retention
+           -- FLOOR-in-both, not ROUND: retained/active can be exactly
+           -- dyadic (115/128 at sf0.01 sits ON the 6th-decimal tie),
+           -- where ROUND-on-double is DuckDB-build-sensitive
+           FLOOR(CAST(COALESCE(r.retained, 0) AS DOUBLE) / p.active
+                 * 1e6 + 0.5) / 1e6 AS retention
     FROM per_day p LEFT JOIN retained r ON p.day = r.day
     ORDER BY day
     """,
@@ -439,8 +443,15 @@ def ev_retention_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "active_users",
             F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
-            F.round(
-                F.coalesce("retained_users", F.lit(0)) / F.col("active_users"), 6
+            # FLOOR-in-both micro-unit quantization — see oracle comment
+            (
+                F.floor(
+                    F.coalesce("retained_users", F.lit(0))
+                    / F.col("active_users")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
             ).alias("retention"),
         )
         .orderBy("day")
@@ -5408,10 +5419,14 @@ def ev_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MAX(CASE WHEN model = 'good' THEN auuc_adj END) AS ga,
              MAX(CASE WHEN model = 'random' THEN auuc_adj END) AS ra
       FROM auuc)
+    -- FLOOR-in-both, not ROUND: cumulative qini values are ratios
+    -- of exact integers and land on 6th-decimal ties at sf0.1, where
+    -- ROUND-on-double is DuckDB-build-sensitive
     SELECT q.model, CAST(q.decile AS INT) AS decile,
-           ROUND(q.q, 6) AS qini_r,
-           ROUND(q.q - q.decile / 10.0 * q.q10, 6) AS qini_adj_r,
-           ROUND(a.auuc_adj, 6) AS auuc_adj_r,
+           FLOOR(q.q * 1e6 + 0.5) / 1e6 AS qini_r,
+           FLOOR((q.q - q.decile / 10.0 * q.q10) * 1e6 + 0.5) / 1e6
+             AS qini_adj_r,
+           FLOOR(a.auuc_adj * 1e6 + 0.5) / 1e6 AS auuc_adj_r,
            ga > ra + ABS(ra) AS good_dominates
     FROM qini q JOIN auuc a ON a.model = q.model CROSS JOIN wide
     ORDER BY q.model, q.decile
@@ -5557,11 +5572,12 @@ def ev_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "model",
             F.col("decile").cast("int").alias("decile"),
-            F.round("q", 6).alias("qini_r"),
-            F.expr("ROUND(q - decile / 10.0 * q10, 6)").alias(
+            # FLOOR-in-both micro-unit quantization — see oracle
+            (F.floor(F.col("q") * 1e6 + 0.5) / 1e6).alias("qini_r"),
+            F.expr("FLOOR((q - decile / 10.0 * q10) * 1e6 + 0.5) / 1e6").alias(
                 "qini_adj_r"
             ),
-            F.round("auuc_adj", 6).alias("auuc_adj_r"),
+            (F.floor(F.col("auuc_adj") * 1e6 + 0.5) / 1e6).alias("auuc_adj_r"),
             F.expr("ga > ra + ABS(ra)").alias("good_dominates"),
         )
         .orderBy("model", "decile")

@@ -451,7 +451,12 @@ WITH natvalue AS (
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
-SELECT l_partkey, ROUND(value, 2) AS value
+SELECT l_partkey,
+       -- FLOOR-in-both, not ROUND: at sf0.01 one part's value lands
+       -- exactly on the cent tie (x.xx5), where ROUND-on-double is
+       -- DuckDB-build-sensitive; FLOOR(x*100+0.5)/100 is pure IEEE
+       -- arithmetic identical in both engines
+       FLOOR(value * 1e2 + 0.5) / 1e2 AS value
 FROM natvalue
 WHERE value > 0.002 * (SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                        FROM natvalue)
