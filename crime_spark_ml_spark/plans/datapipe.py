@@ -4290,7 +4290,13 @@ def dp_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             # nothing), so a NULL-source and an ''-source group would
             # silently merge on read-back — the sentinel (plus the
             # default quoted "" for genuine empties) makes the
-            # round-trip lossless for both
+            # round-trip lossless for both. KNOWN LIMIT: a genuine
+            # string value equal to the sentinel literal '\N' would
+            # read back as NULL (Spark matches nullValue after
+            # unquoting, so quoteAll cannot disambiguate either); the
+            # fixtures and planted probes contain no such value, and a
+            # production corpus with arbitrary bytes belongs in the
+            # parquet/jsonl roundtrips, not CSV
             .options(
                 header=True,
                 compression="gzip",

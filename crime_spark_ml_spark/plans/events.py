@@ -4515,10 +4515,19 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar action (r06 verdict nit: the old .first() cost one extra
     # full scan per query at scale)
     t0 = ev.agg(F.min("ts_us").alias("__t0"))
-    bot = spark.range(1, 61).crossJoin(F.broadcast(t0)).select(
-        F.lit(-1).cast("long").alias("user_id"),
-        (F.col("__t0") + F.col("id") * 60_000_000).alias("ts_us"),
-        (-F.col("id")).cast("long").alias("event_id"),
+    bot = (
+        spark.range(1, 61)
+        .crossJoin(F.broadcast(t0))
+        # empty-corpus guard: MIN over zero rows is NULL, which would
+        # otherwise plant 60 NULL-clock bot rows (the old .first()
+        # anchor raised instead); filtering on the anchor keeps the
+        # empty-in -> empty-out contract
+        .where(F.col("__t0").isNotNull())
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.col("__t0") + F.col("id") * 60_000_000).alias("ts_us"),
+            (-F.col("id")).cast("long").alias("event_id"),
+        )
     )
     allev = real_ev.unionByName(bot)
     gaps = allev.select(
