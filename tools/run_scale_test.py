@@ -48,7 +48,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from crime_spark_ml_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_JSON = os.path.join(REPO, "SCALE_r07.json")
+OUT_JSON = os.path.join(REPO, "SCALE_r08.json")
 
 def _replicate(df, shifts: dict[str, int], factor: int):
     """``factor``× volume by key-shifted union: each replica adds
