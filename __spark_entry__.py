@@ -132,6 +132,19 @@ _REWRITTEN: dict[str, int] = {
     # r7: scalar .first() t0 anchor replaced with a broadcast one-row
     # aggregate after its r06 attestation (ADVICE r7 catch)
     "ev_bot_regularity": 7,
+    # r8: ROUND-tie campaign — ROUND(x, k) converted to FLOOR-in-both
+    # micro-unit quantization in BOTH engines (tools/sweep_round_ties
+    # findings); value-preserving on the fixtures (3-scale parity
+    # re-verified), so freshness cohort, not _REATTEST
+    "ev_retention_next_day": 8,
+    "q11_important_stock": 8,
+    "dp_cdc_chunk_stats": 8,
+    "ev_uplift_qini": 8,
+    # r8: IVFPQ became a cosine-metric index (L2-normalize at build/
+    # append/probe); the selfcheck booleans and floors still pass
+    "dp_ann_selfcheck": 8,
+    "dp_ann_refine_selfcheck": 8,
+    "dp_ann_ivfpq": 8,
 }
 
 

@@ -28,6 +28,26 @@ def norm(a: str) -> Column:
     )
 
 
+def l2_normalize(a: str) -> Column:
+    """Unit-L2 copy of a float/double array (array<double> out).
+
+    Zero-norm vectors pass through unchanged (an all-zero embedding
+    stays all-zero instead of NaN-ing), NULL stays NULL. The norm is
+    bound ONCE via the one-element-array transform idiom (the
+    build_ivfpq residual-binding pattern) — a bare
+    ``transform(a, v -> v / sqrt(aggregate(a, ...)))`` re-evaluates
+    the aggregate subtree per element, dim× row work."""
+    n = (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return F.expr(
+        f"element_at(transform(array({n}), "
+        f"n -> CASE WHEN n = 0.0 THEN transform({a}, v -> CAST(v AS DOUBLE)) "
+        f"ELSE transform({a}, v -> CAST(v AS DOUBLE) / n) END), 1)"
+    )
+
+
 def cosine(a: str, b: str) -> Column:
     """NULL (never ANSI DIVIDE_BY_ZERO) for zero-norm vectors —
     matching the pandas twin's defined-on-everything behavior."""

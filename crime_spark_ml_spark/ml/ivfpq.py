@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import l2_normalize
 from .ivf import build_ivf
 from .pq import PqModel, _sq_l2, _sq_l2_lit, _sliced, pq_code_expr, train_pq
 
@@ -74,7 +75,17 @@ def build_ivfpq(
 ) -> IvfPqIndex:
     """``train_fraction`` bounds BOTH KMeans fits (coarse cells and
     residual codebooks) at scale — quantizers converge on a sample;
-    assignment and encoding still touch every row."""
+    assignment and encoding still touch every row.
+
+    The index is a COSINE-metric index: vectors are L2-normalized
+    before coarse assignment and residual encoding, so the ADC-L2
+    distance is monotone in cosine (||u−v||² = 2−2·cos on the unit
+    sphere) and the raw ADC shortlist ranks like the exact-cosine
+    truth the recall harness measures against. Without this the ADC
+    ordering on an unnormalized corpus tracks magnitude, not angle —
+    the r7 recall curve's ~random raw-ADC ranking (SCALE_r07.json).
+    exact_rerank is cosine and therefore unaffected."""
+    corpus = corpus.withColumn(vec_col, l2_normalize(vec_col))
     ivf = build_ivf(
         corpus,
         k=k_cells,
@@ -199,7 +210,11 @@ def append_ivfpq(
     if not cents:
         raise ValueError(f"no centroids at {path}/centroids — not an IVFPQ index")
     before = ivfpq_staleness(spark, path)
-    vecs = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # same cosine-metric normalization as the build path — appended
+    # rows must live on the same unit sphere the quantizers were fit on
+    vecs = new_vectors.select(
+        F.col(id_col).alias("id"), l2_normalize(vec_col).alias("vec")
+    )
     assigned = vecs.withColumn(
         "cid", argmin_cid_expr([(r.cid, list(r.cvec)) for r in cents], "vec")
     )
@@ -273,7 +288,11 @@ def _probe_luts(
     """(query_id, cid, lut): for each query's nprobe nearest cells, the
     m×k table of exact subspace distances from the query's residual in
     that cell. Size nq·nprobe·m·k doubles — always broadcastable."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # queries are normalized onto the index's unit sphere (the build
+    # path normalizes the corpus — cosine-metric index)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("qv")
+    )
     probed = (
         q.crossJoin(F.broadcast(index.centroids))
         .withColumn("cd", _sq_l2("qv", "cvec"))
