@@ -47,16 +47,24 @@ TABLES = (
 
 _ROUND_RE = re.compile(r"\bROUND\s*\(", flags=re.I)
 
+# The tie test is a MARGIN, not exact equality: variant A rounds any
+# scaled fraction in [.5 - m, 1) up, variant B rounds [.5 - m? no —
+# (.5 - m, .5 + m) is the disagreement band]. m is a few-ulp relative
+# margin plus an absolute floor, so a value that a different ROUND
+# implementation — or a 1-ulp libm difference upstream — could push
+# across the boundary is flagged, not just an exact dyadic .5.
+_MARGIN = "(ABS(x * POWER(10.0, s)) * 3.6e-15 + 1e-9)"
+_MARGIN1 = "(ABS(x) * 3.6e-15 + 1e-9)"
 _MACROS = {
     "A": (
-        "CREATE MACRO __rr1(x) AS FLOOR(x + 0.5)",
-        "CREATE MACRO __rr2(x, s) AS "
-        "FLOOR(x * POWER(10.0, s) + 0.5) / POWER(10.0, s)",
+        f"CREATE MACRO __rr1(x) AS FLOOR(x + 0.5 + {_MARGIN1})",
+        f"CREATE MACRO __rr2(x, s) AS "
+        f"FLOOR(x * POWER(10.0, s) + 0.5 + {_MARGIN}) / POWER(10.0, s)",
     ),
     "B": (
-        "CREATE MACRO __rr1(x) AS CEIL(x - 0.5)",
-        "CREATE MACRO __rr2(x, s) AS "
-        "CEIL(x * POWER(10.0, s) - 0.5) / POWER(10.0, s)",
+        f"CREATE MACRO __rr1(x) AS CEIL(x - 0.5 - {_MARGIN1})",
+        f"CREATE MACRO __rr2(x, s) AS "
+        f"CEIL(x * POWER(10.0, s) - 0.5 - {_MARGIN}) / POWER(10.0, s)",
     ),
 }
 
