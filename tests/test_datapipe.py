@@ -436,3 +436,24 @@ def test_observe_metrics_leaves_session_serializable(spark):
     model = pipe.fit(train)
     # serializes the model closure (trainingSummary -> session) into tasks
     assert model.transform(train).count() == 36
+
+
+def test_l2_normalize_edge_cases(spark):
+    """functions/vectors.l2_normalize: unit norm for regular vectors,
+    zero-vector passthrough (no NaNs), NULL propagation, and the
+    cosine-metric equivalence build_ivfpq relies on (||u-v||^2
+    monotone in cosine on the unit sphere)."""
+    import math
+
+    from crime_spark_ml_spark.functions.vectors import l2_normalize
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, None), (3, [-1.0, 0.0])],
+        "id bigint, v array<double>",
+    ).select("id", l2_normalize("v").alias("u"))
+    rows = {r.id: r.u for r in df.collect()}
+    assert rows[0] == [0.6, 0.8]
+    assert rows[1] == [0.0, 0.0]  # zero norm passes through, not NaN
+    assert rows[2] is None
+    assert rows[3] == [-1.0, 0.0]
+    assert math.isclose(sum(x * x for x in rows[0]), 1.0, rel_tol=1e-12)

@@ -341,6 +341,68 @@ def cmd_recall(spark, args) -> None:
     )
 
 
+def cmd_cells(spark, args) -> None:
+    """Coarse-quantizer geometry vs recall at a FIXED corpus size —
+    the knob the r8 recall phase exposed: the main curve's
+    k_cells = n/6250 heuristic gave the 200k corpus 32 cells over 64
+    latent clusters, so each cell mixed two modes and PQ spent its
+    codebook separating them instead of ranking within them (raw-ADC
+    recall 0.0). This phase varies k_cells at corpus 200k with the
+    probed FRACTION held at 12.5% (nprobe = k_cells/8) so the scan
+    cost is constant and only the geometry moves; m doubles once to
+    separate geometry gains from code-resolution gains."""
+    from crime_spark_ml_spark.ml.ivfpq import (
+        build_ivfpq,
+        ivfpq_topk,
+        ivfpq_topk_refined,
+    )
+    from crime_spark_ml_spark.operators.similarity import brute_force_topk
+    from crime_spark_ml_spark.plans.datapipe import _train_fraction
+
+    s = 200_000
+    emb = spark.read.parquet(f"{args.dir}/embeddings.parquet").where(
+        F.col("vec_id") < s
+    )
+    queries = emb.where(F.col("vec_id") < args.n_queries)
+    k = 10
+    exact = (
+        brute_force_topk(emb, queries, k=k)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = exact.count()
+
+    def recall(df) -> float:
+        got = df.select("query_id", "cand_id")
+        return round(got.join(exact, ["query_id", "cand_id"]).count() / n_truth, 4)
+
+    points = []
+    for k_cells, m in ((32, 8), (64, 8), (128, 8), (64, 16)):
+        t0 = time.perf_counter()
+        index = build_ivfpq(
+            emb, k_cells=k_cells, m=m, k=16, seed=0,
+            train_fraction=_train_fraction(s),
+        )
+        nprobe = max(1, k_cells // 8)
+        raw = recall(ivfpq_topk(index, queries, k=k, nprobe=nprobe))
+        refined = recall(
+            ivfpq_topk_refined(index, emb, queries, k=k, nprobe=nprobe, expand=16)
+        )
+        pt = {
+            "k_cells": k_cells,
+            "m": m,
+            "nprobe": nprobe,
+            "cells_frac": round(nprobe / k_cells, 4),
+            "recall_raw_adc": raw,
+            "recall_refined_exp16": refined,
+            "build_plus_probe_sec": round(time.perf_counter() - t0, 1),
+        }
+        points.append(pt)
+        print(f"[scale][cells] corpus={s} {pt}")
+    _record("cells", {"corpus": s, "k": k, "n_queries": args.n_queries,
+                      "latent_clusters": N_CLUSTERS, "points": points})
+
+
 def cmd_dedup(spark, args) -> None:
     from crime_spark_ml_spark.functions.hashing import band_hashes
     from crime_spark_ml_spark.operators.dedup import (
@@ -1099,7 +1161,7 @@ def cmd_rewrites(spark, args) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("phase", choices=["gen", "ann", "recall", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "gmedian", "newstats", "rewrites", "hygiene", "all"])
+    ap.add_argument("phase", choices=["gen", "ann", "recall", "cells", "dedup", "spans", "tpch", "events", "text", "linkage", "assign", "newops", "kcore", "gmedian", "newstats", "rewrites", "hygiene", "all"])
     ap.add_argument("--dir", default=os.path.join(REPO, ".scale"))
     ap.add_argument("--emb", type=int, default=400_000)
     ap.add_argument("--docs", type=int, default=100_000)
@@ -1125,6 +1187,10 @@ def main() -> None:
         if args.sizes is None:
             args.sizes = f"{args.emb // 4},{args.emb // 2},{args.emb}"
         cmd_recall(spark, args)
+    if args.phase in ("cells",):
+        if not os.path.exists(f"{args.dir}/embeddings.parquet"):
+            cmd_gen(spark, args)
+        cmd_cells(spark, args)
     if args.phase in ("spans", "all"):
         # doc-count sizes, never the ann phase's embedding-count sizes
         # (in "all" the ann branch mutates args.sizes to emb-derived
