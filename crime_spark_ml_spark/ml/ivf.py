@@ -25,6 +25,23 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 
 
+def suggest_k_cells(n_vectors: int, min_cells: int = 16, max_cells: int = 1 << 20) -> int:
+    """Coarse-quantizer sizing for an n-row corpus: ~sqrt(n), clamped.
+
+    The r8 `cells` experiment (SCALE.md, SCALE_r08.json) measured the
+    failure mode of linear sizing (k_cells = n/constant): once a cell
+    straddles more than one modal cluster, PQ spends its codebook
+    separating modes instead of ranking within them and raw-ADC recall
+    collapses to zero. sqrt(n) keeps cell count AND cell size growing
+    as sqrt(n) — the standard IVF balance (probe cost per cell vs
+    number of cells scanned) — and at 100 TB is reached with kmeans on
+    a bounded sample, never a full pass. Pure arithmetic, no Spark
+    action: callers pass a row count they already have."""
+    if n_vectors <= 0:
+        return min_cells
+    return max(min_cells, min(max_cells, int(round(n_vectors ** 0.5))))
+
+
 @dataclass
 class IvfIndex:
     centroids: DataFrame  # cid int, cvec array<double>

@@ -444,3 +444,15 @@ def test_maintenance_loop_end_to_end(spark, tmp_path):
     for q in range(4):
         top1 = final[(q, 1)]
         assert top1 % 100 // 5 == q // 5 or top1 == q
+
+
+def test_suggest_k_cells_sqrt_clamped():
+    """ml/ivf.suggest_k_cells: ~sqrt(n) clamped to [min, max] — the
+    r8 cells-experiment guidance as a pure function."""
+    from crime_spark_ml_spark.ml.ivf import suggest_k_cells
+
+    assert suggest_k_cells(0) == 16
+    assert suggest_k_cells(100) == 16          # floor clamp
+    assert suggest_k_cells(200_000) == 447     # sqrt regime
+    assert suggest_k_cells(10**13) == 1 << 20  # ceiling clamp
+    assert suggest_k_cells(2000) == 45
