@@ -7794,9 +7794,17 @@ def dp_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal AS (SELECT * FROM assigned WHERE b >= 60 AND b < 80),
     te AS (SELECT * FROM assigned WHERE b >= 80),
     m AS (
+      -- y is summed as exact integer CENTS, never as DOUBLE: DuckDB
+      -- combines per-thread SUM(DOUBLE) partials in a non-fixed order,
+      -- so the result changes with the thread count (flagged by
+      -- tools/sweep_thread_sums.py at sf0.1) — and the driver's CPU
+      -- count is not the local mirror's. Integer sums are exact in
+      -- any order; the double boundary is one division at the end.
       SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
-             CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
-             CAST(SUM(x*y) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sxy
       FROM tr),
     model AS (
       SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope, n, sx, sy FROM m),
@@ -7874,12 +7882,21 @@ def dp_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x*y accumulates in DECIMAL(38,0) (operand cast) before the
     # double boundary: DuckDB's SUM(BIGINT) is HUGEINT-exact, so a
     # BIGINT-wrapped Spark sum would silently diverge at ~1e18 total
+    # y in exact integer cents before the sums — see oracle comment
+    # (thread/partition-order-independent float accumulation)
     m = tr.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
+        (
+            F.sum(F.expr("CAST(round(y * 100) AS BIGINT)")).cast("double") / 100.0
+        ).alias("sy"),
         F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").alias("sxy"),
+        (
+            F.sum(
+                F.expr("CAST(x AS DECIMAL(38,0)) * CAST(round(y * 100) AS BIGINT)")
+            ).cast("double")
+            / 100.0
+        ).alias("sxy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
