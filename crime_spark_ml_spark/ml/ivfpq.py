@@ -31,6 +31,13 @@ At 100 TB: the corpus never shuffles — encode writes once
 (partitionBy cid), and every probe is a pruned scan + broadcast hash
 join. The only exchange in the probe plan carries already-scored,
 group-limited candidate rows keyed by query_id.
+
+Metric contract (r8): this is a COSINE index — build/append/probe all
+L2-normalize, so ADC-L2 is monotone in cosine and the raw shortlist
+ranks like the exact-cosine truth (SCALE.md "r8: the metric fix").
+Sizing: pass ``k_cells`` from ``ivf.suggest_k_cells(n)`` (~sqrt n) —
+linear n/constant sizing lets a cell straddle modal clusters and
+collapses raw-ADC recall (the r8 `cells` experiment).
 """
 
 from __future__ import annotations
