@@ -82,20 +82,13 @@ def _attestation_rounds(here: str = _HERE) -> dict[str, int]:
 # existing green rows still attest exactly what the driver would
 # re-measure; re-flagging 41 of them would displace the never-attested
 # backlog (the r5 verdict's top item) for zero new information.
-_REATTEST: set[str] = {
-    # r8: the two r7 driver hash mismatches (both passed the local
-    # mirror — DuckDB-build-sensitive oracle constructs). Contracts
-    # changed to remove the fragile surface: dp_shard_manifest casts
-    # its HUGEINT-promoted SUMs back to BIGINT; ev_fdr_bh replaces
-    # ROUND-on-double with FLOOR-in-both micro-unit quantization
-    # (z_r/zcrit_r -> z_u/zcrit_u BIGINT columns).
-    "dp_shard_manifest",
-    "ev_fdr_bh",
-    # r8: tools/sweep_oracle_types.py flagged its bound_r column as
-    # DECIMAL(7,6) in both engines; now CAST AS DOUBLE (output schema
-    # change, values numerically identical).
-    "ev_group_sequential_obf",
-}
+_REATTEST: set[str] = set()
+# r8 flagged dp_shard_manifest / ev_fdr_bh (the two r7 driver hash
+# mismatches, contracts changed to BIGINT casts / FLOOR micro-unit
+# quantization) and ev_group_sequential_obf (DECIMAL(7,6) -> DOUBLE
+# schema change). All three re-attested hash-green in
+# CORRECTNESS_r08.json, so pruned here (round 9) per the test-enforced
+# self-cleanup cycle — same as the r6->r7 precedent.
 _REATTEST_AS_OF = 8  # attestations from this round on clear the flag
 
 # Queries whose PLAN was materially rewritten after their last driver
@@ -141,10 +134,14 @@ _REWRITTEN: dict[str, int] = {
     "dp_cdc_chunk_stats": 8,
     "ev_uplift_qini": 8,
     # r8: IVFPQ became a cosine-metric index (L2-normalize at build/
-    # append/probe); the selfcheck booleans and floors still pass
-    "dp_ann_selfcheck": 8,
-    "dp_ann_refine_selfcheck": 8,
-    "dp_ann_ivfpq": 8,
+    # append/probe); r9: default geometry switched to suggest_k_cells
+    # sqrt-n sizing with nprobe scaled to ~25% of cells (VERDICT r8
+    # item 2). The selfcheck booleans and floors still pass (re-
+    # measured at sf0.001/0.01/0.1) and dp_ann_ivfpq keeps its 25-row
+    # rows-only contract.
+    "dp_ann_selfcheck": 9,
+    "dp_ann_refine_selfcheck": 9,
+    "dp_ann_ivfpq": 9,
 }
 
 
