@@ -35,9 +35,11 @@ group-limited candidate rows keyed by query_id.
 Metric contract (r8): this is a COSINE index — build/append/probe all
 L2-normalize, so ADC-L2 is monotone in cosine and the raw shortlist
 ranks like the exact-cosine truth (SCALE.md "r8: the metric fix").
-Sizing: pass ``k_cells`` from ``ivf.suggest_k_cells(n)`` (~sqrt n) —
-linear n/constant sizing lets a cell straddle modal clusters and
-collapses raw-ADC recall (the r8 `cells` experiment).
+Sizing (r9): ``build_ivfpq``'s default ``k_cells=None`` derives
+~sqrt(n) via ``ivf.suggest_k_cells`` — linear n/constant sizing lets
+a cell straddle modal clusters and collapses raw-ADC recall (the r8
+`cells` experiment). Scale ``nprobe`` with the cell count (e.g.
+``k_cells // 4`` probes ~25% of the corpus) when overriding.
 """
 
 from __future__ import annotations
@@ -72,7 +74,7 @@ def _residuals(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def build_ivfpq(
     corpus: DataFrame,
-    k_cells: int = 16,
+    k_cells: int | None = None,
     m: int = 8,
     k: int = 16,
     seed: int = 0,
@@ -84,6 +86,15 @@ def build_ivfpq(
     residual codebooks) at scale — quantizers converge on a sample;
     assignment and encoding still touch every row.
 
+    ``k_cells=None`` (the default) derives ~sqrt(n) cells from one
+    corpus count via ``ivf.suggest_k_cells`` — the r8 `cells`
+    experiment showed constant/linear sizing lets a cell straddle
+    modal clusters and collapses raw-ADC recall (0.000 at 32 cells
+    over 64 latent clusters), so the default must not be a small
+    constant. The count is metadata-cheap on a parquet source; callers
+    that already hold a row count can pass
+    ``k_cells=suggest_k_cells(n)`` to skip the extra action.
+
     The index is a COSINE-metric index: vectors are L2-normalized
     before coarse assignment and residual encoding, so the ADC-L2
     distance is monotone in cosine (||u−v||² = 2−2·cos on the unit
@@ -92,6 +103,10 @@ def build_ivfpq(
     ordering on an unnormalized corpus tracks magnitude, not angle —
     the r7 recall curve's ~random raw-ADC ranking (SCALE_r07.json).
     exact_rerank is cosine and therefore unaffected."""
+    from .ivf import suggest_k_cells
+
+    if k_cells is None:
+        k_cells = suggest_k_cells(corpus.count())
     corpus = corpus.withColumn(vec_col, l2_normalize(vec_col))
     ivf = build_ivf(
         corpus,
@@ -145,15 +160,49 @@ def persist_ivfpq(index: IvfPqIndex, path: str) -> None:
     _write_stats(spark, path, n_base=n_base, n_appended=0)
 
 
+_METRIC = "cosine"  # r8 format: vectors/residuals stored L2-normalized
+
+
 def _write_stats(spark: SparkSession, path: str, n_base: int, n_appended: int) -> None:
+    # the metric stamp is the on-disk FORMAT marker: r8 changed the
+    # stored bytes (normalized vectors/residuals), so a loader must be
+    # able to tell a cosine-format store from a pre-r8 raw-L2 one
     from ..sources.writers import write_sidecar
 
     write_sidecar(
         spark.createDataFrame(
-            [(n_base, n_appended)], "n_base bigint, n_appended bigint"
+            [(n_base, n_appended, _METRIC)],
+            "n_base bigint, n_appended bigint, metric string",
         ),
         f"{path}/stats",
     )
+
+
+def _check_metric(path: str) -> None:
+    """Fail loudly on a store whose contents don't match this code's
+    metric contract. A pre-r8 index holds UNNORMALIZED vectors; r8+
+    code appending to / probing it with normalized vectors returns
+    silently wrong rankings — the exact failure a format marker
+    exists to prevent. Missing sidecar or missing/mismatched marker →
+    rebuild with build_ivfpq + persist_ivfpq."""
+    import os
+
+    from ..sources.writers import read_sidecar_rows
+
+    if not os.path.exists(f"{path}/stats"):
+        raise ValueError(
+            f"no stats sidecar at {path}/stats — index predates the "
+            f"metric-stamped format and its vectors are not "
+            f"L2-normalized; rebuild it with build_ivfpq/persist_ivfpq"
+        )
+    metric = read_sidecar_rows(f"{path}/stats")[0].get("metric")
+    if metric != _METRIC:
+        raise ValueError(
+            f"index at {path} was built with metric="
+            f"{metric if metric else '<unstamped>'}; this code reads/"
+            f"writes {_METRIC}-format stores (L2-normalized) — rebuild "
+            f"it with build_ivfpq/persist_ivfpq"
+        )
 
 
 def ivfpq_staleness(spark: SparkSession, path: str) -> dict:
@@ -258,6 +307,7 @@ def load_ivfpq(spark: SparkSession, path: str) -> IvfPqIndex:
     for any external consumer."""
     from ..sources.writers import read_sidecar_rows
 
+    _check_metric(path)  # refuse pre-cosine (unnormalized) stores
     coded = spark.read.parquet(f"{path}/coded").select(
         "id", "codes", F.col("cid").cast("int").alias("cid")
     )
@@ -565,7 +615,14 @@ def split_oversized_cells(
     centroid_map = {
         int(r.cid): [float(x) for x in r.cvec] for r in index.centroids.collect()
     }
-    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # same cosine-metric normalization as build/append/probe: split
+    # cells get 2-means centroids and PQ residuals on the SAME unit
+    # sphere the quantizers were fit on — without this, probes route
+    # and score normalized queries against split-cell geometry trained
+    # on raw magnitudes (the r7 magnitude-ranking bug, reintroduced
+    # only for split cells, with the correctly-coded originals deleted
+    # at the commit point)
+    vecs = corpus.select(F.col(id_col).alias("id"), l2_normalize(vec_col).alias("vec"))
     # next id from BOTH tables: an empty cell (centroid present, zero
     # coded rows — _lloyd pads degenerate fits with duplicate centers
     # that lose every argmin tie) holds the max cid in centroids only;
