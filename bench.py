@@ -66,6 +66,7 @@ def time_ivfpq_split(spark, sf_dir: str) -> dict[str, float]:
 
     from pyspark.sql import functions as F
 
+    from crime_spark_ml_spark.ml.ivf import suggest_k_cells
     from crime_spark_ml_spark.ml.ivfpq import build_ivfpq, persist_ivfpq, probe_ivfpq
     from crime_spark_ml_spark.plans.datapipe import _train_fraction
     from crime_spark_ml_spark.sources.catalog import load_table
@@ -73,18 +74,21 @@ def time_ivfpq_split(spark, sf_dir: str) -> dict[str, float]:
     best_build = best_probe = float("inf")
     for _ in range(2):
         emb = load_table(spark, sf_dir, "embeddings").cache()
-        frac = _train_fraction(emb.count())
+        n = emb.count()
+        frac = _train_fraction(n)
+        kc = suggest_k_cells(n)  # r9 default geometry, same as dp_ann_ivfpq
         path = tempfile.mkdtemp(prefix="ivfpq_bench_")
         try:
             t0 = time.perf_counter()
             index = build_ivfpq(
-                emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac
+                emb, k_cells=kc, m=16, k=16, seed=0, train_fraction=frac
             )
             persist_ivfpq(index, path)
             best_build = min(best_build, time.perf_counter() - t0)
             t0 = time.perf_counter()
             probe_ivfpq(
-                spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=4
+                spark, path, emb.where(F.col("vec_id") < 5), k=5,
+                nprobe=max(1, kc // 4),
             ).write.format("noop").mode("overwrite").save()
             best_probe = min(best_probe, time.perf_counter() - t0)
         finally:

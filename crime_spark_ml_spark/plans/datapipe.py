@@ -506,9 +506,10 @@ def dp_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dp_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
 def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF×PQ (IVFADC) end to end — the composed scale path: 16-cell
-    coarse quantizer, residual PQ codes persisted as cell-partitioned
-    parquet, probe = partition-PRUNED read of 4/16 cells + broadcast
+    """IVF×PQ (IVFADC) end to end — the composed scale path: ~sqrt(n)
+    coarse cells (suggest_k_cells, the r9 default geometry), residual
+    PQ codes persisted as cell-partitioned parquet, probe =
+    partition-PRUNED read of ~1/4 of the cells + broadcast
     per-(query, cell) LUT scoring. The corpus side of the probe plan
     has no Exchange (pinned in tests/test_ivfpq.py along with the
     PartitionFilters pin and recall ≥ the PQ-alone floor). KMeans
@@ -516,18 +517,24 @@ def dp_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..ml.ivf import suggest_k_cells
     from ..ml.ivfpq import build_ivfpq, persist_ivfpq, probe_ivfpq
 
     emb = well_formed_embeddings(
         load_table(spark, sf_dir, "embeddings")
     ).cache()
-    frac = _train_fraction(emb.count())
-    index = build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac)
+    n = emb.count()
+    frac = _train_fraction(n)
+    kc = suggest_k_cells(n)  # n already counted — skip the default's action
+    # m=16: with sqrt-n cells the binding recall constraint is code
+    # resolution — the r8/r9 SCALE cells phase measures m 8->16 nearly
+    # doubling raw-ADC recall at fixed geometry (SCALE.md)
+    index = build_ivfpq(emb, k_cells=kc, m=16, k=16, seed=0, train_fraction=frac)
     path = tempfile.mkdtemp(prefix="ivfpq_")
     try:
         persist_ivfpq(index, path)
         result = probe_ivfpq(
-            spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=4
+            spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=max(1, kc // 4)
         ).orderBy("query_id", "rank")
         rows = result.collect()
     finally:
@@ -555,10 +562,12 @@ def dp_ann_refine_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine must (a) dominate the unrefined ADC recall — a theorem
     given shortlist ⊇ top-k and exact ordering, so its failure means a
     broken re-rank join, not noise — and (b) clear an absolute floor.
-    Measured refined recalls at sf0.001/0.01/0.1: 0.48/0.36/0.40 vs
-    unrefined 0.12/0.20/0.16; the 0.18 floor sits at half the observed
+    Measured refined recalls at sf0.001/0.01/0.1 with the r9 default
+    geometry (sqrt-n cells, nprobe = cells/4, m=16): 0.52/0.36/0.68 vs
+    unrefined 0.24/0.12/0.20; the 0.18 floor sits at half the observed
     minimum, same convention as dp_ann_selfcheck. All components are
     seeded and deterministic."""
+    from ..ml.ivf import suggest_k_cells
     from ..ml.ivfpq import build_ivfpq, ivfpq_topk, ivfpq_topk_refined
     from ..operators.similarity import brute_force_topk
 
@@ -574,13 +583,15 @@ def dp_ann_refine_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {(r.query_id, r.cand_id) for r in df.collect()}
         return len(got & exact) / len(exact)
 
+    kc = suggest_k_cells(n_corpus)  # r9 default geometry, count reused
+    nprobe = max(1, kc // 4)  # ~25% of cells, the fraction the floors were measured at
     index = build_ivfpq(
-        emb, k_cells=16, m=8, k=16, seed=0,
+        emb, k_cells=kc, m=16, k=16, seed=0,
         train_fraction=_train_fraction(n_corpus),
     )
-    base = recall(ivfpq_topk(index, queries, k=5, nprobe=4))
+    base = recall(ivfpq_topk(index, queries, k=5, nprobe=nprobe))
     refined = recall(
-        ivfpq_topk_refined(index, emb, queries, k=5, nprobe=4, expand=8)
+        ivfpq_topk_refined(index, emb, queries, k=5, nprobe=nprobe, expand=8)
     )
     emb.unpersist(blocking=False)
     return spark.createDataFrame(
@@ -609,12 +620,13 @@ def dp_ann_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture's vectors are unstructured, which is the documented
     worst case for quantizers — measured recalls at sf0.001/0.01/0.1:
     LSH 0.64-0.76, IVF(nprobe 4/16) 0.48-0.76, PQ 0.12-0.20,
-    IVF×PQ 0.20-0.28; floors sit at roughly half the observed minimum
+    IVF×PQ 0.12-0.24 (r9 default geometry: sqrt-n cells, nprobe =
+    cells/4, m=16); floors sit at roughly half the observed minimum
     so they catch degeneration (empty probes, corrupt codes, broken
     scoring), not noise. Every component is seeded and deterministic,
     so the booleans are stable. The corpus count is the DuckDB data
     anchor."""
-    from ..ml.ivf import build_ivf, ivf_topk
+    from ..ml.ivf import build_ivf, ivf_topk, suggest_k_cells
     from ..ml.ivfpq import build_ivfpq, ivfpq_topk
     from ..ml.pq import pq_encode, pq_topk, train_pq
     from ..operators.similarity import brute_force_topk, lsh_topk
@@ -640,17 +652,18 @@ def dp_ann_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = train_pq(emb, m=8, k=16, seed=0, sample_fraction=frac)
     pq_r = recall(pq_topk(pq_encode(emb, model), model, queries, k=5))
+    kc = suggest_k_cells(n_corpus)  # r9 default geometry, count reused
     ivfpq_r = recall(
         ivfpq_topk(
-            build_ivfpq(emb, k_cells=16, m=8, k=16, seed=0, train_fraction=frac),
+            build_ivfpq(emb, k_cells=kc, m=16, k=16, seed=0, train_fraction=frac),
             queries,
             k=5,
-            nprobe=4,
+            nprobe=max(1, kc // 4),
         )
     )
     emb.unpersist(blocking=False)
     return spark.createDataFrame(
-        [(n_corpus, 5, 5, lsh_r >= 0.3, ivf_r >= 0.25, pq_r >= 0.06, ivfpq_r >= 0.1)],
+        [(n_corpus, 5, 5, lsh_r >= 0.3, ivf_r >= 0.25, pq_r >= 0.06, ivfpq_r >= 0.06)],
         "n_corpus bigint, n_queries int, k int, lsh_recall_ok boolean, "
         "ivf_recall_ok boolean, pq_recall_ok boolean, ivfpq_recall_ok boolean",
     )

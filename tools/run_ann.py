@@ -3,7 +3,7 @@
 
 Usage:
   python tools/run_ann.py build [--sf-dir DIR] [--index PATH]
-                                [--cells 16] [--m 8] [--codes 16]
+                                [--cells N] [--m 8] [--codes 16]
   python tools/run_ann.py probe --index PATH [--sf-dir DIR]
                                 [--query-ids 0,1,2] [--k 5] [--nprobe 4]
   python tools/run_ann.py append --index PATH --source PARQUET
@@ -56,7 +56,8 @@ def main() -> int:
     ap.add_argument("mode", choices=["build", "probe", "append", "stats", "rebalance"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--index", default=None)
-    ap.add_argument("--cells", type=int, default=16)
+    ap.add_argument("--cells", type=int, default=None,
+                    help="coarse cells; default derives ~sqrt(n) (suggest_k_cells)")
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--codes", type=int, default=16)
     ap.add_argument("--query-ids", default="0,1,2,3,4")
@@ -144,9 +145,11 @@ def main() -> int:
         path = args.index or tempfile.mkdtemp(prefix="ivfpq_index_")
         n = emb.count()
         frac = None  # train_pq/build_ivf auto-bound above their row cap
+        from crime_spark_ml_spark.ml.ivf import suggest_k_cells
+
         index = build_ivfpq(
             emb,
-            k_cells=args.cells,
+            k_cells=args.cells if args.cells else suggest_k_cells(n),
             m=args.m,
             k=args.codes,
             seed=0,

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from crime_spark_ml_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_JSON = os.path.join(REPO, "SCALE_r08.json")
+OUT_JSON = os.path.join(REPO, "SCALE_r09.json")
 
 def _replicate(df, shifts: dict[str, int], factor: int):
     """``factor``× volume by key-shifted union: each replica adds
@@ -359,7 +359,7 @@ def cmd_cells(spark, args) -> None:
     from crime_spark_ml_spark.operators.similarity import brute_force_topk
     from crime_spark_ml_spark.plans.datapipe import _train_fraction
 
-    s = 200_000
+    s = args.cells_corpus
     emb = spark.read.parquet(f"{args.dir}/embeddings.parquet").where(
         F.col("vec_id") < s
     )
@@ -377,12 +377,23 @@ def cmd_cells(spark, args) -> None:
         return round(got.join(exact, ["query_id", "cand_id"]).count() / n_truth, 4)
 
     points = []
-    for k_cells, m in ((32, 8), (64, 8), (128, 8), (64, 16)):
+    # the final (None, 16) point exercises build_ivfpq's DEFAULT
+    # signature (r9: k_cells=None derives suggest_k_cells(n) ~ sqrt n)
+    # so the recorded recall is what a user gets out of the box, at
+    # the same 12.5% probed fraction as the explicit-geometry points
+    specs = [
+        (None if p.split(":")[0] == "default" else int(p.split(":")[0]),
+         int(p.split(":")[1]))
+        for p in args.cells_points.split(",")
+    ]
+    for k_cells, m in specs:
         t0 = time.perf_counter()
         index = build_ivfpq(
             emb, k_cells=k_cells, m=m, k=16, seed=0,
             train_fraction=_train_fraction(s),
         )
+        if k_cells is None:
+            k_cells = index.centroids.count()  # derived: report the actual
         nprobe = max(1, k_cells // 8)
         raw = recall(ivfpq_topk(index, queries, k=k, nprobe=nprobe))
         refined = recall(
@@ -1171,6 +1182,10 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=8, dest="n_queries")
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--assign-k", type=int, default=256, dest="assign_k")
+    ap.add_argument("--cells-corpus", type=int, default=200_000, dest="cells_corpus")
+    ap.add_argument("--cells-points", dest="cells_points",
+                    default="32:8,64:8,128:8,64:16,default:16",
+                    help="k_cells:m list; 'default' = build_ivfpq's derived sqrt-n")
     args = ap.parse_args()
     spark = get_spark("scale-test", cpus=32, shuffle_partitions=32)
     if args.phase in ("gen", "all", "newops", "gmedian", "hygiene") and (
