@@ -30,10 +30,27 @@ a probe scans nprobe/k of the code table with LUT scoring.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _fold_lit(value, schema: str) -> F.Column:
+    """A complex-typed constant as ONE Catalyst node: ``from_json`` on
+    a literal string is constant-folded at optimization time into a
+    single Literal, so the plan carries O(1) nodes instead of an
+    O(elements) CreateArray tree. Load-bearing at the r9 sqrt-n
+    geometry: the per-cell literal trees made analysis + codegen the
+    dominant build cost (measured 33.6 s planning for a 447×64
+    centroid argmin vs 4.0 s folded; per-row evaluation is the same
+    interpreted HOF fold either way). json round-trips binary64
+    exactly (repr shortest-round-trip on the Python side, strtod on
+    the JVM side), so distances are bit-identical to the unrolled
+    form. Not for NaN/Inf payloads — quantizer models are finite by
+    construction."""
+    return F.from_json(F.lit(json.dumps(value)), schema)
 
 
 @dataclass
@@ -249,18 +266,33 @@ def argmin_cid_expr(
     flat/two-level assignment agreement and for probe determinism, so
     every assignment site (build_ivf, two_level_assign_expr,
     append_ivfpq, split_oversized_cells, the scale harness) routes
-    through this one definition."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_l2_lit(vec, 0, [float(x) for x in cv]).alias("d"),
-                    F.lit(int(c)).alias("c"),
-                )
-                for c, cv in pairs
-            ]
+    through this one definition.
+
+    The (cid, centroid) table rides as ONE folded literal (_fold_lit)
+    rather than per-centroid expression subtrees — same zip_with/
+    aggregate distance fold in the same order, so assignments are
+    bit-identical to the unrolled form, but the plan stays O(1) in
+    k_cells (at sqrt-n cell counts the unrolled tree's analysis +
+    codegen dominated the whole build)."""
+    col = F.col(vec) if isinstance(vec, str) else vec
+    dim = len(pairs[0][1])
+    cents = _fold_lit(
+        [{"c": int(c), "v": [float(x) for x in cv]} for c, cv in pairs],
+        "array<struct<c:int,v:array<double>>>",
+    )
+    return (
+        F.array_min(
+            F.transform(
+                cents,
+                lambda s: F.struct(
+                    _sq_l2_cols(F.slice(col, 1, dim), s["v"]).alias("d"),
+                    s["c"].alias("c"),
+                ),
+            )
         )
-    ).getField("c").cast("int")
+        .getField("c")
+        .cast("int")
+    )
 
 
 def pq_code_expr(model: PqModel, vec: str | F.Column) -> F.Column:
@@ -280,20 +312,29 @@ def pq_code_expr(model: PqModel, vec: str | F.Column) -> F.Column:
     cb: dict[int, list[list[float]]] = {}
     for r in model.codebooks.collect():  # bounded: m*k rows
         cb.setdefault(r.sub, [None] * model.k)[r.code] = [float(x) for x in r.cvec]
+    col = F.col(vec) if isinstance(vec, str) else vec
+    # whole codebook as ONE folded literal (sub -> code -> vector):
+    # plan size O(m) instead of O(m*k*sub_dim) — see _fold_lit
+    cbs = _fold_lit(
+        [[cb[j][c] for c in range(model.k)] for j in range(model.m)],
+        "array<array<array<double>>>",
+    )
 
     def code_for(j: int) -> F.Column:
         # array_min over (d, code) structs orders lexicographically —
         # one evaluation per distance (array_position(.., array_min(..))
-        # would compute every aggregate twice), lowest code on ties
+        # would compute every aggregate twice), lowest code on ties;
+        # the transform index IS the code (codebook list is
+        # code-ordered), same tie contract as the unrolled form
         best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_l2_lit(vec, j * model.sub_dim, cb[j][c]).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c in range(model.k)
-                ]
+            F.transform(
+                F.element_at(cbs, j + 1),
+                lambda cv, i: F.struct(
+                    _sq_l2_cols(
+                        F.slice(col, j * model.sub_dim + 1, model.sub_dim), cv
+                    ).alias("d"),
+                    i.alias("c"),
+                ),
             )
         )
         return best.getField("c").cast("int")
