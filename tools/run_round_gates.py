@@ -65,7 +65,8 @@ def main() -> int:
         if r.returncode != 0:
             print(f"[gates] FAIL {name} ({dt:.0f}s)\n{tail}\n{r.stderr[-500:]}")
             return 1
-        print(f"[gates] ok   {name} ({dt:.0f}s): {tail.splitlines()[-1]}")
+        last = tail.splitlines()[-1] if tail else "(no output)"
+        print(f"[gates] ok   {name} ({dt:.0f}s): {last}")
     print("[gates] ALL GATES GREEN")
     return 0
 
