@@ -60,14 +60,16 @@ def build_ivf(
     partition-order-independent sample — the PQ-codebook split: the
     model is k×dim doubles, kilobytes; distributed KMeans would spend
     hundreds of scheduler jobs on it). Assignment covers every row as
-    a PURE NARROW MAP: argmin over k literal-array squared-L2
-    distances via one array_min over (d, cid) structs — zero shuffles,
-    so indexing 100 TB is scan → project → write. ``sample_fraction``
-    bounds the fit; with none given, corpora above the row cap are
-    automatically down-sampled to it."""
+    a PURE NARROW MAP — zero shuffles, so indexing 100 TB is scan →
+    project → write. r9: the per-row argmin runs as one numpy pass per
+    Arrow batch (pq.argmin_cid_udf) instead of k interpreted
+    zip_with/aggregate folds (guide §4.2); cids are bit-identical
+    (same sequential fold, same smallest-cid tie break).
+    ``sample_fraction`` bounds the fit; with none given, corpora above
+    the row cap are automatically down-sampled to it."""
     import numpy as np
 
-    from .pq import _collect_train_sample, _lloyd, argmin_cid_expr
+    from .pq import _collect_train_sample, _lloyd, argmin_cid_udf
 
     sc = corpus.sparkSession.sparkContext
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -85,9 +87,8 @@ def build_ivf(
         [(i, [float(x) for x in C[i]]) for i in range(k)],
         "cid int, cvec array<double>",
     )
-    assigned = vecs.withColumn(
-        "cid", argmin_cid_expr([(i, C[i]) for i in range(k)], "vec")
-    )
+    assign = argmin_cid_udf([(i, [float(x) for x in C[i]]) for i in range(k)])
+    assigned = vecs.withColumn("cid", assign(F.col("vec")))
     return IvfIndex(centroids=centroids, assigned=assigned)
 
 

@@ -46,12 +46,19 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import l2_normalize
-from .ivf import build_ivf
-from .pq import PqModel, _sq_l2, _sq_l2_lit, _sliced, pq_code_expr, train_pq
+from .pq import (
+    PqModel,
+    _codebook_np,
+    _np_l2_normalize,
+    _np_rows,
+    _np_sq_dists_seq,
+    train_pq,
+)
 
 
 @dataclass
@@ -59,17 +66,94 @@ class IvfPqIndex:
     centroids: DataFrame  # cid int, cvec array<double>
     pq: PqModel  # codebooks fit on residuals
     coded: DataFrame  # id, codes array<int>, cid
+    # numpy mirror of the centroid table (cids sorted ascending, row i
+    # of cent_np ↔ cent_cids[i]), carried so probes/appends/splits
+    # never re-collect the kilobyte local relation (~0.4 s py4j
+    # round-trip each). None on hand-built indexes; _cent_arrays falls
+    # back to one collect then.
+    cent_cids: object = None
+    cent_np: object = None
 
 
-def _residuals(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(id, cid, rvec = vec − centroid[cid]); centroid table broadcast."""
-    return assigned.join(F.broadcast(centroids), "cid").select(
-        "id",
-        "cid",
-        F.zip_with(
-            "vec", "cvec", lambda x, y: x.cast("double") - y.cast("double")
-        ).alias("rvec"),
+def _cent_arrays(index: IvfPqIndex):
+    """(cids int64 ascending, C float64) for an index — cached numpy
+    mirror when present, else one collect of the centroid relation."""
+    import numpy as np
+
+    if index.cent_np is not None:
+        return index.cent_cids, index.cent_np
+    cents = sorted(index.centroids.collect(), key=lambda r: r.cid)
+    if not cents:
+        raise ValueError("index has no centroids")
+    return (
+        np.asarray([int(r.cid) for r in cents], dtype=np.int64),
+        np.asarray([[float(x) for x in r.cvec] for r in cents], dtype=np.float64),
     )
+
+
+def _coded_frame(
+    source: DataFrame, cids, C, CB, id_col: str, vec_col: str, normalize: bool
+) -> DataFrame:
+    """(id, cid, codes) via ONE vectorized mapInPandas encode —
+    (optional L2-normalize) → nearest-cell argmin → residual → m PQ
+    codes, all in a single numpy pass per Arrow batch. This is the r9
+    replacement for the interpreted Catalyst chain (argmin_cid_expr →
+    broadcast-join residual → pq_code_expr), whose CodegenFallback HOF
+    folds were the dominant per-row cost of a build at sqrt-n cell
+    counts (O(k_cells·dim) boxed lambda calls per row, guide §4.2).
+    Every numpy step reproduces its JVM twin's IEEE-754 double op in
+    the same order, so cids, residuals and codes are bit-identical
+    (tie break: first minimum = smallest cid / code; ``cids`` must be
+    sorted ascending). Shared by build / append / split so every path
+    stays bit-identical by construction.
+
+    mapInPandas (a plan NODE, not an expression) rather than a
+    struct-returning pandas UDF: projection collapse can fold a struct
+    UDF's field accesses into grouping/filter expressions where
+    ExtractPythonUDFs cannot place them (INTERNAL_ERROR Cannot
+    evaluate). Only the projected (id, vec) columns cross the Python
+    boundary (guide §4: select before an opaque op). NULL vectors are
+    dropped — the former expression chain dropped them at the residual
+    inner join on cid. The model rides in the task closure
+    (k_cells·dim + m·k·sub_dim doubles — the same bytes the folded
+    literal carried in the plan); for cell counts past closure
+    comfort, route through ivf.two_level_assign_expr instead."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    from .pq import _np_pq_codes
+
+    cids = np.asarray(cids, dtype=np.int64)
+    if len(cids) > 1 and not (np.diff(cids) > 0).all():
+        raise ValueError("cids must be sorted ascending (argmin tie contract)")
+    proj = source.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    schema = StructType(
+        [
+            StructField("id", proj.schema["id"].dataType),
+            StructField("cid", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            mask = pdf["vec"].notna().to_numpy()
+            if not mask.any():
+                continue
+            X = _np_rows(pdf["vec"][mask])
+            if normalize:
+                X = _np_l2_normalize(X)
+            a = _np_sq_dists_seq(X, C).argmin(1)
+            codes = _np_pq_codes(X - C[a], CB)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"][mask].reset_index(drop=True),
+                    "cid": pd.Series(cids[a], dtype="int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return proj.mapInPandas(encode, schema)
 
 
 def build_ivfpq(
@@ -102,34 +186,112 @@ def build_ivfpq(
     truth the recall harness measures against. Without this the ADC
     ordering on an unnormalized corpus tracks magnitude, not angle —
     the r7 recall curve's ~random raw-ADC ranking (SCALE_r07.json).
-    exact_rerank is cosine and therefore unaffected."""
+    exact_rerank is cosine and therefore unaffected.
+
+    r9 shape (guide §1.2/§4.2): ONE sample pass + ONE encode pass over
+    the corpus. The coarse sample collects normalized vectors; both
+    quantizers fit driver-side; when the sample PROVABLY covers the
+    whole corpus (under-cap limit probe) the PQ residual training set
+    is derived in numpy from the already-collected vectors —
+    bit-identical to re-running the assignment subplan, which the old
+    flow executed twice more (train_pq's .first() dim probe + its
+    sample collect). The encode is one vectorized Arrow pass
+    (_encode_udf) instead of the interpreted argmin/residual/code
+    expression chain; cids, residuals and codes are bit-identical."""
+    import numpy as np
+
     from .ivf import suggest_k_cells
+    from .pq import _collect_train_sample_info, _fit_codebooks, _lloyd
 
     if k_cells is None:
         k_cells = suggest_k_cells(corpus.count())
-    corpus = corpus.withColumn(vec_col, l2_normalize(vec_col))
-    ivf = build_ivf(
+    spark = corpus.sparkSession
+    normed = corpus.select(
+        F.col(id_col).alias("id"), l2_normalize(vec_col).alias("vec")
+    )
+    sample, covers_all = _collect_train_sample_info(
+        normed.select("vec"), "vec", train_fraction, seed
+    )
+    Xs = np.asarray(sorted(tuple(r.vec) for r in sample), dtype=np.float64)
+    C = _lloyd(Xs, k_cells, seed)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(k_cells)],
+        "cid int, cvec array<double>",
+    )
+    if covers_all:
+        # the sample IS the corpus: residuals for PQ training derive
+        # driver-side (same sequential-fold argmin, same subtraction —
+        # bit-identical values), saving a full Spark assignment pass
+        V = np.asarray([tuple(r.vec) for r in sample], dtype=np.float64)
+        a = _np_sq_dists_seq(V, C).argmin(1)
+        Xr = np.asarray(sorted(map(tuple, V - C[a])), dtype=np.float64)
+        pq = _fit_codebooks(spark, Xr, m=m, k=k, seed=seed)
+    else:
+        # over-cap corpus: train_pq's hash sampler must see the full
+        # residual table (content-keyed on rvec, layout-independent) —
+        # one vectorized assignment pass
+        res = _assign_residual_frame(normed, C)
+        pq = train_pq(
+            res, m=m, k=k, seed=seed, vec_col="rvec", sample_fraction=train_fraction
+        )
+    coded = _coded_frame(
         corpus,
-        k=k_cells,
-        seed=seed,
-        id_col=id_col,
-        vec_col=vec_col,
-        sample_fraction=train_fraction,
+        list(range(k_cells)),
+        C,
+        _codebook_np(pq),
+        id_col,
+        vec_col,
+        normalize=True,
     )
-    res = _residuals(ivf.assigned, ivf.centroids)
-    # sampling happens inside train_pq (hash-based, layout-independent,
-    # bounded) — a pre-sample here would be a second, divergent sampler
-    pq = train_pq(res, m=m, k=k, seed=seed, vec_col="rvec", sample_fraction=train_fraction)
-    # cid rides along through the narrow-map encode — a join back on id
-    # would shuffle the whole corpus for a column it already has.
-    # The one-element-array transform BINDS the residual: without it,
-    # projection collapse inlines rvec's zip_with into all m*k distance
-    # subtrees (measured 4x row work + seconds of codegen per build)
-    codes = F.element_at(
-        F.transform(F.array(F.col("rvec")), lambda rv: pq_code_expr(pq, rv)), 1
+    return IvfPqIndex(
+        centroids=centroids,
+        pq=pq,
+        coded=coded,
+        cent_cids=np.arange(k_cells, dtype=np.int64),
+        cent_np=C,
     )
-    coded = res.select("id", "cid", codes.alias("codes"))
-    return IvfPqIndex(centroids=ivf.centroids, pq=pq, coded=coded)
+
+
+def _assign_residual_frame(normed: DataFrame, C) -> DataFrame:
+    """(id, cid, rvec) via one vectorized mapInPandas pass over
+    ALREADY-normalized (id, vec) rows — the over-cap training-sample
+    source. Residuals are bit-identical to the former JVM
+    broadcast-join + zip_with chain, so train_pq's xxhash64(rvec)
+    sampler selects the same set. NULL vectors are dropped (the former
+    residual inner join on cid did the same)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", normed.schema["id"].dataType),
+            StructField("cid", IntegerType()),
+            StructField("rvec", ArrayType(DoubleType())),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            mask = pdf["vec"].notna().to_numpy()
+            if not mask.any():
+                continue
+            X = _np_rows(pdf["vec"][mask])
+            a = _np_sq_dists_seq(X, C).argmin(1)
+            R = X - C[a]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"][mask].reset_index(drop=True),
+                    "cid": pd.Series(a, dtype="int32"),
+                    "rvec": list(R),
+                }
+            )
+
+    return normed.select("id", "vec").mapInPandas(assign, schema)
 
 
 def persist_ivfpq(index: IvfPqIndex, path: str) -> None:
@@ -150,14 +312,87 @@ def persist_ivfpq(index: IvfPqIndex, path: str) -> None:
     index.coded.repartition("cid").write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/coded")
-    write_sidecar(index.centroids, f"{path}/centroids")
-    write_sidecar(index.pq.codebooks, f"{path}/codebooks")
-    # staleness bookkeeping for append_ivfpq/needs_retrain: n_base is
-    # the row count the quantizers were trained against (parquet-footer
-    # count — metadata-only, no data scan)
+    # sidecars straight from the numpy model mirrors when the index
+    # carries them (build/load paths) — the DataFrame fallback's
+    # toArrow costs a py4j round-trip per kilobyte table; same parquet
+    # schema either way (int32 ids, float64 vectors)
+    if index.cent_cids is not None:
+        from ..sources.writers import write_sidecar_arrow
+
+        write_sidecar_arrow(_centroids_arrow(index.cent_cids, index.cent_np),
+                            f"{path}/centroids")
+    else:
+        write_sidecar(index.centroids, f"{path}/centroids")
+    if index.pq.cb_np is not None:
+        from ..sources.writers import write_sidecar_arrow
+
+        write_sidecar_arrow(_codebooks_arrow(index.pq.cb_np), f"{path}/codebooks")
+    else:
+        write_sidecar(index.pq.codebooks, f"{path}/codebooks")
+    # staleness bookkeeping: n_base from the written files' parquet
+    # FOOTERS, read driver-side via pyarrow — zero Spark jobs (the
+    # former Spark read-back count was one scheduler round-trip per
+    # persist; Observation-on-the-write would be free but poisons the
+    # session for later MLlib closures: registering an observation
+    # makes any captured SparkSession non-serializable via its
+    # ObservationManager). Local-FS walk only — the same contract the
+    # sidecars already carry (write_sidecar).
     spark = index.coded.sparkSession
-    n_base = spark.read.parquet(f"{path}/coded").count()
-    _write_stats(spark, path, n_base=n_base, n_appended=0)
+    _write_stats(spark, path, n_base=_count_parquet_rows(f"{path}/coded"), n_appended=0)
+
+
+def _centroids_arrow(cids, C):
+    """(cid int32, cvec list<double>) pyarrow table — the centroid
+    sidecar's exact parquet schema, built driver-side from the numpy
+    mirror."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "cid": pa.array([int(c) for c in cids], pa.int32()),
+            "cvec": pa.array(
+                [[float(x) for x in row] for row in C], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+def _codebooks_arrow(CB):
+    """(sub int32, code int32, cvec list<double>) pyarrow table — the
+    codebook sidecar's exact parquet schema, in the same (sub, code)
+    row order train_pq's relation carries."""
+    import pyarrow as pa
+
+    m, k, _ = CB.shape
+    return pa.table(
+        {
+            "sub": pa.array([j for j in range(m) for _ in range(k)], pa.int32()),
+            "code": pa.array([c for _ in range(m) for c in range(k)], pa.int32()),
+            "cvec": pa.array(
+                [[float(x) for x in CB[j][c]] for j in range(m) for c in range(k)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+
+
+def _count_parquet_rows(path: str) -> int:
+    """Total rows under a (possibly partitioned) parquet directory from
+    file FOOTERS, driver-side via pyarrow — milliseconds, no Spark job.
+    Mirrors the write_sidecar/read_sidecar_rows local-filesystem
+    contract (an IVFPQ store lives on a path both can walk)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if "://" in path:
+        raise ValueError(f"_count_parquet_rows reads the local filesystem only: {path}")
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
 
 
 _METRIC = "cosine"  # r8 format: vectors/residuals stored L2-normalized
@@ -166,13 +401,20 @@ _METRIC = "cosine"  # r8 format: vectors/residuals stored L2-normalized
 def _write_stats(spark: SparkSession, path: str, n_base: int, n_appended: int) -> None:
     # the metric stamp is the on-disk FORMAT marker: r8 changed the
     # stored bytes (normalized vectors/residuals), so a loader must be
-    # able to tell a cosine-format store from a pre-r8 raw-L2 one
-    from ..sources.writers import write_sidecar
+    # able to tell a cosine-format store from a pre-r8 raw-L2 one.
+    # Written straight via pyarrow (same bigint/bigint/string schema
+    # the former one-row DataFrame carried) — no py4j round-trip.
+    import pyarrow as pa
 
-    write_sidecar(
-        spark.createDataFrame(
-            [(n_base, n_appended, _METRIC)],
-            "n_base bigint, n_appended bigint, metric string",
+    from ..sources.writers import write_sidecar_arrow
+
+    write_sidecar_arrow(
+        pa.table(
+            {
+                "n_base": pa.array([int(n_base)], pa.int64()),
+                "n_appended": pa.array([int(n_appended)], pa.int64()),
+                "metric": pa.array([_METRIC], pa.string()),
+            }
         ),
         f"{path}/stats",
     )
@@ -221,7 +463,7 @@ def ivfpq_staleness(spark: SparkSession, path: str) -> dict:
         row = read_sidecar_rows(f"{path}/stats")[0]  # driver-side, no job
         n_base, n_appended = int(row["n_base"]), int(row["n_appended"])
     else:  # pre-stats index: treat current contents as the trained base
-        n_base = spark.read.parquet(f"{path}/coded").count()
+        n_base = _count_parquet_rows(f"{path}/coded")
         n_appended = 0
     return {
         "n_base": n_base,
@@ -259,34 +501,33 @@ def append_ivfpq(
     contract (append does not dedup against the store). Returns the
     updated staleness dict; check ``needs_retrain`` (or the returned
     staleness) to schedule a full rebuild."""
-    from .pq import argmin_cid_expr
-
     index = load_ivfpq(spark, path)
-    cents = sorted(index.centroids.collect(), key=lambda r: r.cid)  # k rows
-    if not cents:
+    cids, C = _cent_arrays(index)  # numpy mirror, no local collect
+    if len(cids) == 0:
         raise ValueError(f"no centroids at {path}/centroids — not an IVFPQ index")
     before = ivfpq_staleness(spark, path)
-    # same cosine-metric normalization as the build path — appended
-    # rows must live on the same unit sphere the quantizers were fit on
-    vecs = new_vectors.select(
-        F.col(id_col).alias("id"), l2_normalize(vec_col).alias("vec")
+    # one vectorized encode pass — same cosine normalization, same
+    # argmin/residual/code math as the build path (_coded_frame is the
+    # single shared definition), bit-identical to the former
+    # expression chain. Non-contiguous cids (post-split stores) map
+    # through the sorted cid list, preserving the smallest-cid tie
+    # break.
+    coded_new = _coded_frame(
+        new_vectors,
+        cids,
+        C,
+        _codebook_np(index.pq),
+        id_col,
+        vec_col,
+        normalize=True,
     )
-    assigned = vecs.withColumn(
-        "cid", argmin_cid_expr([(r.cid, list(r.cvec)) for r in cents], "vec")
-    )
-    res = _residuals(assigned, index.centroids)
-    # same residual-binding as build_ivfpq (see comment there)
-    codes_new = F.element_at(
-        F.transform(F.array(F.col("rvec")), lambda rv: pq_code_expr(index.pq, rv)), 1
-    )
-    coded_new = res.select("id", "cid", codes_new.alias("codes"))
     # same file-per-cell organization shuffle as persist_ivfpq
     coded_new.repartition("cid").write.mode("append").partitionBy("cid").parquet(
         f"{path}/coded"
     )
-    # appended count from footer metadata (no data scan, no cache of
-    # the encode plan): everything beyond n_base is appended mass
-    total = spark.read.parquet(f"{path}/coded").count()
+    # appended count from footer metadata, driver-side (no Spark
+    # read-back job): everything beyond n_base is appended mass
+    total = _count_parquet_rows(f"{path}/coded")
     _write_stats(
         spark, path, n_base=before["n_base"], n_appended=total - before["n_base"]
     )
@@ -305,12 +546,18 @@ def load_ivfpq(spark: SparkSession, path: str) -> IvfPqIndex:
     rebuild normalizes any pre-schema-preserving sidecar's widened
     types. Spark's parquet reader still works on the same directories
     for any external consumer."""
+    import numpy as np
+
     from ..sources.writers import read_sidecar_rows
 
     _check_metric(path)  # refuse pre-cosine (unnormalized) stores
-    coded = spark.read.parquet(f"{path}/coded").select(
-        "id", "codes", F.col("cid").cast("int").alias("cid")
-    )
+    # explicit read schema from ONE data file's footer (driver-side
+    # pyarrow) — skips Spark's schema-inference pass over the store on
+    # every load; the partitioned layout appends cid (declared int, so
+    # no cast projection is needed either)
+    coded = spark.read.schema(_coded_schema(f"{path}/coded")).parquet(
+        f"{path}/coded"
+    ).select("id", "codes", "cid")
     cent_rows = read_sidecar_rows(f"{path}/centroids")
     cb_rows = read_sidecar_rows(f"{path}/codebooks")
     if not cent_rows or not cb_rows:
@@ -326,13 +573,53 @@ def load_ivfpq(spark: SparkSession, path: str) -> IvfPqIndex:
         ],
         "sub int, code int, cvec array<double>",
     )
+    m = max(r["sub"] for r in cb_rows) + 1
+    k = max(r["code"] for r in cb_rows) + 1
+    cb: dict[int, list] = {}
+    for r in cb_rows:
+        cb.setdefault(int(r["sub"]), [None] * k)[int(r["code"])] = [
+            float(x) for x in r["cvec"]
+        ]
     pq = PqModel(
         codebooks=codebooks,
-        m=max(r["sub"] for r in cb_rows) + 1,
-        k=max(r["code"] for r in cb_rows) + 1,
+        m=m,
+        k=k,
         sub_dim=max(len(r["cvec"]) for r in cb_rows),
+        cb_np=np.asarray(
+            [[cb[j][c] for c in range(k)] for j in range(m)], dtype=np.float64
+        ),
     )
-    return IvfPqIndex(centroids=centroids, pq=pq, coded=coded)
+    srt = sorted(cent_rows, key=lambda r: int(r["cid"]))
+    return IvfPqIndex(
+        centroids=centroids,
+        pq=pq,
+        coded=coded,
+        cent_cids=np.asarray([int(r["cid"]) for r in srt], dtype=np.int64),
+        cent_np=np.asarray(
+            [[float(x) for x in r["cvec"]] for r in srt], dtype=np.float64
+        ),
+    )
+
+
+def _coded_schema(coded_path: str):
+    """Spark read schema for a cell-partitioned code store, derived
+    from one part file's parquet footer plus the cid partition column
+    — driver-side pyarrow, no Spark inference job."""
+    import os
+
+    import pyarrow.parquet as papq
+    from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    for root, _dirs, files in os.walk(coded_path):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                arrow = papq.ParquetFile(os.path.join(root, name)).schema_arrow
+                fields = [
+                    StructField(f.name, from_arrow_type(f.type), True) for f in arrow
+                ]
+                return StructType(fields + [StructField("cid", IntegerType(), True)])
+    raise FileNotFoundError(f"no parquet data files under {coded_path}")
 
 
 def _probe_luts(
@@ -342,49 +629,80 @@ def _probe_luts(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(query_id, cid, lut): for each query's nprobe nearest cells, the
-    m×k table of exact subspace distances from the query's residual in
-    that cell. Size nq·nprobe·m·k doubles — always broadcastable."""
-    # queries are normalized onto the index's unit sphere (the build
-    # path normalizes the corpus — cosine-metric index)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("qv")
+    """(query_id, cid, lut) as a LOCAL relation: for each query's
+    nprobe nearest cells, the m×k table of exact subspace distances
+    from the query's residual in that cell. Size nq·nprobe·m·k doubles
+    — always broadcastable, and therefore (r9) computed DRIVER-SIDE:
+    the former crossJoin → window → posexplode → two groupBys spent
+    four tiny shuffle stages per probe producing a kilobyte table the
+    driver derives in microseconds from one collect of the query
+    vectors (strictly smaller than the LUT table itself). Every value
+    is bit-identical: the same sequential double folds for cell
+    distances and pd entries, the same (cd, cid) tie order for the
+    probed-cell ranking (stable argsort over ascending cids), the same
+    code/sub ordering in the LUT rows. NULL query vectors are skipped
+    (the former normalize → NULL qv chain produced no joinable LUT
+    rows for them)."""
+    rows, schema = _probe_lut_rows(index, queries, nprobe, id_col, vec_col)
+    return queries.sparkSession.createDataFrame(rows, schema)
+
+
+def _probe_lut_rows(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list, "object"]:
+    """(python rows, schema) behind _probe_luts — split out so
+    probe_ivfpq can derive the probed-cell IN-list from the rows
+    without collecting the local relation back (a LOCAL-relation
+    collect still costs a full py4j/analysis round-trip)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    probed = (
-        q.crossJoin(F.broadcast(index.centroids))
-        .withColumn("cd", _sq_l2("qv", "cvec"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("cd", "cid")
-            ),
+
+    cids, C = _cent_arrays(index)
+    CB = _codebook_np(index.pq)
+    m, _, sub_dim = CB.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    out = []
+    for r in q_rows:
+        if r.qv is None:
+            continue
+        qv = _np_l2_normalize(
+            np.asarray([[float(x) for x in r.qv]], dtype=np.float64)
         )
-        .where(F.col("crank") <= nprobe)
-        .select(
-            "query_id",
-            "cid",
-            F.zip_with(
-                "qv", "cvec", lambda x, y: x.cast("double") - y.cast("double")
-            ).alias("qr"),
-        )
+        cd = _np_sq_dists_seq(qv, C)[0]
+        # row_number orderBy(cd, cid): stable sort over cid-ascending
+        # centroids keeps the smaller cid on equal distances
+        for ci in np.argsort(cd, kind="stable")[:nprobe]:
+            qr = (qv[0] - C[ci])[None, :]
+            lut = [
+                [
+                    float(d)
+                    for d in _np_sq_dists_seq(
+                        qr[:, j * sub_dim : (j + 1) * sub_dim], CB[j]
+                    )[0]
+                ]
+                for j in range(m)
+            ]
+            out.append((r.query_id, int(cids[ci]), lut))
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("cid", IntegerType()),
+            StructField("lut", ArrayType(ArrayType(DoubleType()))),
+        ]
     )
-    return (
-        _sliced(probed, "qr", index.pq.m, index.pq.sub_dim)
-        .join(F.broadcast(index.pq.codebooks), "sub")
-        .withColumn("pd", _sq_l2("subvec", "cvec"))
-        .groupBy("query_id", "cid", "sub")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "pd"))), lambda s: s["pd"]
-            ).alias("row")
-        )
-        .groupBy("query_id", "cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "row"))), lambda s: s["row"]
-            ).alias("lut")
-        )
-    )
+    return out, schema
 
 
 def _score_topk(coded: DataFrame, luts: DataFrame, k: int) -> DataFrame:
@@ -447,18 +765,15 @@ def probe_ivfpq(
     pruning (``PartitionFilters`` in the scan node) instead of
     scanning the corpus and filtering."""
     index = load_ivfpq(spark, path)
-    luts = _probe_luts(index, queries, nprobe, id_col, vec_col)
-    # ONE evaluation of the LUT plan: collect the kilobyte table
-    # (nq·nprobe rows), derive the probed-cell IN-list in Python, and
-    # re-ship the rows as a LOCAL relation for the broadcast. The
-    # former flow ran the plan twice (distinct-collect for the cells,
-    # then again under the broadcast) — a full scheduler round-trip of
-    # pure overhead on the per-search latency path. No .cache() so no
-    # storage-memory leak per probe.
-    lut_rows = luts.collect()
-    cells = sorted({int(r.cid) for r in lut_rows})
+    # r9: LUT rows are driver-computed (_probe_lut_rows), so the
+    # probed-cell IN-list comes straight off the python rows and the
+    # whole probe runs as ONE Spark job: pruned scan → broadcast LUT
+    # join → ADC → group-limited top-k window.
+    rows, schema = _probe_lut_rows(index, queries, nprobe, id_col, vec_col)
+    luts = spark.createDataFrame(rows, schema)
+    cells = sorted({int(r[1]) for r in rows})
     pruned = index.coded.where(F.col("cid").isin(cells))
-    return _score_topk(pruned, spark.createDataFrame(lut_rows, luts.schema), k)
+    return _score_topk(pruned, luts, k)
 
 
 def exact_rerank(
@@ -543,16 +858,20 @@ def probe_ivfpq_refined(
 
 
 def cell_sizes(spark: SparkSession, path: str) -> dict[int, int]:
-    """{cid: rows} for the persisted store — one metadata-cheap group
-    count over the code table (m-byte rows), the imbalance monitor
-    that drives ``split_oversized_cells``."""
-    return {
-        int(r.cid): int(r.n)
-        for r in spark.read.parquet(f"{path}/coded")
-        .groupBy("cid")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    """{cid: rows} for the persisted store — per-cell-directory parquet
+    FOOTER sums read driver-side (r9: zero Spark jobs; was a group
+    count job over the code table), the imbalance monitor that drives
+    ``split_oversized_cells``."""
+    import os
+
+    sizes: dict[int, int] = {}
+    base = f"{path}/coded"
+    for entry in os.listdir(base):
+        if entry.startswith("cid="):
+            sizes[int(entry.split("=", 1)[1])] = _count_parquet_rows(
+                os.path.join(base, entry)
+            )
+    return sizes
 
 
 def split_oversized_cells(
@@ -605,15 +924,16 @@ def split_oversized_cells(
 
     import numpy as np
 
-    from ..sources.writers import write_sidecar
-    from .pq import _collect_train_sample, _lloyd, argmin_cid_expr
+    from .pq import _collect_train_sample, _lloyd
 
     if max_rows < 2:
         raise ValueError(f"max_rows must be >= 2, got {max_rows}")
     index = load_ivfpq(spark, path)
+    CB = _codebook_np(index.pq)  # global PQ codebooks, unchanged by splits
     sizes = cell_sizes(spark, path)
+    all_cids, all_C = _cent_arrays(index)  # numpy mirror, no local collect
     centroid_map = {
-        int(r.cid): [float(x) for x in r.cvec] for r in index.centroids.collect()
+        int(c): [float(x) for x in v] for c, v in zip(all_cids, all_C)
     }
     # same cosine-metric normalization as build/append/probe: split
     # cells get 2-means centroids and PQ residuals on the SAME unit
@@ -656,23 +976,23 @@ def split_oversized_cells(
         cid_a, cid_b = next_cid, next_cid + 1
         next_cid += 2
         pair = [(cid_a, [float(x) for x in C2[0]]), (cid_b, [float(x) for x in C2[1]])]
-        assigned = cell_vecs.withColumn("cid", argmin_cid_expr(pair, "vec"))
+        # one vectorized re-encode against the two sub-centroids and
+        # the UNCHANGED global codebooks (_coded_frame — the same
+        # shared definition as build/append, bit-identical to the
+        # former argmin/residual/code expression chain). normalize=
+        # False: cell_vecs is already on the unit sphere.
+        C2f = np.asarray([pair[0][1], pair[1][1]], dtype=np.float64)
+        coded_new = _coded_frame(
+            cell_vecs, [cid_a, cid_b], C2f, CB, "id", "vec", normalize=False
+        )
         child_n = {
             int(r.cid): int(r.n)
-            for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
+            for r in coded_new.groupBy("cid").agg(F.count("*").alias("n")).collect()
         }
         if len(child_n) < 2:  # no geometric progress: all members in one child
             unsplittable.append(int(cid))
             next_cid -= 2
             continue
-        sub_cents = spark.createDataFrame(pair, "cid int, cvec array<double>")
-        res = _residuals(assigned, sub_cents)
-        # same residual-binding as build_ivfpq (see comment there)
-        codes = F.element_at(
-            F.transform(F.array(F.col("rvec")), lambda rv: pq_code_expr(index.pq, rv)),
-            1,
-        )
-        coded_new = res.select("id", "cid", codes.alias("codes"))
         coded_new.repartition("cid").write.mode("append").partitionBy("cid").parquet(
             f"{path}/coded"
         )
@@ -690,12 +1010,13 @@ def split_oversized_cells(
             "unsplittable": unsplittable,
             "k_cells": len(centroid_map),
         }
-    # commit point: probes route by this table from here on
-    write_sidecar(
-        spark.createDataFrame(
-            sorted((c, v) for c, v in centroid_map.items()),
-            "cid int, cvec array<double>",
-        ),
+    # commit point: probes route by this table from here on (pyarrow
+    # write, same parquet schema as the former one-row-relation path)
+    from ..sources.writers import write_sidecar_arrow
+
+    ordered = sorted(centroid_map.items())
+    write_sidecar_arrow(
+        _centroids_arrow([c for c, _ in ordered], [v for _, v in ordered]),
         f"{path}/centroids",
     )
     for cid in gc_dirs:  # orphan GC

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,16 +60,12 @@ class PqModel:
     m: int
     k: int
     sub_dim: int
-
-
-def _sliced(df: DataFrame, vec_col: str, m: int, sub_dim: int) -> DataFrame:
-    """(..., sub, subvec) — posexplode of the m contiguous slices."""
-    slices = F.array(
-        *[F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim) for j in range(m)]
-    )
-    return df.select(
-        "*", F.posexplode(slices).alias("sub", "subvec")
-    ).drop(vec_col)
+    # (m, k, sub_dim) float64 codebook array, carried so hot paths
+    # (encode UDF, driver-side LUTs) never re-collect the kilobyte
+    # codebooks relation — a LOCAL-relation collect still costs a full
+    # py4j/analysis round-trip (~0.4 s measured). None on models built
+    # by hand; _codebook_np falls back to one collect then.
+    cb_np: object = None
 
 
 def _sq_l2(a: str, b: str) -> F.Column:
@@ -83,6 +80,19 @@ def _sq_l2(a: str, b: str) -> F.Column:
 
 _MAX_TRAIN_ROWS = 200_000  # ~100 MB of float64 at dim 64
 _SAMPLE_BUCKETS = 1_000_000  # hash-sampling granularity
+
+
+def _collect_train_sample_info(
+    df: DataFrame, col: str, fraction: float | None, seed: int
+) -> tuple[list, bool]:
+    """(rows, covers_all): `_collect_train_sample` plus a flag that is
+    True only when the returned rows PROVABLY are the whole input (the
+    under-cap limit-probe, or an explicit fraction that keeps every
+    hash bucket). build_ivfpq uses the flag to derive the PQ residual
+    training set driver-side instead of re-running the assignment
+    subplan as a second corpus pass."""
+    rows, covers_all = _collect_train_sample_impl(df, col, fraction, seed)
+    return rows, covers_all
 
 
 def _collect_train_sample(
@@ -104,6 +114,12 @@ def _collect_train_sample(
     (a silent multi-GB collect would OOM the driver); with none given,
     the under-cap fast path is a single limit-probe job, and only an
     over-cap corpus pays the extra count to derive the auto fraction."""
+    return _collect_train_sample_impl(df, col, fraction, seed)[0]
+
+
+def _collect_train_sample_impl(
+    df: DataFrame, col: str, fraction: float | None, seed: int
+) -> tuple[list, bool]:
     if fraction is not None:
         if not 0.0 < fraction <= 1.0:
             raise ValueError(f"sample_fraction must be in (0, 1], got {fraction}")
@@ -118,10 +134,11 @@ def _collect_train_sample(
                 f"training sample exceeds {_MAX_TRAIN_ROWS} rows at "
                 f"sample_fraction={fraction}; pass a smaller fraction"
             )
-        return rows
+        # keep >= bucket count means the hash filter kept everything
+        return rows, keep >= _SAMPLE_BUCKETS
     rows = df.limit(_MAX_TRAIN_ROWS + 1).collect()
     if len(rows) <= _MAX_TRAIN_ROWS:
-        return rows
+        return rows, True  # limit-probe returned the whole input
     n = df.count()
     keep = max(1, int(_SAMPLE_BUCKETS * (_MAX_TRAIN_ROWS / n) * 0.95))
     # if the 0.95-headroom hash sample still overshoots the cap, keep
@@ -136,7 +153,7 @@ def _collect_train_sample(
         .orderBy(h)
         .limit(_MAX_TRAIN_ROWS)
         .collect()
-    )
+    ), False
 
 
 def _chunked_argmin(X, C, chunk: int = 8192):
@@ -187,6 +204,170 @@ def _lloyd(X, k: int, seed: int, iters: int = 25):
     return C
 
 
+# ----------------------------------------------------------- numpy twins
+# Vectorized (Arrow pandas-UDF) twins of the Catalyst HOF expressions.
+# The JVM higher-order functions (zip_with/aggregate/transform) are
+# CodegenFallback — every element op is an interpreted, boxed lambda
+# call, which makes the O(k_cells·dim) assignment and O(m·k·sub_dim)
+# encode folds THE dominant per-row cost of an index build (guide §4.2:
+# hand whole batches to vectorized native code). Each numpy helper
+# reproduces its JVM twin's arithmetic ELEMENT-FOR-ELEMENT in the same
+# order — every step is one correctly-rounded IEEE-754 double op in
+# both engines — so assignments, residuals, codes and LUT entries are
+# bit-identical to the expression forms (pinned in tests/test_pq.py).
+
+
+def _np_rows(series) -> "object":
+    """pandas Series of array cells → (n, dim) float64 matrix.
+    float32 → float64 is exact, matching the JVM CAST(x AS DOUBLE)."""
+    import numpy as np
+
+    return np.array([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
+
+
+def _np_l2_normalize(X):
+    """numpy twin of functions.vectors.l2_normalize: sequential double
+    fold for the norm (acc = ((0+v0²)+v1²)+…), sqrt, elementwise
+    divide; zero-norm rows pass through unchanged. Bit-identical."""
+    import numpy as np
+
+    acc = np.zeros(len(X))
+    for i in range(X.shape[1]):
+        acc += X[:, i] * X[:, i]
+    n = np.sqrt(acc)
+    out = X.copy()
+    nz = n != 0.0  # NaN norms divide (NaN != 0.0), like the JVM CASE
+    out[nz] = X[nz] / n[nz, None]
+    return out
+
+
+def _np_sq_dists_seq(X, C):
+    """(n, k) squared-L2 matrix via the SAME sequential per-dimension
+    fold as _sq_l2 — acc += (x_i − c_i)² one dimension at a time, each
+    step a correctly-rounded double multiply + add — so distances are
+    bit-identical to the JVM zip_with/aggregate fold. (Distinct from
+    _chunked_argmin, whose pairwise-summed distances define the
+    TRAINING math inside _lloyd and must stay as they are.)"""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for i in range(X.shape[1]):
+        d = X[:, i, None] - C[None, :, i]
+        acc += d * d
+    return acc
+
+
+def _codebook_np(model: PqModel):
+    """model.codebooks as an (m, k, sub_dim) float64 array: the cached
+    ``cb_np`` when the model carries one (train/_fit/load paths), else
+    one collect of the kilobyte local relation."""
+    import numpy as np
+
+    if model.cb_np is not None:
+        return model.cb_np
+    cb: dict[int, list] = {}
+    for r in model.codebooks.collect():  # bounded: m*k rows
+        cb.setdefault(r.sub, [None] * model.k)[r.code] = [float(x) for x in r.cvec]
+    return np.asarray(
+        [[cb[j][c] for c in range(model.k)] for j in range(model.m)], dtype=np.float64
+    )
+
+
+def _np_pq_codes(R, CB):
+    """(n, m) int32 code matrix: per subspace, argmin over the k
+    codebook entries by the sequential fold — first minimum wins =
+    lowest code on ties, the same contract as pq_code_expr's
+    array_min over (d, code) structs."""
+    import numpy as np
+
+    m, _, sub_dim = CB.shape
+    codes = np.empty((len(R), m), dtype=np.int32)
+    for j in range(m):
+        codes[:, j] = _np_sq_dists_seq(
+            R[:, j * sub_dim : (j + 1) * sub_dim], CB[j]
+        ).argmin(1)
+    return codes
+
+
+def pq_codes_udf(model: PqModel):
+    """Arrow pandas-UDF twin of ``pq_code_expr``: vec → array<int> of
+    m codes, bit-identical (same sequential fold, same lowest-code tie
+    break), but evaluated as one numpy pass per Arrow batch instead of
+    m·k interpreted HOF folds per row. NULL vectors yield NULL codes
+    (the expression form's NULL propagation)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    CB = _codebook_np(model)
+
+    @pandas_udf("array<int>")
+    def _codes(batch: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = batch.notna().to_numpy()
+        out: list = [None] * len(batch)
+        if mask.any():
+            codes = _np_pq_codes(_np_rows(batch[mask]), CB)
+            for pos, row in zip(np.flatnonzero(mask), codes):
+                out[pos] = row
+        return pd.Series(out, dtype=object)
+
+    return _codes
+
+
+def argmin_cid_udf(pairs: list[tuple[int, list[float]]]):
+    """Arrow pandas-UDF twin of ``argmin_cid_expr``: vec → nearest
+    centroid id, bit-identical (sequential fold distances; ties fall
+    to the smaller cid — centroids are sorted by cid and argmin keeps
+    the first minimum). NULL vectors yield NULL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    srt = sorted(pairs)
+    cids = np.asarray([int(c) for c, _ in srt], dtype=np.int64)
+    C = np.asarray([[float(x) for x in cv] for _, cv in srt], dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        mask = batch.notna().to_numpy()
+        out: list = [None] * len(batch)
+        if mask.any():
+            won = cids[_np_sq_dists_seq(_np_rows(batch[mask]), C).argmin(1)]
+            for pos, c in zip(np.flatnonzero(mask), won):
+                out[pos] = int(c)
+        return pd.Series(out, dtype=object)
+
+    return _assign
+
+
+def _fit_codebooks(spark, X, m: int, k: int, seed: int) -> PqModel:
+    """m seeded per-subspace Lloyd's fits on a SORTED (n, dim) float64
+    sample — the driver-side half of train_pq, callable directly when
+    the caller already holds the training matrix (build_ivfpq's
+    driver-side residual shortcut)."""
+    import numpy as np
+
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    rows: list[tuple[int, int, list[float]]] = []
+    subs = []
+    for j in range(m):
+        C = _lloyd(X[:, j * sub_dim : (j + 1) * sub_dim], k, seed + j)
+        subs.append(C)
+        rows.extend((j, code, [float(x) for x in C[code]]) for code in range(k))
+    codebooks = spark.createDataFrame(rows, "sub int, code int, cvec array<double>")
+    return PqModel(
+        codebooks=codebooks,
+        m=m,
+        k=k,
+        sub_dim=sub_dim,
+        cb_np=np.asarray(subs, dtype=np.float64),
+    )
+
+
 def train_pq(
     corpus: DataFrame,
     m: int = 8,
@@ -206,23 +387,19 @@ def train_pq(
     is sorted before fitting, so codebooks do not depend on partition
     order; with no ``sample_fraction`` given, a corpus above the row
     cap is automatically down-sampled to it (bounded driver memory at
-    any corpus size)."""
+    any corpus size).
+
+    The dimension check runs on the collected sample — the former
+    separate ``.first()`` probe was a full extra execution of the
+    upstream plan whenever an exchange sat between source and sample
+    (measured: one whole assignment pass of the IVFPQ build)."""
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub_dim = dim // m
     rows = _collect_train_sample(corpus.select(vec_col), vec_col, sample_fraction, seed)
+    if not rows:
+        raise ValueError("train_pq: empty training sample (empty corpus?)")
     X = np.asarray(sorted(tuple(r[0]) for r in rows), dtype=np.float64)
-    rows: list[tuple[int, int, list[float]]] = []
-    for j in range(m):
-        C = _lloyd(X[:, j * sub_dim : (j + 1) * sub_dim], k, seed + j)
-        rows.extend((j, code, [float(x) for x in C[code]]) for code in range(k))
-    codebooks = corpus.sparkSession.createDataFrame(
-        rows, "sub int, code int, cvec array<double>"
-    )
-    return PqModel(codebooks=codebooks, m=m, k=k, sub_dim=sub_dim)
+    return _fit_codebooks(corpus.sparkSession, X, m=m, k=k, seed=seed)
 
 
 def _sq_l2_cols(a: F.Column, b: F.Column) -> F.Column:
@@ -349,14 +526,61 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int> length m): a PURE NARROW MAP — zero
-    shuffles, encoding 100 TB is scan → project → write. Tiebreak
-    (first minimum = lowest code) matches the former argmin-window
-    ordering (d, code), and the distance fold is the same sequential
-    aggregate/zip_with, so codes are bit-identical to the join-based
-    encoder this replaces."""
+    shuffles, encoding 100 TB is scan → vectorized encode → write.
+
+    r9: the per-row math moved from the interpreted Catalyst HOF chain
+    (pq_code_expr — m·k boxed zip_with/aggregate folds per row,
+    CodegenFallback) to ONE numpy pass per Arrow batch (pq_codes_udf,
+    guide §4.2). Codes are bit-identical (same sequential fold, same
+    lowest-code tie break — pinned in tests/test_pq.py); only the two
+    projected columns cross the Python boundary."""
     return corpus.select(
-        F.col(id_col).alias("id"), pq_code_expr(model, vec_col).alias("codes")
+        F.col(id_col).alias("id"), pq_codes_udf(model)(F.col(vec_col)).alias("codes")
     )
+
+
+def _pq_luts_local(
+    queries: DataFrame, model: PqModel, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, lut array<array<double>>) as a LOCAL relation: per
+    query, the m×k table of exact subspace distances, computed on the
+    driver. Bounded by the ADC broadcast contract — the nq·m·k-double
+    LUT table must broadcast anyway, and the collected query vectors
+    are strictly smaller than it (k ≥ 1 codebook entries per
+    sub-vector). Each pd entry is the same sequential double fold as
+    the former _sq_l2 expression, so values are bit-identical. NULL
+    query vectors are skipped (they can never rank: every lookup
+    against them is undefined)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    CB = _codebook_np(model)
+    m, _, sub_dim = CB.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    out = []
+    for r in q_rows:
+        if r.qv is None:
+            continue
+        qv = np.asarray([float(x) for x in r.qv], dtype=np.float64)
+        lut = [
+            [
+                float(d)
+                for d in _np_sq_dists_seq(
+                    qv[None, j * sub_dim : (j + 1) * sub_dim], CB[j]
+                )[0]
+            ]
+            for j in range(m)
+        ]
+        out.append((r.query_id, lut))
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("lut", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    return queries.sparkSession.createDataFrame(out, schema)
 
 
 def pq_topk(
@@ -370,25 +594,15 @@ def pq_topk(
     """ADC top-k: (query_id, cand_id, adist, rank), rank 1 = nearest
     (smallest approximate squared L2). The corpus side is the code
     table only; each row costs m integer lookups into the broadcast
-    per-query LUT."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    lut_rows = (
-        _sliced(q, "qv", model.m, model.sub_dim)
-        .join(F.broadcast(model.codebooks), "sub")
-        .withColumn("pd", _sq_l2("subvec", "cvec"))
-        .groupBy("query_id", "sub")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "pd"))), lambda s: s["pd"]
-            ).alias("row")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "row"))), lambda s: s["row"]
-            ).alias("lut")
-        )
-    )
+    per-query LUT.
+
+    r9: the LUT is computed DRIVER-SIDE (_pq_luts_local) — it is a
+    kilobyte model-sized table by the broadcast contract, and the
+    former posexplode → broadcast-join → two collect_list groupBys
+    spent three tiny shuffle stages per probe on data the driver can
+    produce in microseconds. Values are bit-identical (same sequential
+    fold per (sub, code) entry)."""
+    lut_rows = _pq_luts_local(queries, model, id_col, vec_col)
     scored = (
         corpus_codes.crossJoin(F.broadcast(lut_rows))
         .where(F.col("id") != F.col("query_id"))

@@ -120,6 +120,22 @@ def write_sidecar(df: DataFrame, dest: str) -> None:
     # sidecar still round-trips its columns instead of a zero-column
     # table that would break load_ivf/load_ivfpq
     table = df.toArrow()  # bounded by contract: sidecars are model-sized
+    write_sidecar_arrow(table, dest)
+
+
+def write_sidecar_arrow(table, dest: str) -> None:
+    """``write_sidecar`` for a caller that already holds the data as a
+    pyarrow Table — skips the DataFrame round-trip entirely (even a
+    LOCAL relation's toArrow costs a full py4j/analysis round-trip,
+    ~0.4 s measured; building the kilobyte table driver-side is
+    microseconds). Same overwrite semantics and local-FS contract."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if "://" in dest:
+        raise ValueError(f"write_sidecar writes via the local filesystem only: {dest}")
     # overwrite semantics like the Spark writer it replaces — stale
     # part files at dest would silently union into the loaded table
     shutil.rmtree(dest, ignore_errors=True)

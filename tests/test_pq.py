@@ -109,14 +109,121 @@ def test_pq_on_fixture_embeddings(spark, sf_dir):
 
 
 def test_pq_encode_plan_is_shuffle_free(spark, sf_dir):
-    """The 100 TB property the literal-argmin encoder exists for:
-    encoding is scan → project — the physical plan contains NO
-    exchange and no Python evaluation node."""
+    """The 100 TB property the encoder exists for: encoding is scan →
+    vectorized narrow map — the physical plan contains NO exchange.
+    r9: the per-row math runs as ONE ArrowEvalPython (vectorized
+    pandas UDF, guide §4.2) — never a row-at-a-time BatchEvalPython —
+    replacing the interpreted Catalyst HOF folds."""
     emb = load_table(spark, sf_dir, "embeddings")
     model = train_pq(emb, m=8, k=16, seed=0)
     plan = pq_encode(emb, model)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
-    assert "Python" not in plan, plan  # no pandas/arrow eval in the map
+    assert "ArrowEvalPython" in plan, plan  # vectorized, Arrow-batched
+    assert "BatchEvalPython" not in plan, plan  # never row-at-a-time
+
+
+def test_numpy_twins_bit_identical_to_expression_forms(spark):
+    """The r9 vectorized encode path (pq_codes_udf / argmin_cid_udf /
+    ivfpq._coded_frame) must be BIT-identical to the retained Catalyst
+    expression forms (pq_code_expr / argmin_cid_expr) — same
+    sequential IEEE-754 fold, same smallest-id tie break — on a nasty
+    fixture: float32 inputs, exact ties (duplicate centroids and
+    mirror-image vectors), zero vectors, and denormal-ish magnitudes."""
+    import numpy as np
+
+    from crime_spark_ml_spark.ml.ivfpq import _coded_frame
+    from crime_spark_ml_spark.ml.pq import (
+        PqModel,
+        _codebook_np,
+        argmin_cid_expr,
+        argmin_cid_udf,
+        pq_code_expr,
+        pq_codes_udf,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32) * np.logspace(
+        -4, 3, 8, dtype=np.float32
+    )
+    vecs[10] = 0.0  # zero vector
+    vecs[11] = vecs[12]  # duplicate rows
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = rng.standard_normal((6, 8))
+    cents[3] = cents[2]  # exact centroid tie: smaller cid must win
+    pairs = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    expr_cid = df.select(
+        "vec_id", argmin_cid_expr(pairs, "embedding").alias("cid")
+    ).collect()
+    udf_cid = df.select(
+        "vec_id", argmin_cid_udf(pairs)(F.col("embedding")).alias("cid")
+    ).collect()
+    assert sorted(map(tuple, expr_cid)) == sorted(map(tuple, udf_cid))
+
+    cb = rng.standard_normal((2, 4, 4))
+    cb[0][2] = cb[0][1]  # exact codeword tie: smaller code must win
+    cb_rows = [
+        (j, c, [float(x) for x in cb[j][c]]) for j in range(2) for c in range(4)
+    ]
+    model = PqModel(
+        codebooks=spark.createDataFrame(cb_rows, "sub int, code int, cvec array<double>"),
+        m=2,
+        k=4,
+        sub_dim=4,
+    )
+    expr_codes = df.select(
+        "vec_id", pq_code_expr(model, "embedding").alias("codes")
+    ).collect()
+    udf_codes = df.select(
+        "vec_id", pq_codes_udf(model)(F.col("embedding")).alias("codes")
+    ).collect()
+    assert sorted((r.vec_id, tuple(r.codes)) for r in expr_codes) == sorted(
+        (r.vec_id, tuple(r.codes)) for r in udf_codes
+    )
+
+    # the fused encode (normalize → assign → residual → codes) against
+    # the composed expression chain, including the cosine normalize
+    from crime_spark_ml_spark.functions.vectors import l2_normalize
+
+    C = np.asarray([p[1] for p in pairs], dtype=np.float64)
+    fused = _coded_frame(
+        df, [p[0] for p in pairs], C, _codebook_np(model), "vec_id", "embedding",
+        normalize=True,
+    ).collect()
+    normed = df.select(
+        F.col("vec_id").alias("id"), l2_normalize("embedding").alias("vec")
+    )
+    chain = (
+        normed.withColumn("cid", argmin_cid_expr(pairs, "vec"))
+        .join(
+            F.broadcast(
+                spark.createDataFrame(pairs, "cid int, cvec array<double>")
+            ),
+            "cid",
+        )
+        .select(
+            "id",
+            "cid",
+            F.zip_with(
+                "vec", "cvec", lambda x, y: x.cast("double") - y.cast("double")
+            ).alias("rvec"),
+        )
+        .select(
+            "id",
+            "cid",
+            F.element_at(
+                F.transform(
+                    F.array(F.col("rvec")), lambda rv: pq_code_expr(model, rv)
+                ),
+                1,
+            ).alias("codes"),
+        )
+        .collect()
+    )
+    assert sorted((r.id, r.cid, tuple(r.codes)) for r in fused) == sorted(
+        (r.id, r.cid, tuple(r.codes)) for r in chain
+    )
 
 
 def test_collect_train_sample_paths(spark, monkeypatch):
