@@ -26,16 +26,23 @@ def shingles_expr(text_col: str, n: int = 3) -> str:
     so their shingle sets diverge even when their word sets are
     identical — without it, same-vocabulary corpora collapse into a
     few giant buckets and the candidate join goes quadratic."""
-    words = f"split({text_col}, ' ')"
     # NULL text yields an EMPTY shingle set, not ['']: without the
     # guard, slice(NULL, ...) is NULL and concat_ws swallows it to ''
     # (concat_ws never returns NULL), so a NULL-text doc would grow a
     # phantom '' shingle that survives explode — while SQL engines
     # (and the DuckDB oracles) drop the row via UNNEST(NULL)
+    #
+    # The word array is BOUND ONCE via the one-element-array transform
+    # idiom (the build_ivfpq residual-binding pattern): higher-order
+    # functions evaluate their lambda body per element INTERPRETED, so
+    # an inlined split() re-tokenizes the document for every shingle —
+    # O(words²) work per row (r9 measured: the dominant cost of every
+    # shingle consumer). Same per-shingle ops, identical output values.
     return (
         f"CASE WHEN {text_col} IS NULL THEN array() "
-        f"ELSE array_distinct(transform(sequence(0, greatest(size({words}) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {n})))) END"
+        f"ELSE element_at(transform(array(split({text_col}, ' ')), ws -> "
+        f"array_distinct(transform(sequence(0, greatest(size(ws) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {n}))))), 1) END"
     )
 
 

@@ -105,11 +105,16 @@ def adj_repeat_frac(text_col: str) -> Column:
     """Fraction of adjacent word pairs that are the same word twice
     ("very very very …" stutter). ``get()`` (0-based, NULL out of
     bounds) keeps the lambda ANSI-safe for 1-token docs."""
+    # the word array is BOUND ONCE (one-element-array transform idiom):
+    # interpreted HOF lambdas re-evaluate an inlined split() per
+    # element — two gets per position made this O(words²) per row
+    # (r9; same fix as shingles_expr, identical output values)
     w = f"split(lower({text_col}), ' ')"
     return F.expr(
-        f"round(cast(size(filter(sequence(1, greatest(size({w}) - 1, 1)), "
-        f"i -> get({w}, i) = get({w}, i - 1))) as double) "
-        f"/ greatest(size({w}) - 1, 1), 6)"
+        f"element_at(transform(array({w}), ws -> "
+        f"round(cast(size(filter(sequence(1, greatest(size(ws) - 1, 1)), "
+        f"i -> get(ws, i) = get(ws, i - 1))) as double) "
+        f"/ greatest(size(ws) - 1, 1), 6)), 1)"
     )
 
 
@@ -117,14 +122,18 @@ def dup_2gram_frac(text_col: str) -> Column:
     """Fraction of word 2-gram occurrences that are duplicates — the
     boilerplate signal (repeated headers/footers inflate it even when
     single-word repetition looks normal)."""
+    # word array bound once — the inlined slice({w}) per 2-gram made
+    # this O(words²) per row (r9; same fix as shingles_expr, identical
+    # output values)
     w = f"split(lower({text_col}), ' ')"
     grams = (
-        f"transform(sequence(0, greatest(size({w}) - 2, 0)), "
-        f"i -> concat_ws(' ', slice({w}, i + 1, 2)))"
+        "transform(sequence(0, greatest(size(ws) - 2, 0)), "
+        "i -> concat_ws(' ', slice(ws, i + 1, 2)))"
     )
     return F.expr(
+        f"element_at(transform(array({w}), ws -> "
         f"round(1.0d - cast(size(array_distinct({grams})) as double) "
-        f"/ greatest(size({w}) - 1, 1), 6)"
+        f"/ greatest(size(ws) - 1, 1), 6)), 1)"
     )
 
 

@@ -291,7 +291,11 @@ def duplicate_clusters(
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+        # no .distinct(): min-label propagation is IDEMPOTENT under
+        # duplicate edges (min over a multiset equals min over its
+        # set), so deduping here bought correctness nothing and cost a
+        # full shuffle of the edge set every build (r9). Every in-repo
+        # producer (LSH groupBy output) is already pair-unique anyway.
         # materialize ONCE: every round fires 2+ actions that would
         # otherwise re-evaluate the whole upstream candidate pipeline
         # (shingle→minhash→band-join) behind this frame — shuffle-stage
@@ -301,17 +305,21 @@ def duplicate_clusters(
     touched = edges.select(F.col("src").alias("node")).distinct()
     labels = touched.withColumn("label", F.col("node"))
     converged = False
-    prev_cached = None
+    prev_ck = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # old label rides along so the convergence check is a scan of
+        # the checkpointed round, not a join back onto the prior round
+        # (r9: one fewer join per round, same one action per round)
         stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
                     "label"
                 ),
@@ -322,31 +330,28 @@ def duplicate_clusters(
         parents = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        new_labels = (
-            stepped.join(parents, stepped.label == parents.pnode, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        )
         # localCheckpoint TRUNCATES LINEAGE — without it each round's
         # plan nests the previous rounds' joins and the logical plan
         # grows exponentially (analysis OOMs after ~8 rounds). Eager, so
         # the round materializes once; prior round's blocks released.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        new_full = (
+            stepped.join(parents, stepped.label == parents.pnode, "left")
+            .select(
+                "node",
+                "old",
+                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
-        if prev_cached is not None:
-            prev_cached.unpersist()  # release the superseded round's blocks
-        prev_cached = labels  # no-op unpersist for the initial (uncached) frame
-        labels = new_labels
+        changed = (
+            new_full.where(F.col("label") != F.col("old")).limit(1).count()
+        )
+        if prev_ck is not None:
+            prev_ck.unpersist()  # release the superseded round's blocks
+        prev_ck = new_full
+        labels = new_full.select("node", "label")
         if changed == 0:
             converged = True
             break
