@@ -21,7 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
+
+
+def _cos_from_norms(a: str, b: str, an: str, bn: str) -> F.Column:
+    """cosine(a, b) with the two norms read from precomputed columns —
+    bit-identical to functions.vectors.cosine (same folds, same
+    product, same try_divide), but each row's norm is computed ONCE
+    instead of once per pair (r9: 3 interpreted HOF folds per scored
+    pair → 1)."""
+    return F.try_divide(dot(a, b), F.col(an) * F.col(bn))
 
 
 def brute_force_topk(
@@ -44,11 +53,13 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qe"),
+        norm(vec_col).alias("qn"),
         *[F.col(c).alias(f"q_{c}") for c in match_cols],
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("ce"),
+        norm(vec_col).alias("cn"),
         *[F.col(col) for col in match_cols],
     )
     if match_cols:
@@ -58,7 +69,7 @@ def brute_force_topk(
         joined = c.crossJoin(F.broadcast(q))
     scored = (
         joined.where(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine("qe", "ce"), 6))
+        .withColumn("cos", F.round(_cos_from_norms("qe", "ce", "qn", "cn"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     return (
@@ -68,21 +79,56 @@ def brute_force_topk(
     )
 
 
+# hyperplane-weight literal width: vectors up to this many dims take
+# the folded-literal fast path; longer ones fall back to per-row hash
+# derivation (identical weights either way — same xxhash64 family)
+_LSH_DIM_CAP = 256
+
+
 def _bucket_expr(vec_col: str, planes: int, table: int) -> F.Column:
     """SRP bucket id: ``planes`` sign bits packed into an int. Plane p
-    weight for dim d = ±1 from xxhash64('t#p#d') — deterministic."""
-    proj = (
+    weight for dim d = ±1 from xxhash64('t#p#d') — deterministic and
+    DATA-INDEPENDENT, so (r9) the weight table is computed driver-side
+    (functions.hashing.xxh64, pinned bit-identical to the JVM
+    expression) and folded into the plan as ONE literal: the former
+    inline derivation re-ran concat + xxhash64 per (row, plane, dim) —
+    tables·planes·dim interpreted hash calls per row (measured: the
+    dominant cost of every LSH consumer). The projection keeps the
+    same zip-order sequential double fold, so bucket ids are
+    bit-identical. Vectors longer than _LSH_DIM_CAP use the original
+    per-row derivation (same weights, any width)."""
+    import json
+
+    from ..functions.hashing import xxh64
+
+    slow_proj = (
         f"p -> CASE WHEN aggregate(sequence(0, size({vec_col}) - 1), CAST(0.0 AS DOUBLE), "
         f"(acc, d) -> acc + IF(pmod(xxhash64(concat('{table}', '#', CAST(p AS STRING), '#', "
         f"CAST(d AS STRING))), 2) = 0, 1.0, -1.0) * CAST(element_at({vec_col}, d + 1) AS DOUBLE)) "
         f">= 0 THEN 1L ELSE 0L END"
+    )
+    W = [
+        [
+            1.0 if xxh64(f"{table}#{p}#{d}".encode()) & 1 == 0 else -1.0
+            for d in range(_LSH_DIM_CAP)
+        ]
+        for p in range(planes)
+    ]
+    wlit = f"from_json('{json.dumps(W)}', 'array<array<double>>')"
+    fast_proj = (
+        f"p -> CASE WHEN aggregate(zip_with({vec_col}, "
+        f"slice(element_at({wlit}, p + 1), 1, size({vec_col})), "
+        f"(x, w) -> w * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + v) >= 0 THEN 1L ELSE 0L END"
     )
     # empty/corrupt vectors bucket to 0 instead of blowing up:
     # sequence(0, size-1) on size=0 yields [0, -1] and element_at(_, 0)
     # throws under ANSI — guard before evaluating the projection
     return F.expr(
         f"IF(size({vec_col}) < 1, 0L, "
-        f"aggregate(transform(sequence(0, {planes - 1}), {proj}), 0L, (acc, b) -> acc * 2 + b))"
+        f"IF(size({vec_col}) > {_LSH_DIM_CAP}, "
+        f"aggregate(transform(sequence(0, {planes - 1}), {slow_proj}), 0L, (acc, b) -> acc * 2 + b), "
+        f"aggregate(transform(sequence(0, {planes - 1}), {fast_proj}), 0L, (acc, b) -> acc * 2 + b)))"
     )
 
 
@@ -134,11 +180,15 @@ def lsh_topk(
     ``_cap_buckets``) — queries whose only collisions sat in a dropped
     bucket lose those candidates, which is the standard LSH trade: a
     bucket that large is not discriminative anyway."""
+    # norms ride from before the table explode: one fold per row
+    # instead of one per (table, candidate) pair; distinct() gains two
+    # functionally-dependent columns, so its row set is unchanged
     cb = _cap_buckets(
         sign_lsh_buckets(corpus, vec_col, planes, tables)
         .select(
             F.col(id_col).alias("cand_id"),
             F.col(vec_col).alias("ce"),
+            norm(vec_col).alias("cn"),
             F.posexplode("lsh_buckets").alias("t", "bucket"),
         ),
         max_bucket,
@@ -148,15 +198,22 @@ def lsh_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qe"),
+            norm(vec_col).alias("qn"),
             F.posexplode("lsh_buckets").alias("t", "bucket"),
         )
     )
+    # cosine is scored BEFORE the duplicate-collision dedup: cos is a
+    # pure function of the pair, so distinct() over (ids, cos) yields
+    # exactly the rows the former distinct-then-score produced — but
+    # the dedup exchange now carries 3 narrow columns instead of two
+    # embedding payloads per row (guide §2.3: shuffle keys and
+    # metadata, not payloads)
     cands = (
         cb.join(F.broadcast(qb), ["t", "bucket"])
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "qe", "cand_id", "ce")
+        .withColumn("cos", F.round(_cos_from_norms("qe", "ce", "qn", "cn"), 6))
+        .select("query_id", "cand_id", "cos")
         .distinct()
-        .withColumn("cos", F.round(cosine("qe", "ce"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     return (
@@ -182,27 +239,43 @@ def embedding_near_dups(
     quadratic at scale. Members of a dropped bucket still pair through
     their other tables; bit-identical embeddings (which collide in ALL
     tables) belong to the exact-dedup path, not this one."""
+    # norms computed once per corpus row before the explode (see
+    # lsh_topk) — distinct() gains functionally-dependent columns only
     b = _cap_buckets(
         sign_lsh_buckets(corpus, vec_col, planes, tables).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("e"),
+            norm(vec_col).alias("n"),
             F.posexplode("lsh_buckets").alias("t", "bucket"),
         ),
         max_bucket,
     )
+    # threshold + score BEFORE the dedup: cos is pair-determined, so
+    # distinct() over (id_a, id_b, cos) equals the former
+    # distinct-then-score rows — and the dedup exchange shrinks from
+    # every colliding candidate pair CARRYING BOTH EMBEDDINGS to just
+    # the few over-threshold (id, id, cos) triples (guide §2.3)
     pairs = (
         b.alias("a")
         .join(b.alias("b"), ["t", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
-            F.col("a.e").alias("ea"),
             F.col("b.id").alias("id_b"),
-            F.col("b.e").alias("eb"),
+            F.round(
+                F.try_divide(
+                    F.expr(
+                        "aggregate(zip_with(a.e, b.e, (x, y) -> "
+                        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                    ),
+                    F.col("a.n") * F.col("b.n"),
+                ),
+                6,
+            ).alias("cos"),
         )
-        .distinct()
-        .withColumn("cos", F.round(cosine("ea", "eb"), 6))
         .where(F.col("cos") >= threshold)
+        .distinct()
     )
     return pairs.select("id_a", "id_b", "cos")
 

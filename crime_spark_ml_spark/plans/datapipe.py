@@ -1513,8 +1513,14 @@ def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     their original's cluster (the tests/test_datapipe.py floor), and
     the survivor fraction stays in [0.85, 1) — organic near-dups exist
     in the fixture (23 clusters at sf0.01) but never approach 15%.
-    One aggregate over one lineage (the former two-action form re-ran
-    LSH+CC per count)."""
+
+    r9: fully LAZY — the funnel booleans are computed in-plan (one-row
+    aggregates crossJoined) instead of two driver collects over a
+    cached frame. The cluster labels are localCheckpointed inside
+    duplicate_clusters, so the three label-consuming subtrees re-read
+    checkpointed blocks, never the LSH pipeline; values are identical
+    (same counts, same comparisons — long/long division is the same
+    IEEE double in both engines)."""
     from ..operators.dedup import duplicate_clusters
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1527,11 +1533,11 @@ def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         corpus, parallelism=spark.sparkContext.defaultParallelism
     )
-    clusters = duplicate_clusters(pairs, corpus.select("doc_id")).cache()
+    clusters = duplicate_clusters(pairs, corpus.select("doc_id"))
     funnel = clusters.agg(
         F.count("*").cast("long").alias("n_docs_in"),
         F.countDistinct("cluster_id").cast("long").alias("n_survivors"),
-    ).first()
+    )
     originals = clusters.where(F.col("doc_id") < 20).select(
         "doc_id", F.col("cluster_id").alias("orig_cluster")
     )
@@ -1540,18 +1546,13 @@ def dp_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") - 100000).alias("doc_id"), "cluster_id")
         .join(originals, "doc_id")
         .where(F.col("cluster_id") == F.col("orig_cluster"))
-        .count()
+        .agg(F.count("*").alias("n_caught"))
     )
-    clusters.unpersist()
-    return spark.createDataFrame(
-        [
-            (
-                funnel.n_docs_in,
-                caught >= 16,
-                0.85 <= funnel.n_survivors / funnel.n_docs_in < 1.0,
-            )
-        ],
-        "n_docs_in bigint, planted_recall_ok boolean, survivor_frac_ok boolean",
+    frac = F.col("n_survivors") / F.col("n_docs_in")
+    return funnel.crossJoin(caught).select(
+        "n_docs_in",
+        (F.col("n_caught") >= 16).alias("planted_recall_ok"),
+        ((F.lit(0.85) <= frac) & (frac < F.lit(1.0))).alias("survivor_frac_ok"),
     )
 
 

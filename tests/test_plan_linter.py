@@ -71,6 +71,7 @@ BNLJ_ALLOWED = {
     "ev_pacf_durbin": "8-row literal geometric kernel crossJoined over the 30-row daily series",
     "ev_interrupted_time_series": "single-row step-size scalar broadcast over the 30-row daily series",
     "dp_training_data_funnel": "one-row pack-stats aggregate crossJoined onto the one-row counter aggregate",
+    "dp_dedup_pipeline": "one-row funnel aggregate crossJoined onto the one-row planted-recall count (r9 lazy form)",
     "dp_graph_triangles": "one-row (nodes, edges, wedges, triangles) global aggregate fanned over the top-10 node rows",
     "dp_conformal_coverage": "one-row (slope, intercept) model and one-row q_hat broadcast over the calibration/test splits",
     "dp_calibration_ece": "one-row (n_total, ece) aggregate fanned over the <=10 reliability bins",
