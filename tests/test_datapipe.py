@@ -457,3 +457,63 @@ def test_l2_normalize_edge_cases(spark):
     assert rows[2] is None
     assert rows[3] == [-1.0, 0.0]
     assert math.isclose(sum(x * x for x in rows[0]), 1.0, rel_tol=1e-12)
+
+
+def test_python_xxh64_matches_jvm_xxhash64(spark):
+    """functions.hashing.xxh64 is the driver-side twin of the JVM
+    xxhash64 expression (seed 42) — it exists so data-independent
+    hash-derived constants (the SRP-LSH hyperplane weight table) can be
+    folded into the plan as literals. Pin bit-identity over the whole
+    (table, plane, dim) grid the LSH weights use, every small-length
+    byte pattern class (empty, <4, <8, <32, >=32 bytes), and random
+    printable strings."""
+    import random
+    import string
+
+    from crime_spark_ml_spark.functions.hashing import xxh64
+
+    random.seed(7)
+    samples = [f"{t}#{p}#{d}" for t in range(8) for p in range(4) for d in range(280)]
+    samples += ["", "a", "ab", "abc", "abcd", "abcdefg", "abcde" * 20]
+    samples += [
+        "".join(random.choices(string.printable, k=random.randint(0, 80)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(s,) for s in set(samples)], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in df.collect():
+        assert xxh64(r.s.encode()) == r.h, r.s
+
+
+def test_lsh_fast_weight_path_matches_slow_path(spark):
+    """The folded-literal weight fast path (dim <= _LSH_DIM_CAP) and
+    the per-row hash derivation fall-back must produce identical
+    bucket ids — probed here by bucketing the same vectors padded past
+    the cap with zeros (zero dims contribute 0 to every projection, so
+    buckets must agree between the two code paths)."""
+    import random
+
+    from crime_spark_ml_spark.operators.similarity import (
+        _LSH_DIM_CAP,
+        sign_lsh_buckets,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+    ]
+    short = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    padded = spark.createDataFrame(
+        [(i, v + [0.0] * (_LSH_DIM_CAP + 16 - len(v))) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    b_short = {
+        r.vec_id: tuple(r.lsh_buckets)
+        for r in sign_lsh_buckets(short).select("vec_id", "lsh_buckets").collect()
+    }
+    b_pad = {
+        r.vec_id: tuple(r.lsh_buckets)
+        for r in sign_lsh_buckets(padded).select("vec_id", "lsh_buckets").collect()
+    }
+    assert b_short == b_pad
