@@ -91,6 +91,32 @@ def _cent_arrays(index: IvfPqIndex):
     )
 
 
+# model arrays above this many bytes ship to tasks via sc.broadcast
+# (torrent blocks, fetched once per executor/worker) instead of riding
+# pickled inside every task closure. sqrt-n cell geometry reaches
+# ~0.5 GB of centroids at the 1<<20 k_cells cap × dim 64 — closure
+# transport would re-send that per task (guide §5: the driver should
+# not be a data plane). 8 MiB keeps every current fixture/test on the
+# closure path (plans and pickles unchanged) while making the gate
+# automatic rather than a docstring promise.
+_MODEL_CLOSURE_CAP_BYTES = 8 << 20
+
+
+def _model_transport(spark: SparkSession, arrays: tuple):
+    """Return (fetch, via_broadcast): ``fetch()`` yields the model
+    arrays task-side. Below _MODEL_CLOSURE_CAP_BYTES the arrays ride
+    the function closure (zero indirection, same bytes the folded
+    literal used to carry); above it they ship ONCE via sc.broadcast
+    and every task closure carries only the broadcast handle. The
+    arrays themselves are identical either way — bit-identity of the
+    encode is transport-independent."""
+    total = sum(int(a.nbytes) for a in arrays)
+    if total <= _MODEL_CLOSURE_CAP_BYTES:
+        return (lambda: arrays), False
+    bc = spark.sparkContext.broadcast(arrays)
+    return (lambda: bc.value), True
+
+
 def _coded_frame(
     source: DataFrame, cids, C, CB, id_col: str, vec_col: str, normalize: bool
 ) -> DataFrame:
@@ -114,10 +140,11 @@ def _coded_frame(
     evaluate). Only the projected (id, vec) columns cross the Python
     boundary (guide §4: select before an opaque op). NULL vectors are
     dropped — the former expression chain dropped them at the residual
-    inner join on cid. The model rides in the task closure
-    (k_cells·dim + m·k·sub_dim doubles — the same bytes the folded
-    literal carried in the plan); for cell counts past closure
-    comfort, route through ivf.two_level_assign_expr instead."""
+    inner join on cid. Model transport is size-gated (r10): below
+    _MODEL_CLOSURE_CAP_BYTES the arrays ride the task closure (the
+    same bytes the folded literal carried in the plan); above it —
+    sqrt-n cell counts at large n — they ship once via sc.broadcast
+    and the closure carries only the handle."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
@@ -134,8 +161,10 @@ def _coded_frame(
             StructField("codes", ArrayType(IntegerType())),
         ]
     )
+    fetch, _ = _model_transport(source.sparkSession, (cids, C, CB))
 
     def encode(batches):
+        cids_, C_, CB_ = fetch()  # once per task
         for pdf in batches:
             mask = pdf["vec"].notna().to_numpy()
             if not mask.any():
@@ -143,12 +172,12 @@ def _coded_frame(
             X = _np_rows(pdf["vec"][mask])
             if normalize:
                 X = _np_l2_normalize(X)
-            a = _np_sq_dists_seq(X, C).argmin(1)
-            codes = _np_pq_codes(X - C[a], CB)
+            a = _np_sq_dists_seq(X, C_).argmin(1)
+            codes = _np_pq_codes(X - C_[a], CB_)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"][mask].reset_index(drop=True),
-                    "cid": pd.Series(cids[a], dtype="int32"),
+                    "cid": pd.Series(cids_[a], dtype="int32"),
                     "codes": list(codes),
                 }
             )
@@ -258,7 +287,8 @@ def _assign_residual_frame(normed: DataFrame, C) -> DataFrame:
     source. Residuals are bit-identical to the former JVM
     broadcast-join + zip_with chain, so train_pq's xxhash64(rvec)
     sampler selects the same set. NULL vectors are dropped (the former
-    residual inner join on cid did the same)."""
+    residual inner join on cid did the same). Centroid transport is
+    size-gated like _coded_frame's."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -274,8 +304,10 @@ def _assign_residual_frame(normed: DataFrame, C) -> DataFrame:
             StructField("rvec", ArrayType(DoubleType())),
         ]
     )
+    fetch, _ = _model_transport(normed.sparkSession, (C,))
 
     def assign(batches):
+        (C,) = fetch()  # once per task
         for pdf in batches:
             mask = pdf["vec"].notna().to_numpy()
             if not mask.any():
@@ -647,6 +679,14 @@ def _probe_luts(
     return queries.sparkSession.createDataFrame(rows, schema)
 
 
+# the LUT local relation must broadcast (and its query vectors collect
+# to the driver first) — cap its payload so an unbounded query frame
+# fails loudly at the contract instead of OOMing the driver/broadcast.
+# 256 MiB of LUT doubles ≈ 16M (query, cell) m×k tables at m=16,k=16:
+# far past any sane probe batch; callers with more must batch queries.
+_PROBE_LUT_CAP_BYTES = 256 << 20
+
+
 def _probe_lut_rows(
     index: IvfPqIndex,
     queries: DataFrame,
@@ -657,7 +697,15 @@ def _probe_lut_rows(
     """(python rows, schema) behind _probe_luts — split out so
     probe_ivfpq can derive the probed-cell IN-list from the rows
     without collecting the local relation back (a LOCAL-relation
-    collect still costs a full py4j/analysis round-trip)."""
+    collect still costs a full py4j/analysis round-trip).
+
+    r10: one vectorized numpy pass over ALL collected query vectors —
+    normalize, cell distances, probed-cell selection and every m×k LUT
+    are batched — instead of a pure-python loop per (query, cell, sub).
+    Bit-identity is by construction: _np_l2_normalize/_np_sq_dists_seq
+    fold per dimension across rows, so batching more rows changes no
+    value; the probed-cell ranking keeps the same stable argsort over
+    cid-ascending centroids."""
     import numpy as np
     from pyspark.sql.types import (
         ArrayType,
@@ -669,32 +717,10 @@ def _probe_lut_rows(
 
     cids, C = _cent_arrays(index)
     CB = _codebook_np(index.pq)
-    m, _, sub_dim = CB.shape
+    m, kk, sub_dim = CB.shape
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).collect()
-    out = []
-    for r in q_rows:
-        if r.qv is None:
-            continue
-        qv = _np_l2_normalize(
-            np.asarray([[float(x) for x in r.qv]], dtype=np.float64)
-        )
-        cd = _np_sq_dists_seq(qv, C)[0]
-        # row_number orderBy(cd, cid): stable sort over cid-ascending
-        # centroids keeps the smaller cid on equal distances
-        for ci in np.argsort(cd, kind="stable")[:nprobe]:
-            qr = (qv[0] - C[ci])[None, :]
-            lut = [
-                [
-                    float(d)
-                    for d in _np_sq_dists_seq(
-                        qr[:, j * sub_dim : (j + 1) * sub_dim], CB[j]
-                    )[0]
-                ]
-                for j in range(m)
-            ]
-            out.append((r.query_id, int(cids[ci]), lut))
     schema = StructType(
         [
             StructField("query_id", queries.schema[id_col].dataType),
@@ -702,6 +728,47 @@ def _probe_lut_rows(
             StructField("lut", ArrayType(ArrayType(DoubleType()))),
         ]
     )
+    q_rows = [r for r in q_rows if r.qv is not None]
+    if not q_rows:
+        return [], schema
+    nq = len(q_rows)
+    lut_bytes = nq * min(nprobe, len(cids)) * m * kk * 8
+    if lut_bytes > _PROBE_LUT_CAP_BYTES:
+        raise ValueError(
+            f"probe LUT would be {lut_bytes >> 20} MiB "
+            f"({nq} queries × nprobe {nprobe} × {m}×{kk} doubles) — over "
+            f"the {_PROBE_LUT_CAP_BYTES >> 20} MiB broadcast contract; "
+            f"probe in smaller query batches"
+        )
+    Q = _np_l2_normalize(
+        np.asarray([[float(x) for x in r.qv] for r in q_rows], dtype=np.float64)
+    )
+    cd = _np_sq_dists_seq(Q, C)  # (nq, k_cells)
+    # row_number orderBy(cd, cid): stable sort over cid-ascending
+    # centroids keeps the smaller cid on equal distances
+    npb = min(nprobe, cd.shape[1])
+    sel = np.argsort(cd, axis=1, kind="stable")[:, :npb]  # (nq, npb)
+    QR = Q[:, None, :] - C[sel]  # (nq, npb, dim) residuals
+    flat = QR.reshape(nq * npb, -1)
+    # one batched sq-dist fold per subspace: (nq·npb, k) each
+    luts = np.stack(
+        [
+            _np_sq_dists_seq(flat[:, j * sub_dim : (j + 1) * sub_dim], CB[j])
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (nq·npb, m, k)
+    out = []
+    for qi in range(nq):
+        qid = q_rows[qi].query_id
+        for pi in range(npb):
+            out.append(
+                (
+                    qid,
+                    int(cids[sel[qi, pi]]),
+                    luts[qi * npb + pi].tolist(),
+                )
+            )
     return out, schema
 
 

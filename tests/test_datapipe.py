@@ -517,3 +517,154 @@ def test_lsh_fast_weight_path_matches_slow_path(spark):
         for r in sign_lsh_buckets(padded).select("vec_id", "lsh_buckets").collect()
     }
     assert b_short == b_pad
+
+
+def test_arrow_lsh_kernel_matches_expressions(spark):
+    """r10 pin: _lsh_bucketize_explode (one mapInArrow numpy pass) is
+    bit-identical to sign_lsh_buckets + norm + posexplode — buckets
+    AND norms — across regular float32 vectors, float64 vectors,
+    dims past the old 256 literal cap, empty arrays, NULL arrays, and
+    ragged lengths. The numpy twin folds per dimension sequentially,
+    never pairwise."""
+    import random
+    import struct
+
+    from crime_spark_ml_spark.functions.vectors import norm
+    from crime_spark_ml_spark.operators.similarity import (
+        _lsh_bucketize_explode,
+        sign_lsh_buckets,
+    )
+
+    random.seed(23)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    rows += [(100 + i, [random.uniform(-1, 1) for _ in range(300)]) for i in range(5)]
+    rows += [(200, []), (201, None), (202, [random.uniform(-1, 1) for _ in range(7)])]
+    for dtype in ("float", "double"):
+        df = spark.createDataFrame(rows, f"vec_id long, embedding array<{dtype}>")
+        expr = (
+            sign_lsh_buckets(df, "embedding", 4, 8)
+            .select(
+                F.col("vec_id").alias("id"),
+                norm("embedding").alias("n"),
+                F.posexplode("lsh_buckets").alias("t", "bucket"),
+            )
+            .collect()
+        )
+        kern = _lsh_bucketize_explode(df, "vec_id", "embedding", 4, 8).collect()
+
+        def key(rs):
+            return sorted(
+                (
+                    r.id,
+                    r.t,
+                    r.bucket,
+                    struct.pack(">d", r.n) if r.n is not None else None,
+                )
+                for r in rs
+            )
+
+        assert key(expr) == key(kern), dtype
+
+
+def test_dot_arrow_matches_expression_dot(spark):
+    """r10 pin: functions.vectors.dot_arrow (vectorized numpy fold
+    behind ArrowEvalPython) is bit-identical to the zip_with/aggregate
+    expression for well-formed pairs, and NULLs out the same degenerate
+    pairs (NULL array, length mismatch)."""
+    import random
+    import struct
+
+    from crime_spark_ml_spark.functions.vectors import dot, dot_arrow
+
+    random.seed(29)
+    rows = []
+    for i in range(60):
+        d = random.choice([8, 64, 300])
+        rows.append(
+            (
+                i,
+                [random.uniform(-2, 2) for _ in range(d)],
+                [random.uniform(-2, 2) for _ in range(d)],
+            )
+        )
+    rows += [
+        (100, [1.0, 2.0], [1.0]),          # length mismatch -> NULL
+        (101, None, [1.0, 2.0]),            # NULL array -> NULL
+        (102, [], []),                      # empty fold -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    got = df.select(
+        "id", dot("a", "b").alias("de"), dot_arrow("a", "b").alias("da")
+    ).collect()
+    for r in got:
+        ke = struct.pack(">d", r.de) if r.de is not None else None
+        ka = struct.pack(">d", r.da) if r.da is not None else None
+        assert ke == ka, (r.id, r.de, r.da)
+
+
+def test_near_dups_group_kernel_matches_legacy_join(spark):
+    """r10 pin: embedding_near_dups' applyInArrow pair kernel emits
+    exactly the pair set + bit-identical cos of the former
+    bucketed-self-join + zip_with scoring, including the max_bucket cap
+    semantics, at a threshold low enough that hundreds of non-planted
+    pairs survive."""
+    import random
+    import struct
+
+    from crime_spark_ml_spark.functions.vectors import norm
+    from crime_spark_ml_spark.operators.similarity import (
+        _cap_buckets,
+        embedding_near_dups,
+        sign_lsh_buckets,
+    )
+
+    random.seed(31)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    rows += [(1000 + i, [x * 1.001 for x in rows[i][1]]) for i in range(10)]
+    rows += [(2000 + i, [0.0] * 16) for i in range(80)]  # degenerate bucket
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def legacy(threshold, max_bucket):
+        b = _cap_buckets(
+            sign_lsh_buckets(corpus, "embedding", 4, 8).select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("e"),
+                norm("embedding").alias("n"),
+                F.posexplode("lsh_buckets").alias("t", "bucket"),
+            ),
+            max_bucket,
+        )
+        return (
+            b.alias("a")
+            .join(b.alias("b"), ["t", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(
+                    F.try_divide(
+                        F.expr(
+                            "aggregate(zip_with(a.e, b.e, (x, y) -> "
+                            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                        ),
+                        F.col("a.n") * F.col("b.n"),
+                    ),
+                    6,
+                ).alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+            .distinct()
+        )
+
+    def key(rs):
+        return sorted(
+            (r.id_a, r.id_b, struct.pack(">d", r.cos) if r.cos is not None else None)
+            for r in rs
+        )
+
+    for threshold, max_bucket in ((0.9, 50), (0.2, 50), (0.2, 1000)):
+        new = key(embedding_near_dups(corpus, threshold, max_bucket=max_bucket).collect())
+        old = key(legacy(threshold, max_bucket).collect())
+        assert new == old, (threshold, max_bucket, len(new), len(old))
+        assert len(new) > 0

@@ -553,3 +553,61 @@ def test_split_normalizes_corpus_like_build(spark, tmp_path):
         # cosine metric: top-1 must be a cluster-mate (same planted
         # corner) despite the magnitude scrambling
         assert got[(q, 1)] // 5 == q // 5
+
+
+def test_model_transport_gate(spark):
+    """r10: _model_transport ships model arrays inline below the cap
+    and via sc.broadcast above it, with identical task-side values —
+    and a build forced onto the broadcast path encodes bit-identically
+    to the closure path."""
+    import numpy as np
+
+    from crime_spark_ml_spark.ml import ivfpq as mod
+
+    small = (np.arange(8, dtype=np.float64),)
+    fetch, via_bc = mod._model_transport(spark, small)
+    assert not via_bc
+    assert (fetch()[0] == small[0]).all()
+
+    big = (np.zeros((1 << 11, 1 << 10), dtype=np.float64),)  # 16 MiB
+    fetch, via_bc = mod._model_transport(spark, big)
+    assert via_bc
+    assert fetch()[0].shape == big[0].shape
+
+    # end-to-end: same index built with the cap forced to 0 (all
+    # transport via broadcast) must produce identical codes
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx_a = mod.build_ivfpq(corpus, k_cells=4, m=4, k=8, seed=0)
+    coded_a = sorted(map(tuple, idx_a.coded.select("id", "cid", "codes").collect()))
+    old = mod._MODEL_CLOSURE_CAP_BYTES
+    mod._MODEL_CLOSURE_CAP_BYTES = 0
+    try:
+        idx_b = mod.build_ivfpq(corpus, k_cells=4, m=4, k=8, seed=0)
+        coded_b = sorted(map(tuple, idx_b.coded.select("id", "cid", "codes").collect()))
+    finally:
+        mod._MODEL_CLOSURE_CAP_BYTES = old
+    assert coded_a == coded_b
+
+
+def test_probe_lut_cap_guard(spark):
+    """r10: an unboundedly large probe batch fails at the explicit
+    broadcast contract instead of collecting/broadcasting without
+    limit."""
+    import numpy as np
+    import pytest
+
+    from crime_spark_ml_spark.ml import ivfpq as mod
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = mod.build_ivfpq(corpus, k_cells=4, m=4, k=8, seed=0)
+    old = mod._PROBE_LUT_CAP_BYTES
+    mod._PROBE_LUT_CAP_BYTES = 64
+    try:
+        with pytest.raises(ValueError, match="broadcast contract"):
+            mod.ivfpq_topk(idx, corpus.where(F.col("vec_id") < 5), k=3, nprobe=2)
+    finally:
+        mod._PROBE_LUT_CAP_BYTES = old
