@@ -74,6 +74,51 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _np_rotl(x, r: int):
+    """uint64 rotate-left, vectorized."""
+    import numpy as np
+
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _np_avalanche(h):
+    import numpy as np
+
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_P3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def xxh64_long_np(v, seed):
+    """Vectorized twin of the JVM ``xxhash64`` over ONE LongType value
+    (the 8-byte little-endian branch of ``xxh64``), uint64 in/out;
+    ``seed`` may be a scalar or a per-row array (hash chaining).
+    Pinned bit-identical to the JVM expression in
+    tests/test_datapipe.py — exists so fixed-width hash chains (MinHash
+    permutations, band hashes) can run as a handful of numpy vector
+    ops per batch instead of per-row JVM evaluations."""
+    import numpy as np
+
+    h = seed + np.uint64((_P5 + 8) & _M64)
+    k = _np_rotl(v * np.uint64(_P2), 31) * np.uint64(_P1)
+    h = _np_rotl(h ^ k, 27) * np.uint64(_P1) + np.uint64(_P4)
+    return _np_avalanche(h)
+
+
+def xxh64_int_np(i: int, seed):
+    """Vectorized twin of the JVM ``xxhash64`` over ONE IntegerType
+    value (the 4-byte branch): scalar int ``i``, per-row ``seed``."""
+    import numpy as np
+
+    h = seed + np.uint64((_P5 + 4) & _M64)
+    k = np.uint64(i & 0xFFFFFFFF) * np.uint64(_P1)
+    h = _np_rotl(h ^ k, 23) * np.uint64(_P2) + np.uint64(_P3)
+    return _np_avalanche(h)
+
+
 def shingles_expr(text_col: str, n: int = 3) -> str:
     """Word n-gram shingle set (SQL expression string, distinct).
 

@@ -92,6 +92,155 @@ def _minhash_agg(
     )
 
 
+def _np_minhash_merge(ids, h_i64, num_hashes: int, acc: dict) -> None:
+    """Merge one batch's per-doc permutation minima into ``acc``
+    (id → (num_hashes,) int64). Permutation i of shingle hash h is the
+    JVM chain xxhash64(h, i) = hashInt(i, hashLong(h, 42)) — computed
+    as ~12 uint64 vector ops per permutation via the pinned numpy
+    twins, with hashLong(h, 42) shared across all i (the JVM evaluates
+    it num_hashes times; same value). Segment minima use contiguous
+    change-points (explode emits a doc's shingles consecutively), but
+    the dict merge is order-independent, so correctness never relies
+    on contiguity."""
+    import numpy as np
+
+    from ..functions.hashing import xxh64_int_np, xxh64_long_np
+
+    u = h_i64.view(np.uint64)
+    s1 = xxh64_long_np(u, np.uint64(42))
+    perm = np.empty((len(u), num_hashes), dtype=np.int64)
+    for i in range(num_hashes):
+        perm[:, i] = xxh64_int_np(i, s1).view(np.int64)
+    cut = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+    mins = np.minimum.reduceat(perm, cut, axis=0)
+    for j, pos in enumerate(cut):
+        key = ids[pos]
+        cur = acc.get(key)
+        acc[key] = mins[j] if cur is None else np.minimum(cur, mins[j])
+
+
+def _np_band_hashes(M, bands: int, rows_per_band: int):
+    """(n, bands) int64 band hashes from (n, num_hashes) int64 minima —
+    the exact chained-expression value: acc₀=42L, acc = xxhash64(acc,
+    mh) = hashLong(mh, hashLong(acc, 42)) per row of the band."""
+    import numpy as np
+
+    from ..functions.hashing import xxh64_long_np
+
+    n = M.shape[0]
+    B = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        a = np.full(n, 42, dtype=np.uint64)
+        for r in range(rows_per_band):
+            a = xxh64_long_np(
+                M[:, b * rows_per_band + r].view(np.uint64),
+                xxh64_long_np(a, np.uint64(42)),
+            )
+        B[:, b] = a.view(np.int64)
+    return B
+
+
+def _minhash_arrow_frame(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    id_col: str,
+    parallelism: int | None,
+    bands: int | None = None,
+) -> DataFrame:
+    """MinHash signatures — (id, minhash_sig) — or banded bucket rows —
+    (id, band_pos, band_hash) — via ONE mapInArrow pass over the
+    exploded (id, xxhash64(shingle)) rows. Bit-identical to the
+    explode→groupBy(min(xxhash64(__h, i)))→band-chain expression form
+    (pinned in tests/test_datapipe.py): the shingle string is still
+    hashed once JVM-side; the num_hashes permutation hashes and the
+    per-doc minima — formerly the aggregation's dominant per-row cost
+    AND a full shuffle of the exploded rows — run vectorized in numpy
+    with NO exchange (a doc's shingles never leave its scan task,
+    since explode and mapInArrow share the stage; guide §2.4/§4.2).
+    Contract: ``id_col`` identifies each input row uniquely (a doc id)
+    — duplicate ids across partitions would emit per-partition partial
+    signatures where the old groupBy merged them globally."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = df.repartition(parallelism) if parallelism else df
+    ex = (
+        src.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.expr(shingles_expr(text_col, shingle_n))).alias("sh"),
+        )
+        .select("id", F.xxhash64("sh").alias("__h"))
+    )
+    id_type = df.schema[id_col].dataType
+    pa_id = to_arrow_type(id_type)
+    if bands is None:
+        out_schema = StructType(
+            [
+                StructField("id", id_type),
+                StructField("minhash_sig", ArrayType(LongType())),
+            ]
+        )
+    else:
+        if num_hashes % bands:
+            raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+        out_schema = StructType(
+            [
+                StructField("id", id_type),
+                StructField("band_pos", IntegerType(), False),
+                StructField("band_hash", LongType(), False),
+            ]
+        )
+    rows_per_band = num_hashes // bands if bands else 0
+
+    def fn(batches):
+        acc: dict = {}
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            h = np.asarray(batch.column(1).to_numpy(zero_copy_only=False), dtype=np.int64)
+            _np_minhash_merge(ids, h, num_hashes, acc)
+        if not acc:
+            return
+        keys = list(acc.keys())
+        M = np.stack([acc[k] for k in keys])
+        if bands is None:
+            offs = np.arange(
+                0, (len(keys) + 1) * num_hashes, num_hashes, dtype=np.int32
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, type=pa_id),
+                    pa.ListArray.from_arrays(pa.array(offs), pa.array(M.reshape(-1))),
+                ],
+                names=["id", "minhash_sig"],
+            )
+        else:
+            B = _np_band_hashes(M, bands, rows_per_band)
+            n = len(keys)
+            rep = pa.array(np.repeat(np.arange(n), bands))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, type=pa_id).take(rep),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(B.reshape(-1)),
+                ],
+                names=["id", "band_pos", "band_hash"],
+            )
+
+    return ex.mapInArrow(fn, out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -100,11 +249,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(id, minhash_sig) only — the hot-path form (no payload re-join)."""
-    return _minhash_agg(df, text_col, num_hashes, shingle_n, id_col, parallelism).select(
-        id_col,
-        F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("minhash_sig"),
-    )
+    """(id, minhash_sig) only — the hot-path form (no payload re-join).
+    One Arrow pass, zero exchanges (see _minhash_arrow_frame)."""
+    return _minhash_arrow_frame(
+        df, text_col, num_hashes, shingle_n, id_col, parallelism
+    ).select(F.col("id").alias(id_col), "minhash_sig")
 
 
 def minhash_lsh_candidates(
@@ -131,22 +280,13 @@ def minhash_lsh_candidates(
             f"bands={bands} must divide num_hashes={num_hashes}; trailing hash "
             f"components would be silently dropped and shift the s-curve"
         )
-    rows_per_band = num_hashes // bands
-    agg = _minhash_agg(df, text_col, num_hashes, 3, id_col, parallelism)
-    # band hashes FUSED onto the aggregation output: chained
-    # xxhash64(acc, __mh{i}) straight off the min columns — identical
-    # values to functions/hashing.band_hashes (same 42-seed chain) but
-    # with no 32-element array materialization and no slice/aggregate
-    # HOF projection between the agg and the explode.
-    band_cols = []
-    for b in range(bands):
-        acc = F.lit(42).cast("long")
-        for r in range(rows_per_band):
-            acc = F.xxhash64(acc, F.col(f"__mh{b * rows_per_band + r}"))
-        band_cols.append(acc)
-    banded = agg.select(
-        id_col, F.posexplode(F.array(*band_cols)).alias("band_pos", "band_hash")
-    )
+    # signatures + band hashes in one Arrow pass with NO aggregation
+    # exchange (r10, guide §2.4/§4.2) — values bit-identical to the
+    # former groupBy(min(xxhash64...)) + chained-xxhash64 band columns
+    # (pinned in tests/test_datapipe.py)
+    banded = _minhash_arrow_frame(
+        df, text_col, num_hashes, 3, id_col, parallelism, bands=bands
+    ).select(F.col("id").alias(id_col), "band_pos", "band_hash")
     # skew guard via a count window over the bucket key: one shuffle
     # that the self-join below reuses (same partitioning), vs the old
     # groupBy+join-back which shuffled `banded` twice.
@@ -306,7 +446,7 @@ def duplicate_clusters(
     labels = touched.withColumn("label", F.col("node"))
     converged = False
     prev_ck = None
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -345,13 +485,21 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_full.where(F.col("label") != F.col("old")).limit(1).count()
-        )
         if prev_ck is not None:
             prev_ck.unpersist()  # release the superseded round's blocks
         prev_ck = new_full
         labels = new_full.select("node", "label")
+        # round 0 never converges when any edge exists (every edge joins
+        # two DISTINCT ids, so the larger endpoint adopts the smaller
+        # label), and with zero edges every frame is empty and round 1's
+        # check costs nothing — so the round-0 convergence job is pure
+        # overhead, skipped (r10; one fewer action per build). With
+        # max_iter=1 there is no round 1 to check, so keep it.
+        if rnd == 0 and max_iter > 1:
+            continue
+        changed = (
+            new_full.where(F.col("label") != F.col("old")).limit(1).count()
+        )
         if changed == 0:
             converged = True
             break

@@ -668,3 +668,85 @@ def test_near_dups_group_kernel_matches_legacy_join(spark):
         old = key(legacy(threshold, max_bucket).collect())
         assert new == old, (threshold, max_bucket, len(new), len(old))
         assert len(new) > 0
+
+
+def test_minhash_arrow_kernel_matches_expressions(spark, sf_dir):
+    """r10 pin: _minhash_arrow_frame (one mapInArrow pass, zero
+    exchanges) is bit-identical to the explode → groupBy(min(
+    xxhash64(__h, i))) → chained-band expression form — signatures AND
+    banded bucket rows — including the numpy uint64 xxhash64 twins
+    (xxh64_long_np / xxh64_int_np) it builds on."""
+    import numpy as np
+
+    from crime_spark_ml_spark.functions.hashing import xxh64_int_np, xxh64_long_np
+    from crime_spark_ml_spark.operators.dedup import (
+        _minhash_agg,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    # twin pins: vector hashes equal the JVM expression on edge values
+    vals = np.array([0, 1, -1, 2**63 - 1, -(2**63), 42, -42], dtype=np.int64)
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    jvm = {
+        r.v: (r.h1, r.h2, r.h3)
+        for r in df.select(
+            "v",
+            F.xxhash64("v").alias("h1"),
+            F.xxhash64("v", F.lit(5)).alias("h2"),
+            F.xxhash64(F.lit(42).cast("long"), F.col("v")).alias("h3"),
+        ).collect()
+    }
+    u = vals.view(np.uint64)
+    h1 = xxh64_long_np(u, np.uint64(42)).view(np.int64)
+    h2 = xxh64_int_np(5, xxh64_long_np(u, np.uint64(42))).view(np.int64)
+    h3 = xxh64_long_np(u, xxh64_long_np(np.uint64(42), np.uint64(42))).view(np.int64)
+    for i, v in enumerate(vals):
+        assert jvm[int(v)] == (int(h1[i]), int(h2[i]), int(h3[i])), v
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig_new = sorted(
+        (r.doc_id, tuple(r.minhash_sig)) for r in minhash_signatures(docs).collect()
+    )
+    sig_old = sorted(
+        (r.doc_id, tuple(r.minhash_sig))
+        for r in _minhash_agg(docs, "text", 32, 3, "doc_id", None)
+        .select(
+            "doc_id", F.array(*[f"__mh{i}" for i in range(32)]).alias("minhash_sig")
+        )
+        .collect()
+    )
+    assert sig_new == sig_old and len(sig_new) > 0
+
+    # banded path: band hashes equal the chained-expression band columns
+    rows_per_band = 4
+    agg = _minhash_agg(docs, "text", 32, 3, "doc_id", None)
+    band_cols = []
+    for b in range(8):
+        acc = F.lit(42).cast("long")
+        for r in range(rows_per_band):
+            acc = F.xxhash64(acc, F.col(f"__mh{b * rows_per_band + r}"))
+        band_cols.append(acc)
+    old_banded = sorted(
+        map(
+            tuple,
+            agg.select(
+                "doc_id", F.posexplode(F.array(*band_cols)).alias("band_pos", "band_hash")
+            ).collect(),
+        )
+    )
+    from crime_spark_ml_spark.operators.dedup import _minhash_arrow_frame
+
+    new_banded = sorted(
+        map(
+            tuple,
+            _minhash_arrow_frame(docs, "text", 32, 3, "doc_id", None, bands=8)
+            .select(F.col("id").alias("doc_id"), "band_pos", "band_hash")
+            .collect(),
+        )
+    )
+    assert new_banded == old_banded
+
+    # full candidates equal end to end
+    cn = sorted(map(tuple, minhash_lsh_candidates(docs).collect()))
+    assert len(cn) > 0
