@@ -1517,7 +1517,10 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.split("text", " ").alias("toks"))
     cv = CountVectorizer(inputCol="toks", outputCol="features", minDF=1.0)
     cv_model = cv.fit(docs)
-    vec = cv_model.transform(docs)
+    # cached: three actions read vec (EM fit, the mixture check, the
+    # perplexity pass) — uncached, each re-runs tokenize+CV-transform
+    # over the scan (r10; values unchanged, caching is transparent)
+    vec = cv_model.transform(docs).cache()
     lda = LDA(k=3, seed=0, maxIter=5, optimizer="em", featuresCol="features")
     model = lda.fit(vec)
     # topicsMatrix is vocab x k (tiny: bounded by the closed synthetic
@@ -1539,6 +1542,7 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     ppl = model.logPerplexity(vec)
+    vec.unpersist(blocking=False)
     anchors = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
     vocab = F.lit(len(cv_model.vocabulary)).cast("bigint")
     return anchors.select(

@@ -30,6 +30,7 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+@pytest.mark.slow  # ~100-query subprocess probe; per-round gate twin: tools/run_vanilla_probe.py
 def test_vanilla_session_sampled_parity():
     """Sampled gate for the vanilla-session guarantee: 20 queries per
     run re-checked under a bare SparkSession (no repo confs, hostile

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pytest
+
 from crime_spark_ml_spark.plans.parity import _duckdb_conn, compare_query
 
 
@@ -185,6 +187,7 @@ def _documents_text_queries():
     )
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep; per-round gate: run_round_gates / verify skill step 5 with -m ""
 def test_text_kernels_survive_degenerate_docs(spark, tmp_path):
     """Unguarded sequence(1, size-k) bounds default to step -1 on
     short docs (the r5-advisor dp_heaps_law class); concat_ws turns
@@ -307,6 +310,7 @@ def _events_oracle_queries():
     )
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep; per-round gate: run_round_gates / verify skill step 5 with -m ""
 def test_event_kernels_survive_degenerate_events(spark, tmp_path):
     """The events twin of the documents sweep. Real event streams
     always contain NULL values/types/users/timestamps and malformed
@@ -389,6 +393,7 @@ def _embeddings_oracle_queries():
     )
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep; per-round gate: run_round_gates / verify skill step 5 with -m ""
 def test_vector_kernels_survive_degenerate_embeddings(spark, tmp_path):
     """The embeddings twin of the documents/events sweeps. Classes
     this pins: DuckDB's list_inner_product RAISES on dim mismatch or
@@ -423,6 +428,7 @@ def test_vector_kernels_survive_degenerate_embeddings(spark, tmp_path):
 DEGENERATE_RELATIONAL_EXCLUDED: set[str] = set()
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep; per-round gate: run_round_gates / verify skill step 5 with -m ""
 def test_relational_kernels_survive_degenerate_tables(spark, tmp_path):
     """The relational twin of the documents/events/embeddings sweeps —
     every oracle query reading region/nation/customer/supplier/part/
@@ -574,6 +580,7 @@ def test_cross_table_kernels_survive_fully_degenerate_clone(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+@pytest.mark.slow  # whole-registry degenerate sweep; per-round gate: run_round_gates / verify skill step 5 with -m ""
 def test_rows_only_queries_survive_degenerate_inputs(spark, tmp_path):
     """The nine rows-only queries (no SQL oracle by contract) get the
     weaker check the sweeps can't give them: they must still RUN and

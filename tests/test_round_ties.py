@@ -20,6 +20,8 @@ ev_uplift_qini (plus ev_fdr_bh itself).
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.sweep_round_ties import _rewrite_rounds, sweep  # noqa: E402
@@ -27,6 +29,7 @@ from tools.sweep_round_ties import _rewrite_rounds, sweep  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+@pytest.mark.slow  # whole-registry dual-engine sweep; per-round gate twin: tools/sweep_round_ties.py
 def test_no_oracle_depends_on_round_tie_breaking():
     flagged = sweep(SF_DIR)
     assert flagged == [], (
