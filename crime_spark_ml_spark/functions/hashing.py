@@ -102,10 +102,13 @@ def xxh64_long_np(v, seed):
     ops per batch instead of per-row JVM evaluations."""
     import numpy as np
 
-    h = seed + np.uint64((_P5 + 8) & _M64)
-    k = _np_rotl(v * np.uint64(_P2), 31) * np.uint64(_P1)
-    h = _np_rotl(h ^ k, 27) * np.uint64(_P1) + np.uint64(_P4)
-    return _np_avalanche(h)
+    # errstate: the wraparound IS the algorithm (mod-2^64 arithmetic);
+    # numpy warns on scalar/0-d overflow where arrays wrap silently
+    with np.errstate(over="ignore"):
+        h = seed + np.uint64((_P5 + 8) & _M64)
+        k = _np_rotl(v * np.uint64(_P2), 31) * np.uint64(_P1)
+        h = _np_rotl(h ^ k, 27) * np.uint64(_P1) + np.uint64(_P4)
+        return _np_avalanche(h)
 
 
 def xxh64_int_np(i: int, seed):
@@ -113,10 +116,11 @@ def xxh64_int_np(i: int, seed):
     value (the 4-byte branch): scalar int ``i``, per-row ``seed``."""
     import numpy as np
 
-    h = seed + np.uint64((_P5 + 4) & _M64)
-    k = np.uint64(i & 0xFFFFFFFF) * np.uint64(_P1)
-    h = _np_rotl(h ^ k, 23) * np.uint64(_P2) + np.uint64(_P3)
-    return _np_avalanche(h)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the algorithm
+        h = seed + np.uint64((_P5 + 4) & _M64)
+        k = np.uint64(((i & 0xFFFFFFFF) * _P1) & _M64)
+        h = _np_rotl(h ^ k, 23) * np.uint64(_P2) + np.uint64(_P3)
+        return _np_avalanche(h)
 
 
 def shingles_expr(text_col: str, n: int = 3) -> str:
